@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
+
+/** Loaders for the driver-generated star schema (see /root/repo/TESTDATA.md).
+  *
+  * All engine operators take DataFrames; these helpers only centralize the
+  * path convention `sfDir/<name>.parquet` so every query reads through one
+  * place (making it trivial to swap in partitioned/bucketed layouts later).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") {
+      // The events table is written with TIMESTAMP(NANOS) which Spark
+      // has no type for (PARQUET_TYPE_ILLEGAL): read nanos as long and
+      // truncate to microseconds with exact integer division (ns values
+      // exceed 2^53, so floating-point division would corrupt them).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Register every table as a temp view so `spark.sql` queries work. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Solar-geometry features as pure column expressions (no UDFs).
+  *
+  * Same astronomy as the reference (`src/solar_features.py:6-79`):
+  * declination angle, equation of time, time correction, hour angle →
+  * solar elevation in degrees. The DST case-expression is generalized to a
+  * caller-supplied UTC-offset column (the reference hard-codes the
+  * 2012-2018 US/Eastern switch dates).
+  */
+object SolarFeatures {
+
+  private val TwoPi = 2.0 * math.Pi
+
+  /** Solar declination (radians) from day-of-year. */
+  def declination(doy: Column): Column =
+    radians(lit(-23.45) * cos(lit(TwoPi / 365.0) * (doy + lit(10))))
+
+  /** Equation of time (minutes) from day-of-year. */
+  def equationOfTime(doy: Column): Column = {
+    val d = doy * lit(TwoPi / 365.0)
+    lit(-7.655) * sin(d) + lit(9.873) * sin(d * lit(2) + lit(3.588))
+  }
+
+  /** Hour angle (radians) for a local clock `hour` (0-23, taken at the
+    * half-hour midpoint), longitude in degrees and UTC offset in hours.
+    */
+  def hourAngle(doy: Column, hour: Column, lonDeg: Column, utcOffsetHours: Column): Column = {
+    val timeCorrection = lit(4) * (lonDeg - lit(15) * utcOffsetHours) + equationOfTime(doy)
+    val localSolarHour = hour + lit(0.5) + timeCorrection / 60
+    lit(0.2618) * (localSolarHour - lit(12))
+  }
+
+  /** Solar elevation angle in degrees. */
+  def solarElevation(doy: Column, hour: Column, latDeg: Column, lonDeg: Column,
+      utcOffsetHours: Column): Column = {
+    val dec = declination(doy)
+    val ha = hourAngle(doy, hour, lonDeg, utcOffsetHours)
+    degrees(asin(
+      sin(dec) * sin(radians(latDeg)) + cos(dec) * cos(radians(latDeg)) * cos(ha)))
+  }
+
+  /** Adds `solar_elevation` for rows with date, hour, lat, lon columns. */
+  def addSolarFeatures(df: DataFrame, dateCol: String, hourCol: String,
+      latCol: String, lonCol: String, utcOffsetHours: Column): DataFrame =
+    df.withColumn("solar_elevation",
+      solarElevation(dayofyear(col(dateCol)), col(hourCol), col(latCol), col(lonCol),
+        utcOffsetHours))
+}

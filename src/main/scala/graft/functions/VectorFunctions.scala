@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `array<float>` / `array<double>` columns using
+  * Spark's higher-order functions (`zip_with` / `aggregate` /
+  * `transform`) — all codegen-friendly built-ins, no UDFs, so they stay
+  * inside whole-stage codegen on the ANN hot path.
+  */
+object VectorFunctions {
+
+  /** Cast an array<float> to array<double> (stable cross-engine math). */
+  def toDoubleArray(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Dot product of two numeric arrays (left-to-right summation). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Squared L2 norm. */
+  def normSq(a: Column): Column = dot(a, a)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(normSq(a))
+
+  /** Cosine similarity; 0 when either vector is all-zero. */
+  def cosineSimilarity(a: Column, b: Column): Column = {
+    val denom = norm(a) * norm(b)
+    when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
+  }
+
+  /** Squared euclidean distance. */
+  def euclideanSq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
+  /** Random-hyperplane SimHash sign bits packed into a long, for LSH
+    * bucketing of embeddings: bit i = sign(dot(v, plane_i)). Planes are a
+    * deterministic pseudo-random matrix derived from (i, j) via a hash —
+    * reproducible across runs with zero data movement.
+    */
+  def hyperplaneSimHash(v: Column, nBits: Int, dim: Int, seed: Long = 42L): Column = {
+    require(nBits <= 63, "packed into a signed long")
+    val bits = (0 until nBits).map { i =>
+      // plane_i[j] in [-0.5, 0.5): deterministic hash of (seed, i, j)
+      val d = (0 until dim).map { j =>
+        val h = ((seed * 1000003L + i * 8191L + j) * 0x9E3779B97F4A7C15L)
+        val u = ((h >>> 11).toDouble / (1L << 53).toDouble) - 0.5
+        element_at(v, j + 1).cast("double") * lit(u)
+      }.reduce(_ + _)
+      when(d >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+}

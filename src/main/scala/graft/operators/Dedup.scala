@@ -1,0 +1,161 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication at corpus scale: exact, fingerprint, n-gram
+  * Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * Design notes for 100 TB:
+  *  - exact/fingerprint dedup is a hash-groupBy — one shuffle on a short
+  *    hash key, map-side combined.
+  *  - pairwise methods NEVER do an all-pairs join: candidates come from an
+  *    equi-join on a bucket key (LSH band hash / SimHash prefix), so cost
+  *    is Σ bucket² over near-constant-size buckets, not n².
+  *  - exact Jaccard is offered for verification of candidates, joined on
+  *    shared shingles with document-frequency capping to bound skew.
+  */
+object Dedup {
+
+  /** Exact duplicates: one row per md5(text) cluster with size > 1. */
+  def exactClusters(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(md5(col(textCol).cast("binary")).as("text_md5"))
+      .agg(count(lit(1)).as("cluster_size"), min(col(idCol)).as("keep_id"))
+      .filter(col("cluster_size") > 1)
+
+  /** Keep one representative row per exact-duplicate cluster (min id). */
+  def dropExactDuplicates(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol).cast("binary"))).orderBy(col(idCol))
+    docs.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Fingerprint (sorted-token-set) duplicate clusters. */
+  def fingerprintClusters(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(tokenSetFingerprint(col(textCol)).as("fingerprint"))
+      .agg(count(lit(1)).as("cluster_size"), min(col(idCol)).as("keep_id"),
+        min(length(col(textCol))).as("min_chars"), max(length(col(textCol))).as("max_chars"))
+      .filter(col("cluster_size") > 1)
+
+  /** Exact word-n-gram Jaccard over candidate pairs that share ≥1 shingle.
+    *
+    * `maxShingleDf` drops shingles appearing in more documents than the
+    * cap before the pair-generating self-join — the standard
+    * skew-bounding trick (a shingle in d docs generates d² pairs; common
+    * boilerplate would otherwise dominate). Pairs whose true Jaccard ≥
+    * `threshold` are returned with both sizes and the intersection count.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxShingleDf: Int = 1000): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc_id"), explode(array_distinct(shingles(col(textCol), n))).as("shingle"))
+    val capped = sh
+      .withColumn("_df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("_df") <= maxShingleDf)
+      .drop("_df")
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val inter = capped.as("a")
+      .join(capped.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_shingles", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_shingles", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+  }
+
+  /** MinHash + LSH near-duplicate candidate pairs.
+    *
+    * Signature of `bands*rowsPerBand` minhashes per doc; docs colliding on
+    * any band's hash become candidates; candidates are scored by the
+    * estimated Jaccard (fraction of equal signature components) and kept
+    * at ≥ `estThreshold`. No all-pairs stage: the join key is
+    * (band index, band hash).
+    */
+  def minHashLshPairs(docs: DataFrame, n: Int, bands: Int, rowsPerBand: Int,
+      estThreshold: Double, idCol: String = "doc_id", textCol: String = "text",
+      maxBucketSize: Int = 1000): DataFrame = {
+    val k = bands * rowsPerBand
+    val sigs = docs
+      .select(col(idCol).as("doc_id"), minHashSignature(col(textCol), n, k).as("sig"))
+      .filter(size(col("sig")) === k) // drop docs too short to have shingles
+
+    val banded = sigs.select(
+      col("doc_id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
+            .as("bhash")))).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
+
+    // cap pathological buckets (all-identical boilerplate) to bound skew
+    val bucketed = banded
+      .withColumn("_bsz", count(lit(1)).over(Window.partitionBy(col("band"), col("bhash"))))
+      .filter(col("_bsz") <= maxBucketSize)
+
+    val pairs = bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    pairs
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / k)
+      .filter(col("est_jaccard") >= estThreshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** SimHash near-duplicate pairs: 64-bit fingerprints compared within
+    * LSH blocks (16-bit chunks — two fingerprints within hamming distance
+    * 3 share at least one of the 4 chunks exactly).
+    */
+  def simHashPairs(docs: DataFrame, maxHamming: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val chunks = 4 // 64/16-bit chunks; exact for maxHamming <= 3
+    val fp = docs.select(col(idCol).as("doc_id"), simHash64(col(textCol)).as("fp"))
+    val blocked = fp.select(col("doc_id"), col("fp"),
+      explode(array((0 until chunks).map(i => struct(lit(i).as("blk"),
+        shiftright(col("fp"), i * 16).bitwiseAND(0xFFFFL).as("bkey"))): _*)).as("b"))
+      .select(col("doc_id"), col("fp"), col("b.blk").as("blk"), col("b.bkey").as("bkey"))
+    blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        hamming64(col("a.fp"), col("b.fp")).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-duplicates: pairs with cosine ≥ threshold, candidates
+    * from random-hyperplane SimHash buckets (no all-pairs join).
+    */
+  def embeddingNearDupPairs(emb: DataFrame, dim: Int, cosThreshold: Double,
+      nBits: Int = 12, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = VectorFunctions.toDoubleArray(col(vecCol))
+    val hashed = emb.select(col(idCol).as("vec_id"), v.as("v"),
+      VectorFunctions.hyperplaneSimHash(col(vecCol), nBits, dim).as("bucket"))
+    hashed.as("a")
+      .join(hashed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine", VectorFunctions.cosineSimilarity(col("a.v"), col("b.v")))
+      .filter(col("cosine") >= cosThreshold)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("cosine"))
+  }
+}

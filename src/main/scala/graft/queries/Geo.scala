@@ -1,0 +1,160 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{DateFeatures, GeoFunctions, SolarFeatures}
+import graft.operators.{IdwInterpolation, NearestMatch}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Geospatial + calendar + solar feature coverage (SURVEY §2.8 F1/F3/F7/F8,
+  * §3.1 matching, weather IDW §2.4 A2). Coordinates are derived
+  * deterministically from integer keys (clustered around Montréal) so the
+  * DuckDB oracle can mirror the exact double-precision formulas.
+  */
+object Geo {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  // Synthetic clustered coordinates (SQL + Column in lockstep).
+  private def custLatSql = "(45.0 + (c_custkey % 100) / 100.0)"
+  private def custLonSql = "(-74.0 + (c_custkey % 89) / 89.0)"
+  private val custLat: Column = lit(45.0) + (col("c_custkey") % 100) / 100.0
+  private val custLon: Column = lit(-74.0) + (col("c_custkey") % 89) / 89.0
+  private def suppLatSql = "(45.0 + (s_suppkey % 97) / 97.0)"
+  private def suppLonSql = "(-74.0 + (s_suppkey % 83) / 83.0)"
+  private val suppLat: Column = lit(45.0) + (col("s_suppkey") % 97) / 97.0
+  private val suppLon: Column = lit(-74.0) + (col("s_suppkey") % 83) / 83.0
+
+  /** Haversine metres in DuckDB SQL — must mirror GeoFunctions exactly. */
+  private def haversineSql(lat1: String, lon1: String, lat2: String, lon2: String): String =
+    s"""(atan2(sqrt(pow(sin(radians($lat1 - ($lat2)) / 2), 2)
+       |           + pow(sin(radians($lon1 - ($lon2)) / 2), 2)
+       |             * cos(radians($lat1)) * cos(radians($lat2))),
+       |      sqrt(1.0 - (pow(sin(radians($lat1 - ($lat2)) / 2), 2)
+       |           + pow(sin(radians($lon1 - ($lon2)) / 2), 2)
+       |             * cos(radians($lat1)) * cos(radians($lat2)))))
+       | * ${2 * GeoFunctions.EarthRadiusM})""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+
+    // F3 haversine as a pure projection (codegen'd, no UDF).
+    Q("q_geo_haversine_to_center",
+      s"""SELECT c_custkey,
+         |       round(${haversineSql(custLatSql, custLonSql, "45.508", "-73.587")}, 1)
+         |         AS dist_m
+         |FROM customer ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          round(GeoFunctions.haversineMeters(custLat, custLon, lit(45.508), lit(-73.587)), 1)
+            .as("dist_m"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // §3.1 geo kNN matching via the grid-bucketed equi-join (the 100 TB
+    // path — no cross join); oracle is the exhaustive cross-join + rank.
+    Q("q_geo_knn_match",
+      s"""SELECT c_custkey, s_suppkey, dist_m, rk FROM (
+         |  SELECT c_custkey, s_suppkey,
+         |         round(${haversineSql("c_lat", "c_lon", "s_lat", "s_lon")}, 1) AS dist_m,
+         |         row_number() OVER (PARTITION BY c_custkey
+         |             ORDER BY ${haversineSql("c_lat", "c_lon", "s_lat", "s_lon")}, s_suppkey) AS rk
+         |  FROM (SELECT c_custkey, $custLatSql AS c_lat, $custLonSql AS c_lon FROM customer)
+         |  CROSS JOIN (SELECT s_suppkey, $suppLatSql AS s_lat, $suppLonSql AS s_lon FROM supplier)
+         |) WHERE rk <= 2
+         |ORDER BY c_custkey, rk""".stripMargin) { (s, dir) =>
+      val left = t(s, dir, "customer")
+        .select(col("c_custkey"), custLat.as("c_lat"), custLon.as("c_lon"))
+      val right = t(s, dir, "supplier")
+        .select(col("s_suppkey"), suppLat.as("s_lat"), suppLon.as("s_lon"))
+      NearestMatch.kNearest(left, right, k = 2,
+          leftId = "c_custkey", rightId = "s_suppkey",
+          latL = "c_lat", lonL = "c_lon", latR = "s_lat", lonR = "s_lon",
+          cellDeg = 0.5)
+        .select(col("c_custkey"), col("s_suppkey"),
+          round(col("distance_m"), 1).as("dist_m"), col("rk"))
+        .orderBy(col("c_custkey"), col("rk"))
+    },
+
+    // A2/IDW: inverse-distance-squared interpolation of supplier acctbal
+    // onto customer points within 30 km (reference weather IDW,
+    // src/preprocess.py:360-398).
+    Q("q_geo_idw_acctbal",
+      s"""WITH pairs AS (
+         |  SELECT c_custkey,
+         |         ${haversineSql("c_lat", "c_lon", "s_lat", "s_lon")} AS d,
+         |         s_acctbal
+         |  FROM (SELECT c_custkey, $custLatSql AS c_lat, $custLonSql AS c_lon FROM customer)
+         |  CROSS JOIN (SELECT s_suppkey, s_acctbal,
+         |                     $suppLatSql AS s_lat, $suppLonSql AS s_lon FROM supplier)
+         |  WHERE ${haversineSql("c_lat", "c_lon", "s_lat", "s_lon")} < 30000
+         |)
+         |SELECT c_custkey,
+         |       round(sum(s_acctbal / pow(greatest(d, 1.0), 2))
+         |             / sum(1.0 / pow(greatest(d, 1.0), 2)), 3) AS idw_acctbal,
+         |       count(*) AS n_stations
+         |FROM pairs GROUP BY c_custkey ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), custLat.as("c_lat"), custLon.as("c_lon"))
+      val supp = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_acctbal"), suppLat.as("s_lat"), suppLon.as("s_lon"))
+      val pairs = cust.crossJoin(broadcast(supp))
+        .withColumn("distance_m",
+          GeoFunctions.haversineMeters(col("c_lat"), col("c_lon"), col("s_lat"), col("s_lon")))
+        .filter(col("distance_m") < 30000)
+      IdwInterpolation.interpolate(pairs
+            .withColumn("n_stations_src", lit(1)),
+          "c_custkey", "distance_m", Seq("s_acctbal"))
+        .withColumnRenamed("s_acctbal", "idw_raw")
+        .join(pairs.groupBy(col("c_custkey")).agg(count(lit(1)).as("n_stations")), "c_custkey")
+        .select(col("c_custkey"), round(col("idw_raw"), 3).as("idw_acctbal"), col("n_stations"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // F8 solar geometry (reference src/solar_features.py:6-79) over the
+    // events table, coordinates derived from user_id.
+    Q("q_solar_elevation",
+      s"""SELECT event_id,
+         |       round(degrees(asin(
+         |         sin(radians(-23.45 * cos((2 * pi() / 365) * (dayofyear(ts) + 10))))
+         |           * sin(radians(45.0 + (user_id % 100) / 100.0))
+         |         + cos(radians(-23.45 * cos((2 * pi() / 365) * (dayofyear(ts) + 10))))
+         |           * cos(radians(45.0 + (user_id % 100) / 100.0))
+         |           * cos(0.2618 * ((hour(ts) + 0.5
+         |               + (4 * ((-74.0 + (user_id % 89) / 89.0) - 15 * (-5.0))
+         |                  + (-7.655 * sin(dayofyear(ts) * (2 * pi() / 365))
+         |                     + 9.873 * sin(dayofyear(ts) * (2 * pi() / 365) * 2 + 3.588))) / 60)
+         |               - 12)))), 3) AS solar_elev
+         |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val lat = lit(45.0) + (col("user_id") % 100) / 100.0
+      val lon = lit(-74.0) + (col("user_id") % 89) / 89.0
+      t(s, dir, "events")
+        .select(col("event_id"),
+          round(SolarFeatures.solarElevation(
+            dayofyear(col("ts")), hour(col("ts")), lat, lon, lit(-5.0)), 3)
+            .as("solar_elev"))
+        .orderBy(col("event_id"))
+    },
+
+    // F1/F7 date parts + cyclic encodings (reference
+    // src/preprocess.py:401-419), aggregated per (year, month, iso dow).
+    Q("q_date_features",
+      """SELECT cast(year(o_orderdate) AS int) AS o_year,
+        |       cast(month(o_orderdate) AS int) AS o_month,
+        |       cast(isodow(o_orderdate) AS int) AS o_isodow,
+        |       count(*) AS n_orders,
+        |       round(sum(cos(dayofyear(o_orderdate) * (2 * pi() / 365))), 4) AS doy_cos_sum,
+        |       round(sum(sin(dayofyear(o_orderdate) * (2 * pi() / 365))), 4) AS doy_sin_sum
+        |FROM orders GROUP BY 1, 2, 3
+        |ORDER BY o_year, o_month, o_isodow""".stripMargin) { (s, dir) =>
+      val d = col("o_orderdate")
+      t(s, dir, "orders")
+        .groupBy(
+          year(d).as("o_year"), month(d).as("o_month"),
+          DateFeatures.isoDayOfWeek(d).as("o_isodow"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          round(sum(DateFeatures.cyclicCos(dayofyear(d), 365)), 4).as("doy_cos_sum"),
+          round(sum(DateFeatures.cyclicSin(dayofyear(d), 365)), 4).as("doy_sin_sum"))
+        .orderBy(col("o_year"), col("o_month"), col("o_isodow"))
+    })
+}

@@ -1,0 +1,248 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scan / projection / filter / join / aggregation / set-op coverage
+  * (SURVEY §2.1-2.4, §2.7): one deterministic, oracle-checked query per
+  * operator family, over the driver's TPC-H-ish tables.
+  *
+  * Scale notes: all joins here are equi-joins Catalyst plans as
+  * broadcast (dims) or shuffled hash/sort-merge (facts); aggregations are
+  * partial (map-side combine) before the single shuffle on the group key.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  val queries: Seq[Q] = Seq(
+
+    // A1/A2 group-by count+sum+avg (TPC-H Q1 shape), P2 cast, P3 filter.
+    Q("q_agg_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       round(avg(l_discount), 6) AS avg_disc,
+        |       count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2001-09-01 00:00:00").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // J2 multi-way inner equi-join (fact ⋈ dims) + group-by revenue.
+    // At scale: nation/region/customer broadcast; lineitem⋈orders
+    // co-shuffles on the order key once.
+    Q("q_join_revenue_by_nation",
+      """SELECT n.n_name AS nation, r.r_name AS region,
+        |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY n.n_name, r.r_name
+        |ORDER BY nation, region""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name").as("nation"), col("r_name").as("region"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("nation"), col("region"))
+    },
+
+    // J4 anti-join (reference emulates with left_outer+isnull filter;
+    // we use the direct left_anti): customers with no high-value order.
+    Q("q_join_anti_no_big_order",
+      """SELECT c.c_custkey AS c_custkey, c.c_mktsegment AS c_mktsegment
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      t(s, dir, "customer")
+        .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Semi-join: segments of customers having at least one open order.
+    Q("q_join_semi_open_order",
+      """SELECT c.c_mktsegment AS c_mktsegment, count(*) AS n_customers
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+        |GROUP BY c.c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val open = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+      t(s, dir, "customer")
+        .join(open, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // J5 full-outer domain completion + na.fill(0): order-count
+    // histogram including zero-order customers.
+    Q("q_join_fullouter_order_histogram",
+      """WITH per_cust AS (
+        |  SELECT o_custkey, count(*) AS n_orders
+        |  FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
+        |)
+        |SELECT coalesce(p.n_orders, 0) AS n_orders,
+        |       count(*) AS n_customers
+        |FROM customer c FULL OUTER JOIN per_cust p ON c.c_custkey = p.o_custkey
+        |GROUP BY coalesce(p.n_orders, 0)
+        |ORDER BY n_orders""".stripMargin) { (s, dir) =>
+      val perCust = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      t(s, dir, "customer")
+        .join(perCust, col("c_custkey") === col("o_custkey"), "full_outer")
+        .na.fill(0L, Seq("n_orders"))
+        .groupBy(col("n_orders"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("n_orders"))
+    },
+
+    // J7 self-join: max pairwise price spread per order (mirrors the
+    // reference's max-pairwise-distance street length,
+    // src/road_network.py:48-82).
+    Q("q_join_self_price_spread",
+      """SELECT a.l_orderkey AS l_orderkey,
+        |       round(max(abs(a.l_extendedprice - b.l_extendedprice)), 2) AS price_spread,
+        |       count(*) AS n_pairs
+        |FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+        |GROUP BY a.l_orderkey
+        |ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_linenumber") < col("b.l_linenumber"))
+        .groupBy(col("a.l_orderkey").as("l_orderkey"))
+        .agg(
+          round(max(abs(col("a.l_extendedprice") - col("b.l_extendedprice"))), 2).as("price_spread"),
+          count(lit(1)).as("n_pairs"))
+        .orderBy(col("l_orderkey"))
+    },
+
+    // J1 cross join (dim × dim only — never fact × fact).
+    Q("q_join_cross_nation_region",
+      """SELECT n.n_name AS n_name, r.r_name AS r_name
+        |FROM nation n CROSS JOIN region r
+        |ORDER BY n_name, r_name""".stripMargin) { (s, dir) =>
+      t(s, dir, "nation").select("n_name")
+        .crossJoin(broadcast(t(s, dir, "region").select("r_name")))
+        .orderBy(col("n_name"), col("r_name"))
+    },
+
+    // J6 join on a computed key (reference joins on a vector element,
+    // mains/main_train_base.py:46-51): orders ⋈ bucket stats on a
+    // derived bucket expression.
+    Q("q_join_computed_key_bucket",
+      """WITH buckets AS (
+        |  SELECT cast(floor(o_totalprice / 50000) AS bigint) AS bucket,
+        |         count(*) AS bucket_n
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT o.o_orderpriority AS o_orderpriority,
+        |       count(*) AS n_orders,
+        |       cast(sum(b.bucket_n) AS bigint) AS sum_bucket_n
+        |FROM orders o JOIN buckets b
+        |  ON cast(floor(o.o_totalprice / 50000) AS bigint) = b.bucket
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      val bucketExpr = floor(col("o_totalprice") / 50000)
+      val buckets = orders.groupBy(bucketExpr.as("bucket")).agg(count(lit(1)).as("bucket_n"))
+      orders.join(broadcast(buckets), bucketExpr === col("bucket"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("bucket_n")).as("sum_bucket_n"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // A3 group-by max/min over a mid-cardinality key.
+    Q("q_agg_minmax_by_supplier",
+      """SELECT l_suppkey,
+        |       round(max(l_extendedprice), 2) AS max_price,
+        |       round(min(l_extendedprice), 2) AS min_price,
+        |       count(*) AS n_items
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(
+          round(max(col("l_extendedprice")), 2).as("max_price"),
+          round(min(col("l_extendedprice")), 2).as("min_price"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("l_suppkey"))
+    },
+
+    // A5 pivot (reference: confusion-matrix pivot,
+    // src/random_forest.py:174-183).
+    Q("q_agg_pivot_returnflag",
+      """SELECT l_linestatus,
+        |       round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS "A",
+        |       round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS "N",
+        |       round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS "R"
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(round(sum(col("l_quantity")), 2))
+        .orderBy(col("l_linestatus"))
+    },
+
+    // A6 floor-bucketed histogram (reference: probability buckets,
+    // src/random_forest.py:165-169).
+    Q("q_agg_histogram_discount",
+      """SELECT cast(floor(l_discount * 20) AS bigint) AS bucket,
+        |       count(*) AS n_rows,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(floor(col("l_discount") * 20).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("bucket"))
+    },
+
+    // U1 positional union of overlapping year slices + P6 distinct
+    // (reference unions per-year frames then dedups,
+    // src/preprocess.py:247-254).
+    Q("q_union_distinct_years",
+      """WITH u AS (
+        |  SELECT o_orderkey, cast(year(o_orderdate) AS int) AS o_year
+        |  FROM orders WHERE year(o_orderdate) <= 1998
+        |  UNION ALL
+        |  SELECT o_orderkey, cast(year(o_orderdate) AS int) AS o_year
+        |  FROM orders WHERE year(o_orderdate) >= 1998
+        |)
+        |SELECT o_year, count(*) AS n_orders
+        |FROM (SELECT DISTINCT o_orderkey, o_year FROM u)
+        |GROUP BY o_year ORDER BY o_year""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+      val a = o.filter(col("o_year") <= 1998)
+      val b = o.filter(col("o_year") >= 1998)
+      a.union(b).distinct()
+        .groupBy(col("o_year")).agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_year"))
+    })
+}

@@ -1,0 +1,193 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication coverage over `documents` — the
+  * training-data-pipeline operators (language ID, quality scoring, token
+  * counting, fingerprinting, exact/fuzzy dedup). All Spark-side logic is
+  * native column expressions (codegen'd); oracles mirror them with
+  * DuckDB list/regexp functions. MinHash/SimHash queries hash with
+  * xxhash64 (no DuckDB equivalent) and are declared rows-only.
+  */
+object TextQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  private val enStop = Seq("the", "and", "of", "is", "with")
+  private val enStopSql = "['the', 'and', 'of', 'is', 'with']"
+  private val toksSql = "regexp_split_to_array(lower(text), '\\s+')"
+
+  val queries: Seq[Q] = Seq(
+
+    // Token counting: whitespace + BPE-ish regex (LLM-token proxy).
+    Q("q_text_token_stats",
+      s"""SELECT doc_id,
+         |       cast(len($toksSql) AS int) AS n_tokens,
+         |       cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS int)
+         |         AS n_bpeish,
+         |       round(CASE WHEN length(text) = 0 THEN 0.0
+         |                  ELSE cast(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS double)
+         |                       / cast(length(text) AS double) END, 4) AS punct_ratio,
+         |       round(CASE WHEN len($toksSql) = 0 THEN 0.0
+         |                  ELSE cast(list_aggregate(list_transform($toksSql, x -> length(x)), 'sum') AS double)
+         |                       / cast(len($toksSql) AS double) END, 4) AS mean_tok_len
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          TextFunctions.bpeishTokenCount(col("text")).as("n_bpeish"),
+          round(TextFunctions.punctRatio(col("text")), 4).as("punct_ratio"),
+          round(TextFunctions.meanTokenLength(col("text")), 4).as("mean_tok_len"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Quality scoring (C4/Gopher-style heuristic gates).
+    Q("q_text_quality",
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len($toksSql) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END AS len_ok,
+         |    CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0
+         |               ELSE cast(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS double)
+         |                    / cast(length(text) AS double) END) <= 0.2
+         |         THEN 1.0 ELSE 0.0 END AS punct_ok,
+         |    CASE WHEN (CASE WHEN len($toksSql) = 0 THEN 0.0
+         |               ELSE cast(len(list_filter($toksSql, x -> list_contains($enStopSql, x))) AS double)
+         |                    / cast(len($toksSql) AS double) END) >= 0.05
+         |         THEN 1.0 ELSE 0.0 END AS stop_ok,
+         |    CASE WHEN (CASE WHEN len($toksSql) = 0 THEN 0.0
+         |               ELSE cast(list_aggregate(list_transform($toksSql, x -> length(x)), 'sum') AS double)
+         |                    / cast(len($toksSql) AS double) END) BETWEEN 2.0 AND 12.0
+         |         THEN 1.0 ELSE 0.0 END AS meanlen_ok
+         |  FROM documents)
+         |SELECT doc_id, (len_ok + punct_ok + stop_ok + meanlen_ok) / 4 AS quality
+         |FROM scored ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          TextFunctions.qualityScore(col("text"), enStop).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Language ID (marker-stopword argmax) vs the labeled lang column.
+    Q("q_text_langid_confusion", {
+      val langs = TextFunctions.langMarkers.keys.toSeq.sorted
+      val scoreExprs = langs.map { l =>
+        val markers = TextFunctions.langMarkers(l).map(m => s"'$m'").mkString("[", ", ", "]")
+        s"len(list_filter($toksSql, x -> list_contains($markers, x))) AS s_$l"
+      }.mkString(",\n         |    ")
+      val gmax = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val caseChain = langs.map(l => s"WHEN s_$l = gm THEN '$l'").mkString(" ")
+      s"""WITH scores AS (
+         |  SELECT doc_id, lang,
+         |    $scoreExprs
+         |  FROM documents),
+         |picked AS (
+         |  SELECT *, $gmax AS gm FROM scores)
+         |SELECT lang, CASE WHEN gm = 0 THEN 'und' $caseChain END AS pred_lang,
+         |       count(*) AS n_docs
+         |FROM picked GROUP BY lang, pred_lang
+         |ORDER BY lang, pred_lang""".stripMargin
+    }) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), TextFunctions.langId(col("text")).as("pred_lang"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("pred_lang"))
+    },
+
+    // Exact dedup on a derived key (the synthetic corpus has no
+    // full-text duplicates; 50-char prefixes collide).
+    Q("q_dedup_exact_prefix",
+      """SELECT md5(substr(text, 1, 50)) AS text_md5,
+        |       count(*) AS cluster_size,
+        |       cast(min(doc_id) AS bigint) AS keep_id
+        |FROM documents GROUP BY 1 HAVING count(*) > 1
+        |ORDER BY text_md5""".stripMargin) { (s, dir) =>
+      Dedup.exactClusters(
+          t(s, dir, "documents").withColumn("prefix", substring(col("text"), 1, 50)),
+          idCol = "doc_id", textCol = "prefix")
+        .orderBy(col("text_md5"))
+    },
+
+    // Fingerprint dedup: md5 over the sorted distinct token set.
+    Q("q_dedup_fingerprint",
+      s"""SELECT md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fingerprint,
+         |       count(*) AS cluster_size,
+         |       cast(min(doc_id) AS bigint) AS keep_id,
+         |       cast(min(length(text)) AS int) AS min_chars,
+         |       cast(max(length(text)) AS int) AS max_chars
+         |FROM documents GROUP BY 1 HAVING count(*) > 1
+         |ORDER BY fingerprint""".stripMargin) { (s, dir) =>
+      Dedup.fingerprintClusters(t(s, dir, "documents"))
+        .orderBy(col("fingerprint"))
+    },
+
+    // Exact n-gram Jaccard near-dup pairs (candidate generation via
+    // shared-shingle equi-join with document-frequency skew cap).
+    Q("q_dedup_jaccard_pairs",
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len($toksSql) < 3 THEN CAST([] AS VARCHAR[])
+         |         ELSE list_transform(range(len($toksSql) - 2),
+         |                i -> array_to_string($toksSql[i + 1 : i + 3], ' ')) END)) AS shingle
+         |  FROM documents),
+         |capped AS (
+         |  SELECT doc_id, shingle FROM (
+         |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
+         |  WHERE df <= 1000),
+         |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+         |  FROM capped a JOIN capped b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_common,
+         |       sa.n_shingles AS n_a, sb.n_shingles AS n_b,
+         |       round(cast(n_common AS double) / (sa.n_shingles + sb.n_shingles - n_common), 6)
+         |         AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = id_a
+         |JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE cast(n_common AS double) / (sa.n_shingles + sb.n_shingles - n_common) >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 3, threshold = 0.3)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // MinHash+LSH near-dup candidates — xxhash64-based, rows-only.
+    Q.rowsOnly("q_dedup_minhash_lsh") { (s, dir) =>
+      Dedup.minHashLshPairs(t(s, dir, "documents"),
+          n = 3, bands = 8, rowsPerBand = 4, estThreshold = 0.2)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // SimHash near-dup pairs — xxhash64-based, rows-only.
+    Q.rowsOnly("q_dedup_simhash") { (s, dir) =>
+      Dedup.simHashPairs(t(s, dir, "documents"), maxHamming = 16)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Multimodal plumbing: opaque binary payload + deterministic
+    // metadata extraction (stand-in for image decode — see
+    // graft.operators.Multimodal for the typed mapPartitions path).
+    Q("q_multimodal_binary_meta",
+      """SELECT doc_id,
+        |       cast(strlen(text) AS int) AS n_bytes,
+        |       cast(strlen(text) % 640 + 16 AS int) AS fake_width,
+        |       cast((strlen(text) * 7) % 480 + 16 AS int) AS fake_height,
+        |       substr(sha256(text), 1, 8) AS content_sha8
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val bytes = octet_length(col("text"))
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          bytes.as("n_bytes"),
+          (bytes % 640 + 16).as("fake_width"),
+          ((bytes * 7) % 480 + 16).as("fake_height"),
+          substring(sha2(col("text").cast("binary"), 256), 1, 8).as("content_sha8"))
+        .orderBy(col("doc_id"))
+    })
+}

@@ -1,0 +1,188 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.VectorFunctions
+import graft.ml.{BaselineRateModel, ClassWeighter}
+import graft.operators.{Dedup, SimilaritySearch, ThresholdMetrics}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity-search + ML-side relational coverage:
+  * brute-force/IVF ANN over `embeddings`, embedding near-dup, the
+  * threshold-metrics curve (SURVEY §2 M10), the single-pass baseline
+  * rate model (M8), and class weighting (M3).
+  */
+object VectorMlQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  /** DuckDB double-precision cosine between two DOUBLE[] columns. */
+  private def cosSql(a: String, b: String): String =
+    s"""(CASE WHEN sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)) = 0
+       | THEN 0.0
+       | ELSE list_dot_product($a, $b)
+       |      / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))) END)""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+
+    // Per-label embedding norm stats — exercises zip_with/aggregate
+    // higher-order-function math against DuckDB list functions.
+    Q("q_vector_norm_stats",
+      """SELECT label, count(*) AS n_vecs,
+        |       round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4)
+        |         AS avg_norm
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("label"),
+          sqrt(VectorFunctions.normSq(VectorFunctions.toDoubleArray(col("embedding"))))
+            .as("norm"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"), round(avg(col("norm")), 4).as("avg_norm"))
+        .orderBy(col("label"))
+    },
+
+    // Brute-force exact cosine top-k (query side broadcast; corpus
+    // streams once, per-group window limit keeps k rows pre-shuffle).
+    Q("q_ann_brute_topk", {
+      val cos = cosSql("q.qv", "c.cv")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |           FROM embeddings WHERE vec_id < 8),
+         |c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+         |pairs AS (
+         |  SELECT q.query_id, c.vec_id, $cos AS cosine
+         |  FROM q CROSS JOIN c WHERE q.query_id != c.vec_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, cosine,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cosine DESC, vec_id) AS rk
+         |  FROM pairs)
+         |SELECT query_id, vec_id, round(cosine, 5) AS cosine, rk
+         |FROM ranked WHERE rk <= 5
+         |ORDER BY query_id, rk""".stripMargin
+    }) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      SimilaritySearch.bruteForceTopK(queries, emb, k = 5)
+        .withColumn("cosine", round(col("cosine"), 5))
+        .orderBy(col("query_id"), col("rk"))
+    },
+
+    // IVF-bucketed ANN (approximate — recall < 1 by design): rows-only.
+    Q.rowsOnly("q_ann_ivf_topk") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      SimilaritySearch.ivfTopK(queries, emb, k = 5, nCentroids = 16, nProbe = 4)
+        .orderBy(col("query_id"), col("rk"))
+    },
+
+    // Embedding near-duplicate pairs via hyperplane-LSH buckets:
+    // rows-only (bucket planes are Scala-side literals).
+    Q.rowsOnly("q_embed_neardup") { (s, dir) =>
+      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), dim = 64,
+          cosThreshold = 0.2, nBits = 6)
+        .withColumn("cosine", round(col("cosine"), 5))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // M10 threshold-metrics curve over a deterministic pseudo-score.
+    Q("q_ml_threshold_metrics",
+      """WITH scored AS (
+        |  SELECT ((vec_id * 37) % 97) / 96.0 AS prob, label FROM embeddings),
+        |bucketed AS (
+        |  SELECT least(cast(floor(prob * 20) AS int), 19) AS bucket,
+        |         cast(label AS int) AS label, count(*) AS n
+        |  FROM scored GROUP BY 1, 2),
+        |domain AS (
+        |  SELECT d.bucket, l.label
+        |  FROM (SELECT cast(range AS int) AS bucket FROM range(0, 20)) d
+        |  CROSS JOIN (SELECT 0 AS label UNION ALL SELECT 1) l),
+        |full_grid AS (
+        |  SELECT d.bucket, d.label, coalesce(b.n, 0) AS n
+        |  FROM domain d LEFT JOIN bucketed b
+        |    ON d.bucket = b.bucket AND d.label = b.label),
+        |cum AS (
+        |  SELECT bucket, label, n,
+        |         coalesce(sum(n) OVER (PARTITION BY label ORDER BY bucket
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_below,
+        |         sum(n) OVER (PARTITION BY label ORDER BY bucket
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_at_or_above
+        |  FROM full_grid),
+        |curve AS (
+        |  SELECT bucket,
+        |         cast(sum(CASE WHEN label = 1 THEN n_at_or_above END) AS bigint) AS tp,
+        |         cast(sum(CASE WHEN label = 0 THEN n_at_or_above END) AS bigint) AS fp,
+        |         cast(sum(CASE WHEN label = 0 THEN n_below END) AS bigint) AS tn,
+        |         cast(sum(CASE WHEN label = 1 THEN n_below END) AS bigint) AS fn
+        |  FROM cum GROUP BY bucket)
+        |SELECT bucket, tp, fp, tn, fn,
+        |       cast(bucket AS double) / 20 AS threshold,
+        |       CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END AS precision,
+        |       CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END AS recall,
+        |       CASE WHEN fp + tn = 0 THEN 0.0 ELSE fp / (fp + tn) END AS fpr,
+        |       (tp + tn) / (tp + fp + tn + fn) AS accuracy,
+        |       CASE WHEN (CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END)
+        |               + (CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END) = 0 THEN 0.0
+        |            ELSE 2 * (CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END)
+        |                   * (CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END)
+        |                 / ((CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END)
+        |                    + (CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END)) END AS f1
+        |FROM curve ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val scored = t(s, dir, "embeddings")
+        .select((((col("vec_id") * 37) % 97) / 96.0).as("prob"), col("label"))
+      ThresholdMetrics.compute(scored, nBuckets = 20, probCol = "prob")
+        .orderBy(col("bucket"))
+    },
+
+    // M8 baseline rate model fit as ONE aggregation + reverse-cumulative
+    // window (the reference runs 377 sequential filter+count jobs —
+    // mains/main_train_base.py:25-51).
+    Q("q_ml_baseline_rate",
+      """WITH labeled AS (
+        |  SELECT o.o_orderkey,
+        |         CASE WHEN o.o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS label,
+        |         c.cnt
+        |  FROM orders o JOIN (SELECT l_orderkey, count(*) AS cnt
+        |                      FROM lineitem GROUP BY 1) c
+        |    ON o.o_orderkey = c.l_orderkey),
+        |by_count AS (
+        |  SELECT cast(cnt AS bigint) AS count_value,
+        |         count(*) AS n,
+        |         cast(sum(CASE WHEN label = 1.0 THEN 1 ELSE 0 END) AS bigint) AS n_pos
+        |  FROM labeled GROUP BY 1)
+        |SELECT count_value, n, n_pos,
+        |       cast(sum(n) OVER w AS bigint) AS cum_n,
+        |       cast(sum(n_pos) OVER w AS bigint) AS cum_pos,
+        |       cast(sum(n_pos) OVER w AS double) / cast(sum(n) OVER w AS double) AS prob
+        |FROM by_count
+        |WINDOW w AS (ORDER BY count_value DESC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY count_value""".stripMargin) { (s, dir) =>
+      val cnt = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+      val labeled = t(s, dir, "orders")
+        .join(cnt, col("o_orderkey") === col("l_orderkey"))
+        .select(when(col("o_orderstatus") === "F", 1.0).otherwise(0.0).as("label"),
+          col("cnt"))
+      BaselineRateModel.fit(labeled, countCol = "cnt", labelCol = "label")
+        .withColumn("prob", col("cum_pos").cast("double") / col("cum_n").cast("double"))
+        .orderBy(col("count_value"))
+    },
+
+    // M3 class weighting (when-chain projection, no shuffle).
+    Q("q_ml_class_weights",
+      """SELECT cast(label AS int) AS label,
+        |       cast(CASE WHEN cast(label AS int) = 1 THEN 1.75 ELSE 0.25 END AS double) AS weight,
+        |       count(*) AS n_rows
+        |FROM embeddings GROUP BY 1, 2 ORDER BY label""".stripMargin) { (s, dir) =>
+      val weighted = new ClassWeighter()
+        .setLabelCol("label").setWeightCol("weight")
+        .setClassWeights(Array(0.25, 1.75))
+        .transform(t(s, dir, "embeddings"))
+      weighted
+        .groupBy(col("label").cast("int").as("label"), col("weight"))
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy(col("label"))
+    })
+}

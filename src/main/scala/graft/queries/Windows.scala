@@ -1,0 +1,148 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Sessionize, TopK}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function coverage (SURVEY §2.5-2.6): rank / row_number /
+  * rolling frames / lag-weighted smoothing / cumulative frames /
+  * sessionization, each oracle-checked.
+  *
+  * Scale notes: every window here partitions by a high-cardinality key
+  * (customer / user), so state per partition is small and the sort
+  * happens inside the hash partition — no global ordering except the
+  * deliberately tiny global-window query (top-20), which Spark executes
+  * as a single-partition window over a pre-limited input.
+  */
+object Windows {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  val queries: Seq[Q] = Seq(
+
+    // W1 rank over (partitionBy key, orderBy value) + filter ≤ k —
+    // Spark ≥3.5 plans this as WindowGroupLimit (map-side top-k).
+    Q("q_window_rank_topk_orders",
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         rank() OVER (PARTITION BY o_custkey
+        |                      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3
+        |ORDER BY o_custkey, rk, o_orderkey""".stripMargin) { (s, dir) =>
+      TopK.perGroup(
+          t(s, dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+          partitionBy = Seq(col("o_custkey")),
+          orderBy = Seq(col("o_totalprice").desc, col("o_orderkey")),
+          k = 3, keepTies = true)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+        .orderBy(col("o_custkey"), col("rk"), col("o_orderkey"))
+    },
+
+    // W2 row_number over a GLOBAL window (reference risk-ranking,
+    // src/preprocess.py:552-553) — kept tiny by construction.
+    Q("q_window_global_top20",
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_totalprice,
+        |         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 20 ORDER BY rn""".stripMargin) { (s, dir) =>
+      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .orderBy(col("rn"))
+    },
+
+    // W3 forward rolling frame rowsBetween(0, 1) — the reference's
+    // consecutive-point midpoint interpolation (src/preprocess.py:161-171).
+    Q("q_window_rolling_next_avg",
+      """SELECT event_id, user_id,
+        |       round(avg(value) OVER (PARTITION BY user_id
+        |                              ORDER BY ts, event_id
+        |                              ROWS BETWEEN CURRENT ROW AND 1 FOLLOWING), 4) AS next_avg
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.currentRow, 1)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          round(avg(col("value")).over(w), 4).as("next_avg"))
+        .orderBy(col("event_id"))
+    },
+
+    // W4 lag-weighted exponential smoothing (reference risky-weather
+    // 24h decay, src/weather.py:230-244) — 4-tap 0.5^i decay.
+    Q("q_window_lag_decay",
+      """SELECT event_id,
+        |       round(value * 1.0
+        |             + coalesce(lag(value, 1) OVER w, 0) * 0.5
+        |             + coalesce(lag(value, 2) OVER w, 0) * 0.25
+        |             + coalesce(lag(value, 3) OVER w, 0) * 0.125, 6) AS smoothed
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val smoothed = Seq(1.0, 0.5, 0.25, 0.125).zipWithIndex.map { case (wt, i) =>
+        coalesce(lag(col("value"), i).over(w), lit(0)) * lit(wt)
+      }.reduce(_ + _)
+      t(s, dir, "events")
+        .select(col("event_id"), round(smoothed, 6).as("smoothed"))
+        .orderBy(col("event_id"))
+    },
+
+    // W5 cumulative + reverse-cumulative frames (reference threshold
+    // metrics, src/random_forest.py:137-146).
+    Q("q_window_cumulative",
+      """SELECT event_id,
+        |       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value,
+        |       cast(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS bigint) AS n_later
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val base = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_id"),
+          round(sum(col("value")).over(
+            base.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4)
+            .as("running_value"),
+          count(lit(1)).over(
+            base.rowsBetween(1, Window.unboundedFollowing)).as("n_later"))
+        .orderBy(col("event_id"))
+    },
+
+    // Gap-based sessionization (lag + cumulative boundary sum) with a
+    // per-session rollup — timestamps exported as epoch millis so both
+    // engines compare integers.
+    Q("q_sessionize_gap30m",
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessions AS (
+        |  SELECT user_id, ts, value,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged
+        |)
+        |SELECT user_id, cast(session_seq AS bigint) AS session_seq,
+        |       count(*) AS n_events,
+        |       cast(min(epoch_ms(ts)) AS bigint) AS start_ms,
+        |       cast(max(epoch_ms(ts)) AS bigint) AS end_ms,
+        |       round(sum(value), 4) AS session_value
+        |FROM sessions GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin) { (s, dir) =>
+      Sessionize.sessionize(t(s, dir, "events"), "user_id", "ts", gapSeconds = 1800)
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          unix_millis(min(col("ts"))).as("start_ms"),
+          unix_millis(max(col("ts"))).as("end_ms"),
+          round(sum(col("value")), 4).as("session_value"))
+        .orderBy(col("user_id"), col("session_seq"))
+    })
+}

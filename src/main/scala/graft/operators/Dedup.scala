@@ -86,11 +86,20 @@ object Dedup {
     */
   def minHashLshPairs(docs: DataFrame, n: Int, bands: Int, rowsPerBand: Int,
       estThreshold: Double, idCol: String = "doc_id", textCol: String = "text",
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000, seed: Long = 42L): DataFrame = {
     val k = bands * rowsPerBand
-    val sigs = docs
-      .select(col(idCol).as("doc_id"), minHashSignature(col(textCol), n, k).as("sig"))
-      .filter(size(col("sig")) === k) // drop docs too short to have shingles
+    // Relational minhash: explode shingles once, hash each shingle k ways
+    // in a codegen'd projection, take k map-side-combined min aggregates.
+    // (The array-lambda formulation — min over transform(...) per
+    // component — runs interpreted and re-evaluates the shingle pipeline
+    // per consumer: ~30× slower at sf0.1.) Docs with fewer than n tokens
+    // have no shingles and drop out, matching the old size-filter.
+    val sh = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(shingles(col(textCol), n))).as("shingle"))
+    val mins = (0 until k).map(i => min(xxhash64(col("shingle"), lit(seed + i))).as(s"_m$i"))
+    val sigs = sh.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"_m$i")): _*).as("sig"))
 
     val banded = sigs.select(
       col("doc_id"), col("sig"),
@@ -128,7 +137,20 @@ object Dedup {
   def simHashPairs(docs: DataFrame, maxHamming: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val chunks = 4 // 64/16-bit chunks; exact for maxHamming <= 3
-    val fp = docs.select(col(idCol).as("doc_id"), simHash64(col(textCol)).as("fp"))
+    // Relational simhash (same reasoning as minHashLshPairs): explode the
+    // token multiset, hash once per token, then 64 conditional-sum
+    // aggregates — all inside whole-stage codegen with map-side combine.
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val h = xxhash64(col("tok"))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"_b$i")
+    }
+    val fp = toks.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i => when(col(s"_b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("fp"))
     val blocked = fp.select(col("doc_id"), col("fp"),
       explode(array((0 until chunks).map(i => struct(lit(i).as("blk"),
         shiftright(col("fp"), i * 16).bitwiseAND(0xFFFFL).as("bkey"))): _*)).as("b"))

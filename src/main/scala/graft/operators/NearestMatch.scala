@@ -1,25 +1,38 @@
 package graft.operators
 
 import graft.functions.GeoFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Geo k-nearest-neighbour matching: for each left point, the k nearest
-  * right points by great-circle distance.
+  * right points by great-circle distance — exact at any density, with a
+  * grid-bucketed fast path.
   *
   * The reference does this as a raw cross join + window rank
   * (`src/preprocess.py:59-129`). A cross join is O(|L|·|R|) — fatal at
-  * 100 TB — so the scale path here is a **grid-bucketed equi-join**: both
-  * sides are assigned to lat/lon cells of `cellDeg` degrees, each left
-  * point probes its 3×3 neighbourhood of cells (a 9× row expansion on the
-  * smaller side, NOT a cross join), and candidates are ranked per left id.
-  * With cellDeg chosen ≥ the max match radius this is exact for
-  * within-radius matches; pass `exhaustive = true` to fall back to the
-  * reference's cross join for tiny inputs / correctness oracles.
+  * 100 TB — so the scale path here is a **grid-bucketed equi-join**:
+  * right points are exploded to their 3×3 lat/lon cell neighbourhood of
+  * `cellDeg` degrees and candidates come from a plain equi-join on the
+  * cell id. That join alone is only guaranteed exact for neighbours
+  * within the neighbourhood's coverage radius, so a second phase checks,
+  * per left row, that k candidates were found AND the k-th candidate
+  * distance is within the guaranteed-coverage radius; the (few) rows
+  * failing the guarantee are re-matched exhaustively. Net cost at scale:
+  * one equi-join shuffle + a cross join restricted to the sparse-region
+  * stragglers, instead of |L|·|R| everywhere.
   */
 object NearestMatch {
 
-  /** @param left  (leftId, lat, lon) — any extra columns are kept
+  /** Metres guaranteed covered by the 3×3 neighbourhood: a neighbour
+    * within this distance cannot be outside it. `maxAbsLatDeg` bounds
+    * the longitude shrink factor cos(lat).
+    */
+  def coverageRadiusM(cellDeg: Double, maxAbsLatDeg: Double): Double =
+    cellDeg * (math.Pi / 180.0) * EarthRadiusM *
+      math.cos(math.toRadians(math.min(89.0, maxAbsLatDeg)))
+
+  /** @param left  (leftId, lat, lon) — extra columns are kept
     * @param right (rightId, lat, lon)
     * @return left columns + rightId + distance_m + rank `rk` ≤ k
     */
@@ -27,32 +40,47 @@ object NearestMatch {
       leftId: String, rightId: String,
       latL: String = "lat", lonL: String = "lon",
       latR: String = "lat", lonR: String = "lon",
-      cellDeg: Double = 0.02, exhaustive: Boolean = false): DataFrame = {
+      cellDeg: Double = 0.1, maxAbsLatDeg: Double = 60.0,
+      exhaustive: Boolean = false): DataFrame = {
 
-    val dist = haversineMeters(col(latL), col(lonL), col(latR), col(lonR)).as("distance_m")
+    def dist: Column = haversineMeters(col(latL), col(lonL), col(latR), col(lonR))
+    def rankK(candidates: DataFrame): DataFrame =
+      TopK.perGroup(
+        candidates.select(left.columns.map(col).toSeq :+ col(rightId) :+ dist.as("distance_m"): _*),
+        partitionBy = Seq(col(leftId)),
+        orderBy = Seq(col("distance_m"), col(rightId)), // rightId = deterministic tie-break
+        k = k)
 
-    val candidates =
-      if (exhaustive) {
-        left.crossJoin(right)
-      } else {
-        // cell ids; right side exploded to its 3x3 neighbourhood so the
-        // join is a plain equi-join on (cx, cy) that Catalyst shuffles by
-        // key (or broadcasts if one side is small).
-        val lcell = left
-          .withColumn("cx", floor(col(latL) / cellDeg))
-          .withColumn("cy", floor(col(lonL) / cellDeg))
-        val rcell = right
-          .withColumn("cx", explode(sequence(floor(col(latR) / cellDeg) - 1,
-            floor(col(latR) / cellDeg) + 1)))
-          .withColumn("cy", explode(sequence(floor(col(lonR) / cellDeg) - 1,
-            floor(col(lonR) / cellDeg) + 1)))
-        lcell.join(rcell, Seq("cx", "cy")).drop("cx", "cy")
-      }
+    if (exhaustive) return rankK(left.crossJoin(right))
 
-    TopK.perGroup(
-      candidates.select(left.columns.map(col).toSeq :+ col(rightId) :+ dist: _*),
-      partitionBy = Seq(col(leftId)),
-      orderBy = Seq(col("distance_m"), col(rightId)), // rightId = deterministic tie-break
-      k = k)
+    // Phase 1: equi-join on cell id, right side exploded to its 3×3
+    // neighbourhood (9× the smaller side, NOT a cross join).
+    val lcell = left
+      .withColumn("cx", floor(col(latL) / cellDeg))
+      .withColumn("cy", floor(col(lonL) / cellDeg))
+    val rcell = right
+      .withColumn("cx", explode(sequence(floor(col(latR) / cellDeg) - 1,
+        floor(col(latR) / cellDeg) + 1)))
+      .withColumn("cy", explode(sequence(floor(col(lonR) / cellDeg) - 1,
+        floor(col(lonR) / cellDeg) + 1)))
+    val phase1 = rankK(lcell.join(rcell, Seq("cx", "cy")).drop("cx", "cy"))
+
+    // Phase 2: a left row's top-k is provably complete iff it found k
+    // candidates and the k-th is inside the coverage radius.
+    val guarantee = coverageRadiusM(cellDeg, maxAbsLatDeg)
+    val perLeft = Window.partitionBy(col(leftId))
+    val flagged = phase1
+      .withColumn("_nc", count(lit(1)).over(perLeft))
+      .withColumn("_dk", max(col("distance_m")).over(perLeft))
+    // strict <: at exactly the coverage radius a neighbour can sit on a
+    // cell boundary that floors into the 4th ring.
+    val proven = flagged.filter(col("_nc") === k && col("_dk") < guarantee)
+      .drop("_nc", "_dk")
+
+    val unprovenLeft = left.join(
+      proven.select(col(leftId)).distinct(), Seq(leftId), "left_anti")
+    val fallback = rankK(unprovenLeft.crossJoin(right))
+
+    proven.unionByName(fallback)
   }
 }

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory (SURVEY §2.11 C5, mirroring the reference's
+  * `src/utils.py:18-44` Kryo/compress config in Spark-4 terms).
+  *
+  * Everything engine code relies on is set HERE, at construction — no
+  * operator or loader mutates session conf at runtime:
+  *  - UTC session timezone (deterministic date/hour semantics),
+  *  - AQE on (runtime shuffle coalescing + skew-join handling replaces
+  *    the reference's hard-coded `repartition(200)` — C1/C2),
+  *  - Kryo serializer (broadcast/shuffle of the engine's small dims),
+  *  - `nanosAsLong` legacy flag so TIMESTAMP(NANOS) parquet (the events
+  *    table) reads as long instead of failing PARQUET_TYPE_ILLEGAL.
+  */
+object Sessions {
+
+  /** `local[cpus]` session with the engine's required configuration.
+    * Shuffle partitions default to the cpu count — sized for single-node
+    * local mode; a cluster deployment would raise it to ~2-3× total
+    * cores.
+    */
+  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"),
+      appName: String = "graft"): SparkSession =
+    configure(SparkSession.builder().master(s"local[$cpus]").appName(appName), cpus)
+      .getOrCreate()
+
+  /** Apply the engine configuration to any builder (cluster or local). */
+  def configure(b: SparkSession.Builder, shufflePartitions: String): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+}

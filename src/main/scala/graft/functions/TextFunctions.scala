@@ -115,23 +115,32 @@ object TextFunctions {
     "de" -> Seq("der", "die", "das", "und", "ist"),
     "zh" -> Seq("的", "是", "和"))
 
-  def langScore(text: Column, lang: String): Column = {
-    val toks = tokens(text)
-    size(filter(toks, t => t.isInCollection(langMarkers(lang))))
-  }
-
-  /** Predicted language: argmax of marker counts; ties pick the
-    * alphabetically-first language code; "und" when all scores are zero.
+  /** Marker count from an ALREADY-TOKENIZED column — callers scoring
+    * several languages should project `tokens(text)` once and score from
+    * that column, so the document is regex-tokenized once, not once per
+    * language (the round-1 bench paid 5-6× re-tokenization here).
     */
-  def langId(text: Column): Column = {
+  def langScoreFromTokens(toks: Column, lang: String): Column =
+    size(filter(toks, t => t.isInCollection(langMarkers(lang))))
+
+  def langScore(text: Column, lang: String): Column =
+    langScoreFromTokens(tokens(text), lang)
+
+  /** Predicted language from a pre-tokenized column: argmax of marker
+    * counts; ties pick the alphabetically-first language code; "und" when
+    * all scores are zero.
+    */
+  def langIdFromTokens(toks: Column): Column = {
     val langs = langMarkers.keys.toSeq.sorted
     // max over struct(score, priority): priority descends with code order,
     // so equal scores resolve to the alphabetically-first code.
     val scored = langs.zipWithIndex.map { case (l, i) =>
-      struct(langScore(text, l).as("score"),
+      struct(langScoreFromTokens(toks, l).as("score"),
         lit(langs.length - i).as("prio"), lit(l).as("lang"))
     }
     val best = array_max(array(scored: _*))
     when(best.getField("score") === 0, lit("und")).otherwise(best.getField("lang"))
   }
+
+  def langId(text: Column): Column = langIdFromTokens(tokens(text))
 }

@@ -32,12 +32,27 @@ object BaselineRateModel {
   }
 
   /** Score rows by joining the lookup on the largest count_value <=
-    * count(x) — equi-join after clamping to the known domain.
+    * count(x), clamping below-domain counts up to the smallest fitted
+    * value (P(label=1 | count >= c) is monotone in the fitted domain, so
+    * the floor entry is the right generalization for unseen counts —
+    * round-1 scored them 0.0, diverging from the reference semantics).
+    *
+    * The fitted domain is tiny by construction (distinct count values),
+    * so it is collected once and the floor lookup is a codegen'd
+    * array_max-over-literal-array projection followed by a broadcast
+    * equi-join — no range-join shuffle.
     */
   def transform(df: DataFrame, model: DataFrame, countCol: String): DataFrame = {
+    val domain = model.select(col("count_value")).collect().map(_.getLong(0)).sorted
+    require(domain.nonEmpty, "empty baseline model")
+    val domainArr = array(domain.map(lit): _*)
+    val cnt = col(countCol).cast("long")
+    val floorKey = coalesce(
+      array_max(filter(domainArr, v => v <= cnt)), lit(domain.head))
     val probs = model.select(col("count_value"), col("prob"))
-    df.join(broadcast(probs), col(countCol).cast("long") === col("count_value"), "left_outer")
-      .drop("count_value")
+    df.withColumn("_floor_cv", floorKey)
+      .join(broadcast(probs), col("_floor_cv") === col("count_value"), "left_outer")
+      .drop("count_value", "_floor_cv")
       .na.fill(Map("prob" -> 0.0))
   }
 }

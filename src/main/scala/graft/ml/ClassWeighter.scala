@@ -30,12 +30,21 @@ class ClassWeighter(override val uid: String) extends Transformer
   def setWeightCol(v: String): this.type = set(weightCol, v)
   def setClassWeights(v: Array[Double]): this.type = set(classWeights, v)
 
-  /** Convenience: balanced weights n/(2*n_c) from the data. */
+  /** Convenience: balanced weights n/(k*n_c) from the data, where k is
+    * the number of classes actually present (sklearn's "balanced" rule —
+    * the binary divisor 2 would mis-weight multi-class inputs). Labels in
+    * [0, max] missing from the data are an error, not a silent weight n.
+    */
   def fitBalanced(df: DataFrame): this.type = {
     val counts = df.groupBy(col($(labelCol)).cast("int").as("l")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val n = counts.values.sum.toDouble
-    val w = (0 to counts.keys.max).map(l => n / (2.0 * counts.getOrElse(l, 1L))).toArray
+    val k = counts.size.toDouble
+    val w = (0 to counts.keys.max).map { l =>
+      val nc = counts.getOrElse(l,
+        throw new IllegalArgumentException(s"label $l absent from data"))
+      n / (k * nc)
+    }.toArray
     set(classWeights, w)
   }
 

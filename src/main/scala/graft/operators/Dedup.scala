@@ -57,10 +57,15 @@ object Dedup {
       maxShingleDf: Int = 1000): DataFrame = {
     val sh = docs
       .select(col(idCol).as("doc_id"), explode(array_distinct(shingles(col(textCol), n))).as("shingle"))
-    val capped = sh
-      .withColumn("_df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
-      .filter(col("_df") <= maxShingleDf)
-      .drop("_df")
+    // Document-frequency cap WITHOUT a window: a window over
+    // partitionBy(shingle) shuffles the whole exploded shingle set with no
+    // partial aggregation. Instead aggregate df per shingle (map-side
+    // combined), keep only the over-cap shingles (a tiny set by
+    // construction — boilerplate), and broadcast-anti-join them away.
+    val overCap = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxShingleDf)
+      .select(col("shingle"))
+    val capped = sh.join(broadcast(overCap), Seq("shingle"), "left_anti")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val inter = capped.as("a")
       .join(capped.as("b"),
@@ -109,10 +114,14 @@ object Dedup {
             .as("bhash")))).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
 
-    // cap pathological buckets (all-identical boilerplate) to bound skew
-    val bucketed = banded
-      .withColumn("_bsz", count(lit(1)).over(Window.partitionBy(col("band"), col("bhash"))))
-      .filter(col("_bsz") <= maxBucketSize)
+    // cap pathological buckets (all-identical boilerplate) to bound skew —
+    // aggregated bucket sizes + broadcast anti-join, NOT a window (same
+    // no-partial-agg reasoning as the shingle df cap above)
+    val overCap = banded.groupBy(col("band"), col("bhash"))
+      .agg(count(lit(1)).as("_bsz"))
+      .filter(col("_bsz") > maxBucketSize)
+      .select(col("band"), col("bhash"))
+    val bucketed = banded.join(broadcast(overCap), Seq("band", "bhash"), "left_anti")
 
     val pairs = bucketed.as("a")
       .join(bucketed.as("b"),
@@ -131,12 +140,18 @@ object Dedup {
   }
 
   /** SimHash near-duplicate pairs: 64-bit fingerprints compared within
-    * LSH blocks (16-bit chunks — two fingerprints within hamming distance
-    * 3 share at least one of the 4 chunks exactly).
+    * LSH blocks. By pigeonhole, two fingerprints within hamming distance
+    * h must agree exactly on at least one of h+1 disjoint bit blocks, so
+    * the block count is DERIVED from `maxHamming` — candidate generation
+    * is complete (no silent recall loss) for any requested radius. Note
+    * the block key narrows as maxHamming grows (64/(h+1) bits), so large
+    * radii cost proportionally more candidates; typical near-dup use is
+    * h ≤ 3 (4 blocks × 16 bits).
     */
   def simHashPairs(docs: DataFrame, maxHamming: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val chunks = 4 // 64/16-bit chunks; exact for maxHamming <= 3
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming=$maxHamming out of [0, 64)")
+    val chunks = maxHamming + 1 // pigeonhole: exact for hamming <= maxHamming
     // Relational simhash (same reasoning as minHashLshPairs): explode the
     // token multiset, hash once per token, then 64 conditional-sum
     // aggregates — all inside whole-stage codegen with map-side combine.
@@ -151,9 +166,15 @@ object Dedup {
       .select(col("doc_id"),
         (0 until 64).map(i => when(col(s"_b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
           .reduce(_ + _).as("fp"))
+    // distribute the 64 bits over `chunks` near-equal disjoint blocks
+    val widths = (0 until chunks).map(i => 64 / chunks + (if (i < 64 % chunks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
     val blocked = fp.select(col("doc_id"), col("fp"),
-      explode(array((0 until chunks).map(i => struct(lit(i).as("blk"),
-        shiftright(col("fp"), i * 16).bitwiseAND(0xFFFFL).as("bkey"))): _*)).as("b"))
+      explode(array((0 until chunks).map { i =>
+        val mask = if (widths(i) >= 64) -1L else (1L << widths(i)) - 1L
+        struct(lit(i).as("blk"),
+          shiftright(col("fp"), offsets(i)).bitwiseAND(mask).as("bkey"))
+      }: _*)).as("b"))
       .select(col("doc_id"), col("fp"), col("b.blk").as("blk"), col("b.bkey").as("bkey"))
     blocked.as("a")
       .join(blocked.as("b"),

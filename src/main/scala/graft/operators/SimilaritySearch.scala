@@ -51,13 +51,17 @@ object SimilaritySearch {
       .orderBy(col("_h"), col(corpusId)).limit(nCentroids)
       .select(col(corpusId).as("cent_id"), toDoubleArray(col(corpusVec)).as("cent_v"))
 
-    // assign each corpus vector to its single nearest centroid
-    val assigned = TopK.perGroup(
-        corpus.crossJoin(broadcast(centroids))
-          .withColumn("_sim", cosineSimilarity(toDoubleArray(col(corpusVec)), col("cent_v"))),
-        partitionBy = Seq(col(corpusId)),
-        orderBy = Seq(col("_sim").desc, col("cent_id")), k = 1)
-      .select(col(corpusId), col(corpusVec), col("cent_id"))
+    // assign each corpus vector to its single nearest centroid via
+    // max_by aggregation — partial (map-side) aggregation collapses the
+    // corpus×nCentroids candidate set to one row per corpus vector BEFORE
+    // any shuffle; the round-1 window formulation shuffled all 16× rows.
+    // Tie-break: highest _sim, then smallest cent_id (max of -cent_id).
+    val assigned = corpus.crossJoin(broadcast(centroids))
+      .withColumn("_sim", cosineSimilarity(toDoubleArray(col(corpusVec)), col("cent_v")))
+      .groupBy(col(corpusId))
+      .agg(max_by(struct(col("cent_id"), col(corpusVec).as("_cv")),
+        struct(col("_sim"), (-col("cent_id")).as("_nid"))).as("_m"))
+      .select(col(corpusId), col("_m._cv").as(corpusVec), col("_m.cent_id").as("cent_id"))
 
     // each query probes its nProbe nearest centroids
     val probes = TopK.perGroup(

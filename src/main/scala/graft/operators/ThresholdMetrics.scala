@@ -24,9 +24,12 @@ object ThresholdMetrics {
     val spark = scored.sparkSession
     import spark.implicits._
 
-    // bucket id in [0, nBuckets]; prob==1.0 lands in the top bucket
+    // bucket id clamped to [0, nBuckets-1]: prob==1.0 lands in the top
+    // bucket, and out-of-range probabilities (<0 or >1) clamp to the edge
+    // buckets instead of silently vanishing in the domain left-join
     val bucketed = scored
-      .withColumn("bucket", least(floor(col(probCol) * nBuckets).cast("int"), lit(nBuckets - 1)))
+      .withColumn("bucket",
+        greatest(least(floor(col(probCol) * nBuckets).cast("int"), lit(nBuckets - 1)), lit(0)))
       .groupBy(col(labelCol).cast("int").as("label"), $"bucket")
       .agg(count(lit(1)).as("n"))
 

@@ -66,10 +66,15 @@ object Geo {
         .select(col("c_custkey"), custLat.as("c_lat"), custLon.as("c_lon"))
       val right = t(s, dir, "supplier")
         .select(col("s_suppkey"), suppLat.as("s_lat"), suppLon.as("s_lon"))
+      // cellDeg matched to data density: coordinates span 1°×1°, so 0.5°
+      // cells degenerate to ~9 buckets (≈ a skewed cross join — the
+      // round-1 bench's slowest query). 0.05° ≈ 3.9 km coverage radius
+      // keeps the grid join selective at sf0.1+ densities; sparser inputs
+      // fall back to the exhaustive phase-2 path and stay exact.
       NearestMatch.kNearest(left, right, k = 2,
           leftId = "c_custkey", rightId = "s_suppkey",
           latL = "c_lat", lonL = "c_lon", latR = "s_lat", lonR = "s_lon",
-          cellDeg = 0.5)
+          cellDeg = 0.05)
         .select(col("c_custkey"), col("s_suppkey"),
           round(col("distance_m"), 1).as("dist_m"), col("rk"))
         .orderBy(col("c_custkey"), col("rk"))

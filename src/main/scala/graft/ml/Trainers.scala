@@ -1,0 +1,155 @@
+package graft.ml
+
+import org.apache.spark.ml.{Pipeline, PipelineModel, PipelineStage, Transformer}
+import org.apache.spark.ml.classification.{RandomForestClassificationModel, RandomForestClassifier}
+import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.ml.tuning.{ParamGridBuilder, TrainValidationSplit, TrainValidationSplitModel}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The MLlib training surface (SURVEY §2.10): assembler → sampler/weighter
+  * → random forest → evaluator, with tuning, importances and params
+  * export — the reference's entire training path
+  * (`/root/reference/mains/main_train_brf.py:13-45`,
+  * `/root/reference/src/random_forest.py:16-81`,
+  * `/root/reference/src/export_results.py:17-46`) re-expressed on Spark 4
+  * MLlib with deterministic seeds.
+  *
+  * Scale notes: `fit` on RandomForest is the one genuinely iterative
+  * distributed job in the engine; everything around it stays declarative.
+  * The probability column is read back with `vector_to_array` (D6/D7) —
+  * no UDF — so scoring output feeds straight into the relational
+  * threshold-metrics operator.
+  */
+object Trainers {
+
+  /** M1: assemble feature columns into a `features` vector, keeping
+    * invalid (NaN) values like the reference
+    * (`src/preprocess.py:501-507`, handleInvalid="keep").
+    */
+  def assembler(featureCols: Seq[String], outputCol: String = "features"): VectorAssembler =
+    new VectorAssembler()
+      .setInputCols(featureCols.toArray)
+      .setOutputCol(outputCol)
+      .setHandleInvalid("keep")
+
+  /** D6/D7: element i of a vector column, as a plain double column. */
+  def vectorElement(vec: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column =
+    vector_to_array(vec).getItem(i)
+
+  /** P(positive) from the classifier's probability vector (D6). */
+  def probPositive(probCol: String = "probability"): org.apache.spark.sql.Column =
+    vectorElement(col(probCol), 1)
+
+  /** M4: the reference's balanced-random-forest configuration
+    * (`mains/main_train_brf.py:23-33`), deterministic under `seed`.
+    */
+  def brfClassifier(seed: Long = 42L, numTrees: Int = 100, maxDepth: Int = 25,
+      featureSubsetStrategy: String = "sqrt", weightCol: String = "weight"): RandomForestClassifier =
+    new RandomForestClassifier()
+      .setLabelCol("label").setFeaturesCol("features")
+      .setNumTrees(numTrees).setMaxDepth(maxDepth)
+      .setImpurity("entropy")
+      .setFeatureSubsetStrategy(featureSubsetStrategy)
+      .setMinInstancesPerNode(10)
+      .setWeightCol(weightCol)
+      .setSeed(seed)
+
+  /** M5: sampler → weighter → assembler → forest pipeline (the
+    * reference's `Pipeline([ru, cw, rf])`, `src/random_forest.py:21,55`).
+    */
+  def brfPipeline(featureCols: Seq[String], seed: Long = 42L,
+      targetImbalanceRatio: Double = 1.0, hashIdCol: String = "",
+      classWeights: Array[Double] = Array(1.0, 1.0),
+      numTrees: Int = 100, maxDepth: Int = 25): Pipeline = {
+    val sampler = new RandomUnderSampler()
+      .setTargetImbalanceRatio(targetImbalanceRatio).setSeed(seed)
+      .setHashIdCol(hashIdCol)
+    val weighter = new ClassWeighter().setClassWeights(classWeights)
+    val stages: Array[PipelineStage] =
+      Array(sampler, weighter, assembler(featureCols), brfClassifier(seed, numTrees, maxDepth))
+    new Pipeline().setStages(stages)
+  }
+
+  /** M6: AUPRC + AUROC of a fitted model on a scored frame
+    * (`src/evaluate.py:5-18`).
+    */
+  def evaluate(scored: DataFrame, labelCol: String = "label",
+      rawCol: String = "probability"): (Double, Double) = {
+    val ev = new BinaryClassificationEvaluator()
+      .setLabelCol(labelCol).setRawPredictionCol(rawCol)
+    val auprc = ev.setMetricName("areaUnderPR").evaluate(scored)
+    val auroc = ev.setMetricName("areaUnderROC").evaluate(scored)
+    (auprc, auroc)
+  }
+
+  /** M7: TrainValidationSplit over a small numTrees × maxDepth grid
+    * (the reference's grids, `src/random_forest.py:22-46`), optimizing
+    * AUPRC like the reference.
+    */
+  def tvs(featureCols: Seq[String], seed: Long = 42L,
+      numTreesGrid: Seq[Int] = Seq(10, 20), maxDepthGrid: Seq[Int] = Seq(4, 8),
+      trainRatio: Double = 0.8): TrainValidationSplit = {
+    val rf = brfClassifier(seed, numTrees = 10, maxDepth = 4, weightCol = "weight")
+    val pipe = new Pipeline().setStages(Array(
+      new ClassWeighter().setClassWeights(Array(1.0, 1.0)), assembler(featureCols), rf))
+    val grid = new ParamGridBuilder()
+      .addGrid(rf.numTrees, numTreesGrid)
+      .addGrid(rf.maxDepth, maxDepthGrid)
+      .build()
+    new TrainValidationSplit()
+      .setEstimator(pipe)
+      .setEvaluator(new BinaryClassificationEvaluator()
+        .setLabelCol("label").setRawPredictionCol("probability").setMetricName("areaUnderPR"))
+      .setEstimatorParamMaps(grid)
+      .setTrainRatio(trainRatio)
+      .setSeed(seed)
+      .setParallelism(4)
+  }
+
+  /** M11: labeled, sorted feature importances of a forest
+    * (`src/random_forest.py:224-231`).
+    */
+  def featureImportances(model: RandomForestClassificationModel,
+      featureNames: Seq[String], spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val imps = model.featureImportances.toArray
+    featureNames.zip(imps).toDF("feature", "importance")
+      .orderBy(desc("importance"), col("feature"))
+  }
+
+  /** M12: walk every stage's `extractParamMap` into (stage, param, value)
+    * rows (`src/export_results.py:17-46`). Values rendered with the same
+    * formatting the reference's text export used (plain toString).
+    */
+  def exportParams(model: PipelineModel, spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rows = model.stages.zipWithIndex.flatMap { case (stage, i) =>
+      val stageName = stage.getClass.getSimpleName
+      stage.extractParamMap().toSeq
+        .map(p => (i, stageName, p.param.name, String.valueOf(p.value match {
+          case arr: Array[_] => arr.mkString("[", ",", "]")
+          case v => v
+        })))
+    }.toSeq
+    rows.toDF("stage_idx", "stage", "param", "value")
+      .orderBy(col("stage_idx"), col("param"))
+  }
+
+  /** Single-metric results frame (AUPRC/AUROC on train + test), the
+    * shape `write_results` exports (`src/export_results.py:33-46`).
+    */
+  def resultsFrame(model: Transformer, train: DataFrame, test: DataFrame,
+      spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val (trPr, trRoc) = evaluate(model.transform(train))
+    val (tePr, teRoc) = evaluate(model.transform(test))
+    Seq(
+      ("test", "areaUnderPR", tePr), ("test", "areaUnderROC", teRoc),
+      ("train", "areaUnderPR", trPr), ("train", "areaUnderROC", trRoc))
+      .toDF("split", "metric", "value")
+      .orderBy(col("split"), col("metric"))
+  }
+}

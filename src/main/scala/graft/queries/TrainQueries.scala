@@ -1,0 +1,240 @@
+package graft.queries
+
+import graft.Tables
+import graft.ml.{BaselineRateModel, RandomUnderSampler, Trainers}
+import org.apache.spark.ml.classification.RandomForestClassificationModel
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The MLlib training surface as verifiable queries (SURVEY §2.10:
+  * M1 assembler, M2 undersampler, M4 forest, M5 pipeline, M6 evaluator,
+  * M7 tuning, M11 importances, M12 params export, D6/D7 vector bridge).
+  *
+  * Deterministic-relational pieces (assembly round-trip, hash
+  * undersampling, baseline-model transform, params export) are
+  * DuckDB-oracle-checked; forest training/evaluation is deterministic
+  * under a fixed seed but not SQL-expressible, so those queries are
+  * rows-only here and property-asserted in TrainersSpec.
+  */
+object TrainQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  /** Per-order labeled feature frame: lineitem aggregates + order
+    * attributes (the reference's shape: per-entity features joined from
+    * detail aggregates, `src/preprocess.py:464-508`). The label is a
+    * deterministic threshold on the detail data (total quantity > 120 —
+    * o_orderstatus is uniform random in the synthetic data, i.e.
+    * unlearnable), so forest metrics are reproducible AND meaningfully
+    * far from 0.5 when the pipeline works.
+    */
+  private[graft] def orderFeatures(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(
+        count(lit(1)).cast("double").as("n_items"),
+        sum(col("l_quantity")).as("sum_qty"),
+        avg(col("l_extendedprice")).as("avg_price"),
+        max(col("l_discount")).as("max_discount"),
+        sum(col("l_tax")).as("sum_tax"),
+        sum(col("l_extendedprice")).as("sum_price"))
+    t(s, dir, "orders")
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(
+        col("o_orderkey").as("id"),
+        when(col("sum_qty") > 120, 1.0).otherwise(0.0).as("label"),
+        col("n_items"), col("sum_qty"), col("avg_price"),
+        col("max_discount"), col("sum_tax"), col("sum_price"),
+        col("o_totalprice").cast("double").as("total_price"),
+        month(col("o_orderdate")).cast("double").as("o_month"))
+  }
+
+  private val featureCols =
+    Seq("n_items", "sum_qty", "avg_price", "max_discount", "sum_tax", "sum_price",
+      "total_price", "o_month")
+
+  /** Deterministic 80/20 split on the id (stable across partitionings,
+    * unlike randomSplit).
+    */
+  private def split(df: DataFrame): (DataFrame, DataFrame) =
+    (df.filter(pmod(col("id"), lit(5)) =!= 0), df.filter(pmod(col("id"), lit(5)) === 0))
+
+  val queries: Seq[Q] = Seq(
+
+    // M1 + D6/D7: VectorAssembler → vector_to_array round trip. The
+    // oracle is the identity projection — hash-equality proves the
+    // assemble/extract bridge is lossless and ordered. (Sums, not avg:
+    // double division lands on exact .5 round boundaries where a one-ulp
+    // summation-order difference flips the rounded digit.)
+    Q("q_ml_assemble_roundtrip",
+      """SELECT o_orderkey AS id,
+        |       cast(count(*) AS double) AS f_n_items,
+        |       round(sum(l_quantity), 2) AS f_sum_qty,
+        |       round(sum(l_extendedprice), 2) AS f_sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey
+        |ORDER BY id""".stripMargin) { (s, dir) =>
+      val feats = orderFeatures(s, dir)
+      val assembled = Trainers.assembler(Seq("n_items", "sum_qty", "sum_price"))
+        .transform(feats)
+      assembled.select(
+          col("id"),
+          Trainers.vectorElement(col("features"), 0).as("f_n_items"),
+          round(Trainers.vectorElement(col("features"), 1), 2).as("f_sum_qty"),
+          round(Trainers.vectorElement(col("features"), 2), 2).as("f_sum_price"))
+        .orderBy(col("id"))
+    },
+
+    // M2: undersampler fit (count ratio → keep fraction) + deterministic
+    // hash transform, fully mirrored in SQL — the round-1 gap where the
+    // Estimator existed but nothing verified it.
+    Q("q_ml_undersample_hash",
+      """WITH labeled AS (
+        |  SELECT o_orderkey AS id,
+        |         CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS label
+        |  FROM orders),
+        |stats AS (
+        |  SELECT sum(CASE WHEN label = 0.0 THEN 1 ELSE 0 END)::DOUBLE AS n_neg,
+        |         sum(CASE WHEN label = 1.0 THEN 1 ELSE 0 END)::DOUBLE AS n_pos
+        |  FROM labeled),
+        |kept AS (
+        |  SELECT l.* FROM labeled l, stats
+        |  WHERE l.label != 0.0
+        |     OR (CASE WHEN n_neg / n_pos > 1.0 THEN n_pos / n_neg ELSE 1.0 END)
+        |        > (((l.id + 42) * 2654435761) % 1000000007) / 1000000007.0)
+        |SELECT cast(label AS int) AS label, count(*) AS n_rows,
+        |       cast(min(id) AS bigint) AS min_id, cast(max(id) AS bigint) AS max_id
+        |FROM kept GROUP BY 1 ORDER BY label""".stripMargin) { (s, dir) =>
+      val labeled = t(s, dir, "orders").select(
+        col("o_orderkey").as("id"),
+        when(col("o_orderstatus") === "F", 1.0).otherwise(0.0).as("label"))
+      val model = new RandomUnderSampler()
+        .setTargetImbalanceRatio(1.0).setSeed(42L).setHashIdCol("id")
+        .fit(labeled)
+      model.transform(labeled)
+        .groupBy(col("label").cast("int").as("label"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .orderBy(col("label"))
+    },
+
+    // M8 transform with floor-clamp over unseen counts: fit on pre-1998
+    // orders, score the rest; DuckDB mirrors the largest-value-<= lookup
+    // with an ASOF join (clamped up to the smallest fitted entry).
+    Q("q_ml_baseline_transform",
+      """WITH cnts AS (
+        |  SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+        |labeled AS (
+        |  SELECT o_orderkey, o_orderdate,
+        |         CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS label, cnt
+        |  FROM orders JOIN cnts ON o_orderkey = l_orderkey),
+        |train AS (SELECT * FROM labeled WHERE o_orderdate < DATE '1998-01-01'),
+        |model AS (
+        |  SELECT count_value,
+        |         cast(sum(n_pos) OVER w AS double) / cast(sum(n) OVER w AS double) AS prob
+        |  FROM (SELECT cast(cnt AS bigint) AS count_value, count(*) AS n,
+        |               sum(CASE WHEN label = 1.0 THEN 1 ELSE 0 END) AS n_pos
+        |        FROM train GROUP BY 1)
+        |  WINDOW w AS (ORDER BY count_value DESC
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |test AS (SELECT * FROM labeled WHERE o_orderdate >= DATE '1998-01-01'),
+        |scored AS (
+        |  SELECT t.cnt, coalesce(m.prob, (SELECT prob FROM model
+        |                                  ORDER BY count_value LIMIT 1)) AS prob
+        |  FROM test t ASOF LEFT JOIN model m ON t.cnt >= m.count_value)
+        |SELECT cast(cnt AS bigint) AS cnt, round(prob, 6) AS prob,
+        |       count(*) AS n_rows
+        |FROM scored GROUP BY 1, 2 ORDER BY cnt""".stripMargin) { (s, dir) =>
+      val cnts = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+      val labeled = t(s, dir, "orders")
+        .join(cnts, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderdate"),
+          when(col("o_orderstatus") === "F", 1.0).otherwise(0.0).as("label"), col("cnt"))
+      val train = labeled.filter(col("o_orderdate") < "1998-01-01")
+      val test = labeled.filter(col("o_orderdate") >= "1998-01-01")
+      val model = BaselineRateModel.fit(train, countCol = "cnt", labelCol = "label")
+      BaselineRateModel.transform(test, model, countCol = "cnt")
+        .groupBy(col("cnt").cast("long").as("cnt"), round(col("prob"), 6).as("prob"))
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy(col("cnt"))
+    },
+
+    // M12: params export of a fitted pipeline, filtered to the
+    // config-determined allowlist (uid-bearing / data-dependent params
+    // excluded) so the oracle is the literal expected table.
+    Q("q_ml_params_export",
+      """SELECT * FROM (VALUES
+        |  ('RandomUnderSamplerModel', 'seed', '42'),
+        |  ('RandomUnderSamplerModel', 'targetImbalanceRatio', '2.0'),
+        |  ('ClassWeighter', 'classWeights', '[0.6,3.0]'),
+        |  ('VectorAssembler', 'handleInvalid', 'keep'),
+        |  ('RandomForestClassificationModel', 'numTrees', '5'),
+        |  ('RandomForestClassificationModel', 'maxDepth', '3'),
+        |  ('RandomForestClassificationModel', 'impurity', 'entropy'),
+        |  ('RandomForestClassificationModel', 'featureSubsetStrategy', 'sqrt'),
+        |  ('RandomForestClassificationModel', 'minInstancesPerNode', '10'),
+        |  ('RandomForestClassificationModel', 'seed', '42')
+        |) AS t(stage, param, value)
+        |ORDER BY stage, param""".stripMargin) { (s, dir) =>
+      val (train, _) = split(orderFeatures(s, dir))
+      val pipe = Trainers.brfPipeline(featureCols, seed = 42L,
+        targetImbalanceRatio = 2.0, hashIdCol = "id",
+        classWeights = Array(0.6, 3.0), numTrees = 5, maxDepth = 3)
+      val model = pipe.fit(train)
+      val allow = Seq("targetImbalanceRatio", "classWeights", "handleInvalid",
+        "numTrees", "maxDepth", "impurity", "featureSubsetStrategy",
+        "minInstancesPerNode", "seed")
+      Trainers.exportParams(model, s)
+        .filter(col("param").isInCollection(allow))
+        // handleInvalid exists on several stages; keep the assembler's
+        .filter(!(col("param") === "handleInvalid" && col("stage") =!= "VectorAssembler"))
+        .select(col("stage"), col("param"), col("value"))
+        .orderBy(col("stage"), col("param"))
+    },
+
+    // M4+M5+M6+M11+D6: full pipeline train → score → evaluator metrics +
+    // top importances, deterministic under seed 42 but not
+    // SQL-expressible → rows-only here; value bounds asserted in
+    // TrainersSpec.
+    Q.rowsOnly("q_ml_rf_train_metrics") { (s, dir) =>
+      val (train, test) = split(orderFeatures(s, dir))
+      val pipe = Trainers.brfPipeline(featureCols, seed = 42L,
+        targetImbalanceRatio = 2.0, hashIdCol = "id",
+        classWeights = Array(1.0, 1.0), numTrees = 15, maxDepth = 6)
+      val model = pipe.fit(train)
+      Trainers.resultsFrame(model, train, test, s)
+        .withColumn("value", round(col("value"), 4))
+    },
+
+    Q.rowsOnly("q_ml_rf_importances") { (s, dir) =>
+      val (train, _) = split(orderFeatures(s, dir))
+      val pipe = Trainers.brfPipeline(featureCols, seed = 42L,
+        targetImbalanceRatio = 2.0, hashIdCol = "id",
+        classWeights = Array(1.0, 1.0), numTrees = 15, maxDepth = 6)
+      val model = pipe.fit(train)
+      val rf = model.stages.last.asInstanceOf[RandomForestClassificationModel]
+      Trainers.featureImportances(rf, featureCols, s)
+        .withColumn("importance", round(col("importance"), 4))
+    },
+
+    // M7: TrainValidationSplit over a 2×2 grid, reporting the per-point
+    // validation metric and the chosen best — rows-only (forest metrics).
+    Q.rowsOnly("q_ml_tvs_best") { (s, dir) =>
+      import s.implicits._
+      val (train, _) = split(orderFeatures(s, dir))
+      val tvsModel = Trainers.tvs(featureCols, seed = 42L,
+        numTreesGrid = Seq(5, 10), maxDepthGrid = Seq(3, 5)).fit(train)
+      val best = tvsModel.bestModel.asInstanceOf[org.apache.spark.ml.PipelineModel]
+      val rf = best.stages.last.asInstanceOf[RandomForestClassificationModel]
+      tvsModel.getEstimatorParamMaps.zip(tvsModel.validationMetrics).toSeq
+        .map { case (pm, m) =>
+          val nt = pm.toSeq.find(_.param.name == "numTrees").map(_.value.toString).getOrElse("")
+          val md = pm.toSeq.find(_.param.name == "maxDepth").map(_.value.toString).getOrElse("")
+          (nt.toInt, md.toInt, math.rint(m * 1e4) / 1e4,
+            rf.getNumTrees, rf.getMaxDepth)
+        }
+        .toDF("num_trees", "max_depth", "val_auprc", "best_num_trees", "best_max_depth")
+        .orderBy($"num_trees", $"max_depth")
+    })
+}

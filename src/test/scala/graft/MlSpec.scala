@@ -1,0 +1,164 @@
+package graft
+
+import graft.ml._
+import graft.queries.TrainQueries
+import org.apache.spark.ml.classification.RandomForestClassificationModel
+import org.apache.spark.sql.functions._
+
+class RandomUnderSamplerSpec extends SparkSpec {
+
+  test("hash-deterministic sampling converges to the target ratio and is reproducible") {
+    val s = spark; import s.implicits._
+    // 9000 negatives, 1000 positives → ratio 9; target 2 → keep 2/9 of negatives
+    val df = (0 until 10000).map(i => (i.toLong, if (i % 10 == 0) 1.0 else 0.0))
+      .toDF("id", "label")
+    val m = new RandomUnderSampler().setTargetImbalanceRatio(2.0).setSeed(42L)
+      .setHashIdCol("id").fit(df)
+    val out = m.transform(df)
+    val nPos = out.filter($"label" === 1.0).count()
+    val nNeg = out.filter($"label" === 0.0).count()
+    assert(nPos == 1000) // positives untouched
+    val ratio = nNeg.toDouble / nPos
+    assert(math.abs(ratio - 2.0) < 0.15, s"ratio $ratio")
+    // deterministic: same result twice
+    assert(out.agg(sum("id")).head.getLong(0) ==
+      m.transform(df).agg(sum("id")).head.getLong(0))
+  }
+
+  test("keepFraction >= 1 is the identity; seeded Bernoulli path also converges") {
+    val s = spark; import s.implicits._
+    val balanced = (0 until 100).map(i => (i.toLong, (i % 2).toDouble)).toDF("id", "label")
+    val m1 = new RandomUnderSampler().setTargetImbalanceRatio(2.0).fit(balanced)
+    assert(m1.transform(balanced).count() == 100)
+    val skew = (0 until 10000).map(i => (i.toLong, if (i % 10 == 0) 1.0 else 0.0))
+      .toDF("id", "label")
+    val m2 = new RandomUnderSampler().setTargetImbalanceRatio(1.0).setSeed(7L).fit(skew)
+    val r = m2.transform(skew).filter($"label" === 0.0).count().toDouble / 1000
+    assert(math.abs(r - 1.0) < 0.2, s"bernoulli ratio $r")
+  }
+}
+
+class ClassWeighterSpec extends SparkSpec {
+
+  test("explicit weights applied per label") {
+    val s = spark; import s.implicits._
+    val df = Seq((0, "a"), (1, "b"), (1, "c")).toDF("label", "x")
+    val w = new ClassWeighter().setClassWeights(Array(0.5, 2.0)).transform(df)
+    val got = w.select("label", "weight").collect().map(r => (r.getInt(0), r.getDouble(1))).toSet
+    assert(got == Set((0, 0.5), (1, 2.0)))
+  }
+
+  test("fitBalanced uses the k-class rule n/(k*n_c)") {
+    val s = spark; import s.implicits._
+    // 3 classes: 6 rows total, counts 3/2/1 → weights 6/(3*3), 6/(3*2), 6/(3*1)
+    val df = Seq(0, 0, 0, 1, 1, 2).toDF("label")
+    val cw = new ClassWeighter().fitBalanced(df)
+    val ws = cw.transform(df).select("label", "weight").distinct().collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(math.abs(ws(0) - 6.0 / 9) < 1e-12)
+    assert(math.abs(ws(1) - 1.0) < 1e-12)
+    assert(math.abs(ws(2) - 2.0) < 1e-12)
+  }
+
+  test("fitBalanced throws on a gap label") {
+    val s = spark; import s.implicits._
+    val df = Seq(0, 2).toDF("label") // label 1 missing
+    intercept[IllegalArgumentException] {
+      new ClassWeighter().fitBalanced(df)
+    }
+  }
+}
+
+class BaselineRateModelSpec extends SparkSpec {
+
+  test("fit computes reverse-cumulative P(label=1 | count >= c)") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, 0.0), (1L, 0.0), (2L, 1.0), (2L, 0.0), (3L, 1.0))
+      .toDF("cnt", "label")
+    val m = BaselineRateModel.fit(df, "cnt", "label").orderBy("count_value").collect()
+    // count>=1: 2/5; count>=2: 2/3; count>=3: 1/1
+    assert(m.map(_.getAs[Double]("prob")).toSeq == Seq(0.4, 2.0 / 3, 1.0))
+  }
+
+  test("transform floor-clamps unseen counts to the fitted domain") {
+    val s = spark; import s.implicits._
+    val train = Seq((2L, 0.0), (2L, 1.0), (4L, 1.0), (4L, 1.0)).toDF("cnt", "label")
+    val model = BaselineRateModel.fit(train, "cnt", "label")
+    // probs: count>=2: 3/4, count>=4: 2/2=1.0
+    val test = Seq(1L, 2L, 3L, 5L).toDF("cnt") // 1 below domain, 3 and 5 unseen
+    val got = BaselineRateModel.transform(test, model, "cnt")
+      .select("cnt", "prob").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 0.75) // clamped up to smallest fitted count (2)
+    assert(got(2L) == 0.75)
+    assert(got(3L) == 0.75) // floor → 2
+    assert(got(5L) == 1.0)  // floor → 4
+  }
+}
+
+class TrainersSpec extends SparkSpec {
+
+  private lazy val feats = TrainQueries.orderFeatures(spark, TestSpark.sf0001)
+  private val fcols = Seq("n_items", "sum_qty", "avg_price", "max_discount",
+    "sum_tax", "sum_price", "total_price", "o_month")
+
+  test("assembler + vector bridge round-trips values, handleInvalid=keep") {
+    val s = spark; import s.implicits._
+    val df = Seq((1.0, 2.0), (Double.NaN, 3.0)).toDF("a", "b")
+    val out = Trainers.assembler(Seq("a", "b")).transform(df)
+      .select(Trainers.vectorElement(col("features"), 0).as("a2"),
+        Trainers.vectorElement(col("features"), 1).as("b2")).collect()
+    assert(out(0).getDouble(0) == 1.0 && out(0).getDouble(1) == 2.0)
+    assert(out(1).getDouble(0).isNaN && out(1).getDouble(1) == 3.0) // kept, not dropped
+  }
+
+  test("brf pipeline trains, separates classes (AUROC > 0.65), probs in [0,1]") {
+    val train = feats.filter(pmod(col("id"), lit(5)) =!= 0)
+    val test = feats.filter(pmod(col("id"), lit(5)) === 0)
+    val model = Trainers.brfPipeline(fcols, seed = 42L, targetImbalanceRatio = 2.0,
+      hashIdCol = "id", numTrees = 10, maxDepth = 5).fit(train)
+    val scored = model.transform(test)
+    val (auprc, auroc) = Trainers.evaluate(scored)
+    assert(auroc > 0.65 && auroc <= 1.0, s"auroc $auroc")
+    assert(auprc > 0.0 && auprc <= 1.0, s"auprc $auprc")
+    val probs = scored.select(Trainers.probPositive()).collect().map(_.getDouble(0))
+    assert(probs.forall(p => p >= 0.0 && p <= 1.0))
+  }
+
+  test("feature importances: non-negative, sum to 1, labeled") {
+    val train = feats.filter(pmod(col("id"), lit(5)) =!= 0)
+    val model = Trainers.brfPipeline(fcols, seed = 42L, targetImbalanceRatio = 2.0,
+      hashIdCol = "id", numTrees = 10, maxDepth = 5).fit(train)
+    val rf = model.stages.last.asInstanceOf[RandomForestClassificationModel]
+    val imp = Trainers.featureImportances(rf, fcols, spark).collect()
+    assert(imp.length == fcols.length)
+    val vals = imp.map(_.getDouble(1))
+    assert(vals.forall(_ >= 0))
+    assert(math.abs(vals.sum - 1.0) < 1e-9)
+  }
+
+  test("params export walks every stage with values") {
+    val train = feats.filter(pmod(col("id"), lit(5)) =!= 0)
+    val model = Trainers.brfPipeline(fcols, seed = 42L, targetImbalanceRatio = 2.0,
+      hashIdCol = "id", classWeights = Array(0.6, 3.0), numTrees = 5, maxDepth = 3).fit(train)
+    val params = Trainers.exportParams(model, spark).collect()
+    val stages = params.map(_.getString(1)).distinct
+    assert(stages.length == 4) // sampler model, weighter, assembler, forest model
+    def v(stage: String, p: String) =
+      params.find(r => r.getString(1) == stage && r.getString(2) == p).get.getString(3)
+    assert(v("RandomForestClassificationModel", "numTrees") == "5")
+    assert(v("ClassWeighter", "classWeights") == "[0.6,3.0]")
+    assert(v("RandomUnderSamplerModel", "targetImbalanceRatio") == "2.0")
+  }
+
+  test("TVS picks a grid point and reports one metric per point") {
+    val train = feats.filter(pmod(col("id"), lit(5)) =!= 0)
+    val tvsModel = Trainers.tvs(fcols, seed = 42L,
+      numTreesGrid = Seq(3, 5), maxDepthGrid = Seq(2, 3)).fit(train)
+    assert(tvsModel.validationMetrics.length == 4)
+    assert(tvsModel.validationMetrics.forall(m => m >= 0 && m <= 1))
+    val best = tvsModel.bestModel.asInstanceOf[org.apache.spark.ml.PipelineModel]
+    val rf = best.stages.last.asInstanceOf[RandomForestClassificationModel]
+    assert(Seq(3, 5).contains(rf.getNumTrees))
+    assert(Seq(2, 3).contains(rf.getMaxDepth))
+  }
+}

@@ -1,0 +1,165 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+class ThresholdMetricsSpec extends SparkSpec {
+
+  test("hand-computed 4-row fixture (2 buckets)") {
+    val s = spark; import s.implicits._
+    // probs: 0.1(label 0), 0.3(0), 0.6(1), 0.9(1); nBuckets=2 → bucket 0: two 0s, bucket 1: two 1s
+    val scored = Seq((0.1, 0), (0.3, 0), (0.6, 1), (0.9, 1)).toDF("probability", "label")
+    val m = ThresholdMetrics.compute(scored, nBuckets = 2).collect()
+    assert(m.length == 2)
+    val b0 = m(0); val b1 = m(1)
+    // threshold 0.0: everything predicted positive
+    assert(b0.getAs[Long]("tp") == 2 && b0.getAs[Long]("fp") == 2 &&
+      b0.getAs[Long]("tn") == 0 && b0.getAs[Long]("fn") == 0)
+    assert(b0.getAs[Double]("recall") == 1.0 && b0.getAs[Double]("precision") == 0.5)
+    // threshold 0.5: perfect split
+    assert(b1.getAs[Long]("tp") == 2 && b1.getAs[Long]("fp") == 0 &&
+      b1.getAs[Long]("tn") == 2 && b1.getAs[Long]("fn") == 0)
+    assert(b1.getAs[Double]("precision") == 1.0 && b1.getAs[Double]("f1") == 1.0)
+  }
+
+  test("out-of-range probabilities clamp to edge buckets — totals preserved") {
+    val s = spark; import s.implicits._
+    val scored = Seq((-0.2, 0), (0.5, 1), (1.3, 1)).toDF("probability", "label")
+    val m = ThresholdMetrics.compute(scored, nBuckets = 4)
+    // every row lands in a bucket: tp+fp+tn+fn = n at every threshold
+    val tot = m.select(($"tp" + $"fp" + $"tn" + $"fn").as("t")).collect().map(_.getLong(0))
+    assert(tot.forall(_ == 3))
+  }
+}
+
+class SessionizeSpec extends SparkSpec {
+
+  test("gap edges: exactly-gap stays in session, gap+1ms starts a new one") {
+    val s = spark; import s.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(ms: Long) = new java.sql.Timestamp(base.getTime + ms)
+    val gap = 60L // seconds
+    val df = Seq(
+      (1L, 1L, ts(0)),
+      (1L, 2L, ts(gap * 1000)),     // exactly the gap → same session
+      (1L, 3L, ts(2 * gap * 1000 + 1)), // gap+1ms later → new session
+      (2L, 4L, ts(0))
+    ).toDF("user_id", "event_id", "ts")
+    val r = Sessionize.sessionize(df, "user_id", "ts", gap)
+      .select("user_id", "event_id", "session_seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(r == Set((1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 2L), (2L, 4L, 1L)))
+  }
+}
+
+class DedupSpec extends SparkSpec {
+
+  test("exact clusters find the duplicated text, keep min id") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "ccc"), (5L, "aaa"))
+      .toDF("doc_id", "text")
+    val c = Dedup.exactClusters(docs).collect()
+    assert(c.length == 1)
+    assert(c(0).getAs[Long]("cluster_size") == 3 && c(0).getAs[Long]("keep_id") == 1L)
+    assert(Dedup.dropExactDuplicates(docs).count() == 3)
+  }
+
+  test("ngram Jaccard: identical docs score 1.0, disjoint docs absent") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w v")).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 2, threshold = 0.5).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getAs[Long]("id_a") == 1L && pairs(0).getAs[Long]("id_b") == 2L)
+    assert(pairs(0).getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("simHashPairs candidate generation is complete up to maxHamming (vs brute force)") {
+    val s = spark; import s.implicits._
+    val docs = Tables.load(s, TestSpark.sf0001, "documents").select("doc_id", "text")
+    val maxH = 3
+    val lsh = Dedup.simHashPairs(docs, maxHamming = maxH)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: all-pairs hamming over the same fingerprints
+    val fp = docs.select(col("doc_id"), TextFunctions.simHash64(col("text")).as("fp"))
+    val brute = fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .filter(TextFunctions.hamming64(col("a.fp"), col("b.fp")) <= maxH)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == brute, s"LSH pairs ${lsh.size} != brute ${brute.size}")
+  }
+
+  test("minhash est_jaccard tracks true jaccard for near-dup pairs at sf0.001") {
+    val s = spark; import s.implicits._
+    val docs = Tables.load(s, TestSpark.sf0001, "documents").select("doc_id", "text")
+    val exact = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+      .select(col("id_a"), col("id_b"), col("jaccard")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val est = Dedup.minHashLshPairs(docs, n = 3, bands = 8, rowsPerBand = 4, estThreshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every exact pair with jaccard >= 0.5 should be recalled by the LSH at est >= 0.2
+    val recalled = exact.keySet.count(est.contains)
+    assert(exact.isEmpty || recalled.toDouble / exact.size >= 0.9,
+      s"recall ${recalled}/${exact.size}")
+    // and estimates should be within 0.35 of truth on recalled pairs
+    exact.keySet.filter(est.contains).foreach { k =>
+      assert(math.abs(est(k) - exact(k)) < 0.35, s"pair $k est=${est(k)} true=${exact(k)}")
+    }
+  }
+}
+
+class NearestMatchSpec extends SparkSpec {
+
+  test("grid-bucketed kNN equals exhaustive kNN (including sparse fallback rows)") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val left = Seq.tabulate(200)(i =>
+      (i.toLong, 45.0 + rnd.nextDouble(), -74.0 + rnd.nextDouble())).toDF("lid", "lat", "lon")
+    val right = Seq.tabulate(60)(i =>
+      (i.toLong, 45.0 + rnd.nextDouble(), -74.0 + rnd.nextDouble())).toDF("rid", "lat", "lon")
+    def run(ex: Boolean) =
+      NearestMatch.kNearest(left, right, k = 3, leftId = "lid", rightId = "rid",
+          cellDeg = 0.1, exhaustive = ex)
+        .select(col("lid"), col("rid"), col("rk"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(run(false) == run(true))
+  }
+
+  test("same-named coordinate columns (defaults) work — no ambiguity") {
+    val s = spark; import s.implicits._
+    val left = Seq((1L, 45.0, -73.0)).toDF("lid", "lat", "lon")
+    val right = Seq((10L, 45.0, -73.0), (11L, 46.0, -73.0)).toDF("rid", "lat", "lon")
+    val r = NearestMatch.kNearest(left, right, k = 1, leftId = "lid", rightId = "rid")
+      .select("rid").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(10L))
+  }
+}
+
+class SimilaritySearchSpec extends SparkSpec {
+
+  test("brute-force top-k on a tiny corpus matches hand-ranked cosines") {
+    val s = spark; import s.implicits._
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val queries = Seq((0L, Array(1.0f, 0.0f))).toDF("query_id", "qv")
+    val top = SimilaritySearch.bruteForceTopK(queries, corpus, k = 2)
+      .orderBy("rk").collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(top == Seq(1L, 2L)) // self excluded; 1 (cos≈0.994) then 2 (cos=0)
+  }
+
+  test("IVF recall@5 >= 0.6 of brute force at sf0.001") {
+    val s = spark
+    val emb = Tables.load(s, TestSpark.sf0001, "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(SimilaritySearch.bruteForceTopK(queries, emb, k = 5))
+    val ivf = pairs(SimilaritySearch.ivfTopK(queries, emb, k = 5, nCentroids = 16, nProbe = 8))
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.6, s"IVF recall@5 = $recall")
+  }
+}

@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Geo, Q, Relational, TextQueries, TrainQueries, VectorMlQueries, Windows}
+import graft.queries.{Geo, Q, Relational, SourceQueries, TextQueries, TrainQueries, VectorMlQueries, Windows}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -15,7 +15,8 @@ object SparkEntry {
 
   val all: Seq[Q] =
     Relational.queries ++ Windows.queries ++ Geo.queries ++
-      TextQueries.queries ++ VectorMlQueries.queries ++ TrainQueries.queries
+      TextQueries.queries ++ VectorMlQueries.queries ++ TrainQueries.queries ++
+      SourceQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the multi-way join + aggregation revenue rollup.

@@ -1,0 +1,147 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.StreetTypes
+import graft.sources.{AccidentsCsv, DateGrid, KmlRoadNetwork, ResultsSink}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source/sink layer coverage (SURVEY §2.1): CSV sink → CSV scan with the
+  * reference's accident preprocessing (S1/S9), KML/XML semi-structured
+  * parsing (S4/S5), distributed date-grid generation (S6), and the D1
+  * street-type classifier — each closed-loop against a DuckDB oracle
+  * computed from the original parquet tables.
+  */
+object SourceQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  private def tmp(dir: String, tag: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${Integer.toHexString(dir.hashCode)}"
+
+  val queries: Seq[Q] = Seq(
+
+    // S1 + S9 + accident preprocessing: orders → accident-shaped CSV on
+    // disk → header scan (strings) → date/hour/coordinate casts →
+    // aggregate. The oracle computes the same rollup straight from the
+    // parquet — hash equality proves the full sink→scan→cast loop is
+    // lossless.
+    Q("q_source_csv_roundtrip",
+      """SELECT cast(year(o_orderdate) AS int) AS o_year,
+        |       cast(o_orderkey % 24 AS int) AS hour,
+        |       count(*) AS n_rows,
+        |       round(sum(round(45.0 + (o_orderkey % 89) / 89.0, 6)), 5) AS sum_lat
+        |FROM orders
+        |GROUP BY 1, 2
+        |ORDER BY o_year, hour""".stripMargin) { (s, dir) =>
+      val path = tmp(dir, "csvrt")
+      val accidentsShaped = t(s, dir, "orders").select(
+        date_format(col("o_orderdate"), "yyyy/MM/dd").as("DT_ACCDN"),
+        concat(pmod(col("o_orderkey"), lit(24)).cast("string"), lit(":00")).as("HEURE_ACCDN"),
+        format_string("%.6f", lit(45.0) + pmod(col("o_orderkey"), lit(89)) / 89.0).as("LOC_LAT"),
+        format_string("%.6f", lit(-73.0) - pmod(col("o_orderkey"), lit(97)) / 97.0).as("LOC_LONG"))
+      ResultsSink.writeCsv(accidentsShaped, path, singleFile = false)
+      val parsed = AccidentsCsv.preprocess(AccidentsCsv.read(s, path))
+      parsed
+        .groupBy(year(col("date")).as("o_year"), col("hour"))
+        .agg(count(lit(1)).as("n_rows"), round(sum(col("loc_lat")), 5).as("sum_lat"))
+        .orderBy(col("o_year"), col("hour"))
+    },
+
+    // S4/S5: suppliers rendered as KML documents (one per nation), parsed
+    // back by the distributed XML flatMap — folders, placemarks, nid
+    // regex, LineString point un-nesting, appended center point. Oracle
+    // reconstructs the expected point multiset arithmetically.
+    Q("q_source_kml_parse", {
+      val lat = "(45.0 + (s_suppkey % 97) / 97.0)"
+      val lon = "(-74.0 + (s_suppkey % 83) / 83.0)"
+      s"""WITH pts AS (
+         |  SELECT concat('t', s_suppkey % 3) AS street_type,
+         |         $lat AS lat, $lon AS lon, p.dlon, p.dlat
+         |  FROM supplier
+         |  CROSS JOIN (VALUES (0.01, 0.0), (0.0, 0.01), (0.0, 0.0)) p(dlon, dlat))
+         |SELECT street_type,
+         |       count(*) AS n_points,
+         |       round(sum(round(lat + dlat, 4)), 5) AS sum_lat,
+         |       round(sum(round(lon + dlon, 4)), 5) AS sum_lon
+         |FROM pts GROUP BY street_type ORDER BY street_type""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val supp = t(s, dir, "supplier").select(
+        col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        (lit(45.0) + pmod(col("s_suppkey"), lit(97)) / 97.0).as("lat"),
+        (lit(-74.0) + pmod(col("s_suppkey"), lit(83)) / 83.0).as("lon"))
+      // render one <Placemark> per supplier, one KML doc per nation
+      val placemark = format_string(
+        "<Placemark><name>%s</name><description>&lt;th&gt;nid&lt;/th&gt;\n" +
+          "&lt;td&gt;%s&lt;/td&gt;</description><MultiGeometry>" +
+          "<Point><coordinates>%.4f,%.4f</coordinates></Point>" +
+          "<LineString><coordinates>%.4f,%.4f %.4f,%.4f</coordinates></LineString>" +
+          "</MultiGeometry></Placemark>",
+        col("s_name"), md5(col("s_suppkey").cast("string")),
+        col("lon"), col("lat"),
+        col("lon") + 0.01, col("lat"), col("lon"), col("lat") + 0.01)
+      val docs = supp
+        .groupBy(col("s_nationkey"),
+          concat(lit("t"), pmod(col("s_suppkey"), lit(3)).cast("string")).as("ftype"))
+        .agg(concat_ws("", collect_list(placemark)).as("pms"))
+        .groupBy(col("s_nationkey"))
+        .agg(concat_ws("",
+          collect_list(format_string("<Folder><name>%s</name>%s</Folder>",
+            col("ftype"), col("pms")))).as("folders"))
+        .select(format_string("<kml><Document>%s</Document></kml>", col("folders")).as("doc"))
+        .as[String]
+      KmlRoadNetwork.roadPoints(docs)
+        .groupBy(col("street_type"))
+        .agg(count(lit(1)).as("n_points"),
+          round(sum(col("coord_lat")), 5).as("sum_lat"),
+          round(sum(col("coord_long")), 5).as("sum_lon"))
+        .orderBy(col("street_type"))
+    },
+
+    // S6: distributed (date, hour) grid for two years (one leap), rolled
+    // up per month — no driver-side loop, no shuffle (pure generators).
+    Q("q_source_dategrid",
+      """SELECT cast(year(d) AS int) AS y, cast(month(d) AS int) AS m,
+        |       cast(count(*) * 24 AS bigint) AS n_slots
+        |FROM generate_series(DATE '1996-01-01', DATE '1997-12-31',
+        |                     INTERVAL 1 DAY) t(d)
+        |GROUP BY 1, 2 ORDER BY y, m""".stripMargin) { (s, dir) =>
+      DateGrid.dateHourGrid(s, Seq(1996, 1997))
+        .groupBy(year(col("date")).as("y"), month(col("date")).as("m"))
+        .agg(count(lit(1)).as("n_slots"))
+        .orderBy(col("y"), col("m"))
+    },
+
+    // D1: the street-type classifier as a codegen'd when-chain (the
+    // reference's one hot-path Python UDF), over synthesized names
+    // exercising French/English keywords, case folding and the no-match
+    // null.
+    Q("q_func_street_type", {
+      val kws = Seq("Rue", "avenue", "Boulevard", "croissant", "route", "Chemin", "xyz", "Île")
+      val arr = kws.map(k => s"'$k'").mkString("[", ", ", "]")
+      s"""WITH named AS (
+         |  SELECT ($arr)[cast(s_suppkey % 8 AS int) + 1] || ' ' || s_name AS street_name
+         |  FROM supplier),
+         |classified AS (
+         |  SELECT CASE lower(split_part(street_name, ' ', 1))
+         |    WHEN 'rue' THEN 'street' WHEN 'avenue' THEN 'avenue'
+         |    WHEN 'boulevard' THEN 'boulevard' WHEN 'croissant' THEN 'crescent'
+         |    WHEN 'route' THEN 'road' WHEN 'chemin' THEN 'chemin'
+         |    WHEN 'île' THEN 'island' END AS street_type
+         |  FROM named)
+         |SELECT coalesce(street_type, 'unclassified') AS street_type,
+         |       count(*) AS n_streets
+         |FROM classified GROUP BY 1 ORDER BY street_type""".stripMargin
+    }) { (s, dir) =>
+      val kws = Seq("Rue", "avenue", "Boulevard", "croissant", "route", "Chemin", "xyz", "Île")
+      val name = concat(
+        element_at(array(kws.map(lit): _*), pmod(col("s_suppkey"), lit(8)).cast("int") + 1),
+        lit(" "), col("s_name"))
+      t(s, dir, "supplier")
+        .select(StreetTypes.streetType(name).as("street_type"))
+        .groupBy(coalesce(col("street_type"), lit("unclassified")).as("street_type"))
+        .agg(count(lit(1)).as("n_streets"))
+        .orderBy(col("street_type"))
+    })
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.Dedup
+import graft.operators.{Dedup, Multimodal}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -177,9 +177,9 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // Multimodal plumbing: opaque binary payload + deterministic
-    // metadata extraction (stand-in for image decode — see
-    // graft.operators.Multimodal for the typed mapPartitions path).
+    // Multimodal metadata as a pure projection (no decode needed when
+    // metadata is already columnar); the decode path proper is
+    // q_multimodal_decode below.
     Q("q_multimodal_binary_meta",
       """SELECT doc_id,
         |       cast(strlen(text) AS int) AS n_bytes,
@@ -195,5 +195,49 @@ object TextQueries {
           ((bytes * 7) % 480 + 16).as("fake_height"),
           substring(sha2(col("text").cast("binary"), 256), 1, 8).as("content_sha8"))
         .orderBy(col("doc_id"))
+    },
+
+    // Multimodal decode path: text rendered into a binary GFT1 payload
+    // (header + body), then parsed back by the typed mapPartitions
+    // decoder in graft.operators.Multimodal — the oracle derives the
+    // expected metadata straight from the table, so hash equality proves
+    // the encode→binary→decode loop end to end.
+    Q("q_multimodal_decode",
+      """SELECT doc_id,
+        |       cast(octet_length(encode(text)) % 640 + 16 AS int) AS width,
+        |       cast((octet_length(encode(text)) * 7) % 480 + 16 AS int) AS height,
+        |       cast(octet_length(encode(text)) AS int) AS n_body_bytes,
+        |       true AS valid
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val bytes = octet_length(col("text"))
+      val payloads = t(s, dir, "documents").select(
+        col("doc_id"),
+        Multimodal.encodePayload(
+          bytes % 640 + 16, (bytes * 7) % 480 + 16, col("text")).as("payload"))
+      Multimodal.extractMeta(payloads).orderBy(col("doc_id"))
+    },
+
+    // Recall visibility for the approximate dedup paths (the round-1
+    // "rows-only is not a correctness signal" finding): MinHash-LSH
+    // candidates vs the exact n-gram-Jaccard pairs ON THE SAME corpus —
+    // one row, computed in-engine (xxhash64 signatures are not DuckDB-
+    // expressible; the bound is also asserted in DedupSpec).
+    Q.rowsOnly("q_dedup_minhash_recall") { (s, dir) =>
+      // deterministic 1/3 subset: the exact-Jaccard side is quadratic in
+      // candidate density, and a sampled recall estimate is the standard
+      // way to monitor an approximate method at scale
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(pmod(col("doc_id"), lit(3)) === 0)
+      val exact = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val approx = Dedup.minHashLshPairs(docs, n = 3, bands = 8, rowsPerBand = 4,
+          estThreshold = 0.2)
+        .select(col("id_a"), col("id_b"))
+      val joint = exact.join(approx, Seq("id_a", "id_b"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact")).crossJoin(
+          joint.agg(count(lit(1)).as("n_recalled")))
+        .withColumn("recall",
+          when(col("n_exact") === 0, lit(1.0))
+            .otherwise(round(col("n_recalled") / col("n_exact"), 4)))
     })
 }

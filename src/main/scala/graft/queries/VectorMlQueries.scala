@@ -77,6 +77,24 @@ object VectorMlQueries {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // IVF recall@k against the exact brute-force top-k on the same
+    // queries — the in-engine answer to "rows-only is not a correctness
+    // signal" for the approximate path (also floor-asserted in
+    // SimilaritySearchSpec).
+    Q.rowsOnly("q_ann_ivf_recall") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val brute = SimilaritySearch.bruteForceTopK(queries, emb, k = 5)
+        .select(col("query_id"), col(("vec_id")))
+      val ivf = SimilaritySearch.ivfTopK(queries, emb, k = 5, nCentroids = 16, nProbe = 4)
+        .select(col("query_id"), col("vec_id"))
+      val joint = brute.join(ivf, Seq("query_id", "vec_id"), "left_semi")
+      brute.agg(count(lit(1)).as("n_exact")).crossJoin(
+          joint.agg(count(lit(1)).as("n_recalled")))
+        .withColumn("recall_at_5", round(col("n_recalled") / col("n_exact"), 4))
+    },
+
     // Embedding near-duplicate pairs via hyperplane-LSH buckets:
     // rows-only (bucket planes are Scala-side literals).
     Q.rowsOnly("q_embed_neardup") { (s, dir) =>

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  test("encode → binary → mapPartitions decode round-trips metadata") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, 320, 240, "hello"), (2L, 16, 16, "")).toDF("doc_id", "w", "h", "body")
+      .select(col("doc_id"),
+        Multimodal.encodePayload(col("w"), col("h"), col("body")).as("payload"))
+    val meta = Multimodal.extractMeta(df).orderBy("doc_id").collect()
+    assert(meta(0).getInt(1) == 320 && meta(0).getInt(2) == 240)
+    assert(meta(0).getInt(3) == 5 && meta(0).getBoolean(4))
+    assert(meta(1).getInt(3) == 0 && meta(1).getBoolean(4))
+  }
+
+  test("undecodable payloads yield valid=false, not errors") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "not a gft payload"), (2L, "")).toDF("doc_id", "s")
+      .select(col("doc_id"), col("s").cast("binary").as("payload"))
+    val meta = Multimodal.extractMeta(df).orderBy("doc_id").collect()
+    assert(meta.forall(!_.getBoolean(4)))
+    assert(meta.forall(_.isNullAt(1)))
+  }
+
+  test("frame sampling explodes stride-spaced indices") {
+    val s = spark; import s.implicits._
+    val meta = Seq((1L, 10)).toDF("doc_id", "n_frames")
+    val frames = Multimodal.sampleFrames(meta, "n_frames", stride = 3)
+      .select("frame_idx").collect().map(_.getInt(0)).toSeq
+    assert(frames == Seq(0, 3, 6, 9))
+  }
+}
+
+class RandomSplitSpec extends SparkSpec {
+  test("seeded randomSplit (P10) partitions without loss and is reproducible") {
+    val s = spark; import s.implicits._
+    val df = (1 to 10000).toDF("x")
+    val Array(a, b) = df.randomSplit(Array(0.8, 0.2), seed = 42L)
+    val (na, nb) = (a.count(), b.count())
+    assert(na + nb == 10000)
+    assert(math.abs(na - 8000L) < 300, s"na=$na")
+    val Array(a2, _) = df.randomSplit(Array(0.8, 0.2), seed = 42L)
+    assert(a2.count() == na)
+  }
+}

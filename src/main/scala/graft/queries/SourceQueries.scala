@@ -113,6 +113,33 @@ object SourceQueries {
         .orderBy(col("y"), col("m"))
     },
 
+    // S3: parquet sink → scan round trip (the engine's own cache
+    // format); oracle reads the ORIGINAL table, so hash equality proves
+    // the sink/scan loop preserves values and types.
+    Q("q_source_parquet_roundtrip",
+      """SELECT n_regionkey AS r_key, count(*) AS n_nations,
+        |       cast(min(n_nationkey) AS bigint) AS min_nation
+        |FROM nation GROUP BY 1 ORDER BY r_key""".stripMargin) { (s, dir) =>
+      val path = tmp(dir, "pqrt")
+      t(s, dir, "nation").write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .groupBy(col("n_regionkey").as("r_key"))
+        .agg(count(lit(1)).as("n_nations"), min(col("n_nationkey")).as("min_nation"))
+        .orderBy(col("r_key"))
+    },
+
+    // P11/O3: deterministic global top-n via ORDER BY + LIMIT (Spark
+    // plans TakeOrderedAndProject — no full sort materialization).
+    Q("q_limit_top_orders",
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin) {
+      (s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(50)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+    },
+
     // D1: the street-type classifier as a codegen'd when-chain (the
     // reference's one hot-path Python UDF), over synthesized names
     // exercising French/English keywords, case folding and the no-match

@@ -232,10 +232,11 @@ object TextQueries {
         .select(col("id_a"), col("id_b"))
       val approx = Dedup.minHashLshPairs(docs, n = 3, bands = 8, rowsPerBand = 4,
           estThreshold = 0.2)
-        .select(col("id_a"), col("id_b"))
-      val joint = exact.join(approx, Seq("id_a", "id_b"), "left_semi")
-      exact.agg(count(lit(1)).as("n_exact")).crossJoin(
-          joint.agg(count(lit(1)).as("n_recalled")))
+        .select(col("id_a"), col("id_b"), lit(1L).as("_hit"))
+      // single evaluation of each side: outer-join indicator + one agg
+      exact.join(approx, Seq("id_a", "id_b"), "left_outer")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("_hit"), lit(0L))).as("n_recalled"))
         .withColumn("recall",
           when(col("n_exact") === 0, lit(1.0))
             .otherwise(round(col("n_recalled") / col("n_exact"), 4)))

@@ -177,11 +177,14 @@ object TrainQueries {
         |  ('RandomForestClassificationModel', 'seed', '42')
         |) AS t(stage, param, value)
         |ORDER BY stage, param""".stripMargin) { (s, dir) =>
+      // params don't depend on data volume — fit on a small deterministic
+      // subset so the export query stays cheap at any SF
       val (train, _) = split(orderFeatures(s, dir))
+      val small = train.filter(pmod(col("id"), lit(50)) === 1)
       val pipe = Trainers.brfPipeline(featureCols, seed = 42L,
         targetImbalanceRatio = 2.0, hashIdCol = "id",
         classWeights = Array(0.6, 3.0), numTrees = 5, maxDepth = 3)
-      val model = pipe.fit(train)
+      val model = pipe.fit(small)
       val allow = Seq("targetImbalanceRatio", "classWeights", "handleInvalid",
         "numTrees", "maxDepth", "impurity", "featureSubsetStrategy",
         "minInstancesPerNode", "seed")
@@ -222,9 +225,13 @@ object TrainQueries {
     // validation metric and the chosen best — rows-only (forest metrics).
     Q.rowsOnly("q_ml_tvs_best") { (s, dir) =>
       import s.implicits._
+      // tune on a deterministic ~1/11 sample: hyperparameter search on a
+      // sample is the standard scale discipline (4 grid fits + refit
+      // would otherwise dominate the whole query surface's runtime)
       val (train, _) = split(orderFeatures(s, dir))
+      val sample = train.filter(pmod(col("id"), lit(11)) === 1)
       val tvsModel = Trainers.tvs(featureCols, seed = 42L,
-        numTreesGrid = Seq(5, 10), maxDepthGrid = Seq(3, 5)).fit(train)
+        numTreesGrid = Seq(5, 10), maxDepthGrid = Seq(3, 5)).fit(sample)
       val best = tvsModel.bestModel.asInstanceOf[org.apache.spark.ml.PipelineModel]
       val rf = best.stages.last.asInstanceOf[RandomForestClassificationModel]
       tvsModel.getEstimatorParamMaps.zip(tvsModel.validationMetrics).toSeq

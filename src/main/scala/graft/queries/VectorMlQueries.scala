@@ -86,12 +86,14 @@ object VectorMlQueries {
       val queries = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       val brute = SimilaritySearch.bruteForceTopK(queries, emb, k = 5)
-        .select(col("query_id"), col(("vec_id")))
-      val ivf = SimilaritySearch.ivfTopK(queries, emb, k = 5, nCentroids = 16, nProbe = 4)
         .select(col("query_id"), col("vec_id"))
-      val joint = brute.join(ivf, Seq("query_id", "vec_id"), "left_semi")
-      brute.agg(count(lit(1)).as("n_exact")).crossJoin(
-          joint.agg(count(lit(1)).as("n_recalled")))
+      val ivf = SimilaritySearch.ivfTopK(queries, emb, k = 5, nCentroids = 16, nProbe = 4)
+        .select(col("query_id"), col("vec_id"), lit(1L).as("_hit"))
+      // single evaluation of each side: outer-join indicator + one agg
+      // (an agg + semi-join pair would recompute both subtrees)
+      brute.join(ivf, Seq("query_id", "vec_id"), "left_outer")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("_hit"), lit(0L))).as("n_recalled"))
         .withColumn("recall_at_5", round(col("n_recalled") / col("n_exact"), 4))
     },
 

@@ -118,6 +118,18 @@ class AccidentsCsvSpec extends SparkSpec {
   }
 }
 
+class CachedTableSpec extends SparkSpec {
+  test("computes once, then reads the parquet cache") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cache_test").toString + "/t.parquet"
+    var computes = 0
+    def compute = { computes += 1; Seq((1, "a"), (2, "b")).toDF("k", "v") }
+    assert(CachedTable(spark, dir)(compute).count() == 2)
+    assert(CachedTable(spark, dir)(compute).count() == 2)
+    assert(computes == 1) // second call served from the cache
+  }
+}
+
 class StreetTypesSpec extends SparkSpec {
 
   test("first-word keyword classification incl. case folding and no-match null") {

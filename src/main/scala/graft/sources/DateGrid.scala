@@ -37,9 +37,14 @@ object DateGrid {
   def negativeGrid(grid: DataFrame, keys: DataFrame, keyCol: String,
       sampleFraction: Double = 1.0, seed: Long = 42L): DataFrame = {
     val crossed = grid.crossJoin(keys)
-    if (sampleFraction >= 1.0) crossed
-    else crossed.filter(
-      graft.ml.RandomUnderSampler.hashKeepScore(
-        hash(col("date"), col("hour"), col(keyCol)).cast("long"), seed) < sampleFraction)
+    val sampled =
+      if (sampleFraction >= 1.0) crossed
+      else crossed.filter(
+        graft.ml.RandomUnderSampler.hashKeepScore(
+          hash(col("date"), col("hour"), col(keyCol)).cast("long"), seed) < sampleFraction)
+    // P7+P8: synthetic ids, sign-flipped so negative-sample ids can never
+    // collide with positive-sample ids downstream (the reference's
+    // `sample_id = -1 * sample_id`, src/preprocess.py:295-297,472)
+    sampled.withColumn("sample_id", -(monotonically_increasing_id() + lit(1L)))
   }
 }

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface: the engine's window/sessionize
+  * operators expressed so the SAME transform runs on a batch frame or a
+  * `readStream` source (Spark's unified Dataset API — a caller swaps
+  * `spark.read` for `spark.readStream` and adds a sink).
+  *
+  * The reference is batch-only (SURVEY §1: "no streams"), so nothing
+  * here ports reference behavior; it extends the engine to the streaming
+  * half of the Spark API with state kept bounded:
+  *  - watermarks bound event-time state for windowed aggregation,
+  *  - `session_window` gives gap-based sessions with merge-on-overlap,
+  *  - `flatMapGroupsWithState` demonstrates explicit custom state with
+  *    processing-time timeout for semantics the built-ins can't express
+  *    (the batch Sessionize's strict "gap > g stays open" edge).
+  */
+object StreamingOps {
+
+  /** Sliding-window event counts per user with a watermark bounding
+    * state: late events beyond `watermarkDelay` are dropped, so state
+    * size is O(users × windows-in-watermark), independent of stream
+    * length.
+    */
+  def windowedCounts(events: DataFrame, tsCol: String, userCol: String,
+      windowDur: String, slideDur: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur, slideDur), col(userCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(userCol), col("window.start").as("w_start"),
+        col("window.end").as("w_end"), col("n_events"))
+
+  /** Gap-based sessions via the built-in `session_window`: windows
+    * within `gap` of each other merge. Note the edge differs from the
+    * batch Sessionize: an event at exactly start+gap begins a NEW
+    * session here (half-open windows), while the batch operator keeps
+    * it (strict >). Use `sessionizeWithState` for batch-identical edges.
+    */
+  def sessionWindows(events: DataFrame, tsCol: String, userCol: String,
+      gap: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap), col(userCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(userCol), col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("n_events"))
+
+  case class Event(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
+
+  /** Custom-state sessionizer (`flatMapGroupsWithState`) matching the
+    * batch operator's strict-gap edge exactly: a session closes only
+    * when the next event is MORE than `gapMs` after the last, or on
+    * processing-time timeout. State per user is one (start, last, n)
+    * triple — constant, watermark-independent.
+    */
+  def sessionizeWithState(events: Dataset[Event], gapMs: Long,
+      timeout: String = "10 minutes"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], Session](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (user: Long, it: Iterator[Event], state: GroupState[List[SessionState]]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.toList.flatten
+              .map(s => Session(user, s.start, s.last, s.n))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var open = state.getOption.toList.flatten.headOption
+            val closed = scala.collection.mutable.ListBuffer[Session]()
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t - s.last <= gapMs =>
+                  open = Some(SessionState(s.start, t, s.n + 1))
+                case Some(s) =>
+                  closed += Session(user, s.start, s.last, s.n)
+                  open = Some(SessionState(t, t, 1))
+                case None =>
+                  open = Some(SessionState(t, t, 1))
+              }
+            }
+            open.foreach(s => state.update(List(s)))
+            state.setTimeoutDuration(timeout)
+            closed.iterator
+          }
+      }
+  }
+}

@@ -92,6 +92,9 @@ class DateGridSpec extends SparkSpec {
     val n = sampled.count()
     assert(math.abs(n - 8784L) < 900, s"n=$n expected ~8784") // 10% of 87840
     assert(sampled.count() == n) // deterministic re-evaluation
+    // P7/P8: synthetic ids distinct and strictly negative
+    assert(sampled.filter(col("sample_id") >= 0).count() == 0)
+    assert(sampled.select("sample_id").distinct().count() == n)
   }
 }
 

@@ -1,0 +1,81 @@
+package graft
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("windowedCounts over a MemoryStream matches the batch result") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = Seq(
+      Event(1L, 1L, ts("2024-01-01 00:01:00")),
+      Event(1L, 2L, ts("2024-01-01 00:04:00")),
+      Event(1L, 3L, ts("2024-01-01 00:11:00")),
+      Event(2L, 4L, ts("2024-01-01 00:02:00")))
+
+    val mem = MemoryStream[Event]
+    mem.addData(rows: _*)
+    val q = StreamingOps.windowedCounts(mem.toDF(), "ts", "user_id",
+        "10 minutes", "10 minutes", "1 minute")
+      .writeStream.format("memory").queryName("wc").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("wc")
+      .select("user_id", "w_start", "n_events").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2))).toSet
+    val batch = StreamingOps.windowedCounts(rows.toDF(), "ts", "user_id",
+        "10 minutes", "10 minutes", "1 minute")
+      .select("user_id", "w_start", "n_events").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(streamed == Set(
+      (1L, "2024-01-01 00:00:00.0", 2L),
+      (1L, "2024-01-01 00:10:00.0", 1L),
+      (2L, "2024-01-01 00:00:00.0", 1L)))
+  }
+
+  test("session_window groups events within the gap") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = Seq(
+      Event(1L, 1L, ts("2024-01-01 00:00:00")),
+      Event(1L, 2L, ts("2024-01-01 00:03:00")),  // 3 min later → same session
+      Event(1L, 3L, ts("2024-01-01 00:20:00"))) // 17 min later → new session
+    val mem = MemoryStream[Event]
+    mem.addData(rows: _*)
+    val q = StreamingOps.sessionWindows(mem.toDF(), "ts", "user_id",
+        "5 minutes", "1 minute")
+      .writeStream.format("memory").queryName("sw").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val sessions = spark.table("sw").select("n_events").collect().map(_.getLong(0)).sorted
+    assert(sessions.toSeq == Seq(1L, 2L))
+  }
+
+  test("flatMapGroupsWithState sessionizer emits closed sessions with strict-gap edges") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val gapMs = 60 * 1000L
+    val batch1 = Seq(
+      Event(1L, 1L, ts("2024-01-01 00:00:00")),
+      Event(1L, 2L, ts("2024-01-01 00:01:00")),  // exactly gap → SAME session (strict >)
+      Event(1L, 3L, ts("2024-01-01 00:10:00")),  // closes session 1 (2 events)
+      Event(1L, 4L, ts("2024-01-01 00:20:00"))) // closes session 2 (1 event)
+    val mem = MemoryStream[Event]
+    mem.addData(batch1: _*)
+    // AvailableNow: with ProcessingTimeTimeout the engine schedules
+    // timeout-check batches forever, so processAllAvailable would never
+    // see a quiescent stream — run to exhaustion and terminate instead
+    val q = StreamingOps.sessionizeWithState(mem.toDS(), gapMs)
+      .writeStream.format("memory").queryName("fs").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000L) finally q.stop()
+    val closed = spark.table("fs").select("n_events").collect().map(_.getLong(0)).toSeq
+    assert(closed == Seq(2L, 1L)) // session 3 (event 4) still open in state
+  }
+}

@@ -198,21 +198,40 @@ object Dedup {
   }
 
   /** Embedding near-duplicates: pairs with cosine ≥ threshold, candidates
-    * from random-hyperplane SimHash buckets (no all-pairs join).
+    * from MULTI-TABLE random-hyperplane LSH — `nTables` independent
+    * nBits-bit hash tables; a pair is a candidate when it collides in
+    * ANY table (union via the (table, bucket) equi-join + pair dedup).
+    *
+    * Recall per pair at angle θ is 1-(1-(1-θ/π)^nBits)^nTables — the
+    * round-1 single-table version measured 8% recall at cos ≥ 0.2; the
+    * 8×4-bit default measures ~0.7+ at cos ≥ 0.35 (DedupSpec asserts
+    * the floor). Cost scales as nTables × n² / 2^nBits per bucket-join,
+    * still never all-pairs.
     */
   def embeddingNearDupPairs(emb: DataFrame, dim: Int, cosThreshold: Double,
-      nBits: Int = 12, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      nBits: Int = 4, nTables: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 42L): DataFrame = {
     val v = VectorFunctions.toDoubleArray(col(vecCol))
     val hashed = emb.select(col(idCol).as("vec_id"), v.as("v"),
-      VectorFunctions.hyperplaneSimHash(col(vecCol), nBits, dim).as("bucket"))
-      // persist: both self-join sides — the nBits×dim hyperplane
+      explode(array((0 until nTables).map { t =>
+        struct(lit(t).as("tbl"),
+          VectorFunctions.hyperplaneSimHash(col(vecCol), nBits, dim,
+            seed = seed + 7919L * t).as("bucket"))
+      }: _*)).as("tb"))
+      .select(col("vec_id"), col("v"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      // persist: both self-join sides — the nTables×nBits×dim hyperplane
       // projection upstream is the expensive part
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     hashed.as("a")
       .join(hashed.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cosine", VectorFunctions.cosineSimilarity(col("a.v"), col("b.v")))
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", VectorFunctions.cosineSimilarity(col("va"), col("vb")))
       .filter(col("cosine") >= cosThreshold)
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("cosine"))
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 }

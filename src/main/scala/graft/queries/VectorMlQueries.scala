@@ -97,11 +97,12 @@ object VectorMlQueries {
         .withColumn("recall_at_5", round(col("n_recalled") / col("n_exact"), 4))
     },
 
-    // Embedding near-duplicate pairs via hyperplane-LSH buckets:
-    // rows-only (bucket planes are Scala-side literals).
+    // Embedding near-duplicate pairs via multi-table hyperplane LSH:
+    // rows-only (bucket planes are Scala-side literals); recall vs brute
+    // force asserted in DedupSpec.
     Q.rowsOnly("q_embed_neardup") { (s, dir) =>
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), dim = 64,
-          cosThreshold = 0.2, nBits = 6)
+          cosThreshold = 0.35, nBits = 4, nTables = 8)
         .withColumn("cosine", round(col("cosine"), 5))
         .orderBy(col("id_a"), col("id_b"))
     },

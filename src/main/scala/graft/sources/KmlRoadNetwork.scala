@@ -65,6 +65,30 @@ object KmlRoadNetwork {
     kmlDocs.flatMap(parseKml(_, includedUnknownNids)).toDF()
   }
 
+  /** S4 binary ingestion: KMZ files (zip archives holding `doc.kml`) →
+    * KML strings, via the `binaryFile` source — the Spark-4 shape of the
+    * reference's `parallelize(files).map(unzip)` RDD shim
+    * (`road_network.py:257-264`). Unzipping runs on executors; only the
+    * entry named `entryName` is read from each archive.
+    */
+  def kmlFromKmz(spark: org.apache.spark.sql.SparkSession, path: String,
+      entryName: String = "doc.kml"): Dataset[String] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").option("pathGlobFilter", "*.kmz").load(path)
+      .select(col("content"))
+      .as[Array[Byte]]
+      .map { bytes =>
+        val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(bytes))
+        Iterator.continually(zin.getNextEntry)
+          .takeWhile(_ != null)
+          .collectFirst { case e if e.getName == entryName =>
+            new String(zin.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+          }
+          .getOrElse("")
+      }
+      .filter(_.nonEmpty)
+  }
+
   /** The reference's street-id assignment (`road_network.py:290-299`):
     * some segments share a `nid`, so the unique id is
     * `concat(nid, row_number)` over distinct centers per nid ordered by

@@ -90,6 +90,26 @@ class DedupSpec extends SparkSpec {
     assert(lsh == brute, s"LSH pairs ${lsh.size} != brute ${brute.size}")
   }
 
+  test("embedding near-dup multi-table LSH recalls brute-force cosine pairs at sf0.001") {
+    val s = spark
+    val emb = Tables.load(s, TestSpark.sf0001, "embeddings")
+    val lsh = Dedup.embeddingNearDupPairs(emb, dim = 64, cosThreshold = 0.35,
+        nBits = 4, nTables = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over all pairs (tiny at sf0.001)
+    import graft.functions.VectorFunctions
+    val v = emb.select(col("vec_id"), VectorFunctions.toDoubleArray(col("embedding")).as("v"))
+    val brute = v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .filter(VectorFunctions.cosineSimilarity(col("a.v"), col("b.v")) >= 0.35)
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute), "LSH must not invent pairs")
+    val recall = if (brute.isEmpty) 1.0 else (brute intersect lsh).size.toDouble / brute.size
+    // expected 1-(1-(1-θ/π)^4)^8 ≈ 0.7 at the cos=0.35 threshold edge,
+    // higher for closer pairs; floor guards against silent collapse
+    assert(recall >= 0.5, s"embed LSH recall $recall")
+  }
+
   test("minhash est_jaccard tracks true jaccard for near-dup pairs at sf0.001") {
     val s = spark; import s.implicits._
     val docs = Tables.load(s, TestSpark.sf0001, "documents").select("doc_id", "text")

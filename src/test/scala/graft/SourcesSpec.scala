@@ -62,6 +62,20 @@ class KmlRoadNetworkSpec extends SparkSpec {
     assert(pts.exists(_.street_name == "rue D"))
   }
 
+  test("kmlFromKmz: binaryFile scan + executor-side unzip of doc.kml") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmz_test").toString
+    val zipPath = new java.io.File(dir, "net.kmz")
+    val zout = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(zipPath))
+    zout.putNextEntry(new java.util.zip.ZipEntry("other.txt"))
+    zout.write("ignore me".getBytes)
+    zout.putNextEntry(new java.util.zip.ZipEntry("doc.kml"))
+    zout.write(fixture.getBytes("UTF-8"))
+    zout.close()
+    val docs = KmlRoadNetwork.kmlFromKmz(spark, dir)
+    val pts = KmlRoadNetwork.roadPoints(docs)
+    assert(pts.count() == 7) // same as parseKml on the fixture
+  }
+
   test("withStreetIds dedups shared nids by center latitude order") {
     val s = spark; import s.implicits._
     val df = KmlRoadNetwork.roadPoints(Seq(fixture).toDS())

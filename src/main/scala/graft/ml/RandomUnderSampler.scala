@@ -1,7 +1,7 @@
 package graft.ml
 
 import org.apache.spark.ml.{Estimator, Model}
-import org.apache.spark.ml.param.{DoubleParam, LongParam, Param, ParamMap}
+import org.apache.spark.ml.param.{BooleanParam, DoubleParam, LongParam, Param, ParamMap}
 import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
@@ -12,10 +12,18 @@ import org.apache.spark.sql.types.StructType
   * (`src/random_undersampler.py:7-101`).
   *
   * fit: ratio = n_negative / n_positive; keepFraction =
-  * targetRatio / ratio. transform: negatives sampled at keepFraction,
-  * positives kept (a filtered union — narrow, no shuffle; the reference's
-  * sample-ids-then-anti-join formulation costs an extra shuffle for
-  * identical semantics).
+  * targetRatio / ratio; the model MEMORIZES the ids of the fit-data
+  * negatives chosen for removal (the reference's design, lines 74-89).
+  * transform: anti-join those ids away. Because the removed-id set is
+  * fixed at fit time, scoring a DISJOINT dataset (e.g. the test split)
+  * through a fitted Pipeline passes it through untouched — a transform
+  * that re-sampled any input would silently subsample evaluation data
+  * (caught by the end-to-end threshold-curve totals check).
+  *
+  * Sampling modes: seeded Bernoulli (`sample`, like the reference), or
+  * deterministic multiplicative hash of the id (`hashSampling=true`) —
+  * reproducible across runs/partitionings and SQL-portable, which is
+  * what lets the DuckDB oracle verify the estimator end-to-end.
   */
 class RandomUnderSampler(override val uid: String)
     extends Estimator[RandomUnderSamplerModel] with DefaultParamsWritable {
@@ -26,18 +34,19 @@ class RandomUnderSampler(override val uid: String)
   final val targetImbalanceRatio = new DoubleParam(this, "targetImbalanceRatio",
     "desired n_negative / n_positive after sampling")
   final val seed = new LongParam(this, "seed", "sampling seed")
-  final val hashIdCol = new Param[String](this, "hashIdCol",
-    "when non-empty, sample deterministically by multiplicative hash of " +
-      "this id column instead of Bernoulli rand() — reproducible across " +
-      "runs/partitionings and SQL-portable (used by the oracle-checked query)")
+  final val indexCol = new Param[String](this, "indexCol",
+    "unique row id column (the reference's indexCol) — removal is tracked by id")
+  final val hashSampling = new BooleanParam(this, "hashSampling",
+    "sample by deterministic multiplicative hash of indexCol instead of rand()")
 
   setDefault(labelCol -> "label", targetImbalanceRatio -> 1.0, seed -> 42L,
-    hashIdCol -> "")
+    indexCol -> "sample_id", hashSampling -> false)
 
   def setLabelCol(v: String): this.type = set(labelCol, v)
   def setTargetImbalanceRatio(v: Double): this.type = set(targetImbalanceRatio, v)
   def setSeed(v: Long): this.type = set(seed, v)
-  def setHashIdCol(v: String): this.type = set(hashIdCol, v)
+  def setIndexCol(v: String): this.type = set(indexCol, v)
+  def setHashSampling(v: Boolean): this.type = set(hashSampling, v)
 
   override def fit(ds: Dataset[_]): RandomUnderSamplerModel = {
     val l = col($(labelCol)).cast("double")
@@ -47,7 +56,20 @@ class RandomUnderSampler(override val uid: String)
     val nNeg = counts.getOrElse(0.0, 0L).toDouble
     val ratio = if (nPos > 0) nNeg / nPos else 1.0
     val keep = if (ratio > $(targetImbalanceRatio)) $(targetImbalanceRatio) / ratio else 1.0
-    val model = new RandomUnderSamplerModel(uid, keep)
+    val removedIds =
+      if (keep >= 1.0) None
+      else {
+        val neg = ds.toDF().filter(l === 0.0)
+        val removed =
+          if ($(hashSampling))
+            neg.filter(RandomUnderSampler.hashKeepScore(col($(indexCol)), $(seed)) >= keep)
+          else neg.sample(withReplacement = false, 1.0 - keep, $(seed))
+        // small relative to the input (the complement of the kept set);
+        // persisted so every downstream transform reuses one evaluation
+        Some(removed.select(col($(indexCol)))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      }
+    val model = new RandomUnderSamplerModel(uid, keep, removedIds)
     copyValues(model.setParent(this))
   }
 
@@ -58,7 +80,7 @@ class RandomUnderSampler(override val uid: String)
 
 object RandomUnderSampler extends DefaultParamsReadable[RandomUnderSampler] {
   /** Deterministic per-row keep score in [0, 1): multiplicative integer
-    * hash of (id, seed) — Knuth's 2654435761 with an odd seed mix, all in
+    * hash of (id, seed) — Knuth's 2654435761 with a seed mix, all in
     * exact long arithmetic (no overflow under ANSI for |id| < 2^31), so
     * DuckDB computes the identical value.
     */
@@ -67,34 +89,31 @@ object RandomUnderSampler extends DefaultParamsReadable[RandomUnderSampler] {
       1000000007.0
 }
 
-class RandomUnderSamplerModel(override val uid: String, val keepFraction: Double)
+class RandomUnderSamplerModel(override val uid: String, val keepFraction: Double,
+    val removedIds: Option[DataFrame])
     extends Model[RandomUnderSamplerModel] {
 
   final val labelCol = new Param[String](this, "labelCol", "binary label column")
   final val seed = new LongParam(this, "seed", "sampling seed")
-  final val hashIdCol = new Param[String](this, "hashIdCol", "deterministic-hash id column")
+  final val indexCol = new Param[String](this, "indexCol", "unique row id column")
+  final val hashSampling = new BooleanParam(this, "hashSampling", "deterministic-hash mode")
   final val targetImbalanceRatio = new DoubleParam(this, "targetImbalanceRatio",
     "desired n_negative / n_positive after sampling")
-  setDefault(labelCol -> "label", seed -> 42L, hashIdCol -> "")
+  setDefault(labelCol -> "label", seed -> 42L, indexCol -> "sample_id",
+    hashSampling -> false)
 
   override def transform(ds: Dataset[_]): DataFrame = {
     val df = ds.toDF()
-    if (keepFraction >= 1.0) df
-    else {
-      val l = col($(labelCol)).cast("double")
-      val keepNeg =
-        if ($(hashIdCol).nonEmpty)
-          RandomUnderSampler.hashKeepScore(col($(hashIdCol)), $(seed)) < keepFraction
-        else rand($(seed)) < keepFraction
-      // single narrow filter pass — no split/union, no shuffle
-      df.filter(l =!= 0.0 || keepNeg)
+    removedIds match {
+      case None => df
+      case Some(ids) => df.join(ids, Seq($(indexCol)), "left_anti")
     }
   }
 
   override def transformSchema(schema: StructType): StructType = schema
 
   override def copy(extra: ParamMap): RandomUnderSamplerModel = {
-    val m = new RandomUnderSamplerModel(uid, keepFraction)
+    val m = new RandomUnderSamplerModel(uid, keepFraction, removedIds)
     copyValues(m, extra).setParent(parent)
   }
 }

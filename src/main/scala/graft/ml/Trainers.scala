@@ -61,12 +61,12 @@ object Trainers {
     * reference's `Pipeline([ru, cw, rf])`, `src/random_forest.py:21,55`).
     */
   def brfPipeline(featureCols: Seq[String], seed: Long = 42L,
-      targetImbalanceRatio: Double = 1.0, hashIdCol: String = "",
+      targetImbalanceRatio: Double = 1.0, indexCol: String = "sample_id",
       classWeights: Array[Double] = Array(1.0, 1.0),
       numTrees: Int = 100, maxDepth: Int = 25): Pipeline = {
     val sampler = new RandomUnderSampler()
       .setTargetImbalanceRatio(targetImbalanceRatio).setSeed(seed)
-      .setHashIdCol(hashIdCol)
+      .setIndexCol(indexCol).setHashSampling(true)
     val weighter = new ClassWeighter().setClassWeights(classWeights)
     val stages: Array[PipelineStage] =
       Array(sampler, weighter, assembler(featureCols), brfClassifier(seed, numTrees, maxDepth))

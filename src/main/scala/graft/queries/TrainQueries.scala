@@ -109,7 +109,7 @@ object TrainQueries {
         col("o_orderkey").as("id"),
         when(col("o_orderstatus") === "F", 1.0).otherwise(0.0).as("label"))
       val model = new RandomUnderSampler()
-        .setTargetImbalanceRatio(1.0).setSeed(42L).setHashIdCol("id")
+        .setTargetImbalanceRatio(1.0).setSeed(42L).setIndexCol("id").setHashSampling(true)
         .fit(labeled)
       model.transform(labeled)
         .groupBy(col("label").cast("int").as("label"))
@@ -182,7 +182,7 @@ object TrainQueries {
       val (train, _) = split(orderFeatures(s, dir))
       val small = train.filter(pmod(col("id"), lit(50)) === 1)
       val pipe = Trainers.brfPipeline(featureCols, seed = 42L,
-        targetImbalanceRatio = 2.0, hashIdCol = "id",
+        targetImbalanceRatio = 2.0, indexCol = "id",
         classWeights = Array(0.6, 3.0), numTrees = 5, maxDepth = 3)
       val model = pipe.fit(small)
       val allow = Seq("targetImbalanceRatio", "classWeights", "handleInvalid",
@@ -203,7 +203,7 @@ object TrainQueries {
     Q.rowsOnly("q_ml_rf_train_metrics") { (s, dir) =>
       val (train, test) = split(orderFeatures(s, dir))
       val pipe = Trainers.brfPipeline(featureCols, seed = 42L,
-        targetImbalanceRatio = 2.0, hashIdCol = "id",
+        targetImbalanceRatio = 2.0, indexCol = "id",
         classWeights = Array(1.0, 1.0), numTrees = 15, maxDepth = 6)
       val model = pipe.fit(train)
       Trainers.resultsFrame(model, train, test, s)
@@ -213,7 +213,7 @@ object TrainQueries {
     Q.rowsOnly("q_ml_rf_importances") { (s, dir) =>
       val (train, _) = split(orderFeatures(s, dir))
       val pipe = Trainers.brfPipeline(featureCols, seed = 42L,
-        targetImbalanceRatio = 2.0, hashIdCol = "id",
+        targetImbalanceRatio = 2.0, indexCol = "id",
         classWeights = Array(1.0, 1.0), numTrees = 15, maxDepth = 6)
       val model = pipe.fit(train)
       val rf = model.stages.last.asInstanceOf[RandomForestClassificationModel]

@@ -13,7 +13,7 @@ class RandomUnderSamplerSpec extends SparkSpec {
     val df = (0 until 10000).map(i => (i.toLong, if (i % 10 == 0) 1.0 else 0.0))
       .toDF("id", "label")
     val m = new RandomUnderSampler().setTargetImbalanceRatio(2.0).setSeed(42L)
-      .setHashIdCol("id").fit(df)
+      .setIndexCol("id").setHashSampling(true).fit(df)
     val out = m.transform(df)
     val nPos = out.filter($"label" === 1.0).count()
     val nNeg = out.filter($"label" === 0.0).count()
@@ -32,9 +32,22 @@ class RandomUnderSamplerSpec extends SparkSpec {
     assert(m1.transform(balanced).count() == 100)
     val skew = (0 until 10000).map(i => (i.toLong, if (i % 10 == 0) 1.0 else 0.0))
       .toDF("id", "label")
-    val m2 = new RandomUnderSampler().setTargetImbalanceRatio(1.0).setSeed(7L).fit(skew)
+    val m2 = new RandomUnderSampler().setTargetImbalanceRatio(1.0).setSeed(7L)
+      .setIndexCol("id").fit(skew)
     val r = m2.transform(skew).filter($"label" === 0.0).count().toDouble / 1000
     assert(math.abs(r - 1.0) < 0.2, s"bernoulli ratio $r")
+  }
+
+  test("a fitted model passes disjoint (test) data through untouched") {
+    val s = spark; import s.implicits._
+    val train = (0 until 1000).map(i => (i.toLong, if (i % 10 == 0) 1.0 else 0.0))
+      .toDF("id", "label")
+    val test = (10000 until 10200).map(i => (i.toLong, if (i % 10 == 0) 1.0 else 0.0))
+      .toDF("id", "label")
+    val m = new RandomUnderSampler().setTargetImbalanceRatio(1.0).setSeed(42L)
+      .setIndexCol("id").setHashSampling(true).fit(train)
+    assert(m.transform(train).count() < 1000)  // train resampled
+    assert(m.transform(test).count() == 200)   // test untouched (disjoint ids)
   }
 }
 
@@ -115,7 +128,7 @@ class TrainersSpec extends SparkSpec {
     val train = feats.filter(pmod(col("id"), lit(5)) =!= 0)
     val test = feats.filter(pmod(col("id"), lit(5)) === 0)
     val model = Trainers.brfPipeline(fcols, seed = 42L, targetImbalanceRatio = 2.0,
-      hashIdCol = "id", numTrees = 10, maxDepth = 5).fit(train)
+      indexCol = "id", numTrees = 10, maxDepth = 5).fit(train)
     val scored = model.transform(test)
     val (auprc, auroc) = Trainers.evaluate(scored)
     assert(auroc > 0.65 && auroc <= 1.0, s"auroc $auroc")
@@ -127,7 +140,7 @@ class TrainersSpec extends SparkSpec {
   test("feature importances: non-negative, sum to 1, labeled") {
     val train = feats.filter(pmod(col("id"), lit(5)) =!= 0)
     val model = Trainers.brfPipeline(fcols, seed = 42L, targetImbalanceRatio = 2.0,
-      hashIdCol = "id", numTrees = 10, maxDepth = 5).fit(train)
+      indexCol = "id", numTrees = 10, maxDepth = 5).fit(train)
     val rf = model.stages.last.asInstanceOf[RandomForestClassificationModel]
     val imp = Trainers.featureImportances(rf, fcols, spark).collect()
     assert(imp.length == fcols.length)
@@ -139,7 +152,7 @@ class TrainersSpec extends SparkSpec {
   test("params export walks every stage with values") {
     val train = feats.filter(pmod(col("id"), lit(5)) =!= 0)
     val model = Trainers.brfPipeline(fcols, seed = 42L, targetImbalanceRatio = 2.0,
-      hashIdCol = "id", classWeights = Array(0.6, 3.0), numTrees = 5, maxDepth = 3).fit(train)
+      indexCol = "id", classWeights = Array(0.6, 3.0), numTrees = 5, maxDepth = 3).fit(train)
     val params = Trainers.exportParams(model, spark).collect()
     val stages = params.map(_.getString(1)).distinct
     assert(stages.length == 4) // sampler model, weighter, assembler, forest model

@@ -35,5 +35,8 @@ object Sessions {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // managed-table location (bucketed tables) — keep out of the repo
+      .config("spark.sql.warehouse.dir",
+        System.getProperty("java.io.tmpdir") + "/graft-warehouse")
       .config("spark.ui.enabled", "false")
 }

@@ -41,12 +41,18 @@ object VectorFunctions {
   def hyperplaneSimHash(v: Column, nBits: Int, dim: Int, seed: Long = 42L): Column = {
     require(nBits <= 63, "packed into a signed long")
     val bits = (0 until nBits).map { i =>
-      // plane_i[j] in [-0.5, 0.5): deterministic hash of (seed, i, j)
-      val d = (0 until dim).map { j =>
+      // plane_i[j] in [-0.5, 0.5): deterministic hash of (seed, i, j).
+      // The plane ships as ONE array literal and the projection is a
+      // zip_with/aggregate dot product — a per-element expression chain
+      // (dim × nBits scalar nodes) made Catalyst analysis + codegen the
+      // dominant cost once multi-table LSH multiplied the tree size.
+      val plane = (0 until dim).map { j =>
         val h = ((seed * 1000003L + i * 8191L + j) * 0x9E3779B97F4A7C15L)
-        val u = ((h >>> 11).toDouble / (1L << 53).toDouble) - 0.5
-        element_at(v, j + 1).cast("double") * lit(u)
-      }.reduce(_ + _)
+        ((h >>> 11).toDouble / (1L << 53).toDouble) - 0.5
+      }
+      val d = aggregate(
+        zip_with(v, typedLit(plane), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, x) => acc + x)
       when(d >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)

@@ -212,25 +212,36 @@ object Dedup {
       nBits: Int = 4, nTables: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding",
       seed: Long = 42L): DataFrame = {
-    val v = VectorFunctions.toDoubleArray(col(vecCol))
-    val hashed = emb.select(col(idCol).as("vec_id"), v.as("v"),
+    // norms precomputed per vector: the pair-scoring cosine then costs
+    // ONE dot product instead of three array aggregates per candidate
+    val vecs = emb.select(col(idCol).as("vec_id"),
+      VectorFunctions.toDoubleArray(col(vecCol)).as("v"))
+      .withColumn("n", VectorFunctions.norm(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bucket rows carry ONLY (id, table, bucket) — the candidate
+    // self-join and pair dedup shuffle 16-byte rows, never the vectors
+    // (carrying the embeddings through dropDuplicates shuffled ~1 KB/row
+    // and dominated the whole query)
+    val hashed = vecs.select(col("vec_id"),
       explode(array((0 until nTables).map { t =>
         struct(lit(t).as("tbl"),
-          VectorFunctions.hyperplaneSimHash(col(vecCol), nBits, dim,
+          VectorFunctions.hyperplaneSimHash(col("v"), nBits, dim,
             seed = seed + 7919L * t).as("bucket"))
       }: _*)).as("tb"))
-      .select(col("vec_id"), col("v"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-      // persist: both self-join sides — the nTables×nBits×dim hyperplane
-      // projection upstream is the expensive part
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    hashed.as("a")
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val cand = hashed.as("a")
       .join(hashed.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("cosine", VectorFunctions.cosineSimilarity(col("va"), col("vb")))
+    // vectors join back AFTER dedup: pairs << corpus × nTables
+    cand
+      .join(vecs.select(col("vec_id").as("id_a"), col("v").as("va"), col("n").as("na")), "id_a")
+      .join(vecs.select(col("vec_id").as("id_b"), col("v").as("vb"), col("n").as("nb")), "id_b")
+      .withColumn("cosine",
+        when(col("na") * col("nb") === 0.0, lit(0.0))
+          .otherwise(VectorFunctions.dot(col("va"), col("vb")) / (col("na") * col("nb"))))
       .filter(col("cosine") >= cosThreshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

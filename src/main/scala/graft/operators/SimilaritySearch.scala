@@ -1,8 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbour search over an embedding column.
@@ -17,17 +16,30 @@ import org.apache.spark.sql.functions._
   *    (sampled corpus vectors); each query probes its `nProbe` nearest
   *    centroids only, turning the scan into an equi-join on centroid id.
   *    Recall < 1, cost ~ nProbe/nCentroids of brute force.
+  *
+  * Norms are precomputed once per vector on each side, so the per-pair
+  * hot loop is a single dot product (array aggregates evaluate
+  * interpreted — evaluating three per pair tripled the dominant cost).
   */
 object SimilaritySearch {
+
+  private def withNorm(df: DataFrame, id: String, vec: String,
+      vOut: String, nOut: String): DataFrame =
+    df.select(col(id), toDoubleArray(col(vec)).as(vOut))
+      .withColumn(nOut, norm(col(vOut)))
+
+  private def cosineFromNorms(va: Column, vb: Column, na: Column, nb: Column): Column =
+    when(na * nb === 0.0, lit(0.0)).otherwise(dot(va, vb) / (na * nb))
 
   /** Exact top-k by cosine for each query vector. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       queryId: String = "query_id", corpusId: String = "vec_id",
       queryVec: String = "qv", corpusVec: String = "embedding"): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
+    val c = withNorm(corpus, corpusId, corpusVec, "_cv", "_cn")
+    val q = withNorm(queries, queryId, queryVec, "_qv", "_qn")
+    val scored = c.crossJoin(broadcast(q))
       .filter(col(queryId) =!= col(corpusId))
-      .withColumn("cosine",
-        cosineSimilarity(toDoubleArray(col(queryVec)), toDoubleArray(col(corpusVec))))
+      .withColumn("cosine", cosineFromNorms(col("_qv"), col("_cv"), col("_qn"), col("_cn")))
     TopK.perGroup(scored,
         partitionBy = Seq(col(queryId)),
         orderBy = Seq(col("cosine").desc, col(corpusId)),
@@ -45,37 +57,41 @@ object SimilaritySearch {
       queryId: String = "query_id", corpusId: String = "vec_id",
       queryVec: String = "qv", corpusVec: String = "embedding"): DataFrame = {
 
+    val c = withNorm(corpus, corpusId, corpusVec, "_cv", "_cn")
+    val q = withNorm(queries, queryId, queryVec, "_qv", "_qn")
+
     // deterministic "centroids": nCentroids corpus rows by hash order
-    val centroids = corpus
+    val centroids = c
       .withColumn("_h", xxhash64(col(corpusId)))
       .orderBy(col("_h"), col(corpusId)).limit(nCentroids)
-      .select(col(corpusId).as("cent_id"), toDoubleArray(col(corpusVec)).as("cent_v"))
+      .select(col(corpusId).as("cent_id"), col("_cv").as("cent_v"), col("_cn").as("cent_n"))
 
     // assign each corpus vector to its single nearest centroid via
     // max_by aggregation — partial (map-side) aggregation collapses the
     // corpus×nCentroids candidate set to one row per corpus vector BEFORE
-    // any shuffle; the round-1 window formulation shuffled all 16× rows.
-    // Tie-break: highest _sim, then smallest cent_id (max of -cent_id).
-    val assigned = corpus.crossJoin(broadcast(centroids))
-      .withColumn("_sim", cosineSimilarity(toDoubleArray(col(corpusVec)), col("cent_v")))
+    // any shuffle; a window formulation would shuffle all nCentroids×
+    // rows. Tie-break: highest _sim, then smallest cent_id.
+    val assigned = c.crossJoin(broadcast(centroids))
+      .withColumn("_sim", cosineFromNorms(col("_cv"), col("cent_v"), col("_cn"), col("cent_n")))
       .groupBy(col(corpusId))
-      .agg(max_by(struct(col("cent_id"), col(corpusVec).as("_cv")),
+      .agg(max_by(struct(col("cent_id"), col("_cv").as("v"), col("_cn").as("n")),
         struct(col("_sim"), (-col("cent_id")).as("_nid"))).as("_m"))
-      .select(col(corpusId), col("_m._cv").as(corpusVec), col("_m.cent_id").as("cent_id"))
+      .select(col(corpusId), col("_m.v").as("_cv"), col("_m.n").as("_cn"),
+        col("_m.cent_id").as("cent_id"))
 
     // each query probes its nProbe nearest centroids
     val probes = TopK.perGroup(
-        queries.crossJoin(broadcast(centroids))
-          .withColumn("_sim", cosineSimilarity(toDoubleArray(col(queryVec)), col("cent_v"))),
+        q.crossJoin(broadcast(centroids))
+          .withColumn("_sim",
+            cosineFromNorms(col("_qv"), col("cent_v"), col("_qn"), col("cent_n"))),
         partitionBy = Seq(col(queryId)),
         orderBy = Seq(col("_sim").desc, col("cent_id")), k = nProbe)
-      .select(col(queryId), col(queryVec), col("cent_id"))
+      .select(col(queryId), col("_qv"), col("_qn"), col("cent_id"))
 
     // equi-join on centroid id replaces the full scan
     val scored = assigned.join(broadcast(probes), "cent_id")
       .filter(col(queryId) =!= col(corpusId))
-      .withColumn("cosine",
-        cosineSimilarity(toDoubleArray(col(queryVec)), toDoubleArray(col(corpusVec))))
+      .withColumn("cosine", cosineFromNorms(col("_qv"), col("_cv"), col("_qn"), col("_cn")))
     TopK.perGroup(scored,
         partitionBy = Seq(col(queryId)),
         orderBy = Seq(col("cosine").desc, col(corpusId)), k = k)

@@ -44,6 +44,44 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "corpus must stream, not cartesian-shuffle")
   }
 
+  test("bucketed-by-key tables join with zero exchange") {
+    import graft.sources.Bucketing
+    val s = spark
+    val orders = Tables.load(s, TestSpark.sf0001, "orders")
+      .select("o_orderkey", "o_totalprice")
+    val li = Tables.load(s, TestSpark.sf0001, "lineitem")
+      .select(org.apache.spark.sql.functions.col("l_orderkey").as("o_orderkey"),
+        org.apache.spark.sql.functions.col("l_quantity"))
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        System.getProperty("java.io.tmpdir") + s"/graft-warehouse/$t")
+      if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    }
+    Bucketing.writeBucketed(orders, "b_orders", 4, Seq("o_orderkey"))
+    Bucketing.writeBucketed(li, "b_lineitem", 4, Seq("o_orderkey"))
+    // at sf0.001 broadcast would win (and ignore buckets) — disable it to
+    // exercise the fact-to-fact shape bucketing exists for
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.bucketedJoin(s, "b_orders", "b_lineitem", Seq("o_orderkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("Bucketed: true"), "scan should use buckets:\n" + p)
+      assert(!p.contains("Exchange"), "bucketed join must not shuffle:\n" + p)
+      assert(joined.count() > 0)
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("events TIMESTAMP(NANOS) loads through Tables with microsecond truncation") {
+    val ev = Tables.load(spark, TestSpark.sf0001, "events")
+    assert(ev.schema("ts").dataType.typeName == "timestamp")
+    assert(ev.count() > 0)
+    val y = ev.select(org.apache.spark.sql.functions.year(
+      org.apache.spark.sql.functions.col("ts"))).distinct().collect().map(_.getInt(0))
+    assert(y.forall(v => v > 1990 && v < 2100), s"years ${y.toSeq}") // sane epoch, not ns-as-s corruption
+  }
+
   test("date grid generates without any exchange (pure generators)") {
     val df = graft.sources.DateGrid.dateHourGrid(spark, Seq(1996))
     val p = df.queryExecution.executedPlan.toString

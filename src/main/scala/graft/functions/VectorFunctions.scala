@@ -10,12 +10,24 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Cast an array<float> to array<double> (stable cross-engine math). */
-  def toDoubleArray(v: Column): Column = transform(v, x => x.cast("double"))
+  /** Cast an array<float> to array<double> (stable cross-engine math) —
+    * a plain element Cast (codegen'd), not an interpreted transform().
+    */
+  def toDoubleArray(v: Column): Column =
+    v.cast(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
 
-  /** Dot product of two numeric arrays (left-to-right summation). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product of two numeric arrays (left-to-right summation) — the
+    * engine's one custom Catalyst expression; see
+    * [[graft.expressions.DotProduct]] for why the HOF formulation isn't
+    * viable on the per-pair hot path.
+    */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    // the casts guarantee the expression's array<double> precondition and
+    // are no-ops (optimized away) when inputs are already double arrays
+    Bridge.column(graft.expressions.DotProduct(
+      Bridge.expression(toDoubleArray(a)), Bridge.expression(toDoubleArray(b))))
+  }
 
   /** Squared L2 norm. */
   def normSq(a: Column): Column = dot(a, a)

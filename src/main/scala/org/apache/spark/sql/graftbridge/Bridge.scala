@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ catalyst-Expression bridge. Spark 4 made these conversions
+  * `private[sql]` (`org.apache.spark.sql.classic.ExpressionUtils`), so
+  * registering a custom expression from library code requires a shim in
+  * the sql namespace — the standard extension-library technique. This is
+  * the ONLY file outside the `graft` package.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -68,13 +68,15 @@ object Geo {
         .select(col("s_suppkey"), suppLat.as("s_lat"), suppLon.as("s_lon"))
       // cellDeg matched to data density: coordinates span 1°×1°, so 0.5°
       // cells degenerate to ~9 buckets (≈ a skewed cross join — the
-      // round-1 bench's slowest query). 0.05° ≈ 3.9 km coverage radius
-      // keeps the grid join selective at sf0.1+ densities; sparser inputs
-      // fall back to the exhaustive phase-2 path and stay exact.
+      // round-1 bench's slowest query). 0.08° ≈ 6.2 km coverage radius
+      // balances grid-join selectivity against the exhaustive phase-2
+      // fallback for rows whose k-th neighbour exceeds coverage (0.05°
+      // was selective but sent ~25% of rows to the fallback cross join;
+      // 0.08° halves the query). Exact either way.
       NearestMatch.kNearest(left, right, k = 2,
           leftId = "c_custkey", rightId = "s_suppkey",
           latL = "c_lat", lonL = "c_lon", latR = "s_lat", lonR = "s_lon",
-          cellDeg = 0.05)
+          cellDeg = 0.08)
         .select(col("c_custkey"), col("s_suppkey"),
           round(col("distance_m"), 1).as("dist_m"), col("rk"))
         .orderBy(col("c_custkey"), col("rk"))

@@ -32,10 +32,13 @@ object Bench {
 
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+      val ok = try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        false
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a failed query must be visibly marked in the JSON (-1), not
+      // recorded as a plausible-looking time-to-exception
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

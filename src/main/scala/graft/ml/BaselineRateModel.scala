@@ -47,8 +47,11 @@ object BaselineRateModel {
     require(domain.nonEmpty, "empty baseline model")
     val domainArr = array(domain.map(lit): _*)
     val cnt = col(countCol).cast("long")
-    val floorKey = coalesce(
-      array_max(filter(domainArr, v => v <= cnt)), lit(domain.head))
+    // null counts stay null (→ unmatched join → prob 0.0): without the
+    // guard, filter(v <= null) yields an empty array and the coalesce
+    // would silently score unknown-count rows with the floor entry
+    val floorKey = when(cnt.isNotNull,
+      coalesce(array_max(filter(domainArr, v => v <= cnt)), lit(domain.head)))
     val probs = model.select(col("count_value"), col("prob"))
     df.withColumn("_floor_cv", floorKey)
       .join(broadcast(probs), col("_floor_cv") === col("count_value"), "left_outer")

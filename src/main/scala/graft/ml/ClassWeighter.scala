@@ -33,17 +33,18 @@ class ClassWeighter(override val uid: String) extends Transformer
   /** Convenience: balanced weights n/(k*n_c) from the data, where k is
     * the number of classes actually present (sklearn's "balanced" rule —
     * the binary divisor 2 would mis-weight multi-class inputs). Labels in
-    * [0, max] missing from the data are an error, not a silent weight n.
+    * [0, max] absent from the data get weight 0.0 — no row can carry
+    * that label at transform time on the same distribution, and throwing
+    * would break legal degenerate inputs (e.g. an all-positive fold).
     */
   def fitBalanced(df: DataFrame): this.type = {
     val counts = df.groupBy(col($(labelCol)).cast("int").as("l")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "fitBalanced on an empty dataset")
     val n = counts.values.sum.toDouble
     val k = counts.size.toDouble
     val w = (0 to counts.keys.max).map { l =>
-      val nc = counts.getOrElse(l,
-        throw new IllegalArgumentException(s"label $l absent from data"))
-      n / (k * nc)
+      counts.get(l).map(nc => n / (k * nc)).getOrElse(0.0)
     }.toArray
     set(classWeights, w)
   }

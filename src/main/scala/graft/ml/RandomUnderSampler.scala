@@ -80,13 +80,16 @@ class RandomUnderSampler(override val uid: String)
 
 object RandomUnderSampler extends DefaultParamsReadable[RandomUnderSampler] {
   /** Deterministic per-row keep score in [0, 1): multiplicative integer
-    * hash of (id, seed) — Knuth's 2654435761 with a seed mix, all in
-    * exact long arithmetic (no overflow under ANSI for |id| < 2^31), so
-    * DuckDB computes the identical value.
+    * hash of (id, seed). The id is reduced mod p BEFORE the multiply so
+    * the product is bounded by (p-1)·2654435761 < Long.MaxValue — Spark 4
+    * runs ANSI mode by default and the unreduced form overflows (throws)
+    * for |id| ≥ ~3.5e9, which `monotonically_increasing_id` produces for
+    * any row beyond partition 0. DuckDB computes the identical value
+    * (and would equally overflow unreduced).
     */
   def hashKeepScore(id: org.apache.spark.sql.Column, seed: Long): org.apache.spark.sql.Column =
-    pmod((id.cast("long") + lit(seed)) * lit(2654435761L), lit(1000000007L)).cast("double") /
-      1000000007.0
+    pmod(pmod(id.cast("long") + lit(seed), lit(1000000007L)) * lit(2654435761L),
+      lit(1000000007L)).cast("double") / 1000000007.0
 }
 
 class RandomUnderSamplerModel(override val uid: String, val keepFraction: Double,

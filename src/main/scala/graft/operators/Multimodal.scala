@@ -24,7 +24,7 @@ import org.apache.spark.sql.types._
 object Multimodal {
 
   val metaSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType, nullable = false),
+    StructField("doc_id", LongType, nullable = true),
     StructField("width", IntegerType, nullable = true),
     StructField("height", IntegerType, nullable = true),
     StructField("n_body_bytes", IntegerType, nullable = true),
@@ -68,9 +68,13 @@ object Multimodal {
     val encoder = org.apache.spark.sql.Encoders.row(metaSchema)
     rows.mapPartitions { it =>
       it.map { r =>
-        val id = r.getLong(0)
+        // null-id rows stay rows (valid=false) — getLong on a null
+        // primitive would NPE and fail the task, violating the
+        // "undecodable input yields valid=false, not errors" contract
+        val id: Any = if (r.isNullAt(0)) null else r.getLong(0)
         decodeOne(r.getAs[Array[Byte]](1)) match {
-          case Some((w, h, n)) => Row(id, w, h, n, true)
+          case Some((w, h, n)) if id != null => Row(id, w, h, n, true)
+          case Some((w, h, n)) => Row(null, w, h, n, false)
           case None => Row(id, null, null, null, false)
         }
       }

@@ -33,6 +33,5 @@ object RoadFeatures {
       .agg(max(col("dist_m")).as("street_length"))
       .withColumn("street_type", StreetTypes.streetType(col("street_name")))
       .drop("street_name")
-      .distinct()
   }
 }

@@ -101,7 +101,7 @@ object TrainQueries {
         |  SELECT l.* FROM labeled l, stats
         |  WHERE l.label != 0.0
         |     OR (CASE WHEN n_neg / n_pos > 1.0 THEN n_pos / n_neg ELSE 1.0 END)
-        |        > (((l.id + 42) * 2654435761) % 1000000007) / 1000000007.0)
+        |        > ((((l.id + 42) % 1000000007) * 2654435761) % 1000000007) / 1000000007.0)
         |SELECT cast(label AS int) AS label, count(*) AS n_rows,
         |       cast(min(id) AS bigint) AS min_id, cast(max(id) AS bigint) AS max_id
         |FROM kept GROUP BY 1 ORDER BY label""".stripMargin) { (s, dir) =>

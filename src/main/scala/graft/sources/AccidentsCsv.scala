@@ -40,7 +40,10 @@ object AccidentsCsv {
       .withColumnRenamed("_loc_lat", "loc_lat")
       .withColumnRenamed("_loc_long", "loc_long")
       .withColumnRenamed("ACCIDENT_ID", "accident_id")
-      .na.drop()
+      // drop only on the key columns (the reference selects exactly these
+      // before dropna, src/preprocess.py:46-55): real accident CSVs carry
+      // dozens of optional columns whose nulls must not discard the row
+      .na.drop(Seq("accident_id", "date", "hour", "loc_lat", "loc_long"))
 }
 
 /** Results CSV sink (SURVEY S9): the reference exports metrics /

@@ -49,6 +49,9 @@ object KmlRoadNetwork {
       nid = NidRe.findFirstMatchIn(desc).map(_.group(1)).getOrElse("")
       if !(UnknownRe.findFirstIn(desc).isDefined && !includedUnknownNids(nid))
       center = (placemark \ "MultiGeometry" \ "Point" \ "coordinates").text.trim.split(",")
+      // skip placemarks without a parseable center point (polygon-only or
+      // malformed features) instead of failing the whole ingestion task
+      if center.length > 1 && center.forall(c => c.nonEmpty)
       coords = (placemark \ "MultiGeometry" \ "LineString" \ "coordinates").text.trim
         .split("\\s+").toSeq.map(_.split(",")).filter(_.length > 1) :+ center
       coord <- coords
@@ -99,8 +102,12 @@ object KmlRoadNetwork {
   def withStreetIds(points: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("nid")).orderBy(col("center_lat"), col("center_long"))
     val ids = points.select(col("nid"), col("center_lat"), col("center_long")).distinct()
-      .select(col("center_lat"), col("center_long"),
+      .select(col("nid"), col("center_lat"), col("center_long"),
         concat(col("nid"), row_number().over(w)).as("street_id"))
-    points.join(ids, Seq("center_lat", "center_long")).drop("nid")
+    // join back on (nid, center): the reference joins on center alone
+    // (road_network.py:301), which fans out point rows whenever two
+    // DIFFERENT nids share rounded center coordinates — treated as a
+    // reference bug, not behavior to replicate
+    points.join(ids, Seq("nid", "center_lat", "center_long")).drop("nid")
   }
 }

@@ -38,6 +38,20 @@ class RandomUnderSamplerSpec extends SparkSpec {
     assert(math.abs(r - 1.0) < 0.2, s"bernoulli ratio $r")
   }
 
+  test("hash sampling survives monotonically_increasing_id-scale ids under ANSI mode") {
+    val s = spark; import s.implicits._
+    // ids at partition-1+ magnitudes (>= 2^33) overflowed the unreduced
+    // multiplicative hash under Spark 4's default ANSI arithmetic
+    val big = Seq.tabulate(100)(i => ((1L << 35) + i * (1L << 33), (i % 5 == 0) match {
+      case true => 1.0; case false => 0.0
+    })).toDF("id", "label")
+    val m = new RandomUnderSampler().setTargetImbalanceRatio(1.0).setSeed(42L)
+      .setIndexCol("id").setHashSampling(true).fit(big)
+    val out = m.transform(big)
+    assert(out.filter($"label" === 1.0).count() == 20)
+    assert(out.filter($"label" === 0.0).count() < 80) // actually sampled, no throw
+  }
+
   test("a fitted model passes disjoint (test) data through untouched") {
     val s = spark; import s.implicits._
     val train = (0 until 1000).map(i => (i.toLong, if (i % 10 == 0) 1.0 else 0.0))
@@ -73,11 +87,16 @@ class ClassWeighterSpec extends SparkSpec {
     assert(math.abs(ws(2) - 2.0) < 1e-12)
   }
 
-  test("fitBalanced throws on a gap label") {
+  test("fitBalanced: gap labels weight 0.0, empty input throws") {
     val s = spark; import s.implicits._
-    val df = Seq(0, 2).toDF("label") // label 1 missing
+    val df = Seq(0, 2).toDF("label") // label 1 absent
+    val w = new ClassWeighter().fitBalanced(df)
+      .transform(Seq(0, 1, 2).toDF("label"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(w(0) == 1.0 && w(2) == 1.0) // n/(k*nc) = 2/(2*1)
+    assert(w(1) == 0.0)                // absent at fit → weight 0
     intercept[IllegalArgumentException] {
-      new ClassWeighter().fitBalanced(df)
+      new ClassWeighter().fitBalanced(Seq.empty[Int].toDF("label"))
     }
   }
 }

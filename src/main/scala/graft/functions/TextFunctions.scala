@@ -63,15 +63,24 @@ object TextFunctions {
   def tokenSetFingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), " ").cast("binary"))
 
-  /** Word n-gram shingles (space-joined). Empty array when fewer than n
-    * tokens.
+  /** Word n-gram shingles from an ALREADY-MATERIALIZED token-array
+    * column. Callers must bind the token array to a real column (a
+    * projection boundary) first: passing `tokens(text)` directly makes
+    * the lambda's `slice` capture the unprojected split() expression,
+    * which then re-evaluates the regex once PER SHINGLE — measured 4-6 s
+    * of a 9 s query at sf0.1 (the same re-inlining trap as round 1's
+    * langId). Empty array when fewer than n tokens.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+
+  /** Word n-gram shingles of a text column — only safe where the row
+    * count is small or the expression is used once; hot paths should
+    * project `tokens(text)` and use `shinglesFromTokens`.
+    */
+  def shingles(text: Column, n: Int): Column = shinglesFromTokens(tokens(text), n)
 
   /** MinHash signature (array<bigint> of length k) over distinct word
     * n-gram shingles. Component i is min over shingles of

@@ -58,9 +58,11 @@ object Dedup {
     // persist: the exploded shingle set feeds FOUR consumers (df cap,
     // both self-join sides, per-doc sizes) — without it the tokenize +
     // shingle + explode pipeline re-runs per consumer (C3; the round-1
-    // plan recomputed it 4×)
+    // plan recomputed it 4×). Tokens are projected to a column BEFORE
+    // shingling so the regex split runs once per doc, not per shingle.
     val sh = docs
-      .select(col(idCol).as("doc_id"), explode(array_distinct(shingles(col(textCol), n))).as("shingle"))
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"), explode(array_distinct(shinglesFromTokens(col("_toks"), n))).as("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Document-frequency cap WITHOUT a window: a window over
     // partitionBy(shingle) shuffles the whole exploded shingle set with no
@@ -104,8 +106,10 @@ object Dedup {
     // component — runs interpreted and re-evaluates the shingle pipeline
     // per consumer: ~30× slower at sf0.1.) Docs with fewer than n tokens
     // have no shingles and drop out, matching the old size-filter.
-    val sh = docs.select(col(idCol).as("doc_id"),
-      explode(array_distinct(shingles(col(textCol), n))).as("shingle"))
+    val sh = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(shinglesFromTokens(col("_toks"), n))).as("shingle"))
     val mins = (0 until k).map(i => min(xxhash64(col("shingle"), lit(seed + i))).as(s"_m$i"))
     val sigs = sh.groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)

@@ -178,13 +178,15 @@ object TrainQueries {
         |) AS t(stage, param, value)
         |ORDER BY stage, param""".stripMargin) { (s, dir) =>
       // params don't depend on data volume — fit on a small deterministic
-      // subset so the export query stays cheap at any SF
+      // subset so the export query stays cheap at any SF. persist: the
+      // pipeline's stages each re-read the training frame during fit and
+      // would re-run the orderFeatures aggregation per stage.
       val (train, _) = split(orderFeatures(s, dir))
-      val small = train.filter(pmod(col("id"), lit(50)) === 1)
+      val small = train.filter(pmod(col("id"), lit(50)) === 1).persist()
       val pipe = Trainers.brfPipeline(featureCols, seed = 42L,
         targetImbalanceRatio = 2.0, indexCol = "id",
         classWeights = Array(0.6, 3.0), numTrees = 5, maxDepth = 3)
-      val model = pipe.fit(small)
+      val model = try pipe.fit(small) finally small.unpersist()
       val allow = Seq("targetImbalanceRatio", "classWeights", "handleInvalid",
         "numTrees", "maxDepth", "impurity", "featureSubsetStrategy",
         "minInstancesPerNode", "seed")
@@ -201,21 +203,28 @@ object TrainQueries {
     // SQL-expressible → rows-only here; value bounds asserted in
     // TrainersSpec.
     Q.rowsOnly("q_ml_rf_train_metrics") { (s, dir) =>
+      // persist both splits: fit reads train per pipeline stage, and the
+      // evaluator re-reads each split twice (PR + ROC) — unpersisted,
+      // the orderFeatures aggregation re-runs ~7× (C3)
       val (train, test) = split(orderFeatures(s, dir))
-      val pipe = Trainers.brfPipeline(featureCols, seed = 42L,
-        targetImbalanceRatio = 2.0, indexCol = "id",
-        classWeights = Array(1.0, 1.0), numTrees = 15, maxDepth = 6)
-      val model = pipe.fit(train)
-      Trainers.resultsFrame(model, train, test, s)
-        .withColumn("value", round(col("value"), 4))
+      train.persist(); test.persist()
+      try {
+        val pipe = Trainers.brfPipeline(featureCols, seed = 42L,
+          targetImbalanceRatio = 2.0, indexCol = "id",
+          classWeights = Array(1.0, 1.0), numTrees = 15, maxDepth = 6)
+        val model = pipe.fit(train)
+        Trainers.resultsFrame(model, train, test, s)
+          .withColumn("value", round(col("value"), 4))
+      } finally { train.unpersist(); test.unpersist() }
     },
 
     Q.rowsOnly("q_ml_rf_importances") { (s, dir) =>
       val (train, _) = split(orderFeatures(s, dir))
+      train.persist()
       val pipe = Trainers.brfPipeline(featureCols, seed = 42L,
         targetImbalanceRatio = 2.0, indexCol = "id",
         classWeights = Array(1.0, 1.0), numTrees = 15, maxDepth = 6)
-      val model = pipe.fit(train)
+      val model = try pipe.fit(train) finally train.unpersist()
       val rf = model.stages.last.asInstanceOf[RandomForestClassificationModel]
       Trainers.featureImportances(rf, featureCols, s)
         .withColumn("importance", round(col("importance"), 4))
@@ -229,9 +238,13 @@ object TrainQueries {
       // sample is the standard scale discipline (4 grid fits + refit
       // would otherwise dominate the whole query surface's runtime)
       val (train, _) = split(orderFeatures(s, dir))
-      val sample = train.filter(pmod(col("id"), lit(11)) === 1)
-      val tvsModel = Trainers.tvs(featureCols, seed = 42L,
-        numTreesGrid = Seq(5, 10), maxDepthGrid = Seq(3, 5)).fit(sample)
+      // persist: TVS fits 4 grid points + the refit and evaluates each —
+      // 9+ passes over the sample's aggregation lineage without it
+      val sample = train.filter(pmod(col("id"), lit(11)) === 1).persist()
+      val tvsModel = try {
+        Trainers.tvs(featureCols, seed = 42L,
+          numTreesGrid = Seq(5, 10), maxDepthGrid = Seq(3, 5)).fit(sample)
+      } finally sample.unpersist()
       val best = tvsModel.bestModel.asInstanceOf[org.apache.spark.ml.PipelineModel]
       val rf = best.stages.last.asInstanceOf[RandomForestClassificationModel]
       tvsModel.getEstimatorParamMaps.zip(tvsModel.validationMetrics).toSeq

@@ -50,20 +50,25 @@ object VectorFunctions {
     * deterministic pseudo-random matrix derived from (i, j) via a hash —
     * reproducible across runs with zero data movement.
     */
+  /** The hyperplane for bit `i`: dim doubles in [-0.5, 0.5), a
+    * deterministic hash of (seed, i, j). Exposed so oracle SQL can embed
+    * the IDENTICAL literals and replay the bucketing bit for bit.
+    */
+  def planeValues(seed: Long, i: Int, dim: Int): IndexedSeq[Double] =
+    (0 until dim).map { j =>
+      val h = ((seed * 1000003L + i * 8191L + j) * 0x9E3779B97F4A7C15L)
+      ((h >>> 11).toDouble / (1L << 53).toDouble) - 0.5
+    }
+
   def hyperplaneSimHash(v: Column, nBits: Int, dim: Int, seed: Long = 42L): Column = {
     require(nBits <= 63, "packed into a signed long")
     val bits = (0 until nBits).map { i =>
-      // plane_i[j] in [-0.5, 0.5): deterministic hash of (seed, i, j).
       // The plane ships as ONE array literal and the projection is a
       // zip_with/aggregate dot product — a per-element expression chain
       // (dim × nBits scalar nodes) made Catalyst analysis + codegen the
       // dominant cost once multi-table LSH multiplied the tree size.
-      val plane = (0 until dim).map { j =>
-        val h = ((seed * 1000003L + i * 8191L + j) * 0x9E3779B97F4A7C15L)
-        ((h >>> 11).toDouble / (1L << 53).toDouble) - 0.5
-      }
       val d = aggregate(
-        zip_with(v, typedLit(plane), (x, w) => x.cast("double") * w),
+        zip_with(v, typedLit(planeValues(seed, i, dim)), (x, w) => x.cast("double") * w),
         lit(0.0), (acc, x) => acc + x)
       when(d >= 0, lit(1L << i)).otherwise(lit(0L))
     }

@@ -47,23 +47,25 @@ object SimilaritySearch {
       .select(col(queryId), col(corpusId), col("cosine"), col("rk"))
   }
 
-  /** IVF-bucketed ANN: probe `nProbe` of `nCentroids` partitions.
-    * Centroids are the corpus vectors whose id hashes lowest — a
-    * deterministic stand-in for k-means at equal plan shape (a real
-    * k-means fit can be slotted in without changing the query).
+  /** IVF-bucketed ANN: probe `nProbe` of the centroid partitions.
+    * Centroids are the corpus vectors with id ≡ 0 (mod `centroidStep`) —
+    * a deterministic stand-in for k-means at equal plan shape (a real
+    * k-means fit can be slotted in without changing the query), chosen
+    * over hash-order-limit selection because (a) a filter needs no
+    * global sort, and (b) it is plain modular arithmetic, so the whole
+    * query is expressible in the DuckDB oracle and hash-checked.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nCentroids: Int, nProbe: Int,
+      centroidStep: Int, nProbe: Int,
       queryId: String = "query_id", corpusId: String = "vec_id",
       queryVec: String = "qv", corpusVec: String = "embedding"): DataFrame = {
 
     val c = withNorm(corpus, corpusId, corpusVec, "_cv", "_cn")
     val q = withNorm(queries, queryId, queryVec, "_qv", "_qn")
 
-    // deterministic "centroids": nCentroids corpus rows by hash order
+    // deterministic "centroids": every centroidStep-th corpus vector
     val centroids = c
-      .withColumn("_h", xxhash64(col(corpusId)))
-      .orderBy(col("_h"), col(corpusId)).limit(nCentroids)
+      .filter(pmod(col(corpusId), lit(centroidStep)) === 0)
       .select(col(corpusId).as("cent_id"), col("_cv").as("cent_v"), col("_cn").as("cent_n"))
 
     // assign each corpus vector to its single nearest centroid via

@@ -23,6 +23,103 @@ object VectorMlQueries {
        | ELSE list_dot_product($a, $b)
        |      / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))) END)""".stripMargin
 
+  /** Oracle for the deterministic IVF plan (centroids = vec_id ≡ 0 mod
+    * 31; assignment = argmax cosine, ties to the smallest cent_id; each
+    * query probes its 4 nearest centroids; top-5 within probed buckets).
+    * `final_` picks the reported shape: the top-k rows themselves, or
+    * recall@5 against the exact brute-force top-k.
+    */
+  private def ivfSql(final_ : String): String = {
+    val base =
+      s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |      FROM embeddings WHERE vec_id < 8),
+         |cent AS (SELECT vec_id AS cent_id, cv AS cent_v FROM c WHERE vec_id % 31 = 0),
+         |assigned AS (
+         |  SELECT vec_id, cv, cent_id FROM (
+         |    SELECT c.vec_id, c.cv, cent.cent_id,
+         |           row_number() OVER (PARTITION BY c.vec_id
+         |             ORDER BY ${cosSql("c.cv", "cent.cent_v")} DESC, cent.cent_id) AS rn
+         |    FROM c CROSS JOIN cent)
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT query_id, qv, cent_id FROM (
+         |    SELECT q.query_id, q.qv, cent.cent_id,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY ${cosSql("q.qv", "cent.cent_v")} DESC, cent.cent_id) AS rn
+         |    FROM q CROSS JOIN cent)
+         |  WHERE rn <= 4),
+         |scored AS (
+         |  SELECT p.query_id, a.vec_id, ${cosSql("p.qv", "a.cv")} AS cosine
+         |  FROM assigned a JOIN probes p ON a.cent_id = p.cent_id
+         |  WHERE p.query_id != a.vec_id),
+         |ivf AS (
+         |  SELECT query_id, vec_id, cosine, rk FROM (
+         |    SELECT query_id, vec_id, cosine,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY cosine DESC, vec_id) AS rk
+         |    FROM scored)
+         |  WHERE rk <= 5)""".stripMargin
+    final_ match {
+      case "topk" =>
+        s"""$base
+           |SELECT query_id, vec_id, round(cosine, 5) AS cosine, rk
+           |FROM ivf ORDER BY query_id, rk""".stripMargin
+      case "recall" =>
+        s"""$base,
+           |pairs AS (
+           |  SELECT q.query_id, c.vec_id, ${cosSql("q.qv", "c.cv")} AS cosine
+           |  FROM q CROSS JOIN c WHERE q.query_id != c.vec_id),
+           |brute AS (
+           |  SELECT query_id, vec_id FROM (
+           |    SELECT query_id, vec_id,
+           |           row_number() OVER (PARTITION BY query_id
+           |                              ORDER BY cosine DESC, vec_id) AS rk
+           |    FROM pairs)
+           |  WHERE rk <= 5)
+           |SELECT cast(count(*) AS bigint) AS n_exact,
+           |       cast(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS bigint)
+           |         AS n_recalled,
+           |       round(cast(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS bigint)
+           |             / cast(count(*) AS bigint), 4) AS recall_at_5
+           |FROM brute b LEFT JOIN ivf i
+           |  ON b.query_id = i.query_id AND b.vec_id = i.vec_id""".stripMargin
+    }
+  }
+
+  /** Oracle for the multi-table hyperplane-LSH near-dup query: replays
+    * graft.operators.Dedup.embeddingNearDupPairs(dim=64, cos≥0.35,
+    * nBits=4, nTables=8, seed=42) with the same plane literals
+    * (VectorFunctions.planeValues — Double.toString round-trips exactly).
+    */
+  private def neardupSql: String = {
+    val (nBits, nTables, dim, seed) = (4, 8, 64, 42L)
+    def planeLit(s: Long, i: Int): String =
+      graft.functions.VectorFunctions.planeValues(s, i, dim)
+        .map(_.toString).mkString("[", ", ", "]")
+    val tables = (0 until nTables).map { tbl =>
+      val s = seed + 7919L * tbl
+      val bucket = (0 until nBits).map { i =>
+        s"(CASE WHEN list_dot_product(vd, ${planeLit(s, i)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("\n     + ")
+      s"  SELECT vec_id, $tbl AS tbl,\n       $bucket AS bucket FROM v"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
+       |hashed AS (
+       |$tables),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM hashed a JOIN hashed b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |pairs AS (
+       |  SELECT id_a, id_b, ${cosSql("va.vd", "vb.vd")} AS cosine
+       |  FROM cand JOIN v va ON va.vec_id = cand.id_a
+       |            JOIN v vb ON vb.vec_id = cand.id_b)
+       |SELECT id_a, id_b, round(cosine, 5) AS cosine
+       |FROM pairs WHERE cosine >= 0.35
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Per-label embedding norm stats — exercises zip_with/aggregate
@@ -68,26 +165,29 @@ object VectorMlQueries {
         .orderBy(col("query_id"), col("rk"))
     },
 
-    // IVF-bucketed ANN (approximate — recall < 1 by design): rows-only.
-    Q.rowsOnly("q_ann_ivf_topk") { (s, dir) =>
+    // IVF-bucketed ANN. Approximate by design (recall < 1), but fully
+    // DETERMINISTIC: centroids are a modular-arithmetic selection and the
+    // two-stage plan is plain relational algebra, so the whole query is
+    // mirrored in the oracle and hash-checked (round 2's rows-only gap).
+    Q("q_ann_ivf_topk", ivfSql(final_ = "topk")) { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      SimilaritySearch.ivfTopK(queries, emb, k = 5, nCentroids = 16, nProbe = 4)
+      SimilaritySearch.ivfTopK(queries, emb, k = 5, centroidStep = 31, nProbe = 4)
+        .withColumn("cosine", round(col("cosine"), 5))
         .orderBy(col("query_id"), col("rk"))
     },
 
     // IVF recall@k against the exact brute-force top-k on the same
-    // queries — the in-engine answer to "rows-only is not a correctness
-    // signal" for the approximate path (also floor-asserted in
-    // SimilaritySearchSpec).
-    Q.rowsOnly("q_ann_ivf_recall") { (s, dir) =>
+    // queries — both sides now oracle-checked end to end (also
+    // floor-asserted in SimilaritySearchSpec).
+    Q("q_ann_ivf_recall", ivfSql(final_ = "recall")) { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       val brute = SimilaritySearch.bruteForceTopK(queries, emb, k = 5)
         .select(col("query_id"), col("vec_id"))
-      val ivf = SimilaritySearch.ivfTopK(queries, emb, k = 5, nCentroids = 16, nProbe = 4)
+      val ivf = SimilaritySearch.ivfTopK(queries, emb, k = 5, centroidStep = 31, nProbe = 4)
         .select(col("query_id"), col("vec_id"), lit(1L).as("_hit"))
       // single evaluation of each side: outer-join indicator + one agg
       // (an agg + semi-join pair would recompute both subtrees)
@@ -97,10 +197,13 @@ object VectorMlQueries {
         .withColumn("recall_at_5", round(col("n_recalled") / col("n_exact"), 4))
     },
 
-    // Embedding near-duplicate pairs via multi-table hyperplane LSH:
-    // rows-only (bucket planes are Scala-side literals); recall vs brute
-    // force asserted in DedupSpec.
-    Q.rowsOnly("q_embed_neardup") { (s, dir) =>
+    // Embedding near-duplicate pairs via multi-table hyperplane LSH.
+    // The hash planes are deterministic Scala-side double literals, so
+    // the oracle embeds the IDENTICAL literals and replays the bucketing
+    // + candidate join + cosine scoring exactly — hash-checked despite
+    // being an "approximate" operator (round 2's rows-only gap). Recall
+    // vs brute force additionally floor-asserted in DedupSpec.
+    Q("q_embed_neardup", neardupSql) { (s, dir) =>
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), dim = 64,
           cosThreshold = 0.35, nBits = 4, nTables = 8)
         .withColumn("cosine", round(col("cosine"), 5))

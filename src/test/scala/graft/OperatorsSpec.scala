@@ -178,7 +178,7 @@ class SimilaritySearchSpec extends SparkSpec {
       df.select("query_id", "vec_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val brute = pairs(SimilaritySearch.bruteForceTopK(queries, emb, k = 5))
-    val ivf = pairs(SimilaritySearch.ivfTopK(queries, emb, k = 5, nCentroids = 16, nProbe = 8))
+    val ivf = pairs(SimilaritySearch.ivfTopK(queries, emb, k = 5, centroidStep = 31, nProbe = 8))
     val recall = (brute intersect ivf).size.toDouble / brute.size
     assert(recall >= 0.6, s"IVF recall@5 = $recall")
   }

@@ -1,0 +1,72 @@
+package graft
+
+import graft.functions.GeoFunctions
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+
+/** SparkSessionExtensions installer: registers the engine's scalar
+  * primitives in the SQL FunctionRegistry, so `spark.sql("...")` users
+  * get the same codegen'd expressions as the DataFrame API —
+  * `graft_dot` (the native [[graft.expressions.DotProduct]]),
+  * `graft_haversine_m`, and `graft_hamming64`.
+  *
+  * Builders must return raw CATALYST trees: routing through the Column
+  * API here would wrap children in Spark 4's `ColumnNodeExpression`
+  * (Unevaluable — the analyzer does not resolve inside it from a
+  * FunctionRegistry builder). The haversine tree below therefore
+  * restates [[GeoFunctions.haversineMeters]] in catalyst nodes;
+  * ExtensionsSpec pins the two paths to bit-identical results.
+  *
+  * Installed by `Sessions.configure` via `Builder.withExtensions`; a
+  * cluster deployment can equally set
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = GraftExtensions.register(ext)
+}
+
+object GraftExtensions {
+
+  private def fn(name: String, arity: Int, usage: String)(
+      build: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo("graft.GraftExtensions", name),
+      (children: Seq[Expression]) => {
+        require(children.size == arity, s"$name expects $arity arguments: $usage")
+        build(children)
+      })
+
+  private def dbl(e: Expression): Expression = Cast(e, DoubleType)
+
+  /** Haversine metres in catalyst nodes — keep in lockstep with
+    * [[GeoFunctions.haversineMeters]] (asserted equal in ExtensionsSpec).
+    */
+  private def haversineM(lat1: Expression, lon1: Expression,
+      lat2: Expression, lon2: Expression): Expression = {
+    def sin2half(a: Expression, b: Expression): Expression =
+      Pow(Sin(Divide(ToRadians(Subtract(dbl(a), dbl(b))), Literal(2.0))), Literal(2.0))
+    val inter = Add(
+      sin2half(lat1, lat2),
+      Multiply(Multiply(sin2half(lon1, lon2),
+        Cos(ToRadians(dbl(lat1)))), Cos(ToRadians(dbl(lat2)))))
+    Multiply(
+      Atan2(Sqrt(inter), Sqrt(Subtract(Literal(1.0), inter))),
+      Literal(2 * GeoFunctions.EarthRadiusM))
+  }
+
+  def register(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(fn("graft_dot", 2, "graft_dot(array<double>, array<double>)") {
+      ch => graft.expressions.DotProduct(
+        Cast(ch(0), ArrayType(DoubleType)), Cast(ch(1), ArrayType(DoubleType)))
+    })
+    ext.injectFunction(fn("graft_haversine_m", 4,
+      "graft_haversine_m(lat1, lon1, lat2, lon2) -> metres") {
+      ch => haversineM(ch(0), ch(1), ch(2), ch(3))
+    })
+    ext.injectFunction(fn("graft_hamming64", 2, "graft_hamming64(bigint, bigint)") {
+      ch => BitwiseCount(BitwiseXor(Cast(ch(0), LongType), Cast(ch(1), LongType)))
+    })
+  }
+}

@@ -28,7 +28,8 @@ object Sessions {
 
   /** Apply the engine configuration to any builder (cluster or local). */
   def configure(b: SparkSession.Builder, shufflePartitions: String): SparkSession.Builder =
-    b.config("spark.sql.shuffle.partitions", shufflePartitions)
+    b.withExtensions(GraftExtensions.register)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

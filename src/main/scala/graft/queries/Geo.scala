@@ -37,6 +37,32 @@ object Geo {
 
   val queries: Seq[Q] = Seq(
 
+    // The SQL front door: the same engine primitives reached through
+    // spark.sql(...) and the GraftExtensions-injected FunctionRegistry
+    // entries (graft_haversine_m / graft_dot / graft_hamming64) — proves
+    // a SQL user gets the identical codegen'd expressions as the
+    // DataFrame API. D-suffixed literals keep Spark SQL in double
+    // arithmetic (bare 45.0 parses as DECIMAL there, unlike the oracle).
+    Q("q_sql_registry_functions",
+      s"""SELECT c_custkey,
+         |       round(${haversineSql(custLatSql, custLonSql, "45.508", "-73.587")}, 1)
+         |         AS dist_m,
+         |       round(list_dot_product([CAST(c_acctbal AS DOUBLE), CAST(1.0 AS DOUBLE)],
+         |                              [CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE)]), 2) AS dot_v,
+         |       cast(bit_count(xor(c_custkey, CAST(c_nationkey AS BIGINT))) AS int) AS hamm
+         |FROM customer ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").createOrReplaceTempView("customer_sql_v")
+      s.sql(
+        """SELECT c_custkey,
+          |       round(graft_haversine_m(45.0D + (c_custkey % 100) / 100.0D,
+          |                               -74.0D + (c_custkey % 89) / 89.0D,
+          |                               45.508D, -73.587D), 1) AS dist_m,
+          |       round(graft_dot(array(CAST(c_acctbal AS DOUBLE), 1.0D),
+          |                       array(1.0D, 2.0D)), 2) AS dot_v,
+          |       cast(graft_hamming64(c_custkey, CAST(c_nationkey AS BIGINT)) AS int) AS hamm
+          |FROM customer_sql_v ORDER BY c_custkey""".stripMargin)
+    },
+
     // F3 haversine as a pure projection (codegen'd, no UDF).
     Q("q_geo_haversine_to_center",
       s"""SELECT c_custkey,

@@ -49,6 +49,20 @@ object StreamingOps {
       .select(col(userCol), col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("n_events"))
 
+  /** Streaming exact dedup for continuous corpus ingestion: emit only
+    * the first occurrence of each `keyCol` (e.g. md5(text)), with state
+    * bounded by the event-time watermark — `dropDuplicatesWithinWatermark`
+    * evicts a key's state once the watermark passes it, so state is
+    * O(keys per watermark window), not O(all keys ever seen). The batch
+    * equivalent is `Dedup.dropExactDuplicates`.
+    */
+  def streamingDedup(docs: DataFrame, tsCol: String, keyCol: String,
+      watermarkDelay: String): DataFrame =
+    docs
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCol)
+
+  case class Doc(doc_id: Long, key: String, ts: java.sql.Timestamp)
   case class Event(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
   case class SessionState(start: Long, last: Long, n: Long)
   case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)

@@ -78,4 +78,23 @@ class StreamingSpec extends SparkSpec {
     val closed = spark.table("fs").select("n_events").collect().map(_.getLong(0)).toSeq
     assert(closed == Seq(2L, 1L)) // session 3 (event 4) still open in state
   }
+
+  test("streamingDedup emits one row per key with watermark-bounded state") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.streaming.StreamingOps.Doc
+    val rows = Seq(
+      Doc(1L, "a", ts("2024-01-01 00:01:00")),
+      Doc(2L, "b", ts("2024-01-01 00:02:00")),
+      Doc(3L, "a", ts("2024-01-01 00:03:00")), // dup of doc 1
+      Doc(4L, "c", ts("2024-01-01 00:04:00")),
+      Doc(5L, "b", ts("2024-01-01 00:05:00"))) // dup of doc 2
+    val mem = MemoryStream[Doc]
+    mem.addData(rows: _*)
+    val q = StreamingOps.streamingDedup(mem.toDF(), "ts", "key", "10 minutes")
+      .writeStream.format("memory").queryName("sd").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("sd").select("key").collect().map(_.getString(0)).toSeq
+    assert(out.sorted == Seq("a", "b", "c")) // exactly one survivor per key
+  }
 }

@@ -31,6 +31,10 @@ object Bench {
     }
 
     val results = ordered.map { case (name, fn) =>
+      // drop persisted blocks leaked by the previous query's operators:
+      // accumulated caches measurably slowed later dedup queries (round-2
+      // bench showed 4-8 s for queries that run in <2 s isolated)
+      spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -46,6 +50,25 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), json + "\n")
     println(json)
+
+    // The harness that invokes this keeps only a ~2000-char tail of
+    // stdout, and the full-precision line above outgrew it (rounds 1-2
+    // were recorded with parsed=null). Emit a size-capped summary as the
+    // LAST line: values at ms precision, and if the full query map still
+    // doesn't fit the tail window, keep the slowest queries and say how
+    // many were omitted. Full precision always lands in `outPath`.
+    def compact(rs: Seq[(String, Double)], omitted: Int): String = {
+      val m = rs.map { case (k, v) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }
+        .mkString("{", ",", "}")
+      val omit = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$m$omit,"sf":"$sfDir"}"""
+    }
+    val bySlowest = results.sortBy(-_._2)
+    val line = (results.size to 0 by -5).iterator
+      .map(n => compact(bySlowest.take(n).sortBy(_._1), results.size - n))
+      .find(_.length <= 1800)
+      .getOrElse(compact(Nil, results.size))
+    println(line)
     spark.stop()
   }
 }

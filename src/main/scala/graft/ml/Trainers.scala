@@ -144,8 +144,14 @@ object Trainers {
   def resultsFrame(model: Transformer, train: DataFrame, test: DataFrame,
       spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val (trPr, trRoc) = evaluate(model.transform(train))
-    val (tePr, teRoc) = evaluate(model.transform(test))
+    // persist the scored frames: evaluate() aggregates each twice
+    // (areaUnderPR + areaUnderROC), and forest scoring is the dominant
+    // per-pass cost
+    val trScored = model.transform(train).persist()
+    val teScored = model.transform(test).persist()
+    val ((trPr, trRoc), (tePr, teRoc)) =
+      try (evaluate(trScored), evaluate(teScored))
+      finally { trScored.unpersist(); teScored.unpersist() }
     Seq(
       ("test", "areaUnderPR", tePr), ("test", "areaUnderROC", teRoc),
       ("train", "areaUnderPR", trPr), ("train", "areaUnderROC", trRoc))

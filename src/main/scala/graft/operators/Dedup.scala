@@ -74,7 +74,10 @@ object Dedup {
       .select(col("shingle"))
     val capped = sh.join(broadcast(overCap), Seq("shingle"), "left_anti")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val inter = capped.as("a")
+    // shuffle_hash: sort-merge would order-sort the exploded shingle
+    // STRINGS on both sides; a hash join probes without sorting, and the
+    // df cap has already bounded per-key skew
+    val inter = capped.as("a").hint("shuffle_hash")
       .join(capped.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))

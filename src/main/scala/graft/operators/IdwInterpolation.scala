@@ -16,10 +16,14 @@ object IdwInterpolation {
   /** @param joined rows of (sampleId, distance_m, measurement columns);
     *               one row per (sample, station) candidate pair
     * @param valueCols measurement columns to interpolate
+    * @param extraAggs additional aggregates computed in the SAME pass
+    *                  (e.g. `count(lit(1)).as("n_stations")`) — folding
+    *                  them here avoids a second scan of the candidate
+    *                  join, which is the expensive subtree
     * @return one row per sampleId with IDW-averaged valueCols
     */
   def interpolate(joined: DataFrame, sampleId: String, distanceCol: String,
-      valueCols: Seq[String]): DataFrame = {
+      valueCols: Seq[String], extraAggs: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
     // weight 1/d^2, with d floored at 1m so an exactly-colocated station
     // doesn't produce an infinite weight
     val w = lit(1.0) / pow(greatest(col(distanceCol), lit(1.0)), 2)
@@ -28,7 +32,7 @@ object IdwInterpolation {
       // null-aware: a null measurement contributes neither value nor weight
       (sum(when(col(c).isNotNull, col("_w") * col(c))) /
         sum(when(col(c).isNotNull, col("_w")))).as(c)
-    }
+    } ++ extraAggs
     weighted.groupBy(col(sampleId)).agg(aggs.head, aggs.tail: _*)
   }
 }

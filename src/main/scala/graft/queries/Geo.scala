@@ -134,12 +134,12 @@ object Geo {
         .withColumn("distance_m",
           GeoFunctions.haversineMeters(col("c_lat"), col("c_lon"), col("s_lat"), col("s_lon")))
         .filter(col("distance_m") < 30000)
-      IdwInterpolation.interpolate(pairs
-            .withColumn("n_stations_src", lit(1)),
-          "c_custkey", "distance_m", Seq("s_acctbal"))
-        .withColumnRenamed("s_acctbal", "idw_raw")
-        .join(pairs.groupBy(col("c_custkey")).agg(count(lit(1)).as("n_stations")), "c_custkey")
-        .select(col("c_custkey"), round(col("idw_raw"), 3).as("idw_acctbal"), col("n_stations"))
+      // n_stations folds into the SAME aggregation pass — a separate
+      // count + join re-ran the 15M-pair cross join + haversine subtree
+      IdwInterpolation.interpolate(pairs, "c_custkey", "distance_m",
+          Seq("s_acctbal"), extraAggs = Seq(count(lit(1)).as("n_stations")))
+        .select(col("c_custkey"), round(col("s_acctbal"), 3).as("idw_acctbal"),
+          col("n_stations"))
         .orderBy(col("c_custkey"))
     },
 

@@ -59,14 +59,47 @@ object SimilaritySearch {
       centroidStep: Int, nProbe: Int,
       queryId: String = "query_id", corpusId: String = "vec_id",
       queryVec: String = "qv", corpusVec: String = "embedding"): DataFrame = {
-
     val c = withNorm(corpus, corpusId, corpusVec, "_cv", "_cn")
-    val q = withNorm(queries, queryId, queryVec, "_qv", "_qn")
-
     // deterministic "centroids": every centroidStep-th corpus vector
     val centroids = c
       .filter(pmod(col(corpusId), lit(centroidStep)) === 0)
       .select(col(corpusId).as("cent_id"), col("_cv").as("cent_v"), col("_cn").as("cent_n"))
+    ivfTopKFrom(centroids, queries, corpus, k, nProbe,
+      queryId, corpusId, queryVec, corpusVec)
+  }
+
+  /** K-means centroids for `ivfTopKFrom` — the production IVF fit
+    * (MLlib KMeans over the embedding column; deterministic under
+    * `seed`). Centroid ids are the cluster indexes.
+    */
+  def kmeansCentroids(corpus: DataFrame, kCentroids: Int, seed: Long = 42L,
+      corpusVec: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val feat = corpus.select(
+      array_to_vector(toDoubleArray(col(corpusVec))).as("features"))
+    val model = new KMeans().setK(kCentroids).setSeed(seed)
+      .setFeaturesCol("features").fit(feat)
+    model.clusterCenters.zipWithIndex.toSeq
+      .map { case (v, i) => (i.toLong, v.toArray) }
+      .toDF("cent_id", "cent_v")
+      .withColumn("cent_n", norm(col("cent_v")))
+  }
+
+  /** IVF search against an explicit centroid table
+    * (cent_id, cent_v: array<double>, cent_n): assignment via map-side
+    * max_by, probe join replaces the full scan — the plan is identical
+    * whatever produced the centroids (modulo rule, k-means, ...).
+    */
+  def ivfTopKFrom(centroids: DataFrame, queries: DataFrame, corpus: DataFrame,
+      k: Int, nProbe: Int,
+      queryId: String = "query_id", corpusId: String = "vec_id",
+      queryVec: String = "qv", corpusVec: String = "embedding"): DataFrame = {
+
+    val c = withNorm(corpus, corpusId, corpusVec, "_cv", "_cn")
+    val q = withNorm(queries, queryId, queryVec, "_qv", "_qn")
 
     // assign each corpus vector to its single nearest centroid via
     // max_by aggregation — partial (map-side) aggregation collapses the

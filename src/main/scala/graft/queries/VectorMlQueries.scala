@@ -197,6 +197,27 @@ object VectorMlQueries {
         .withColumn("recall_at_5", round(col("n_recalled") / col("n_exact"), 4))
     },
 
+    // IVF with PRODUCTION centroids — MLlib KMeans fit on the embedding
+    // column, searched through the identical ivfTopKFrom plan as the
+    // oracle-checked modulo variant. Training is iterative/seeded (not
+    // SQL-expressible) → rows-only; the emitted recall row vs the exact
+    // brute-force top-k is the correctness signal.
+    Q.rowsOnly("q_ann_ivf_kmeans_recall") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val cents = SimilaritySearch.kmeansCentroids(emb, kCentroids = 16, seed = 42L)
+        .persist()
+      val brute = SimilaritySearch.bruteForceTopK(queries, emb, k = 5)
+        .select(col("query_id"), col("vec_id"))
+      val ivf = SimilaritySearch.ivfTopKFrom(cents, queries, emb, k = 5, nProbe = 4)
+        .select(col("query_id"), col("vec_id"), lit(1L).as("_hit"))
+      brute.join(ivf, Seq("query_id", "vec_id"), "left_outer")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("_hit"), lit(0L))).as("n_recalled"))
+        .withColumn("recall_at_5", round(col("n_recalled") / col("n_exact"), 4))
+    },
+
     // Embedding near-duplicate pairs via multi-table hyperplane LSH.
     // The hash planes are deterministic Scala-side double literals, so
     // the oracle embeds the IDENTICAL literals and replays the bucketing

@@ -182,4 +182,19 @@ class SimilaritySearchSpec extends SparkSpec {
     val recall = (brute intersect ivf).size.toDouble / brute.size
     assert(recall >= 0.6, s"IVF recall@5 = $recall")
   }
+
+  test("kmeans-centroid IVF recall@5 >= 0.5 of brute force at sf0.001") {
+    val s = spark
+    val emb = Tables.load(s, TestSpark.sf0001, "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cents = SimilaritySearch.kmeansCentroids(emb, kCentroids = 8, seed = 42L)
+    val brute = pairs(SimilaritySearch.bruteForceTopK(queries, emb, k = 5))
+    val ivf = pairs(SimilaritySearch.ivfTopKFrom(cents, queries, emb, k = 5, nProbe = 4))
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"kmeans-IVF recall@5 = $recall")
+  }
 }

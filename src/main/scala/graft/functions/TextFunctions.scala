@@ -82,20 +82,6 @@ object TextFunctions {
     */
   def shingles(text: Column, n: Int): Column = shinglesFromTokens(tokens(text), n)
 
-  /** MinHash signature (array<bigint> of length k) over distinct word
-    * n-gram shingles. Component i is min over shingles of
-    * xxhash64(shingle, i) — independent hash families via the extra
-    * column, with no overflow-prone arithmetic (ANSI-mode safe). One
-    * pass over the array per component, all codegen'd.
-    */
-  def minHashSignature(text: Column, n: Int, k: Int, seed: Long = 42L): Column = {
-    val sh = array_distinct(shingles(text, n))
-    val comps = (0 until k).map { i =>
-      array_min(transform(sh, s => xxhash64(s, lit(seed + i))))
-    }
-    array(comps: _*)
-  }
-
   /** SimHash of the token multiset: 64-bit fingerprint where bit i is the
     * sign of the sum over tokens of (bit i of xxhash64(token) ? +1 : -1).
     * Near-duplicate texts differ in few bits (compare via hamming).

@@ -101,6 +101,23 @@ object TextQueries {
         .orderBy(col("lang"), col("pred_lang"))
     },
 
+    // Vocabulary building: top-50 tokens by document frequency — the
+    // tokenizer-vocab / corpus-stats pass of a training-data pipeline
+    // (explode → map-side-combined count → TakeOrderedAndProject; the
+    // top-k never sorts the full vocabulary globally).
+    Q("q_text_vocab_top50",
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_distinct($toksSql)) AS token FROM documents),
+         |dfreq AS (SELECT token, count(*) AS doc_freq FROM tok GROUP BY 1)
+         |SELECT token, doc_freq FROM dfreq
+         |ORDER BY doc_freq DESC, token LIMIT 50""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(array_distinct(TextFunctions.tokens(col("text")))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
+        .orderBy(col("doc_freq").desc, col("token"))
+        .limit(50)
+    },
+
     // Exact dedup on a derived key (the synthetic corpus has no
     // full-text duplicates; 50-char prefixes collide).
     Q("q_dedup_exact_prefix",

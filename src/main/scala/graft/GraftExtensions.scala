@@ -52,7 +52,8 @@ object GraftExtensions {
       Multiply(Multiply(sin2half(lon1, lon2),
         Cos(ToRadians(dbl(lat1)))), Cos(ToRadians(dbl(lat2)))))
     Multiply(
-      Atan2(Sqrt(inter), Sqrt(Subtract(Literal(1.0), inter))),
+      Atan2(Sqrt(inter),
+        Sqrt(Greatest(Seq(Subtract(Literal(1.0), inter), Literal(0.0))))),
       Literal(2 * GeoFunctions.EarthRadiusM))
   }
 

@@ -26,9 +26,14 @@ object GeoFunctions {
     pow(sin(radians(lat1 - lat2) / 2), 2) +
       pow(sin(radians(lon1 - lon2) / 2), 2) * cos(radians(lat1)) * cos(radians(lat2))
 
-  /** Angular distance (radians/2) from the haversine intermediate. */
+  /** Angular distance (radians/2) from the haversine intermediate.
+    * `1 - inter` is clamped at 0: for near-antipodal points the
+    * intermediate can round a few ulp above 1, and an unclamped sqrt
+    * returns NaN (found by FormulaPropertySpec). Exact for all
+    * in-domain values — greatest(x, 0) is x whenever x >= 0.
+    */
   def haversineMeasure(inter: Column): Column =
-    atan2(sqrt(inter), sqrt(lit(1.0) - inter))
+    atan2(sqrt(inter), sqrt(greatest(lit(1.0) - inter, lit(0.0))))
 
   /** Great-circle distance in metres. */
   def haversineMeters(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =

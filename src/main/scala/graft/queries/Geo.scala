@@ -25,14 +25,16 @@ object Geo {
   private val suppLat: Column = lit(45.0) + (col("s_suppkey") % 97) / 97.0
   private val suppLon: Column = lit(-74.0) + (col("s_suppkey") % 83) / 83.0
 
-  /** Haversine metres in DuckDB SQL — must mirror GeoFunctions exactly. */
+  /** Haversine metres in DuckDB SQL — must mirror GeoFunctions exactly
+    * (including the greatest(1 - inter, 0) NaN clamp).
+    */
   private def haversineSql(lat1: String, lon1: String, lat2: String, lon2: String): String =
     s"""(atan2(sqrt(pow(sin(radians($lat1 - ($lat2)) / 2), 2)
        |           + pow(sin(radians($lon1 - ($lon2)) / 2), 2)
        |             * cos(radians($lat1)) * cos(radians($lat2))),
-       |      sqrt(1.0 - (pow(sin(radians($lat1 - ($lat2)) / 2), 2)
+       |      sqrt(greatest(1.0 - (pow(sin(radians($lat1 - ($lat2)) / 2), 2)
        |           + pow(sin(radians($lon1 - ($lon2)) / 2), 2)
-       |             * cos(radians($lat1)) * cos(radians($lat2)))))
+       |             * cos(radians($lat1)) * cos(radians($lat2))), 0.0)))
        | * ${2 * GeoFunctions.EarthRadiusM})""".stripMargin
 
   val queries: Seq[Q] = Seq(

@@ -34,13 +34,19 @@ object SolarFeatures {
     lit(0.2618) * (localSolarHour - lit(12))
   }
 
-  /** Solar elevation angle in degrees. */
+  /** Solar elevation angle in degrees. The asin argument (cosine of the
+    * zenith angle) is clamped to [-1, 1]: when latitude equals the
+    * declination and the hour angle is ~0 it can round a few ulp above
+    * 1, and asin would return NaN (same ulp edge as the haversine
+    * intermediate). No-op for in-domain values.
+    */
   def solarElevation(doy: Column, hour: Column, latDeg: Column, lonDeg: Column,
       utcOffsetHours: Column): Column = {
     val dec = declination(doy)
     val ha = hourAngle(doy, hour, lonDeg, utcOffsetHours)
-    degrees(asin(
-      sin(dec) * sin(radians(latDeg)) + cos(dec) * cos(radians(latDeg)) * cos(ha)))
+    degrees(asin(greatest(least(
+      sin(dec) * sin(radians(latDeg)) + cos(dec) * cos(radians(latDeg)) * cos(ha),
+      lit(1.0)), lit(-1.0))))
   }
 
   /** Adds `solar_elevation` for rows with date, hour, lat, lon columns. */

@@ -149,7 +149,7 @@ object Geo {
     // events table, coordinates derived from user_id.
     Q("q_solar_elevation",
       s"""SELECT event_id,
-         |       round(degrees(asin(
+         |       round(degrees(asin(greatest(least(
          |         sin(radians(-23.45 * cos((2 * pi() / 365) * (dayofyear(ts) + 10))))
          |           * sin(radians(45.0 + (user_id % 100) / 100.0))
          |         + cos(radians(-23.45 * cos((2 * pi() / 365) * (dayofyear(ts) + 10))))
@@ -158,7 +158,7 @@ object Geo {
          |               + (4 * ((-74.0 + (user_id % 89) / 89.0) - 15 * (-5.0))
          |                  + (-7.655 * sin(dayofyear(ts) * (2 * pi() / 365))
          |                     + 9.873 * sin(dayofyear(ts) * (2 * pi() / 365) * 2 + 3.588))) / 60)
-         |               - 12)))), 3) AS solar_elev
+         |               - 12)), 1.0), -1.0))), 3) AS solar_elev
          |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
       val lat = lit(45.0) + (col("user_id") % 100) / 100.0
       val lon = lit(-74.0) + (col("user_id") % 89) / 89.0

@@ -44,6 +44,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "corpus must stream, not cartesian-shuffle")
   }
 
+  test("shingle pair generation hash-joins (no sort of exploded shingle strings)") {
+    val p = plan("q_dedup_jaccard_pairs")
+    assert(p.contains("ShuffledHashJoin"), "self-join should honor the shuffle_hash hint")
+    assert(!p.contains("CartesianProduct"), "candidates come from the shingle equi-join")
+  }
+
+  test("IDW computes its candidate cross join once (single aggregation pass)") {
+    val p = plan("q_geo_idw_acctbal")
+    // one cross join node: the station count folds into the same
+    // aggregation as the weighted sums (a second consumer would re-run
+    // the 15M-pair join + haversine)
+    val crossJoins = p.linesIterator.count(l =>
+      l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct"))
+    assert(crossJoins == 1, s"expected 1 cross-join node, saw $crossJoins:\n" +
+      p.linesIterator.filter(l => l.contains("Join")).mkString("\n"))
+  }
+
   test("bucketed-by-key tables join with zero exchange") {
     import graft.sources.Bucketing
     val s = spark

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.operators.SaltedJoin
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -244,5 +245,81 @@ object Relational {
       a.union(b).distinct()
         .groupBy(col("o_year")).agg(count(lit(1)).as("n_orders"))
         .orderBy(col("o_year"))
+    },
+
+    // ROLLUP hierarchy totals (subtotal + grand-total rows in one pass —
+    // Catalyst plans one Expand + one aggregation, not three scans).
+    Q("q_agg_rollup_revenue",
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |       coalesce(l_linestatus, 'ALL') AS lstatus,
+        |       round(sum(l_extendedprice), 2) AS revenue,
+        |       count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("revenue"),
+          count(lit(1)).as("n_rows"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("revenue"), col("n_rows"))
+        .orderBy(col("rflag"), col("lstatus"))
+    },
+
+    // Exact interpolated percentiles per group. Exact percentile sorts
+    // values per group — fine for bounded group cardinality; an unbounded
+    // 100 TB rollout would switch to approx_percentile (t-digest sketch,
+    // constant memory), which no longer hash-matches an exact oracle.
+    Q("q_agg_percentiles_price",
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |       round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+        |       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+        |       count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25"),
+          round(percentile(col("l_extendedprice"), lit(0.50)), 4).as("p50"),
+          round(percentile(col("l_extendedprice"), lit(0.75)), 4).as("p75"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Distinct aggregates (two distinct columns → Expand-based plan with
+    // partial aggregation per distinct group).
+    Q("q_agg_count_distinct",
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_suppkey) AS n_supp,
+        |       count(DISTINCT l_partkey) AS n_part,
+        |       count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Skew-salted fact⋈dim join (operators/SaltedJoin): row-identical to
+    // the plain join — the oracle IS the plain join — with the shuffle
+    // spread over 8 sub-keys per order key.
+    Q("q_join_salted_revenue",
+      """SELECT o_orderpriority,
+        |       round(sum(l_extendedprice), 2) AS revenue,
+        |       count(*) AS n_rows
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      SaltedJoin.inner(
+          t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice")),
+          t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+          leftKey = "l_orderkey", rightKey = "o_orderkey", nSalts = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("revenue"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("o_orderpriority"))
     })
 }

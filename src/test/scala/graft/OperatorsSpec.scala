@@ -183,6 +183,19 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall@5 = $recall")
   }
 
+  test("salted join is row-identical to the plain join") {
+    val s = spark; import s.implicits._
+    val left = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (1L, "e"))
+      .toDF("k", "lv")
+    val right = Seq((1L, "x"), (2L, "y"), (4L, "z")).toDF("rk", "rv")
+    val salted = graft.operators.SaltedJoin.inner(left, right, "k", "rk", nSalts = 4)
+      .select("k", "lv", "rv").collect().map(_.toSeq).toSet
+    val plain = left.join(right, $"k" === $"rk")
+      .select("k", "lv", "rv").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    assert(salted.size == 4) // key 1 x3 + key 2; keys 3/4 unmatched
+  }
+
   test("kmeans-centroid IVF recall@5 >= 0.5 of brute force at sf0.001") {
     val s = spark
     val emb = Tables.load(s, TestSpark.sf0001, "embeddings")

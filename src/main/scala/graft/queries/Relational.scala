@@ -304,6 +304,37 @@ object Relational {
         .orderBy(col("l_returnflag"))
     },
 
+    // INTERSECT / EXCEPT set semantics (absent from the reference, which
+    // only unions — SURVEY §2.7): customers ordering in both/only-one of
+    // two years. Catalyst plans both as aggregated semi/anti joins.
+    Q("q_setop_intersect_except",
+      """WITH y97 AS (SELECT DISTINCT o_custkey FROM orders
+        |             WHERE year(o_orderdate) = 1997),
+        |y98 AS (SELECT DISTINCT o_custkey FROM orders
+        |        WHERE year(o_orderdate) = 1998),
+        |both_years AS (SELECT o_custkey FROM y97 INTERSECT SELECT o_custkey FROM y98),
+        |only_97 AS (SELECT o_custkey FROM y97 EXCEPT SELECT o_custkey FROM y98)
+        |SELECT 'both' AS cohort, count(*) AS n_cust,
+        |       cast(min(o_custkey) AS bigint) AS min_cust
+        |FROM both_years
+        |UNION ALL
+        |SELECT 'only_1997' AS cohort, count(*) AS n_cust,
+        |       cast(min(o_custkey) AS bigint) AS min_cust
+        |FROM only_97
+        |ORDER BY cohort""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"), year(col("o_orderdate")).as("y"))
+      val y97 = o.filter(col("y") === 1997).select("o_custkey").distinct()
+      val y98 = o.filter(col("y") === 1998).select("o_custkey").distinct()
+      val both = y97.intersect(y98)
+        .agg(count(lit(1)).as("n_cust"), min(col("o_custkey")).as("min_cust"))
+        .select(lit("both").as("cohort"), col("n_cust"), col("min_cust"))
+      val only97 = y97.except(y98)
+        .agg(count(lit(1)).as("n_cust"), min(col("o_custkey")).as("min_cust"))
+        .select(lit("only_1997").as("cohort"), col("n_cust"), col("min_cust"))
+      both.unionByName(only97).orderBy(col("cohort"))
+    },
+
     // Skew-salted fact⋈dim join (operators/SaltedJoin): row-identical to
     // the plain join — the oracle IS the plain join — with the shuffle
     // spread over 8 sub-keys per order key.

@@ -144,5 +144,35 @@ object Windows {
           unix_millis(max(col("ts"))).as("end_ms"),
           round(sum(col("value")), 4).as("session_value"))
         .orderBy(col("user_id"), col("session_seq"))
+    },
+
+    // Beyond the reference's window set (SURVEY §2.5 "not present"):
+    // dense_rank, ntile, cume_dist, and a RANGE frame — all partitioned
+    // by a high-cardinality key, so the same scale shape as W1-W5.
+    // Tie-safety: o_totalprice ties are real, so rank functions order by
+    // (o_totalprice, o_orderkey) and the RANGE frame runs over the
+    // integer orderkey domain where frames are unambiguous.
+    Q("q_window_rank_variants",
+      """SELECT o_custkey, o_orderkey,
+        |       cast(dense_rank() OVER w AS int) AS drk,
+        |       cast(ntile(4) OVER w AS int) AS quartile,
+        |       round(cume_dist() OVER w, 6) AS cdist,
+        |       round(sum(o_totalprice) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderkey
+        |         RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW), 2) AS near_sum
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val wr = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+        .rangeBetween(-1000L, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          dense_rank().over(w).as("drk"),
+          ntile(4).over(w).as("quartile"),
+          round(cume_dist().over(w), 6).as("cdist"),
+          round(sum(col("o_totalprice")).over(wr), 2).as("near_sum"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
     })
 }

@@ -249,9 +249,11 @@ object Relational {
 
     // ROLLUP hierarchy totals (subtotal + grand-total rows in one pass —
     // Catalyst plans one Expand + one aggregation, not three scans).
+    // Subtotal rows are labeled via grouping(), not coalesce: coalesce
+    // would conflate a genuine NULL key with the subtotal marker.
     Q("q_agg_rollup_revenue",
-      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
-        |       coalesce(l_linestatus, 'ALL') AS lstatus,
+      """SELECT CASE WHEN grouping(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rflag,
+        |       CASE WHEN grouping(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS lstatus,
         |       round(sum(l_extendedprice), 2) AS revenue,
         |       count(*) AS n_rows
         |FROM lineitem
@@ -259,11 +261,16 @@ object Relational {
         |ORDER BY rflag, lstatus""".stripMargin) { (s, dir) =>
       t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(round(sum(col("l_extendedprice")), 2).as("revenue"),
+        // grouping() resolves only inside the rollup's aggregate list,
+        // not in a downstream projection
+        .agg(
+          when(grouping(col("l_returnflag")) === 1, lit("ALL"))
+            .otherwise(col("l_returnflag")).as("rflag"),
+          when(grouping(col("l_linestatus")) === 1, lit("ALL"))
+            .otherwise(col("l_linestatus")).as("lstatus"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"),
           count(lit(1)).as("n_rows"))
-        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
-          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
-          col("revenue"), col("n_rows"))
+        .select(col("rflag"), col("lstatus"), col("revenue"), col("n_rows"))
         .orderBy(col("rflag"), col("lstatus"))
     },
 

@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output normally goes through sbt's logger, which prefixes
+// every line with "[info] " — that corrupts the one-line JSON contract of
+// graft.Bench (the harness json-parses the stdout tail). Inherit stdout
+// so program output reaches the console raw.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and drop the trailing "[success] Total time: ..." logger line so the
+// JSON summary is the literal last line of stdout.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

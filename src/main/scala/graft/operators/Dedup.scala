@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -101,7 +101,8 @@ object Dedup {
     */
   def minHashLshPairs(docs: DataFrame, n: Int, bands: Int, rowsPerBand: Int,
       estThreshold: Double, idCol: String = "doc_id", textCol: String = "text",
-      maxBucketSize: Int = 1000, seed: Long = 42L): DataFrame = {
+      maxBucketSize: Int = 1000, seed: Long = 42L,
+      oracleHashes: Boolean = false): DataFrame = {
     val k = bands * rowsPerBand
     // Relational minhash: explode shingles once, hash each shingle k ways
     // in a codegen'd projection, take k map-side-combined min aggregates.
@@ -109,20 +110,34 @@ object Dedup {
     // component — runs interpreted and re-evaluates the shingle pipeline
     // per consumer: ~30× slower at sf0.1.) Docs with fewer than n tokens
     // have no shingles and drop out, matching the old size-filter.
+    //
+    // Two hash families over the SAME pipeline (banding, bucket cap,
+    // candidate join, signature scoring are shared code):
+    //  - xxhash64 (default): cheapest per byte, the production family.
+    //  - oracleHashes: component i = md5(shingle || '|' || i) compared
+    //    lexicographically, band key = md5 of the joined slice — every
+    //    step is plain ANSI SQL, so an external engine (the DuckDB
+    //    correctness oracle) can replay the ENTIRE LSH pipeline and
+    //    hash-check it end to end, not just count rows.
     val sh = docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
       .select(col("doc_id"),
         explode(array_distinct(shinglesFromTokens(col("_toks"), n))).as("shingle"))
-    val mins = (0 until k).map(i => min(xxhash64(col("shingle"), lit(seed + i))).as(s"_m$i"))
+    val component: Int => Column =
+      if (oracleHashes) i => md5(concat_ws("|", col("shingle"), lit(i)).cast("binary"))
+      else i => xxhash64(col("shingle"), lit(seed + i))
+    val mins = (0 until k).map(i => min(component(i)).as(s"_m$i"))
     val sigs = sh.groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until k).map(i => col(s"_m$i")): _*).as("sig"))
 
+    val bandKey: Column => Column =
+      if (oracleHashes) s => md5(s.cast("binary")) else s => xxhash64(s)
     val banded = sigs.select(
       col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
-          xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
+          bandKey(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
             .as("bhash")))).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
       // persist: consumed by the bucket-size cap and both join sides —
@@ -164,25 +179,37 @@ object Dedup {
     * h ≤ 3 (4 blocks × 16 bits).
     */
   def simHashPairs(docs: DataFrame, maxHamming: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      oracleHashes: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, s"maxHamming=$maxHamming out of [0, 64)")
     val chunks = maxHamming + 1 // pigeonhole: exact for hamming <= maxHamming
     // Relational simhash (same reasoning as minHashLshPairs): explode the
-    // token multiset, hash once per token, then 64 conditional-sum
-    // aggregates — all inside whole-stage codegen with map-side combine.
+    // token multiset, hash once per token, then one conditional-sum
+    // aggregate per bit — all inside whole-stage codegen with map-side
+    // combine. Hash families (shared pipeline, same reasoning as
+    // minHashLshPairs.oracleHashes):
+    //  - xxhash64, 64 bits (default): the production family.
+    //  - oracleHashes: the top 15 hex chars of md5(token) parsed as a
+    //    60-bit non-negative long — ANSI-SQL-replayable (and an external
+    //    brute-force all-pairs oracle then also PROVES the pigeonhole
+    //    blocking loses no pair at the requested radius).
+    val nBits = if (oracleHashes) 60 else 64
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("tok"))
-    val h = xxhash64(col("tok"))
-    val bitSums = (0 until 64).map { i =>
+    val h =
+      if (oracleHashes)
+        conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10).cast("long")
+      else xxhash64(col("tok"))
+    val bitSums = (0 until nBits).map { i =>
       sum(when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"_b$i")
     }
     val fp = toks.groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map(i => when(col(s"_b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+        (0 until nBits).map(i => when(col(s"_b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
           .reduce(_ + _).as("fp"))
-    // distribute the 64 bits over `chunks` near-equal disjoint blocks
-    val widths = (0 until chunks).map(i => 64 / chunks + (if (i < 64 % chunks) 1 else 0))
+    // distribute the bits over `chunks` near-equal disjoint blocks
+    val widths = (0 until chunks).map(i => nBits / chunks + (if (i < nBits % chunks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
     val blocked = fp.select(col("doc_id"), col("fp"),
       explode(array((0 until chunks).map { i =>

@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
   * training-data-pipeline operators (language ID, quality scoring, token
   * counting, fingerprinting, exact/fuzzy dedup). All Spark-side logic is
   * native column expressions (codegen'd); oracles mirror them with
-  * DuckDB list/regexp functions. MinHash/SimHash queries hash with
-  * xxhash64 (no DuckDB equivalent) and are declared rows-only.
+  * DuckDB list/regexp functions. The MinHash/SimHash gate queries run
+  * the shared LSH pipelines under the md5 (`oracleHashes`) hash family
+  * so DuckDB can replay them end to end; the xxhash64 production family
+  * is exercised by q_dedup_minhash_recall and DedupSpec.
   */
 object TextQueries {
 
@@ -178,19 +180,68 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // MinHash+LSH near-dup candidates — xxhash64-based, rows-only.
-    Q.rowsOnly("q_dedup_minhash_lsh") { (s, dir) =>
+    // MinHash+LSH near-dup candidates, md5 hash family: the oracle
+    // replays the WHOLE pipeline — k=32 per-shingle min-hashes, 8×4
+    // banding, bucket cap, candidate join, signature scoring — in SQL,
+    // so the hash check covers banding and estimation, not just counts.
+    Q("q_dedup_minhash_lsh",
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len($toksSql) < 3 THEN CAST([] AS VARCHAR[])
+         |         ELSE list_transform(range(len($toksSql) - 2),
+         |                i -> array_to_string($toksSql[i + 1 : i + 3], ' ')) END)) AS shingle
+         |  FROM documents),
+         |hx AS (
+         |  SELECT doc_id, s.i AS i, min(md5(shingle || '|' || s.i)) AS mh
+         |  FROM sh CROSS JOIN (SELECT unnest(range(32)) AS i) s
+         |  GROUP BY 1, 2),
+         |sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM hx GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, sig, b.b AS band,
+         |         md5(array_to_string(sig[b.b * 4 + 1 : b.b * 4 + 4], ',')) AS bhash
+         |  FROM sig CROSS JOIN (SELECT unnest(range(8)) AS b) b),
+         |capped AS (
+         |  SELECT * FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY band, bhash) AS bsz FROM banded)
+         |  WHERE bsz <= 1000),
+         |scored AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         cast(len(list_filter(range(32), i -> a.sig[i + 1] = b.sig[i + 1])) AS double) / 32
+         |           AS est_jaccard
+         |  FROM capped a JOIN capped b
+         |    ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, est_jaccard FROM scored
+         |WHERE est_jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       Dedup.minHashLshPairs(t(s, dir, "documents"),
-          n = 3, bands = 8, rowsPerBand = 4, estThreshold = 0.2)
+          n = 3, bands = 8, rowsPerBand = 4, estThreshold = 0.2, oracleHashes = true)
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // SimHash near-dup pairs — xxhash64-based, rows-only. maxHamming = 3
-    // → 4 disjoint 16-bit LSH blocks; candidate generation is exact at
-    // this radius (see Dedup.simHashPairs), verified against brute-force
-    // hamming in DedupSpec.
-    Q.rowsOnly("q_dedup_simhash") { (s, dir) =>
-      Dedup.simHashPairs(t(s, dir, "documents"), maxHamming = 3)
+    // SimHash near-dup pairs, md5 60-bit hash family. The oracle is the
+    // BRUTE-FORCE all-pairs hamming join — hash equality therefore also
+    // proves the pigeonhole block decomposition (maxHamming=3 → 4
+    // disjoint 15-bit blocks) generates every pair at the radius, the
+    // claim DedupSpec asserts for the xxhash64 production family.
+    Q("q_dedup_simhash",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |th AS (
+         |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+         |bits AS (
+         |  SELECT doc_id, b.i AS i,
+         |         sum(CASE WHEN ((h >> b.i) & 1) = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM th CROSS JOIN (SELECT unnest(range(60)) AS i) b
+         |  GROUP BY 1, 2),
+         |fp AS (
+         |  SELECT doc_id,
+         |         cast(sum(CASE WHEN s > 0 THEN 1::BIGINT << i ELSE 0::BIGINT END) AS BIGINT) AS fp
+         |  FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       cast(bit_count(xor(a.fp, b.fp)) AS int) AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Dedup.simHashPairs(t(s, dir, "documents"), maxHamming = 3, oracleHashes = true)
         .orderBy(col("id_a"), col("id_b"))
     },
 

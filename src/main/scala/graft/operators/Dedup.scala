@@ -231,6 +231,51 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over a near-duplicate pair list — the closure
+    * step of corpus dedup: A≈B and B≈C put {A,B,C} in one cluster even
+    * when A≈C was never emitted, and the keeper is the component's min
+    * id. Iterative min-label propagation: each round joins the
+    * symmetrized edge list with the current labels and takes the min
+    * over each vertex's neighborhood (map-side-combined `min`, one
+    * shuffle per round), converging in O(cluster diameter) rounds —
+    * near-dup clusters are shallow (boilerplate families, mirror
+    * copies), so this beats the O(log²) star-contraction variants that
+    * pay 2-3 joins per round. Convergence is detected from Σcomp, which
+    * strictly decreases until fixpoint — one scalar action per round,
+    * no extra change-count join. The driver loop is over ITERATIONS
+    * (bounded by `maxIters`), never over rows.
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIters: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
+      .union(pairs.select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst")))
+      .distinct()
+      .persist(lvl)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .persist(lvl)
+    var sig = labels.agg(sum(col("comp"))).head.getLong(0)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val viaNbr = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("nbr_comp")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("nbr_comp")).as("nbr_comp"))
+      val next = labels.join(viaNbr, Seq("id"), "left_outer")
+        .select(col("id"), least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .persist(lvl)
+      val nsig = next.agg(sum(col("comp"))).head.getLong(0)
+      converged = nsig == sig
+      sig = nsig
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("comp").as("component"))
+  }
+
   /** Embedding near-duplicates: pairs with cosine ≥ threshold, candidates
     * from MULTI-TABLE random-hyperplane LSH — `nTables` independent
     * nBits-bit hash tables; a pair is a candidate when it collides in

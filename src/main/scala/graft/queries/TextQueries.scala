@@ -245,6 +245,48 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Dedup cluster closure: connected components over the exact-Jaccard
+    // near-dup pairs (A≈B, B≈C ⇒ one cluster, keep min id). The Spark
+    // side iterates min-label propagation to a fixpoint; the oracle
+    // computes the same closure as a recursive transitive-reachability
+    // CTE — hash equality proves the iterative algorithm converged to
+    // the true components, not an intermediate labeling.
+    Q("q_dedup_components",
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len($toksSql) < 3 THEN CAST([] AS VARCHAR[])
+         |         ELSE list_transform(range(len($toksSql) - 2),
+         |                i -> array_to_string($toksSql[i + 1 : i + 3], ' ')) END)) AS shingle
+         |  FROM documents),
+         |capped AS (
+         |  SELECT doc_id, shingle FROM (
+         |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
+         |  WHERE df <= 1000),
+         |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+         |  FROM capped a JOIN capped b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE cast(n_common AS double) / (sa.n_shingles + sb.n_shingles - n_common) >= 0.3),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+         |reach(id, comp) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
+         |SELECT id AS doc_id, min(comp) AS component
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.connectedComponents(
+          Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 3, threshold = 0.3))
+        .orderBy(col("doc_id"))
+    },
+
     // Multimodal metadata as a pure projection (no decode needed when
     // metadata is already columnar); the decode path proper is
     // q_multimodal_decode below.

@@ -110,6 +110,15 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.5, s"embed LSH recall $recall")
   }
 
+  test("connected components: chains merge to min id, disjoint clusters stay apart") {
+    val s = spark; import s.implicits._
+    // chain 1-2-3-4 (diameter 3, needs >1 propagation round) + pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("minhash est_jaccard tracks true jaccard for near-dup pairs at sf0.001") {
     val s = spark; import s.implicits._
     val docs = Tables.load(s, TestSpark.sf0001, "documents").select("doc_id", "text")

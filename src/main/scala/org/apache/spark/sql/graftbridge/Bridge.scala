@@ -7,8 +7,9 @@ import org.apache.spark.sql.classic.ExpressionUtils
 /** Column ⇄ catalyst-Expression bridge. Spark 4 made these conversions
   * `private[sql]` (`org.apache.spark.sql.classic.ExpressionUtils`), so
   * registering a custom expression from library code requires a shim in
-  * the sql namespace — the standard extension-library technique. This is
-  * the ONLY file outside the `graft` package.
+  * the sql namespace — the standard extension-library technique. The only
+  * other file outside the `graft` package is the analogous
+  * `org.apache.spark.ml.graftbridge.MlPersistBridge`.
   */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)

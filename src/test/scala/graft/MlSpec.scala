@@ -182,6 +182,31 @@ class TrainersSpec extends SparkSpec {
     assert(v("RandomUnderSamplerModel", "targetImbalanceRatio") == "2.0")
   }
 
+  test("fitted PipelineModel save → load → score round trip is exact") {
+    val s = spark; import s.implicits._
+    val train = feats.filter(pmod(col("id"), lit(5)) =!= 0)
+    val test = feats.filter(pmod(col("id"), lit(5)) === 0)
+    // target 1.0: the split's n_neg/n_pos ≈ 2, so the sampler actually
+    // removes ids (keep ≈ 0.5) and the persistence of removedIds is real
+    val model = Trainers.brfPipeline(fcols, seed = 42L, targetImbalanceRatio = 1.0,
+      indexCol = "id", numTrees = 10, maxDepth = 5).fit(train)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pm").toString + "/pm"
+    model.write.overwrite().save(dir)
+    val loaded = org.apache.spark.ml.PipelineModel.load(dir)
+    // the loaded sampler model must carry the fit-time removal memory:
+    // train is resampled identically, disjoint test passes through
+    val rus = loaded.stages.head.asInstanceOf[RandomUnderSamplerModel]
+    assert(rus.removedIds.isDefined && rus.removedIds.get.count() > 0)
+    assert(loaded.transform(train).count() == model.transform(train).count())
+    // per-row identical scores on the test split
+    def scores(m: org.apache.spark.ml.PipelineModel) =
+      m.transform(test).select(col("id"), Trainers.probPositive().as("p"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (a, b) = (scores(model), scores(loaded))
+    assert(a.keySet == b.keySet && a.nonEmpty)
+    a.foreach { case (k, v) => assert(v == b(k), s"id $k: $v != ${b(k)}") }
+  }
+
   test("TVS picks a grid point and reports one metric per point") {
     val train = feats.filter(pmod(col("id"), lit(5)) =!= 0)
     val tvsModel = Trainers.tvs(fcols, seed = 42L,

@@ -119,6 +119,23 @@ class DedupSpec extends SparkSpec {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components: empty pair list returns empty labeling, no NPE") {
+    val s = spark; import s.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty).count() == 0L)
+  }
+
+  test("connected components: diameter-12 chain converges past checkpoint boundary") {
+    val s = spark; import s.implicits._
+    // a 13-vertex path needs 12 propagation rounds — crosses the every-5
+    // localCheckpoint() lineage truncation twice and must still reach the
+    // true fixpoint (all labels = 0)
+    val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == (0L to 12L).map(_ -> 0L).toMap)
+  }
+
   test("minhash est_jaccard tracks true jaccard for near-dup pairs at sf0.001") {
     val s = spark; import s.implicits._
     val docs = Tables.load(s, TestSpark.sf0001, "documents").select("doc_id", "text")

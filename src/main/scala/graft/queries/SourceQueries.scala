@@ -19,6 +19,61 @@ object SourceQueries {
   private def tmp(dir: String, tag: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${Integer.toHexString(dir.hashCode)}"
 
+  /** Shared S4/S5 fixture synthesis: suppliers rendered as one KML
+    * document per nation — folders, placemarks, nid regex targets,
+    * LineString points, appended center point. Used by the plain-KML
+    * parse query and zipped into KMZ archives by the KMZ round trip.
+    */
+  private def supplierKmlDocs(s: SparkSession, dir: String): DataFrame = {
+    val supp = t(s, dir, "supplier").select(
+      col("s_suppkey"), col("s_name"), col("s_nationkey"),
+      (lit(45.0) + pmod(col("s_suppkey"), lit(97)) / 97.0).as("lat"),
+      (lit(-74.0) + pmod(col("s_suppkey"), lit(83)) / 83.0).as("lon"))
+    // render one <Placemark> per supplier, one KML doc per nation
+    val placemark = format_string(
+      "<Placemark><name>%s</name><description>&lt;th&gt;nid&lt;/th&gt;\n" +
+        "&lt;td&gt;%s&lt;/td&gt;</description><MultiGeometry>" +
+        "<Point><coordinates>%.4f,%.4f</coordinates></Point>" +
+        "<LineString><coordinates>%.4f,%.4f %.4f,%.4f</coordinates></LineString>" +
+        "</MultiGeometry></Placemark>",
+      col("s_name"), md5(col("s_suppkey").cast("string")),
+      col("lon"), col("lat"),
+      col("lon") + 0.01, col("lat"), col("lon"), col("lat") + 0.01)
+    supp
+      .groupBy(col("s_nationkey"),
+        concat(lit("t"), pmod(col("s_suppkey"), lit(3)).cast("string")).as("ftype"))
+      .agg(concat_ws("", collect_list(placemark)).as("pms"))
+      .groupBy(col("s_nationkey"))
+      .agg(concat_ws("",
+        collect_list(format_string("<Folder><name>%s</name>%s</Folder>",
+          col("ftype"), col("pms")))).as("folders"))
+      .select(col("s_nationkey"),
+        format_string("<kml><Document>%s</Document></kml>", col("folders")).as("doc"))
+  }
+
+  private val kmlRollupOracle = {
+    val lat = "(45.0 + (s_suppkey % 97) / 97.0)"
+    val lon = "(-74.0 + (s_suppkey % 83) / 83.0)"
+    s"""WITH pts AS (
+       |  SELECT concat('t', s_suppkey % 3) AS street_type,
+       |         $lat AS lat, $lon AS lon, p.dlon, p.dlat
+       |  FROM supplier
+       |  CROSS JOIN (VALUES (0.01, 0.0), (0.0, 0.01), (0.0, 0.0)) p(dlon, dlat))
+       |SELECT street_type,
+       |       count(*) AS n_points,
+       |       round(sum(round(lat + dlat, 4)), 5) AS sum_lat,
+       |       round(sum(round(lon + dlon, 4)), 5) AS sum_lon
+       |FROM pts GROUP BY street_type ORDER BY street_type""".stripMargin
+  }
+
+  private def kmlRollup(points: DataFrame): DataFrame =
+    points
+      .groupBy(col("street_type"))
+      .agg(count(lit(1)).as("n_points"),
+        round(sum(col("coord_lat")), 5).as("sum_lat"),
+        round(sum(col("coord_long")), 5).as("sum_lon"))
+      .orderBy(col("street_type"))
+
   val queries: Seq[Q] = Seq(
 
     // S1 + S9 + accident preprocessing: orders → accident-shaped CSV on
@@ -48,55 +103,40 @@ object SourceQueries {
         .orderBy(col("o_year"), col("hour"))
     },
 
-    // S4/S5: suppliers rendered as KML documents (one per nation), parsed
+    // S5: suppliers rendered as KML documents (one per nation), parsed
     // back by the distributed XML flatMap — folders, placemarks, nid
     // regex, LineString point un-nesting, appended center point. Oracle
     // reconstructs the expected point multiset arithmetically.
-    Q("q_source_kml_parse", {
-      val lat = "(45.0 + (s_suppkey % 97) / 97.0)"
-      val lon = "(-74.0 + (s_suppkey % 83) / 83.0)"
-      s"""WITH pts AS (
-         |  SELECT concat('t', s_suppkey % 3) AS street_type,
-         |         $lat AS lat, $lon AS lon, p.dlon, p.dlat
-         |  FROM supplier
-         |  CROSS JOIN (VALUES (0.01, 0.0), (0.0, 0.01), (0.0, 0.0)) p(dlon, dlat))
-         |SELECT street_type,
-         |       count(*) AS n_points,
-         |       round(sum(round(lat + dlat, 4)), 5) AS sum_lat,
-         |       round(sum(round(lon + dlon, 4)), 5) AS sum_lon
-         |FROM pts GROUP BY street_type ORDER BY street_type""".stripMargin
-    }) { (s, dir) =>
+    Q("q_source_kml_parse", kmlRollupOracle) { (s, dir) =>
       import s.implicits._
-      val supp = t(s, dir, "supplier").select(
-        col("s_suppkey"), col("s_name"), col("s_nationkey"),
-        (lit(45.0) + pmod(col("s_suppkey"), lit(97)) / 97.0).as("lat"),
-        (lit(-74.0) + pmod(col("s_suppkey"), lit(83)) / 83.0).as("lon"))
-      // render one <Placemark> per supplier, one KML doc per nation
-      val placemark = format_string(
-        "<Placemark><name>%s</name><description>&lt;th&gt;nid&lt;/th&gt;\n" +
-          "&lt;td&gt;%s&lt;/td&gt;</description><MultiGeometry>" +
-          "<Point><coordinates>%.4f,%.4f</coordinates></Point>" +
-          "<LineString><coordinates>%.4f,%.4f %.4f,%.4f</coordinates></LineString>" +
-          "</MultiGeometry></Placemark>",
-        col("s_name"), md5(col("s_suppkey").cast("string")),
-        col("lon"), col("lat"),
-        col("lon") + 0.01, col("lat"), col("lon"), col("lat") + 0.01)
-      val docs = supp
-        .groupBy(col("s_nationkey"),
-          concat(lit("t"), pmod(col("s_suppkey"), lit(3)).cast("string")).as("ftype"))
-        .agg(concat_ws("", collect_list(placemark)).as("pms"))
-        .groupBy(col("s_nationkey"))
-        .agg(concat_ws("",
-          collect_list(format_string("<Folder><name>%s</name>%s</Folder>",
-            col("ftype"), col("pms")))).as("folders"))
-        .select(format_string("<kml><Document>%s</Document></kml>", col("folders")).as("doc"))
-        .as[String]
-      KmlRoadNetwork.roadPoints(docs)
-        .groupBy(col("street_type"))
-        .agg(count(lit(1)).as("n_points"),
-          round(sum(col("coord_lat")), 5).as("sum_lat"),
-          round(sum(col("coord_long")), 5).as("sum_lon"))
-        .orderBy(col("street_type"))
+      kmlRollup(KmlRoadNetwork.roadPoints(
+        supplierKmlDocs(s, dir).select(col("doc")).as[String]))
+    },
+
+    // S4: the same documents zipped into one KMZ archive per nation on
+    // disk, ingested back through the binaryFile source + executor-side
+    // unzip (`kmlFromKmz`) and the same distributed parse. Hash equality
+    // against the arithmetic oracle closes the loop over the BINARY
+    // ingestion path, not just the XML parse. The driver loop writes one
+    // fixture archive per nation (bounded by the 25-row nation table,
+    // not by data volume).
+    Q("q_source_kmz_roundtrip", kmlRollupOracle) { (s, dir) =>
+      val d = new java.io.File(tmp(dir, "kmzrt"))
+      d.mkdirs()
+      Option(d.listFiles((_, n) => n.endsWith(".kmz"))).foreach(_.foreach(_.delete()))
+      supplierKmlDocs(s, dir).collect().foreach { r =>
+        val f = new java.io.File(d, s"nation_${r.get(0)}.kmz")
+        val zout = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(f))
+        // a decoy entry first proves the reader selects doc.kml by name
+        zout.putNextEntry(new java.util.zip.ZipEntry("styles.txt"))
+        zout.write("not kml".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        zout.closeEntry()
+        zout.putNextEntry(new java.util.zip.ZipEntry("doc.kml"))
+        zout.write(r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        zout.closeEntry()
+        zout.close()
+      }
+      kmlRollup(KmlRoadNetwork.roadPoints(KmlRoadNetwork.kmlFromKmz(s, d.getPath)))
     },
 
     // S6: distributed (date, hour) grid for two years (one leap), rolled

@@ -29,6 +29,20 @@ object KmlRoadNetwork {
   private val NidRe = "(?s)<th>nid</th>\\s*<td>([a-f0-9]+)</td>".r
   private val UnknownRe = "(?s)<th>left_OfficialPlaceName</th>\\s*<td>Unknown</td>".r
 
+  /** The reference's Montréal-island allowlist of Unknown-place nids
+    * (`/root/reference/src/road_network_nids.py`, 1773 entries / 1681
+    * distinct — the original list holds duplicates), shipped as a
+    * resource so NRN parity on the Unknown-place rule is reproducible.
+    * Loaded once per JVM; the set serializes into the parse closure.
+    */
+  lazy val montrealUnknownNids: Set[String] = {
+    val in = getClass.getResourceAsStream("/road_network_nids.txt")
+    require(in != null, "road_network_nids.txt resource missing")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(_.nonEmpty).toSet
+    finally in.close()
+  }
+
   /** Parse one KML document into (street, point) rows: every LineString
     * coordinate plus the center appended as an extra point (reference
     * lines 218-243). Placemarks in Unknown places are dropped unless

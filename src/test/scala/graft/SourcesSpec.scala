@@ -62,6 +62,26 @@ class KmlRoadNetworkSpec extends SparkSpec {
     assert(pts.exists(_.street_name == "rue D"))
   }
 
+  test("shipped Montréal nid allowlist: real resource, real nid survives Unknown filter") {
+    val nids = KmlRoadNetwork.montrealUnknownNids
+    // the reference list: 1773 lines, 1681 distinct 32-hex ids
+    assert(nids.size == 1681)
+    assert(nids.forall(_.matches("[0-9a-f]{32}")))
+    val realNid = "73671c5348054b448b94358ac26ff548" // first entry of the reference list
+    assert(nids(realNid))
+    val doc =
+      s"""<kml><Document><Folder><name>Locale</name>
+         |  <Placemark><name>rue E</name>
+         |    <description>${desc(realNid, unknown = true)}</description>
+         |    <MultiGeometry>
+         |      <Point><coordinates>-73.8,45.8</coordinates></Point>
+         |      <LineString><coordinates>-73.79,45.79</coordinates></LineString>
+         |    </MultiGeometry></Placemark>
+         |</Folder></Document></kml>""".stripMargin
+    assert(KmlRoadNetwork.parseKml(doc).isEmpty) // Unknown place, no allowlist
+    assert(KmlRoadNetwork.parseKml(doc, nids).exists(_.street_name == "rue E"))
+  }
+
   test("kmlFromKmz: binaryFile scan + executor-side unzip of doc.kml") {
     val dir = java.nio.file.Files.createTempDirectory("graft_kmz_test").toString
     val zipPath = new java.io.File(dir, "net.kmz")

@@ -265,8 +265,15 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIters: Int = 20): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
-      .union(pairs.select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst")))
+    // symmetrize in ONE scan of `pairs` (explode to both directions):
+    // a two-branch union would evaluate the upstream pair-generation
+    // pipeline — typically an expensive LSH/Jaccard subtree — twice
+    val edges = pairs
+      .select(col(idA).cast("long").as("a"), col(idB).cast("long").as("b"))
+      .select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist(lvl)
     var labels = edges.select(col("src").as("id")).distinct()

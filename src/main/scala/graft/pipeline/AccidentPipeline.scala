@@ -16,7 +16,11 @@ import org.apache.spark.sql.functions._
   *  - the reference's two-phase center-match / point-densify / re-match
     *  heuristic (`src/preprocess.py:59-223`) exists to tame a cross
     *  join; `NearestMatch.kNearest` is already exact with a grid
-    *  equi-join + provable-coverage fallback, so matching is ONE call;
+    *  equi-join + provable-coverage fallback, so matching is ONE call.
+    *  The reference heuristic itself IS still available as
+    *  `DensifyMatch.densifyAndRematch` (oracle-checked by
+    *  `q_geo_densify_rematch`) for users who want its exact semantics
+    *  (midpoint densification, center-distance final dedup);
   *  - negative sampling happens grid-side BEFORE any feature join
   *    (`DateGrid.negativeGrid`), the sample-early discipline;
   *  - the baseline accident-count feature uses one aggregation, not 377

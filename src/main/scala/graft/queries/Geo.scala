@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{DateFeatures, GeoFunctions, SolarFeatures}
-import graft.operators.{IdwInterpolation, NearestMatch}
+import graft.operators.{DensifyMatch, IdwInterpolation, NearestMatch}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -168,6 +168,89 @@ object Geo {
             dayofyear(col("ts")), hour(col("ts")), lat, lon, lit(-5.0)), 3)
             .as("solar_elev"))
         .orderBy(col("event_id"))
+    },
+
+    // §3.1 densify-and-rematch (reference preprocess.py:99-221): streets
+    // synthesized from suppliers (20 polylines, centers derived
+    // arithmetically from the street id so the oracle replays them
+    // bit-exactly), accidents from customers. The DuckDB oracle replays
+    // ALL four stages — center preselect, nearest-point first match,
+    // midpoint densification of straggler candidates, center-distance
+    // final dedup — so hash equality proves the branch split and the
+    // densified re-rank, not just the final assignment.
+    Q("q_geo_densify_rematch", {
+      val hvCt = haversineSql("a.a_lat", "a.a_lon", "c.ct_lat", "c.ct_lon")
+      val hvPt = haversineSql("p.a_lat", "p.a_lon", "t.p_lat", "t.p_lon")
+      val hvDn = haversineSql("sp.a_lat", "sp.a_lon", "d.p_lat", "d.p_lon")
+      s"""WITH acc AS (
+         |  SELECT c_custkey AS accident_id, $custLatSql AS a_lat, $custLonSql AS a_lon
+         |  FROM customer),
+         |pts0 AS (
+         |  SELECT DISTINCT cast(s_suppkey % 20 AS int) AS street_id,
+         |         $suppLatSql AS p_lat, $suppLonSql AS p_lon FROM supplier),
+         |centers AS (
+         |  SELECT DISTINCT street_id,
+         |         45.3 + (street_id % 11) / 11.0 AS ct_lat,
+         |         -73.9 + (street_id % 7) / 7.0 AS ct_lon FROM pts0),
+         |pre AS (
+         |  SELECT accident_id, street_id, a_lat, a_lon FROM (
+         |    SELECT a.accident_id, c.street_id, a.a_lat, a.a_lon,
+         |           row_number() OVER (PARTITION BY a.accident_id
+         |             ORDER BY $hvCt, c.street_id) AS rk
+         |    FROM acc a CROSS JOIN centers c) WHERE rk <= 3),
+         |first AS (
+         |  SELECT accident_id, street_id, a_lat, a_lon, d FROM (
+         |    SELECT p.accident_id, p.street_id, p.a_lat, p.a_lon, $hvPt AS d,
+         |           row_number() OVER (PARTITION BY p.accident_id
+         |             ORDER BY $hvPt, p.street_id, t.p_lat, t.p_lon) AS rk
+         |    FROM pre p JOIN pts0 t ON p.street_id = t.street_id) WHERE rk = 1),
+         |correct AS (
+         |  SELECT accident_id, street_id, false AS rematched FROM first WHERE d < 8000),
+         |stragpre AS (
+         |  SELECT p.accident_id, p.street_id, p.a_lat, p.a_lon FROM pre p
+         |  JOIN (SELECT accident_id FROM first WHERE d >= 8000) s
+         |    ON p.accident_id = s.accident_id),
+         |stragpts AS (
+         |  SELECT * FROM pts0
+         |  WHERE street_id IN (SELECT DISTINCT street_id FROM stragpre)),
+         |mids AS (
+         |  SELECT street_id,
+         |         avg(p_lat) OVER (PARTITION BY street_id ORDER BY p_lon, p_lat
+         |           ROWS BETWEEN CURRENT ROW AND 1 FOLLOWING) AS p_lat,
+         |         avg(p_lon) OVER (PARTITION BY street_id ORDER BY p_lon, p_lat
+         |           ROWS BETWEEN CURRENT ROW AND 1 FOLLOWING) AS p_lon
+         |  FROM stragpts),
+         |dens AS (
+         |  SELECT DISTINCT street_id, p_lat, p_lon FROM
+         |    (SELECT * FROM mids UNION ALL SELECT * FROM stragpts)),
+         |rematch AS (
+         |  SELECT accident_id, street_id, true AS rematched FROM (
+         |    SELECT sp.accident_id, sp.street_id,
+         |           row_number() OVER (PARTITION BY sp.accident_id
+         |             ORDER BY $hvDn, sp.street_id, d.p_lat, d.p_lon) AS rk
+         |    FROM stragpre sp JOIN dens d ON sp.street_id = d.street_id) WHERE rk = 1),
+         |matched AS (
+         |  SELECT * FROM correct UNION ALL SELECT * FROM rematch)
+         |SELECT accident_id, street_id, rematched FROM (
+         |  SELECT m.accident_id, m.street_id, m.rematched,
+         |         row_number() OVER (PARTITION BY m.accident_id
+         |           ORDER BY $hvCt, m.street_id) AS rk
+         |  FROM matched m JOIN centers c ON m.street_id = c.street_id
+         |  JOIN acc a ON m.accident_id = a.accident_id) WHERE rk = 1
+         |ORDER BY accident_id""".stripMargin
+    }) { (s, dir) =>
+      val accidents = t(s, dir, "customer")
+        .select(col("c_custkey").as("accident_id"),
+          custLat.as("loc_lat"), custLon.as("loc_long"))
+      val sid = pmod(col("s_suppkey"), lit(20)).cast("int")
+      val roadPoints = t(s, dir, "supplier").select(
+        sid.as("street_id"),
+        suppLat.as("coord_lat"), suppLon.as("coord_long"),
+        (lit(45.3) + (sid % 11) / 11.0).as("center_lat"),
+        (lit(-73.9) + (sid % 7) / 7.0).as("center_long"))
+      DensifyMatch.densifyAndRematch(accidents, roadPoints,
+          kPreselect = 3, maxDistanceM = 8000.0, cellDeg = 0.3)
+        .orderBy(col("accident_id"))
     },
 
     // F1/F7 date parts + cyclic encodings (reference

@@ -182,6 +182,31 @@ class NearestMatchSpec extends SparkSpec {
   }
 }
 
+class DensifyMatchSpec extends SparkSpec {
+
+  test("densify rematch: far accident matches via the consecutive-point midpoint") {
+    val s = spark; import s.implicits._
+    // street 1: two points 0.02° apart in longitude — the midpoint sits
+    // exactly under accident 100; street 2 is a decoy with a closer
+    // CENTER but distant points. Accident 200 sits on a street-1 point.
+    val roadPoints = Seq(
+      (1, 45.00, -73.00, 45.00, -73.01),
+      (1, 45.00, -72.98, 45.00, -73.01),
+      (2, 45.50, -73.50, 45.001, -72.99),
+      (2, 45.50, -73.48, 45.001, -72.99))
+      .toDF("street_id", "coord_lat", "coord_long", "center_lat", "center_long")
+    val accidents = Seq(
+      (100L, 45.00, -72.99), // 785 m from both street-1 points, 0 m from midpoint
+      (200L, 45.00, -73.00)) // exactly on a street-1 point
+      .toDF("accident_id", "loc_lat", "loc_long")
+    val out = DensifyMatch.densifyAndRematch(accidents, roadPoints,
+        kPreselect = 2, maxDistanceM = 500.0)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    assert(out(200L) == (1, false)) // direct match, under the threshold
+    assert(out(100L) == (1, true))  // only reachable through densification
+  }
+}
+
 class SimilaritySearchSpec extends SparkSpec {
 
   test("brute-force top-k on a tiny corpus matches hand-ranked cosines") {

@@ -283,9 +283,11 @@ object Dedup {
     // corpus) must return an empty labeling, not NPE on head.getLong
     def sigOf(df: DataFrame): Long =
       df.agg(coalesce(sum(col("comp")), lit(0L))).head.getLong(0)
-    val nVertices = labels.count()
-    var sig = sigOf(labels)
-    var converged = nVertices == 0L // no vertices ⇒ already at fixpoint
+    // emptiness + signature in ONE action (row count never changes after
+    // initialization, so later rounds need only the signature)
+    val head0 = labels.agg(coalesce(sum(col("comp")), lit(0L)), count(lit(1))).head
+    var sig = head0.getLong(0)
+    var converged = head0.getLong(1) == 0L // no vertices ⇒ already at fixpoint
     var it = 0
     while (!converged && it < maxIters) {
       val viaNbr = edges

@@ -311,6 +311,39 @@ object Relational {
         .orderBy(col("l_returnflag"))
     },
 
+    // Sketch aggregates — the 100 TB path for distinct counts and
+    // quantiles (HyperLogLog++ and an approximate-quantile sketch both
+    // merge associatively across partitions with constant state; exact
+    // distinct/percentile shuffle every value). Sketch values aren't
+    // replayable in another engine, so the query emits ASSERTIONS about
+    // them — booleans comparing each sketch against the exact answer
+    // computed in the same pass — plus the exact values; the oracle
+    // computes the exact side and literal `true`s, so a sketch drifting
+    // out of tolerance flips a boolean and fails the hash gate. Both
+    // sketches are deterministic for fixed input (hash-based,
+    // merge-order-independent), making the booleans stable.
+    Q("q_agg_sketches",
+      """SELECT l_returnflag,
+        |       cast(count(DISTINCT l_partkey) AS bigint) AS exact_parts,
+        |       round(cast(quantile_cont(l_extendedprice, 0.5) AS double), 4) AS exact_median,
+        |       true AS hll_ok, true AS median_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), rsd = 0.02).as("_acd"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_median"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("_apx_median"))
+        .select(
+          col("l_returnflag"), col("exact_parts"), col("exact_median"),
+          (abs(col("_acd") - col("exact_parts")) <=
+            col("exact_parts") * 0.06).as("hll_ok"), // 3× the 2% rsd
+          (abs(col("_apx_median") - col("exact_median")) <=
+            col("exact_median") * 0.01).as("median_ok"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // INTERSECT / EXCEPT set semantics (absent from the reference, which
     // only unions — SURVEY §2.7): customers ordering in both/only-one of
     // two years. Catalyst plans both as aggregated semi/anti joins.

@@ -12,6 +12,18 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  test("sketch aggregates: HLL and quantile sketches within tolerance at sf0.001") {
+    // smallest SF = fewest values per sketch = largest relative error;
+    // the oracle hash-gates these booleans at sf0.01, this guards the
+    // tolerance at the scale the gate never sees
+    val rows = SparkEntry.queries("q_agg_sketches")(spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(r.fieldIndex("hll_ok")), s"hll out of tolerance: $r")
+      assert(r.getBoolean(r.fieldIndex("median_ok")), s"median out of tolerance: $r")
+    }
+  }
+
   test("revenue rollup: broadcast dims, pruned lineitem scan, no cartesian") {
     val p = plan("q_join_revenue_by_nation")
     assert(p.contains("BroadcastHashJoin"), "dims should broadcast")

@@ -118,6 +118,33 @@ object TrainQueries {
         .orderBy(col("label"))
     },
 
+    // P10 generalized: deterministic stratified sampling — per-status
+    // keep fractions via the same multiplicative hash as the
+    // undersampler, fully replayed by the oracle (prices summed as
+    // floor-cents so no float-summation order can perturb the hash).
+    Q("q_sample_stratified",
+      """WITH scored AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |         ((((o_orderkey + 42) % 1000000007) * 2654435761) % 1000000007)
+        |           / 1000000007.0 AS u
+        |  FROM orders)
+        |SELECT o_orderstatus, count(*) AS n_rows,
+        |       cast(min(o_orderkey) AS bigint) AS min_key,
+        |       cast(sum(cast(floor(o_totalprice * 100) AS bigint)) AS bigint) AS sum_cents
+        |FROM scored
+        |WHERE u < CASE o_orderstatus WHEN 'F' THEN 0.2 WHEN 'O' THEN 0.1 ELSE 1.0 END
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      graft.operators.StratifiedSampler.sample(
+          t(s, dir, "orders"), strataCol = "o_orderstatus",
+          fractions = Map("F" -> 0.2, "O" -> 0.1, "P" -> 1.0),
+          idCol = "o_orderkey", seed = 42L)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("o_orderkey")).as("min_key"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     // M8 transform with floor-clamp over unseen counts: fit on pre-1998
     // orders, score the rest; DuckDB mirrors the largest-value-<= lookup
     // with an ASOF join (clamped up to the smallest fitted entry).

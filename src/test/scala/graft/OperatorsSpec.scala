@@ -182,6 +182,26 @@ class NearestMatchSpec extends SparkSpec {
   }
 }
 
+class StratifiedSamplerSpec extends SparkSpec {
+
+  test("per-stratum fractions converge, unlisted strata drop, deterministic") {
+    val s = spark; import s.implicits._
+    val df = (0 until 30000).map(i => (i.toLong, Seq("a", "b", "c")(i % 3)))
+      .toDF("id", "stratum")
+    val out = StratifiedSampler.sample(df, "stratum",
+      Map("a" -> 0.5, "b" -> 0.1), idCol = "id")
+    val counts = out.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("a") / 10000.0 - 0.5) < 0.03)
+    assert(math.abs(counts("b") / 10000.0 - 0.1) < 0.03)
+    assert(!counts.contains("c")) // defaultFraction = 0
+    // deterministic: identical id multiset on a second evaluation
+    assert(out.agg(sum("id")).head.getLong(0) ==
+      StratifiedSampler.sample(df, "stratum", Map("a" -> 0.5, "b" -> 0.1), idCol = "id")
+        .agg(sum("id")).head.getLong(0))
+  }
+}
+
 class DensifyMatchSpec extends SparkSpec {
 
   test("densify rematch: far accident matches via the consecutive-point midpoint") {

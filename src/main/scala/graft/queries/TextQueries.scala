@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal}
+import graft.operators.{CorpusPacking, Dedup, Multimodal, TopK}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -292,6 +292,67 @@ object TextQueries {
       Dedup.connectedComponents(
           Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 3, threshold = 0.3))
         .orderBy(col("doc_id"))
+    },
+
+    // Sequence packing: shard-parallel token-budget bin assignment
+    // (CorpusPacking), rolled up per bin. The oracle replays the modulo
+    // sharding, per-shard cumulative sum and floor-division binning.
+    Q("q_text_pack_bins",
+      s"""WITH sized AS (
+         |  SELECT doc_id, cast(len($toksSql) AS bigint) AS n_tokens,
+         |         doc_id % 8 AS shard
+         |  FROM documents),
+         |placed AS (
+         |  SELECT doc_id, n_tokens, shard,
+         |         coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+         |  FROM sized)
+         |SELECT cast(shard AS bigint) AS shard,
+         |       cast(floor(start_tok / 2048) AS bigint) AS bin,
+         |       count(*) AS n_docs, sum(n_tokens) AS bin_tokens,
+         |       cast(min(doc_id) AS bigint) AS first_doc
+         |FROM placed GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin) { (s, dir) =>
+      val sized = t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tok"))
+      CorpusPacking.packByTokenBudget(sized, idCol = "doc_id",
+          nTokensCol = "n_tok", budgetTokens = 2048L, nShards = 8)
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("shard"), col("bin"))
+    },
+
+    // TF-IDF top terms per document: explode → tf per (doc, token) →
+    // df per token (aggregated from tf, one pass over the exploded set)
+    // → score = tf · ln(N/df) → per-doc top-3 via WindowGroupLimit.
+    Q("q_text_tfidf_top3",
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($toksSql) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |nd AS (SELECT count(*) AS n FROM documents),
+         |scored AS (
+         |  SELECT doc_id, token,
+         |         round(tf * ln(cast(n AS double) / df), 4) AS tfidf
+         |  FROM tf JOIN dfreq USING (token) CROSS JOIN nd)
+         |SELECT doc_id, token, tfidf FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY tfidf DESC, token) AS rk
+         |  FROM scored) WHERE rk <= 3
+         |ORDER BY doc_id, tfidf DESC, token""".stripMargin) { (s, dir) =>
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
+      val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val nDocs = t(s, dir, "documents").count().toDouble
+      val scored = tf.join(dfreq, "token")
+        .select(col("doc_id"), col("token"),
+          round(col("tf") * log(lit(nDocs) / col("df")), 4).as("tfidf"))
+      TopK.perGroup(scored, partitionBy = Seq(col("doc_id")),
+          orderBy = Seq(col("tfidf").desc, col("token")), k = 3)
+        .select(col("doc_id"), col("token"), col("tfidf"))
+        .orderBy(col("doc_id"), col("tfidf").desc, col("token"))
     },
 
     // Multimodal metadata as a pure projection (no decode needed when

@@ -182,6 +182,26 @@ class NearestMatchSpec extends SparkSpec {
   }
 }
 
+class CorpusPackingSpec extends SparkSpec {
+
+  test("token-budget packing: per-shard cumulative starts, boundary-straddling doc") {
+    val s = spark; import s.implicits._
+    // ids 0/8/16 land in shard 0 (nShards=8); ids 1/9 in shard 1
+    val docs = Seq((0L, 1000L), (8L, 1500L), (16L, 600L), (1L, 3000L), (9L, 100L))
+      .toDF("doc_id", "n_tok")
+    val out = CorpusPacking.packByTokenBudget(docs, "doc_id", "n_tok",
+        budgetTokens = 2048L, nShards = 8)
+      .collect().map(r =>
+        r.getLong(r.fieldIndex("doc_id")) -> (r.getLong(r.fieldIndex("shard")),
+          r.getLong(r.fieldIndex("bin")), r.getLong(r.fieldIndex("start_tok")))).toMap
+    assert(out(0L) == (0L, 0L, 0L))     // starts the shard
+    assert(out(8L) == (0L, 0L, 1000L))  // straddles 2048 but STARTS in bin 0
+    assert(out(16L) == (0L, 1L, 2500L)) // next bin
+    assert(out(1L) == (1L, 0L, 0L))     // independent shard
+    assert(out(9L) == (1L, 1L, 3000L))  // oversized predecessor pushes bin
+  }
+}
+
 class StratifiedSamplerSpec extends SparkSpec {
 
   test("per-stratum fractions converge, unlisted strata drop, deterministic") {

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Sessionize, TopK}
+import graft.operators.{AsOfJoin, Sessionize, TopK}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -144,6 +144,34 @@ object Windows {
           unix_millis(max(col("ts"))).as("end_ms"),
           round(sum(col("value")), 4).as("session_value"))
         .orderBy(col("user_id"), col("session_seq"))
+    },
+
+    // As-of join (operator Spark lacks): each purchase matched to the
+    // user's latest click at-or-before it — tagged-union + last-non-null
+    // window, one shuffle of |L|+|R| rows, never a range-join explosion.
+    // The oracle is DuckDB's NATIVE ASOF JOIN, an independent
+    // implementation of the semantics (ties impossible: (user_id, ts) is
+    // unique in events). Gaps exported as epoch micros so both engines
+    // compare integers.
+    Q("q_join_asof_click",
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |       c.event_id AS click_id,
+        |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      AsOfJoin.asOf(purchases, clicks, key = "user_id",
+          leftTime = "ts", rightTime = "ts", payloadCols = Seq("event_id", "ts"))
+        .select(col("purchase_id"), col("user_id"),
+          col("asof.event_id").as("click_id"),
+          (unix_micros(col("ts")) - unix_micros(col("asof.ts"))).as("gap_us"))
+        .orderBy(col("purchase_id"))
     },
 
     // Beyond the reference's window set (SURVEY §2.5 "not present"):

@@ -182,6 +182,24 @@ class NearestMatchSpec extends SparkSpec {
   }
 }
 
+class AsOfJoinSpec extends SparkSpec {
+
+  test("as-of: latest earlier row wins, equal times match, no history gives null") {
+    val s = spark; import s.implicits._
+    val left = Seq((1L, 100L, 10L), (2L, 100L, 20L), (3L, 200L, 5L))
+      .toDF("lid", "k", "t")
+    val right = Seq((101L, 100L, 5L), (102L, 100L, 10L), (103L, 100L, 15L),
+      (104L, 200L, 6L)).toDF("rid", "k", "t")
+    val out = AsOfJoin.asOf(left, right, key = "k",
+        leftTime = "t", rightTime = "t", payloadCols = Seq("rid"))
+      .select(col("lid"), col("asof.rid").as("rid"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L).contains(102L)) // t=10: the equal-time row matches, not t=5
+    assert(out(2L).contains(103L)) // t=20: latest of the three
+    assert(out(3L).isEmpty)        // t=5 < earliest right (t=6): null
+  }
+}
+
 class CorpusPackingSpec extends SparkSpec {
 
   test("token-budget packing: per-shard cumulative starts, boundary-straddling doc") {

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.SaltedJoin
+import graft.operators.{RangeJoin, SaltedJoin}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -309,6 +309,36 @@ object Relational {
           countDistinct(col("l_partkey")).as("n_part"),
           count(lit(1)).as("n_rows"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // Range join (no native Spark support — a naive BETWEEN join plans
+    // as a nested-loop cartesian): points bucket-equi-join the intervals
+    // overlapping their bucket, exact BETWEEN filters after. Oracle is
+    // the plain BETWEEN join.
+    Q("q_join_range_bucketed",
+      """WITH pts AS (
+        |  SELECT o_orderkey % 50000 AS p, o_orderkey FROM orders),
+        |iv AS (
+        |  SELECT s_suppkey, (s_suppkey * 97) % 50000 AS lo,
+        |         (s_suppkey * 97) % 50000 + s_suppkey % 400 AS hi
+        |  FROM supplier)
+        |SELECT s_suppkey, count(*) AS n_pts,
+        |       cast(min(o_orderkey) AS bigint) AS min_key,
+        |       cast(max(o_orderkey) AS bigint) AS max_key
+        |FROM pts JOIN iv ON p BETWEEN lo AND hi
+        |GROUP BY 1 ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      val pts = t(s, dir, "orders")
+        .select(pmod(col("o_orderkey"), lit(50000)).as("p"), col("o_orderkey"))
+      val iv = t(s, dir, "supplier").select(
+        col("s_suppkey"),
+        pmod(col("s_suppkey") * 97, lit(50000)).as("lo"),
+        (pmod(col("s_suppkey") * 97, lit(50000)) + pmod(col("s_suppkey"), lit(400))).as("hi"))
+      RangeJoin.pointInInterval(pts, iv, pointCol = "p",
+          loCol = "lo", hiCol = "hi", bucketWidth = 256L)
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_pts"),
+          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("s_suppkey"))
     },
 
     // Sketch aggregates — the 100 TB path for distinct counts and

@@ -182,6 +182,24 @@ class NearestMatchSpec extends SparkSpec {
   }
 }
 
+class RangeJoinSpec extends SparkSpec {
+
+  test("bucketed point-in-interval equals the naive BETWEEN join, once per pair") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val pts = Seq.tabulate(500)(i => (i.toLong, rnd.nextInt(10000).toLong)).toDF("pid", "p")
+    val iv = Seq.tabulate(60) { i =>
+      val lo = rnd.nextInt(10000).toLong; (i.toLong, lo, lo + rnd.nextInt(700))
+    }.toDF("iid", "lo", "hi")
+    val fast = RangeJoin.pointInInterval(pts, iv, "p", "lo", "hi", bucketWidth = 256L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val naive = pts.join(iv, col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fast.length == fast.distinct.length) // exactly once per pair
+    assert(fast.sorted.toSeq == naive.sorted.toSeq)
+  }
+}
+
 class AsOfJoinSpec extends SparkSpec {
 
   test("as-of: latest earlier row wins, equal times match, no history gives null") {

@@ -24,6 +24,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("range join plans as an equi-join on the bucket, not a nested loop") {
+    val p = plan("q_join_range_bucketed")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "BETWEEN predicate must ride the bucket equi-join")
+  }
+
   test("revenue rollup: broadcast dims, pruned lineitem scan, no cartesian") {
     val p = plan("q_join_revenue_by_nation")
     assert(p.contains("BroadcastHashJoin"), "dims should broadcast")

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{RangeJoin, SaltedJoin}
+import graft.operators.{QuantileBinning, RangeJoin, SaltedJoin}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -309,6 +309,34 @@ object Relational {
           countDistinct(col("l_partkey")).as("n_part"),
           count(lit(1)).as("n_rows"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // Quantile discretization on exact percentiles (QuantileDiscretizer
+    // without the unreplayable sketch): quartile-bin order prices, roll
+    // up per bin. The oracle recomputes the boundaries with
+    // quantile_cont and the same strict-comparison assignment.
+    Q("q_feature_quantile_bins",
+      """WITH q AS (
+        |  SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+        |         quantile_cont(o_totalprice, 0.50) AS q2,
+        |         quantile_cont(o_totalprice, 0.75) AS q3
+        |  FROM orders)
+        |SELECT (CASE WHEN o_totalprice > q1 THEN 1 ELSE 0 END
+        |      + CASE WHEN o_totalprice > q2 THEN 1 ELSE 0 END
+        |      + CASE WHEN o_totalprice > q3 THEN 1 ELSE 0 END) AS bin,
+        |       count(*) AS n_orders,
+        |       round(min(o_totalprice), 2) AS min_price,
+        |       round(max(o_totalprice), 2) AS max_price
+        |FROM orders CROSS JOIN q
+        |GROUP BY 1 ORDER BY bin""".stripMargin) { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      val bs = QuantileBinning.bins(orders, "o_totalprice", numBins = 4)
+      orders
+        .groupBy(QuantileBinning.assignBin(col("o_totalprice"), bs).as("bin"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(min(col("o_totalprice")), 2).as("min_price"),
+          round(max(col("o_totalprice")), 2).as("max_price"))
+        .orderBy(col("bin"))
     },
 
     // Range join (no native Spark support — a naive BETWEEN join plans

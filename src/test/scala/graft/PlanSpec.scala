@@ -24,6 +24,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("as-of join plans as union + window — no join operator at all") {
+    val p = plan("q_join_asof_click")
+    assert(p.contains("Union") && p.contains("Window"))
+    assert(!p.contains("Join"), // no SortMerge/BroadcastHash/NestedLoop anywhere
+      "as-of must ride the tagged-union window, not a join")
+  }
+
   test("range join plans as an equi-join on the bucket, not a nested loop") {
     val p = plan("q_join_range_bucketed")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

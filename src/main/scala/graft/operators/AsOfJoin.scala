@@ -17,8 +17,14 @@ import org.apache.spark.sql.functions._
   * Right (key, time) pairs must be unique for a deterministic result —
   * pre-aggregate the right side otherwise (at equal times the window
   * would carry whichever sorted last).
+  *
+  * Reserved names: the left frame must not contain columns `_k`, `_t`,
+  * `_tag`, `_p`, or `asof` — the internals use the first four and the
+  * output adds the `asof` struct column (enforced by `require`).
   */
 object AsOfJoin {
+
+  private val Reserved = Set("_k", "_t", "_tag", "_p", "asof")
 
   /** @param payloadCols right-side columns carried to the output as one
     *                    nullable struct column `asof` (null = no earlier
@@ -26,6 +32,10 @@ object AsOfJoin {
     */
   def asOf(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, payloadCols: Seq[String]): DataFrame = {
+    val clash = left.columns.filter(Reserved.contains)
+    require(clash.isEmpty,
+      s"asOf: left columns ${clash.mkString(", ")} collide with reserved internal names " +
+        s"(${Reserved.mkString(", ")}) — rename them before joining")
     val l = left.select(
       col(key).as("_k") +: col(leftTime).as("_t") +: lit(1).as("_tag") +:
         left.columns.toSeq.map(c => col(c).as("_l_" + c)): _*)

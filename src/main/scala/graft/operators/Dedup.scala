@@ -293,15 +293,23 @@ object Dedup {
       val viaNbr = edges
         .join(labels.select(col("id").as("dst"), col("comp").as("nbr_comp")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nbr_comp")).as("nbr_comp"))
-      var next = labels.join(viaNbr, Seq("id"), "left_outer")
+      val cached = labels.join(viaNbr, Seq("id"), "left_outer")
         .select(col("id"), least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
         .persist(lvl)
       it += 1
       // lineage truncation: the logical plan otherwise nests one join per
-      // round — plan analysis/serialization grows linearly and a lost
-      // executor recomputes the whole chain. localCheckpoint every 5
-      // rounds bounds plan depth at O(5) joins for any cluster diameter.
-      if (it % 5 == 0) next = next.localCheckpoint(eager = true)
+      // round, so plan analysis/serialization grows linearly with cluster
+      // diameter. localCheckpoint every 5 rounds bounds plan depth at O(5)
+      // joins. (Trade-off: localCheckpoint stores blocks on executors and
+      // DISCARDS lineage, so an executor loss fails the job instead of
+      // recomputing — use reliable checkpoint() on a shared FS in
+      // production. The win here is plan size, not fault tolerance.)
+      // The checkpointed copy replaces the persisted one, which is
+      // released immediately — otherwise one cached label set would leak
+      // per 5 iterations in long-lived sessions.
+      val next =
+        if (it % 5 == 0) { val cp = cached.localCheckpoint(eager = true); cached.unpersist(); cp }
+        else cached
       val nsig = sigOf(next)
       converged = nsig == sig
       sig = nsig

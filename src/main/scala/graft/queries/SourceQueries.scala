@@ -119,7 +119,10 @@ object SourceQueries {
     // against the arithmetic oracle closes the loop over the BINARY
     // ingestion path, not just the XML parse. The driver loop writes one
     // fixture archive per nation (bounded by the 25-row nation table,
-    // not by data volume).
+    // not by data volume). Fixtures go to the driver's local tmp dir and
+    // are read back via binaryFile — valid in local mode only; on a real
+    // cluster write fixtures through the Hadoop FileSystem API to a
+    // shared path so executors can see them.
     Q("q_source_kmz_roundtrip", kmlRollupOracle) { (s, dir) =>
       val d = new java.io.File(tmp(dir, "kmzrt"))
       d.mkdirs()

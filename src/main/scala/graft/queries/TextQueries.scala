@@ -309,7 +309,7 @@ object TextQueries {
          |  FROM sized)
          |SELECT cast(shard AS bigint) AS shard,
          |       cast(floor(start_tok / 2048) AS bigint) AS bin,
-         |       count(*) AS n_docs, sum(n_tokens) AS bin_tokens,
+         |       count(*) AS n_docs, cast(sum(n_tokens) AS bigint) AS bin_tokens,
          |       cast(min(doc_id) AS bigint) AS first_doc
          |FROM placed GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin) { (s, dir) =>
       val sized = t(s, dir, "documents")

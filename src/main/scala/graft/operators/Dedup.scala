@@ -104,6 +104,42 @@ object Dedup {
       maxBucketSize: Int = 1000, seed: Long = 42L,
       oracleHashes: Boolean = false): DataFrame = {
     val k = bands * rowsPerBand
+    val banded = minHashBanded(docs, n, bands, rowsPerBand, idCol, textCol, seed, oracleHashes)
+      // persist: consumed by the bucket-size cap and both join sides —
+      // the k-way minhash aggregation upstream is the expensive part
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // cap pathological buckets (all-identical boilerplate) to bound skew —
+    // aggregated bucket sizes + broadcast anti-join, NOT a window (same
+    // no-partial-agg reasoning as the shingle df cap above)
+    val bucketed = banded.join(
+      broadcast(overCapBuckets(banded, maxBucketSize)), Seq("band", "bhash"), "left_anti")
+
+    val pairs = bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    pairs
+      .withColumn("est_jaccard", estJaccard(k))
+      .filter(col("est_jaccard") >= estThreshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** Banded MinHash signature table: `(doc_id, sig, band, bhash)` — one
+    * row per (document, band). This is the STORABLE index of the LSH
+    * pipeline: at corpus scale it is written once (partitioned or
+    * bucketed by `(band, bhash)`) and reused by every subsequent
+    * [[minHashLshPairs]]-style self-join or [[deltaMinHashPairs]] probe,
+    * so ingesting new data never re-reads or re-hashes historical text.
+    */
+  def minHashBanded(docs: DataFrame, n: Int, bands: Int, rowsPerBand: Int,
+      idCol: String = "doc_id", textCol: String = "text", seed: Long = 42L,
+      oracleHashes: Boolean = false): DataFrame = {
+    val k = bands * rowsPerBand
     // Relational minhash: explode shingles once, hash each shingle k ways
     // in a codegen'd projection, take k map-side-combined min aggregates.
     // (The array-lambda formulation — min over transform(...) per
@@ -148,7 +184,7 @@ object Dedup {
 
     val bandKey: Column => Column =
       if (oracleHashes) s => md5(s.cast("binary")) else s => xxhash64(s)
-    val banded = sigs.select(
+    sigs.select(
       col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
@@ -157,34 +193,62 @@ object Dedup {
               x => x.cast("string"))))
             .as("bhash")))).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
-      // persist: consumed by the bucket-size cap and both join sides —
-      // the k-way minhash aggregation upstream is the expensive part
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
 
-    // cap pathological buckets (all-identical boilerplate) to bound skew —
-    // aggregated bucket sizes + broadcast anti-join, NOT a window (same
-    // no-partial-agg reasoning as the shingle df cap above)
-    val overCap = banded.groupBy(col("band"), col("bhash"))
+  /** Incremental corpus dedup: near-dup matches of a NEW document batch
+    * against an already-signed corpus index — the daily-ingest shape at
+    * 100 TB. The historical corpus is hashed ONCE into a stored
+    * [[minHashBanded]] table; each arriving batch is signed (cost ∝
+    * batch size) and probed with a `(band, bhash)` equi-join (cost ∝
+    * colliding buckets), never re-reading corpus text. Ids must be
+    * disjoint across the two inputs. Pathological index buckets
+    * (boilerplate floods) are dropped by aggregated size + broadcast
+    * anti-join from BOTH sides — removing them from the delta too is a
+    * pure optimization (their index rows are gone, so those delta rows
+    * could never pair). The delta side is typically orders of magnitude
+    * smaller than the index; Spark broadcasts it when its stats allow.
+    *
+    * @param indexBanded a [[minHashBanded]] table for the corpus (read
+    *                    from storage in production)
+    * @return (new_id, dup_of, est_jaccard) — delta docs estimated ≥
+    *         `estThreshold` Jaccard-similar to an indexed doc
+    */
+  def deltaMinHashPairs(indexBanded: DataFrame, deltaDocs: DataFrame, n: Int,
+      bands: Int, rowsPerBand: Int, estThreshold: Double,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxBucketSize: Int = 1000, seed: Long = 42L,
+      oracleHashes: Boolean = false): DataFrame = {
+    val k = bands * rowsPerBand
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // persist: the index feeds the bucket-size cap and the probe join
+    val idx = indexBanded.persist(lvl)
+    val overCap = broadcast(overCapBuckets(idx, maxBucketSize))
+    val idxKept = idx.join(overCap, Seq("band", "bhash"), "left_anti")
+    val delta = minHashBanded(deltaDocs, n, bands, rowsPerBand, idCol, textCol,
+        seed, oracleHashes)
+      .join(overCap, Seq("band", "bhash"), "left_anti")
+    delta.as("d")
+      .join(idxKept.as("x"),
+        col("d.band") === col("x.band") && col("d.bhash") === col("x.bhash"))
+      .select(col("d.doc_id").as("new_id"), col("x.doc_id").as("dup_of"),
+        col("d.sig").as("sig_a"), col("x.sig").as("sig_b"))
+      .dropDuplicates("new_id", "dup_of")
+      .withColumn("est_jaccard", estJaccard(k))
+      .filter(col("est_jaccard") >= estThreshold)
+      .select("new_id", "dup_of", "est_jaccard")
+  }
+
+  /** Buckets larger than `maxBucketSize` in a banded signature table. */
+  private def overCapBuckets(banded: DataFrame, maxBucketSize: Int): DataFrame =
+    banded.groupBy(col("band"), col("bhash"))
       .agg(count(lit(1)).as("_bsz"))
       .filter(col("_bsz") > maxBucketSize)
       .select(col("band"), col("bhash"))
-    val bucketed = banded.join(broadcast(overCap), Seq("band", "bhash"), "left_anti")
 
-    val pairs = bucketed.as("a")
-      .join(bucketed.as("b"),
-        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .dropDuplicates("id_a", "id_b")
-
-    pairs
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
-          .cast("double") / k)
-      .filter(col("est_jaccard") >= estThreshold)
-      .select("id_a", "id_b", "est_jaccard")
-  }
+  /** Estimated Jaccard = fraction of equal components of sig_a/sig_b. */
+  private def estJaccard(k: Int): Column =
+    size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+      .cast("double") / k
 
   /** SimHash near-duplicate pairs: 64-bit fingerprints compared within
     * LSH blocks. By pigeonhole, two fingerprints within hamming distance

@@ -2,7 +2,8 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{DateFeatures, GeoFunctions, SolarFeatures}
-import graft.operators.{DensifyMatch, IdwInterpolation, NearestMatch}
+import graft.operators.{DensifyMatch, IdwInterpolation, NearestMatch, ZOrder}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -147,6 +148,63 @@ object Geo {
 
     // F8 solar geometry (reference src/solar_features.py:6-79) over the
     // events table, coordinates derived from user_id.
+    // Z-order (Morton) layout clustering: customers quantized to a
+    // 256×256 cell grid, keyed by the interleaved-bit z-value, cut into
+    // 50-row blocks (a stand-in for files/row-groups), and the per-block
+    // cell bounding box measured — against the same blocks under naive
+    // key order. Z-order block boxes are compact in BOTH dimensions
+    // (that is the pruning win the layout buys at scale); the window
+    // here only SIMULATES the layout for measurement — the production
+    // write path is ZOrder.repartitionByZ (repartitionByRange + sorted
+    // files), which needs no global window. All-integer bit arithmetic
+    // after one deterministic quantization ⇒ exact oracle replay.
+    Q("q_geo_zorder_layout", {
+      val zTerms = (0 until 8).map(i =>
+        s"(((cx >> $i) & 1) << ${2 * i}) + (((cy >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      def cellSql(v: String, lo: Double, span: Double) =
+        s"CAST(least(greatest(floor(($v - ($lo)) / $span * 256.0), 0.0), 255.0) AS BIGINT)"
+      s"""WITH pts AS (
+         |  SELECT c_custkey,
+         |         ${cellSql(custLonSql, -74.0, 1.0)} AS cx,
+         |         ${cellSql(custLatSql, 45.0, 1.0)} AS cy
+         |  FROM customer),
+         |pz AS (SELECT *, $zTerms AS z FROM pts),
+         |zb AS (SELECT *, row_number() OVER (ORDER BY z, c_custkey) AS rn FROM pz),
+         |kb AS (SELECT *, row_number() OVER (ORDER BY c_custkey) AS rn FROM pz),
+         |zs AS (
+         |  SELECT 'zorder' AS layout, CAST(floor((rn - 1) / 50.0) AS BIGINT) AS block,
+         |         count(*) AS n_pts,
+         |         max(cx) - min(cx) + 1 AS x_span, max(cy) - min(cy) + 1 AS y_span
+         |  FROM zb GROUP BY 1, 2),
+         |ks AS (
+         |  SELECT 'keyorder' AS layout, CAST(floor((rn - 1) / 50.0) AS BIGINT) AS block,
+         |         count(*) AS n_pts,
+         |         max(cx) - min(cx) + 1 AS x_span, max(cy) - min(cy) + 1 AS y_span
+         |  FROM kb GROUP BY 1, 2)
+         |SELECT * FROM zs UNION ALL SELECT * FROM ks
+         |ORDER BY layout, block""".stripMargin
+    }) { (s, dir) =>
+      val bits = 8
+      val cells = t(s, dir, "customer")
+        .select(col("c_custkey"),
+          ZOrder.cellId(custLon, -74.0, -73.0, bits).as("cx"),
+          ZOrder.cellId(custLat, 45.0, 46.0, bits).as("cy"))
+        .withColumn("z", ZOrder.interleave(col("cx"), col("cy"), bits))
+      def blockStats(ord: Column, layout: String): DataFrame =
+        cells
+          .withColumn("rn", row_number().over(Window.orderBy(ord, col("c_custkey"))))
+          .withColumn("block", floor((col("rn") - 1) / 50.0))
+          .groupBy(col("block"))
+          .agg(count(lit(1)).as("n_pts"),
+            (max(col("cx")) - min(col("cx")) + 1).as("x_span"),
+            (max(col("cy")) - min(col("cy")) + 1).as("y_span"))
+          .withColumn("layout", lit(layout))
+      blockStats(col("z"), "zorder")
+        .unionByName(blockStats(col("c_custkey"), "keyorder"))
+        .orderBy(col("layout"), col("block"))
+    },
+
     Q("q_solar_elevation",
       s"""SELECT event_id,
          |       round(degrees(asin(greatest(least(

@@ -224,6 +224,58 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Incremental dedup: delta batch (doc_id % 5 = 0) probed against the
+    // banded signature INDEX of the rest of the corpus (deltaMinHashPairs
+    // — the daily-ingest shape where the corpus is hashed once and only
+    // new batches are signed). Same md5 Kirsch–Mitzenmacher family as
+    // q_dedup_minhash_lsh; the oracle replays signatures, banding, the
+    // index-side bucket cap, and the asymmetric probe join. The
+    // delta-side cap in the operator is drop-equivalent (capped buckets
+    // have no index rows left to pair with), so the oracle needs only
+    // the index-side cap.
+    Q("q_dedup_delta_index",
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len($toksSql) < 3 THEN CAST([] AS VARCHAR[])
+         |         ELSE list_transform(range(len($toksSql) - 2),
+         |                i -> array_to_string($toksSql[i + 1 : i + 3], ' ')) END)) AS shingle
+         |  FROM documents),
+         |hh AS (
+         |  SELECT doc_id,
+         |         ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS h1,
+         |         ('0x' || substr(md5(shingle), 16, 15))::BIGINT % 2147483647 AS h2
+         |  FROM sh),
+         |hx AS (
+         |  SELECT doc_id, s.i AS i, min((h1 + s.i * h2) % 2147483647) AS mh
+         |  FROM hh CROSS JOIN (SELECT unnest(range(32)) AS i) s
+         |  GROUP BY 1, 2),
+         |sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM hx GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, sig, b.b AS band,
+         |         md5(array_to_string(list_transform(sig[b.b * 4 + 1 : b.b * 4 + 4],
+         |               x -> cast(x AS VARCHAR)), ',')) AS bhash
+         |  FROM sig CROSS JOIN (SELECT unnest(range(8)) AS b) b),
+         |idx AS (
+         |  SELECT * FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY band, bhash) AS bsz
+         |    FROM banded WHERE doc_id % 5 <> 0)
+         |  WHERE bsz <= 1000),
+         |scored AS (
+         |  SELECT DISTINCT d.doc_id AS new_id, x.doc_id AS dup_of,
+         |         cast(len(list_filter(range(32), i -> d.sig[i + 1] = x.sig[i + 1])) AS double) / 32
+         |           AS est_jaccard
+         |  FROM (SELECT * FROM banded WHERE doc_id % 5 = 0) d
+         |  JOIN idx x ON d.band = x.band AND d.bhash = x.bhash)
+         |SELECT new_id, dup_of, est_jaccard FROM scored
+         |WHERE est_jaccard >= 0.2 ORDER BY new_id, dup_of""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val indexBanded = Dedup.minHashBanded(docs.filter(col("doc_id") % 5 =!= 0),
+        n = 3, bands = 8, rowsPerBand = 4, oracleHashes = true)
+      Dedup.deltaMinHashPairs(indexBanded, docs.filter(col("doc_id") % 5 === 0),
+          n = 3, bands = 8, rowsPerBand = 4, estThreshold = 0.2, oracleHashes = true)
+        .orderBy(col("new_id"), col("dup_of"))
+    },
+
     // SimHash near-dup pairs, md5 60-bit hash family. The oracle is the
     // BRUTE-FORCE all-pairs hamming join — hash equality therefore also
     // proves the pigeonhole block decomposition (maxHamming=3 → 4

@@ -138,6 +138,49 @@ object VectorMlQueries {
         .orderBy(col("label"))
     },
 
+    // Int8 scalar quantization of the embedding corpus (float32 → 1
+    // byte/dim storage): per-dimension min/max codebook in one aggregate
+    // pass, codes + reconstruction errors per row in codegen'd array
+    // transforms. The oracle replays codebook, code arithmetic, and
+    // dequantization element-wise — sum_codes is an EXACT integer gate
+    // over every code in the corpus, max_abs_err an order-independent
+    // double gate; mean_abs_err follows house rounding (4 dp).
+    Q("q_vector_quantize_int8",
+      """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |ex AS (SELECT vec_id, label, generate_subscripts(v, 1) AS pos, unnest(v) AS x
+        |       FROM v),
+        |cb AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM ex GROUP BY pos),
+        |codes AS (
+        |  SELECT vec_id, label, x, mn, mx,
+        |         CAST(least(greatest(
+        |             CASE WHEN mx = mn THEN 0.0
+        |                  ELSE floor((x - mn) * 255.0 / (mx - mn) + 0.5) END,
+        |             0.0), 255.0) AS BIGINT) AS code
+        |  FROM ex JOIN cb USING (pos)),
+        |errs AS (
+        |  SELECT vec_id, label, code,
+        |         abs(x - (CASE WHEN mx = mn THEN mn
+        |                       ELSE mn + code * (mx - mn) / 255.0 END)) AS err
+        |  FROM codes)
+        |SELECT cast(label AS int) AS label,
+        |       cast(count(DISTINCT vec_id) AS bigint) AS n_vecs,
+        |       cast(sum(code) AS bigint) AS sum_codes,
+        |       round(max(err), 6) AS max_abs_err,
+        |       round(sum(err) / (64 * count(DISTINCT vec_id)), 4) AS mean_abs_err
+        |FROM errs GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
+      import graft.operators.VectorQuantization
+      val q = VectorQuantization.quantizeWithError(
+        t(s, dir, "embeddings").select(col("vec_id"), col("label"),
+          VectorFunctions.toDoubleArray(col("embedding")).as("v")),
+        vecCol = "v")
+      q.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("code_sum")).as("sum_codes"),
+          round(max(col("err_max")), 6).as("max_abs_err"),
+          round(sum(col("err_sum")) / (lit(64) * count(lit(1))), 4).as("mean_abs_err"))
+        .orderBy(col("label"))
+    },
+
     // Brute-force exact cosine top-k (query side broadcast; corpus
     // streams once, per-group window limit keeps k rows pre-shuffle).
     Q("q_ann_brute_topk", {

@@ -153,6 +153,119 @@ class DedupSpec extends SparkSpec {
       assert(math.abs(est(k) - exact(k)) < 0.35, s"pair $k est=${est(k)} true=${exact(k)}")
     }
   }
+
+  test("delta-vs-index probe finds exactly the cross-split self-join pairs (xxhash64)") {
+    val s = spark
+    val docs = Tables.load(s, TestSpark.sf0001, "documents").select("doc_id", "text")
+    val isDelta = col("doc_id") % 5 === 0
+    val indexBanded = Dedup.minHashBanded(docs.filter(!isDelta),
+      n = 3, bands = 8, rowsPerBand = 4)
+    val delta = Dedup.deltaMinHashPairs(indexBanded, docs.filter(isDelta),
+        n = 3, bands = 8, rowsPerBand = 4, estThreshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // no bucket hits the cap at this scale, so the asymmetric probe must
+    // equal the cross-split subset of the full self-join pipeline
+    val full = Dedup.minHashLshPairs(docs, n = 3, bands = 8, rowsPerBand = 4,
+        estThreshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .filter { case ((a, b), _) => (a % 5 == 0) != (b % 5 == 0) }
+      .map { case ((a, b), j) => (if (a % 5 == 0) (a, b) else (b, a)) -> j }
+      .toMap
+    assert(delta == full, s"delta=${delta.size} cross-split=${full.size}")
+    assert(delta.nonEmpty, "expected at least one cross-split near-dup at sf0.001")
+  }
+}
+
+class ZOrderSpec extends SparkSpec {
+  import graft.operators.ZOrder
+
+  test("interleave matches a bit-twiddling reference on the full 6-bit grid") {
+    val s = spark; import s.implicits._
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    val grid = for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)
+    val got = grid.toDF("x", "y")
+      .select(col("x"), col("y"), ZOrder.interleave(col("x"), col("y"), 6).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    grid.foreach { case (x, y) => assert(got((x, y)) == ref(x, y, 6)) }
+  }
+
+  test("cellId clamps to [0, 2^bits) including the upper boundary") {
+    val s = spark; import s.implicits._
+    val vals = Seq(-5.0, 0.0, 0.5, 0.999, 1.0, 7.3).toDF("v")
+      .select(ZOrder.cellId(col("v"), 0.0, 1.0, 4).as("c")).collect().map(_.getLong(0))
+    assert(vals.toSeq == Seq(0L, 0L, 8L, 15L, 15L, 15L))
+  }
+
+  test("z-order blocks are tighter than key-order blocks on clustered points") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(3)
+    val pts = Seq.tabulate(2000)(i =>
+      (i.toLong, rnd.nextDouble(), rnd.nextDouble())).toDF("id", "x", "y")
+      .select(col("id"), ZOrder.cellId(col("x"), 0.0, 1.0, 8).as("cx"),
+        ZOrder.cellId(col("y"), 0.0, 1.0, 8).as("cy"))
+      .withColumn("z", ZOrder.interleave(col("cx"), col("cy"), 8))
+    def meanBlockArea(ord: org.apache.spark.sql.Column): Double = pts
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(ord, col("id"))))
+      .withColumn("blk", floor((col("rn") - 1) / 50.0))
+      .groupBy("blk")
+      .agg(((max(col("cx")) - min(col("cx")) + 1) *
+        (max(col("cy")) - min(col("cy")) + 1)).as("area"))
+      .agg(avg(col("area"))).head.getDouble(0)
+    val zArea = meanBlockArea(col("z"))
+    val kArea = meanBlockArea(col("id"))
+    // uniform random ids: key-order blocks span the whole 256×256 space;
+    // z-order blocks must be at least 4× tighter
+    assert(zArea * 4 < kArea, s"z=$zArea key=$kArea")
+  }
+
+  test("repartitionByZ yields non-overlapping sorted z-ranges per partition") {
+    val s = spark; import s.implicits._
+    val pts = Seq.tabulate(1000)(i => (i.toLong, (i * 2654435761L) % 997 / 997.0,
+      (i * 40503L) % 991 / 991.0)).toDF("id", "x", "y")
+    val z = ZOrder.zValue(col("x"), 0.0, 1.0, col("y"), 0.0, 1.0, 8)
+    val parts = ZOrder.repartitionByZ(pts, z, 8)
+      .select(spark_partition_id().as("pid"), col("zval"))
+      .groupBy("pid").agg(min("zval").as("lo"), max("zval").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    parts.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2, parts.mkString(","))
+      case _ =>
+    }
+  }
+}
+
+class VectorQuantizationSpec extends SparkSpec {
+  import graft.operators.VectorQuantization
+
+  test("int8 round trip: codes in range, reconstruction within half a step per dim") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(17)
+    val vecs = Seq.tabulate(300)(i =>
+      (i.toLong, Array.fill(16)(rnd.nextDouble() * 4 - 2))).toDF("id", "v")
+    val q = VectorQuantization.quantizeWithError(vecs, "v").persist()
+    val rows = q.select(col("codes"), col("err_max")).collect()
+    rows.foreach { r =>
+      val codes = r.getSeq[Int](0)
+      assert(codes.forall(c => c >= -128 && c <= 127), codes.mkString(","))
+    }
+    // per-dim step = (mx-mn)/255; rounding-to-nearest error ≤ step/2.
+    // dims span ≤ 4 ⇒ err_max ≤ 4/255/2 (+ float slack)
+    val worst = rows.map(_.getDouble(1)).max
+    assert(worst <= 4.0 / 255 / 2 + 1e-12, s"worst=$worst")
+    q.unpersist()
+  }
+
+  test("constant dimension quantizes to code -128 with zero error") {
+    val s = spark; import s.implicits._
+    val vecs = Seq((1L, Array(3.5, 0.0)), (2L, Array(3.5, 1.0))).toDF("id", "v")
+    val got = VectorQuantization.quantizeWithError(vecs, "v")
+      .select(col("id"), col("codes"), col("err_max")).collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Int](1), r.getDouble(2))).toMap
+    assert(got(1L)._1.head == -128 && got(2L)._1.head == -128)
+    assert(got(1L)._2 == 0.0) // both dims exactly representable
+  }
 }
 
 class NearestMatchSpec extends SparkSpec {

@@ -47,6 +47,30 @@ object SimilaritySearch {
       .select(col(queryId), col(corpusId), col("cosine"), col("rk"))
   }
 
+  /** Symmetric-distance ANN over int8 codes (SDC): rank by the exact
+    * integer dot product of [[VectorQuantization]] codes. At corpus
+    * scale this is the cheap first-stage scan — it reads ¼ the bytes of
+    * float32 and its hot loop is integer multiply-add — typically
+    * followed by exact re-ranking of the survivors; recall against the
+    * float ranking (q_ann_quantized_recall) is the quality metric of the
+    * uniform-scale approximation. Integer scores make the ranking
+    * bit-exact and externally replayable, unlike float-sum orderings.
+    */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      queryId: String = "query_id", corpusId: String = "vec_id",
+      queryCodes: String = "qcodes", corpusCodes: String = "codes"): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col(queryId) =!= col(corpusId))
+      .withColumn("idot",
+        aggregate(zip_with(col(queryCodes), col(corpusCodes),
+          (x, y) => (x * y).cast("long")), lit(0L), (acc, p) => acc + p))
+    TopK.perGroup(scored,
+        partitionBy = Seq(col(queryId)),
+        orderBy = Seq(col("idot").desc, col(corpusId)),
+        k = k)
+      .select(col(queryId), col(corpusId), col("idot"), col("rk"))
+  }
+
   /** IVF-bucketed ANN: probe `nProbe` of the centroid partitions.
     * Centroids are the corpus vectors with id ≡ 0 (mod `centroidStep`) —
     * a deterministic stand-in for k-means at equal plan shape (a real

@@ -181,6 +181,83 @@ object VectorMlQueries {
         .orderBy(col("label"))
     },
 
+    // Quantized first-stage ANN (SDC): rank by the exact integer dot
+    // product of int8 codes — the ¼-bytes scan that precedes exact
+    // re-ranking at scale — and score its top-5 recall against the
+    // float cosine ranking per query. Both rankings are deterministic
+    // (integer scores; tie-break on vec_id), so recall itself is
+    // oracle-replayed, not just bounded.
+    Q("q_ann_quantized_recall", {
+      val cos = cosSql("eq.qv", "ec.cv")
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |ex AS (SELECT vec_id, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM v),
+        |cb AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM ex GROUP BY pos),
+        |codes AS (
+        |  SELECT vec_id, pos,
+        |         CAST(least(greatest(
+        |             CASE WHEN mx = mn THEN 0.0
+        |                  ELSE floor((x - mn) * 255.0 / (mx - mn) + 0.5) END,
+        |             0.0), 255.0) AS BIGINT) - 128 AS code
+        |  FROM ex JOIN cb USING (pos)),
+        |cl AS (SELECT vec_id, list(code ORDER BY pos) AS codes FROM codes GROUP BY vec_id),
+        |qtop AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id,
+        |           row_number() OVER (PARTITION BY q.vec_id
+        |             ORDER BY list_dot_product(q.codes::DOUBLE[], c.codes::DOUBLE[]) DESC,
+        |                      c.vec_id) AS rk
+        |    FROM (SELECT * FROM cl WHERE vec_id < 8) q
+        |    JOIN cl c ON c.vec_id != q.vec_id)
+        |  WHERE rk <= 5),
+        |eq AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |       FROM embeddings WHERE vec_id < 8),
+        |ec AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |etop AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT eq.query_id, ec.vec_id,
+        |           row_number() OVER (PARTITION BY eq.query_id
+        |             ORDER BY """.stripMargin + cos + """ DESC, ec.vec_id) AS rk
+        |    FROM eq CROSS JOIN ec WHERE eq.query_id != ec.vec_id)
+        |  WHERE rk <= 5),
+        |hits AS (
+        |  SELECT q.query_id, count(*) AS n
+        |  FROM qtop q JOIN etop e USING (query_id, vec_id) GROUP BY 1)
+        |SELECT q.query_id, cast(coalesce(n, 0) AS int) AS n_hits,
+        |       cast(coalesce(n, 0) AS double) / 5.0 AS recall5
+        |FROM (SELECT DISTINCT query_id FROM qtop) q
+        |LEFT JOIN hits USING (query_id)
+        |ORDER BY query_id""".stripMargin
+    }) { (s, dir) =>
+      import graft.operators.{SimilaritySearch, VectorQuantization}
+      val emb = t(s, dir, "embeddings")
+      // persist: the coded corpus feeds the (broadcast) query side and
+      // the corpus scan of the quantized ranking
+      val coded = VectorQuantization.quantizeWithError(
+          emb.select(col("vec_id"), VectorFunctions.toDoubleArray(col("embedding")).as("v")),
+          vecCol = "v")
+        .select(col("vec_id"), col("codes"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val qtop = SimilaritySearch.quantizedTopK(
+        coded.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("codes").as("qcodes")),
+        coded, k = 5)
+      val etop = SimilaritySearch.bruteForceTopK(
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+        emb, k = 5)
+      val hits = qtop.as("q")
+        .join(etop.as("e"),
+          col("q.query_id") === col("e.query_id") && col("q.vec_id") === col("e.vec_id"))
+        .groupBy(col("q.query_id"))
+        .agg(count(lit(1)).as("n"))
+      qtop.select(col("query_id")).distinct()
+        .join(hits, Seq("query_id"), "left_outer")
+        .select(col("query_id"),
+          coalesce(col("n"), lit(0L)).cast("int").as("n_hits"),
+          (coalesce(col("n"), lit(0L)).cast("double") / 5.0).as("recall5"))
+        .orderBy(col("query_id"))
+    },
+
     // Brute-force exact cosine top-k (query side broadcast; corpus
     // streams once, per-group window limit keeps k rows pre-shuffle).
     Q("q_ann_brute_topk", {

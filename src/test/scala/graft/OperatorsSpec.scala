@@ -257,6 +257,28 @@ class VectorQuantizationSpec extends SparkSpec {
     q.unpersist()
   }
 
+  test("quantized SDC ranking recalls most of the exact cosine top-5") {
+    val s = spark
+    import graft.operators.SimilaritySearch
+    val emb = Tables.load(s, TestSpark.sf0001, "embeddings")
+    val coded = VectorQuantization.quantizeWithError(
+        emb.select(col("vec_id"),
+          graft.functions.VectorFunctions.toDoubleArray(col("embedding")).as("v")), "v")
+      .select(col("vec_id"), col("codes")).persist()
+    val qtop = SimilaritySearch.quantizedTopK(
+        coded.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("codes").as("qcodes")),
+        coded, k = 5)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val etop = SimilaritySearch.bruteForceTopK(
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv")), emb, k = 5)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    coded.unpersist()
+    val recall = (qtop intersect etop).size.toDouble / etop.size
+    assert(recall >= 0.6, s"quantized recall $recall")
+  }
+
   test("constant dimension quantizes to code -128 with zero error") {
     val s = spark; import s.implicits._
     val vecs = Seq((1L, Array(3.5, 0.0)), (2L, Array(3.5, 1.0))).toDF("id", "v")

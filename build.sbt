@@ -34,5 +34,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32g default (machine has 128g): at 8g the MEMORY_AND_DISK persists
+  // of the heavy dedup/geo queries fought execution memory for the
+  // ~5 GB unified region and evicted each other — the round-7 driver
+  // bench measured the SAME code 2-6x slower than an idle local run
+  // purely from that eviction churn (trivial queries matched to the ms,
+  // persist-heavy ones blew up: densify-rematch 4.6s -> 25s).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

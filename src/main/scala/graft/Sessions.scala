@@ -19,9 +19,12 @@ object Sessions {
   /** `local[cpus]` session with the engine's required configuration.
     * Shuffle partitions default to the cpu count — sized for single-node
     * local mode; a cluster deployment would raise it to ~2-3× total
-    * cores.
+    * cores. Default = all machine cores (the stated runtime contract is
+    * local[32] on a 32-cpu box; the old hard default of 4 silently ran
+    * every driver bench at 1/8 the machine).
     */
-  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"),
+  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+        Runtime.getRuntime.availableProcessors().toString),
       appName: String = "graft"): SparkSession =
     configure(SparkSession.builder().master(s"local[$cpus]").appName(appName), cpus)
       .getOrCreate()

@@ -138,4 +138,23 @@ object TextFunctions {
   }
 
   def langId(text: Column): Column = langIdFromTokens(tokens(text))
+
+  /** PII scrubbing patterns — kept to RE2-compatible syntax (no
+    * backreferences / lookaround) so external engines replay them
+    * identically.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val longDigitsRe = "[0-9]{6,}"
+
+  /** Number of matches of `re` in the text. */
+  def matchCount(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0)))
+
+  /** Text with emails replaced by `<EMAIL>` then long digit runs (6+,
+    * i.e. phone/account/SSN-shaped) by `<NUM>` — order matters, the email
+    * pass must see the original local parts. Pure codegen'd regexps: the
+    * scrub runs in the scan projection at corpus scale.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"), longDigitsRe, "<NUM>")
 }

@@ -44,10 +44,14 @@ object DensifyMatch {
 
     def accToPoint: Column =
       haversineMeters(col(accLat), col(accLon), col("_p_lat"), col("_p_lon"))
-    // deterministic total order: distance, then street, then point
+    // deterministic total order: distance, then street, then point.
+    // The distance is projected to `_d` FIRST and the window orders by
+    // that column — ordering by the haversine expression directly would
+    // re-evaluate the 4-trig formula inside the sort on every comparison
+    // row in addition to the projection.
     def nearestPoint(cands: DataFrame): DataFrame = {
       val w = Window.partitionBy(col(accId))
-        .orderBy(accToPoint, col(streetId), col("_p_lat"), col("_p_lon"))
+        .orderBy(col("_d"), col(streetId), col("_p_lat"), col("_p_lon"))
       cands.withColumn("_d", accToPoint)
         .withColumn("_rk", row_number().over(w))
         .filter(col("_rk") === 1)

@@ -171,6 +171,29 @@ object SourceQueries {
         .orderBy(col("r_key"))
     },
 
+    // Hive-style partitioned layout + partition pruning: documents
+    // written `partitionBy(lang)`, read back with a two-partition filter.
+    // At 100 TB this directory pruning is what turns a corpus-wide scan
+    // into reading only the matching partitions — the filter never
+    // touches file contents (PlanSpec asserts the scan's PartitionFilters
+    // carries the predicate). Oracle computes the same rollup from the
+    // ORIGINAL table, so hash equality proves the layout round-trips
+    // values AND the partition column (restored from directory names).
+    Q("q_source_partitioned_prune",
+      """SELECT lang, cast(count(*) AS int) AS n_docs,
+        |       cast(sum(n_chars) AS bigint) AS sum_chars
+        |FROM documents WHERE lang IN ('en', 'fr')
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val path = tmp(dir, "partdocs")
+      t(s, dir, "documents").write.mode("overwrite").partitionBy("lang").parquet(path)
+      s.read.parquet(path)
+        .filter(col("lang").isin("en", "fr"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("int").as("n_docs"),
+          sum(col("n_chars")).cast("bigint").as("sum_chars"))
+        .orderBy(col("lang"))
+    },
+
     // P11/O3: deterministic global top-n via ORDER BY + LIMIT (Spark
     // plans TakeOrderedAndProject — no full sort materialization).
     Q("q_limit_top_orders",

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{CorpusPacking, Dedup, Multimodal, TopK}
+import graft.operators.{Chunking, Contamination, CorpusPacking, Dedup, MixtureSampler, Multimodal, RepetitionScore, TopK}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -445,6 +445,168 @@ object TextQueries {
         Multimodal.encodePayload(
           bytes % 640 + 16, (bytes * 7) % 480 + 16, col("text")).as("payload"))
       Multimodal.extractMeta(payloads).orderBy(col("doc_id"))
+    },
+
+    // Repetition-based quality signals (Gopher-style): duplicated-bigram
+    // fraction (pure array expression) + most-frequent-token fraction
+    // (explode → two map-side-combined aggs). The `repetitive` flag is
+    // derived from the ROUNDED fractions on both sides so the boolean can
+    // never disagree through float noise.
+    Q("q_text_repetition",
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |bstat AS (
+         |  SELECT doc_id, cast(len(bgs) AS int) AS n_bigrams,
+         |         round(CASE WHEN len(bgs) = 0 THEN 0.0
+         |               ELSE 1.0 - cast(len(list_distinct(bgs)) AS double) / len(bgs) END, 4)
+         |           AS dup_bigram_frac
+         |  FROM (SELECT doc_id,
+         |          CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+         |               ELSE list_transform(range(len(toks) - 1),
+         |                      i -> array_to_string(toks[i + 1 : i + 2], ' ')) END AS bgs
+         |        FROM tk)),
+         |tstat AS (
+         |  SELECT doc_id, cast(sum(n) AS int) AS n_tokens,
+         |         round(cast(max(n) AS double) / sum(n), 4) AS top_token_frac
+         |  FROM (SELECT doc_id, tok, count(*) AS n
+         |        FROM (SELECT doc_id, unnest(toks) AS tok FROM tk) GROUP BY 1, 2)
+         |  GROUP BY doc_id)
+         |SELECT b.doc_id, n_bigrams, dup_bigram_frac, n_tokens, top_token_frac,
+         |       (dup_bigram_frac > 0.2 OR top_token_frac > 0.2) AS repetitive
+         |FROM bstat b JOIN tstat t ON b.doc_id = t.doc_id
+         |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+      RepetitionScore.score(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          col("n_bigrams").cast("int").as("n_bigrams"),
+          round(col("dup_bigram_frac"), 4).as("dup_bigram_frac"),
+          col("n_tokens").cast("int").as("n_tokens"),
+          round(col("top_token_frac"), 4).as("top_token_frac"))
+        .withColumn("repetitive",
+          col("dup_bigram_frac") > 0.2 || col("top_token_frac") > 0.2)
+        .orderBy(col("doc_id"))
+    },
+
+    // Benchmark decontamination: distinct 3-gram overlap of each corpus
+    // doc (doc_id % 13 ≠ 0) against the "benchmark" slice (doc_id % 13 =
+    // 0). The benchmark shingle set is broadcast — the corpus-side
+    // explode never shuffles, which is the whole design at 100 TB (eval
+    // suites are MBs, the corpus is TBs).
+    Q("q_text_contamination",
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len($toksSql) < 3 THEN CAST([] AS VARCHAR[])
+         |         ELSE list_transform(range(len($toksSql) - 2),
+         |                i -> array_to_string($toksSql[i + 1 : i + 3], ' ')) END)) AS shingle
+         |  FROM documents),
+         |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 13 = 0),
+         |corp AS (SELECT * FROM sh WHERE doc_id % 13 <> 0)
+         |SELECT c.doc_id, cast(count(*) AS int) AS n_shingles,
+         |       cast(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS int)
+         |         AS n_contaminated,
+         |       round(cast(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS double)
+         |             / count(*), 4) AS contamination
+         |FROM corp c LEFT JOIN bench b ON c.shingle = b.shingle
+         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Contamination.ngramOverlap(
+          docs.filter(pmod(col("doc_id"), lit(13)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(13)) === 0), n = 3)
+        .select(col("doc_id"),
+          col("n_shingles").cast("int").as("n_shingles"),
+          col("n_contaminated").cast("int").as("n_contaminated"),
+          round(col("contamination"), 4).as("contamination"))
+        .orderBy(col("doc_id"))
+    },
+
+    // PII scrubbing: the corpus is augmented with a deterministic email +
+    // long account number per doc (the synthetic texts contain no PII),
+    // then masked; the oracle replays augmentation, both regexp passes
+    // (RE2-compatible patterns, 'g' flag — DuckDB replaces only the first
+    // match by default), and the md5 of the scrubbed text.
+    Q("q_text_scrub",
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |         text || ' contact user' || cast(doc_id AS VARCHAR)
+         |              || '@mail.example.com ref ' || cast(doc_id * 1234567 + 100000 AS VARCHAR)
+         |           AS aug
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |         regexp_replace(aug, '${TextFunctions.emailRe}', '<EMAIL>', 'g') AS m1,
+         |         cast(len(regexp_extract_all(aug, '${TextFunctions.emailRe}')) AS int)
+         |           AS n_emails
+         |  FROM aug)
+         |SELECT doc_id, n_emails,
+         |       cast(len(regexp_extract_all(m1, '${TextFunctions.longDigitsRe}')) AS int)
+         |         AS n_longnums,
+         |       md5(regexp_replace(m1, '${TextFunctions.longDigitsRe}', '<NUM>', 'g'))
+         |         AS scrub_md5
+         |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val aug = concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com ref "), (col("doc_id") * 1234567 + 100000).cast("string"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), aug.as("_aug"))
+        .select(col("doc_id"),
+          regexp_replace(col("_aug"), TextFunctions.emailRe, "<EMAIL>").as("_m1"),
+          TextFunctions.matchCount(col("_aug"), TextFunctions.emailRe).as("n_emails"))
+        .select(col("doc_id"), col("n_emails"),
+          TextFunctions.matchCount(col("_m1"), TextFunctions.longDigitsRe).as("n_longnums"),
+          md5(regexp_replace(col("_m1"), TextFunctions.longDigitsRe, "<NUM>")
+            .cast("binary")).as("scrub_md5"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Temperature-weighted mixture sampling over the (skewed) lang
+    // column: rate_s = sqrt(c_min/c_s) (alpha = 0.5 → sqrt, which IEEE
+    // 754 rounds correctly in every engine), row selection by the
+    // replayable multiplicative hash — the oracle re-derives the rates
+    // AND the exact kept set.
+    Q("q_sample_mixture_temp",
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |r AS (SELECT lang, n,
+        |        sqrt(cast((SELECT min(n) FROM c) AS double) / cast(n AS double)) AS rate
+        |      FROM c),
+        |kept AS (
+        |  SELECT d.lang, count(*) AS n_kept
+        |  FROM documents d JOIN r ON d.lang = r.lang
+        |  WHERE ((((d.doc_id + 42) % 1000000007) * 2654435761) % 1000000007)
+        |          / 1000000007.0 < r.rate
+        |  GROUP BY d.lang)
+        |SELECT r.lang, cast(r.n AS int) AS n_docs, round(r.rate, 6) AS rate,
+        |       cast(coalesce(k.n_kept, 0) AS int) AS n_kept
+        |FROM r LEFT JOIN kept k ON r.lang = k.lang
+        |ORDER BY r.lang""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val kept = MixtureSampler.temperatureSample(docs, "lang", "doc_id")
+        .groupBy(col("lang")).agg(count(lit(1)).as("_k"))
+      MixtureSampler.rates(docs, "lang")
+        .join(kept, Seq("lang"), "left_outer")
+        .select(col("lang"), col("n_docs").cast("int").as("n_docs"),
+          round(col("_rate"), 6).as("rate"),
+          coalesce(col("_k"), lit(0L)).cast("int").as("n_kept"))
+        .orderBy(col("lang"))
+    },
+
+    // Token-budget chunking (16-token chunks, 4-token overlap): the
+    // oracle replays chunk counting (⌈(n−overlap)/stride⌉, min 1), the
+    // per-chunk token slices, and the md5 of every chunk's text — so hash
+    // equality proves boundary/tail behavior, not just row counts. The
+    // Spark plan is scan → project → generate: zero exchanges.
+    Q("q_text_chunks",
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |ck AS (
+         |  SELECT doc_id, len(toks) AS n,
+         |         greatest(1, cast(ceil(cast(len(toks) - 4 AS double) / 12) AS int))
+         |           AS n_chunks, toks
+         |  FROM tk),
+         |ex AS (
+         |  SELECT doc_id, i.i AS chunk_ix, toks[i.i * 12 + 1 : i.i * 12 + 16] AS chunk
+         |  FROM ck CROSS JOIN LATERAL (SELECT unnest(range(n_chunks)) AS i) i)
+         |SELECT doc_id, cast(chunk_ix AS int) AS chunk_ix,
+         |       cast(len(chunk) AS int) AS n_chunk_tokens,
+         |       md5(array_to_string(chunk, ' ')) AS chunk_md5
+         |FROM ex ORDER BY doc_id, chunk_ix""".stripMargin) { (s, dir) =>
+      Chunking.tokenChunks(t(s, dir, "documents"), budget = 16, overlap = 4)
+        .orderBy(col("doc_id"), col("chunk_ix"))
     },
 
     // Recall visibility for the approximate dedup paths (the round-1

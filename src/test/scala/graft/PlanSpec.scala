@@ -24,6 +24,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("partitioned layout: lang predicate prunes at the directory level") {
+    val p = plan("q_source_partitioned_prune")
+    val scan = p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(scan.contains("lang"),
+      "lang IN (...) must land in PartitionFilters (directory pruning), got:\n" + p)
+  }
+
   test("as-of join plans as union + window — no join operator at all") {
     val p = plan("q_join_asof_click")
     assert(p.contains("Union") && p.contains("Window"))

@@ -202,5 +202,55 @@ object Windows {
           round(cume_dist().over(w), 6).as("cdist"),
           round(sum(col("o_totalprice")).over(wr), 2).as("near_sum"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // Structured Streaming, oracle-checked end to end: the events table
+    // replayed through the FILE SOURCE (readStream), watermarked tumbling
+    // 1-hour counts per user (StreamingOps.windowedCounts — the exact
+    // operator StreamingSpec batch-equivalence-tests), AvailableNow
+    // trigger, memory sink in complete mode; the materialized sink table
+    // is the query result. Epoch-aligned tumbling windows = date_trunc in
+    // the oracle, so DuckDB hash-checks a real streaming execution — not
+    // a batch stand-in. (Complete-mode memory sink collects to the
+    // driver: fine for the gate's result sizes; production writes
+    // append-mode to a real sink, same plan.)
+    Q("q_stream_window_counts",
+      """SELECT user_id,
+        |       cast(epoch_ms(date_trunc('hour', ts)) AS bigint) AS w_start_ms,
+        |       cast(epoch_ms(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS bigint)
+        |         AS w_end_ms,
+        |       count(*) AS n_events
+        |FROM events GROUP BY 1, 2, 3
+        |ORDER BY user_id, w_start_ms""".stripMargin) { (s, dir) =>
+      // the stream must see the SAME nanos→micros truncation as
+      // Tables.load (file source needs an explicit schema: nanosAsLong
+      // applies to it too)
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // the file source streams a DIRECTORY (it tails new files in it);
+      // stage the single events file into a tmp stream-input dir — the
+      // production shape, where a stream watches an arrival directory
+      val inDir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_streamin_${Integer.toHexString(dir.hashCode)}")
+      java.nio.file.Files.createDirectories(inDir)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        inDir.resolve("events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val stream = s.readStream.schema(schema).parquet(inDir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val counts = graft.streaming.StreamingOps.windowedCounts(stream, "ts", "user_id",
+        windowDur = "1 hour", slideDur = "1 hour", watermarkDelay = "30 minutes")
+      val qn = s"stream_wc_${Integer.toHexString(dir.hashCode)}"
+      val sq = counts.writeStream.format("memory").queryName(qn)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      s.table(qn).select(col("user_id"),
+          unix_millis(col("w_start")).as("w_start_ms"),
+          unix_millis(col("w_end")).as("w_end_ms"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("w_start_ms"))
     })
 }

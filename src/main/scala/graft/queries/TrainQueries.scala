@@ -59,6 +59,23 @@ object TrainQueries {
   private def split(df: DataFrame): (DataFrame, DataFrame) =
     (df.filter(pmod(col("id"), lit(5)) =!= 0), df.filter(pmod(col("id"), lit(5)) === 0))
 
+  /** Partition a (persisted) training frame to its ROWS. MLlib tree
+    * fitting runs ~depth × groups jobs; when the session's shuffle width
+    * (32) far exceeds what the frame needs, per-task overhead dominates
+    * every one of those jobs — the bench forest fit measured ~2× slower
+    * at 32 partitions than at the data-sized count. Target ~20k rows per
+    * partition (min 1); at production scale rows/20k exceeds any core
+    * budget, so this only ever narrows small frames, never a real fit.
+    * The count() is free on a frame that is persisted and about to be
+    * multi-scanned; the coalesce sits ABOVE the cache, merging cached
+    * blocks without re-shuffling. Callers unpersist the ORIGINAL frame
+    * (unpersist on the coalesced view would not match the cached plan).
+    */
+  private def fitSized(persisted: DataFrame): DataFrame = {
+    val parts = math.max(1L, math.min(persisted.count() / 20000L, 1024L)).toInt
+    persisted.coalesce(parts)
+  }
+
   val queries: Seq[Q] = Seq(
 
     // M1 + D6/D7: VectorAssembler → vector_to_array round trip. The
@@ -213,7 +230,7 @@ object TrainQueries {
       val pipe = Trainers.brfPipeline(featureCols, seed = 42L,
         targetImbalanceRatio = 2.0, indexCol = "id",
         classWeights = Array(0.6, 3.0), numTrees = 5, maxDepth = 3)
-      val model = try pipe.fit(small) finally small.unpersist()
+      val model = try pipe.fit(fitSized(small)) finally small.unpersist()
       val allow = Seq("targetImbalanceRatio", "classWeights", "handleInvalid",
         "numTrees", "maxDepth", "impurity", "featureSubsetStrategy",
         "minInstancesPerNode", "seed")
@@ -233,25 +250,26 @@ object TrainQueries {
       // persist both splits: fit reads train per pipeline stage, and the
       // evaluator re-reads each split twice (PR + ROC) — unpersisted,
       // the orderFeatures aggregation re-runs ~7× (C3)
-      val (train, test) = split(orderFeatures(s, dir))
-      train.persist(); test.persist()
+      val (train0, test0) = split(orderFeatures(s, dir))
+      train0.persist(); test0.persist()
       try {
+        val (train, test) = (fitSized(train0), fitSized(test0))
         val pipe = Trainers.brfPipeline(featureCols, seed = 42L,
           targetImbalanceRatio = 2.0, indexCol = "id",
           classWeights = Array(1.0, 1.0), numTrees = 15, maxDepth = 6)
         val model = pipe.fit(train)
         Trainers.resultsFrame(model, train, test, s)
           .withColumn("value", round(col("value"), 4))
-      } finally { train.unpersist(); test.unpersist() }
+      } finally { train0.unpersist(); test0.unpersist() }
     },
 
     Q.rowsOnly("q_ml_rf_importances") { (s, dir) =>
-      val (train, _) = split(orderFeatures(s, dir))
-      train.persist()
+      val (train0, _) = split(orderFeatures(s, dir))
+      train0.persist()
       val pipe = Trainers.brfPipeline(featureCols, seed = 42L,
         targetImbalanceRatio = 2.0, indexCol = "id",
         classWeights = Array(1.0, 1.0), numTrees = 15, maxDepth = 6)
-      val model = try pipe.fit(train) finally train.unpersist()
+      val model = try pipe.fit(fitSized(train0)) finally train0.unpersist()
       val rf = model.stages.last.asInstanceOf[RandomForestClassificationModel]
       Trainers.featureImportances(rf, featureCols, s)
         .withColumn("importance", round(col("importance"), 4))
@@ -270,7 +288,7 @@ object TrainQueries {
       val sample = train.filter(pmod(col("id"), lit(11)) === 1).persist()
       val tvsModel = try {
         Trainers.tvs(featureCols, seed = 42L,
-          numTreesGrid = Seq(5, 10), maxDepthGrid = Seq(3, 5)).fit(sample)
+          numTreesGrid = Seq(5, 10), maxDepthGrid = Seq(3, 5)).fit(fitSized(sample))
       } finally sample.unpersist()
       val best = tvsModel.bestModel.asInstanceOf[org.apache.spark.ml.PipelineModel]
       val rf = best.stages.last.asInstanceOf[RandomForestClassificationModel]

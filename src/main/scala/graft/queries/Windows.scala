@@ -222,35 +222,85 @@ object Windows {
         |       count(*) AS n_events
         |FROM events GROUP BY 1, 2, 3
         |ORDER BY user_id, w_start_ms""".stripMargin) { (s, dir) =>
-      // the stream must see the SAME nanos→micros truncation as
-      // Tables.load (file source needs an explicit schema: nanosAsLong
-      // applies to it too)
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      // the file source streams a DIRECTORY (it tails new files in it);
-      // stage the single events file into a tmp stream-input dir — the
-      // production shape, where a stream watches an arrival directory
-      val inDir = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        s"graft_streamin_${Integer.toHexString(dir.hashCode)}")
-      java.nio.file.Files.createDirectories(inDir)
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        inDir.resolve("events.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      val stream = s.readStream.schema(schema).parquet(inDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      val counts = graft.streaming.StreamingOps.windowedCounts(stream, "ts", "user_id",
+      val counts = graft.streaming.StreamingOps.windowedCounts(
+        stagedEventsStream(s, dir), "ts", "user_id",
         windowDur = "1 hour", slideDur = "1 hour", watermarkDelay = "30 minutes")
-      val qn = s"stream_wc_${Integer.toHexString(dir.hashCode)}"
-      val sq = counts.writeStream.format("memory").queryName(qn)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      sq.awaitTermination()
-      s.table(qn).select(col("user_id"),
+      runToMemorySink(s, counts, s"stream_wc_${Integer.toHexString(dir.hashCode)}")
+        .select(col("user_id"),
           unix_millis(col("w_start")).as("w_start_ms"),
           unix_millis(col("w_end")).as("w_end_ms"),
           col("n_events"))
         .orderBy(col("user_id"), col("w_start_ms"))
+    },
+
+    // Streaming gap sessions (session_window: merge-on-overlap state,
+    // half-open edges — an event at exactly start+gap opens a NEW
+    // session, unlike the strict-> batch Sessionize), same streaming
+    // harness. Boundaries compare at MICROsecond precision on both
+    // sides (the events carry sub-ms nanos; an ms-floored oracle would
+    // disagree at exact-boundary gaps), so start/end export as epoch
+    // micros.
+    Q("q_stream_sessions",
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |flagged AS (
+        |  SELECT user_id, us,
+        |         CASE WHEN lag(us) OVER w IS NULL
+        |                OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sess AS (
+        |  SELECT user_id, us,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |                          ROWS UNBOUNDED PRECEDING) AS seq
+        |  FROM flagged)
+        |SELECT user_id, cast(min(us) AS bigint) AS s_start_us,
+        |       cast(max(us) + 1800000000 AS bigint) AS s_end_us,
+        |       count(*) AS n_events
+        |FROM sess GROUP BY user_id, seq
+        |ORDER BY user_id, s_start_us""".stripMargin) { (s, dir) =>
+      val sessions = graft.streaming.StreamingOps.sessionWindows(
+        stagedEventsStream(s, dir), "ts", "user_id",
+        gap = "30 minutes", watermarkDelay = "30 minutes")
+      runToMemorySink(s, sessions, s"stream_sess_${Integer.toHexString(dir.hashCode)}")
+        .select(col("user_id"),
+          unix_micros(col("s_start")).as("s_start_us"),
+          unix_micros(col("s_end")).as("s_end_us"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("s_start_us"))
     })
+
+  /** The streaming oracle harness's source: the events table staged into
+    * a tmp arrival directory (the file source streams a DIRECTORY it
+    * tails — the production shape) and read back with the SAME
+    * nanos→micros truncation as Tables.load (the file source needs an
+    * explicit schema; nanosAsLong applies to it too).
+    */
+  private def stagedEventsStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val inDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_streamin_${Integer.toHexString(dir.hashCode)}")
+    java.nio.file.Files.createDirectories(inDir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      inDir.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    s.readStream.schema(schema).parquet(inDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a streaming aggregation to completion (AvailableNow) into a
+    * complete-mode memory sink and return the materialized sink table.
+    * Complete-mode memory sinks collect to the driver — fine for gate
+    * result sizes; production writes append-mode to a real sink with
+    * the same plan.
+    */
+  private def runToMemorySink(s: SparkSession, df: DataFrame, name: String): DataFrame = {
+    val sq = df.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination()
+    s.table(name)
+  }
 }

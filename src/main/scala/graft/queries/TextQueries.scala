@@ -609,6 +609,62 @@ object TextQueries {
         .orderBy(col("doc_id"), col("chunk_ix"))
     },
 
+    // End-to-end corpus pipeline — the LLM-data-side counterpart of
+    // AccidentPipeline, composed from the engine's own stages: exact
+    // dedup (keep min id per md5) → quality gate (length + punctuation)
+    // → temperature mixture sampling by lang → token-budget chunking →
+    // per-lang rollup. The oracle replays EVERY stage, so hash equality
+    // proves the stages compose (each is also individually gated by its
+    // own query above). Chunks overlap, so sum_chunk_tokens
+    // deliberately exceeds raw token counts.
+    Q("q_pipeline_corpus",
+      s"""WITH dedup AS (
+         |  SELECT doc_id, text, lang FROM (
+         |    SELECT doc_id, text, lang,
+         |           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM documents) WHERE rn = 1),
+         |qual AS (
+         |  SELECT doc_id, text, lang FROM dedup
+         |  WHERE len($toksSql) BETWEEN 10 AND 10000
+         |    AND (CASE WHEN length(text) = 0 THEN 0.0
+         |         ELSE cast(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS double)
+         |              / cast(length(text) AS double) END) <= 0.2),
+         |c AS (SELECT lang, count(*) AS n FROM qual GROUP BY lang),
+         |r AS (SELECT lang, n,
+         |        sqrt(cast((SELECT min(n) FROM c) AS double) / cast(n AS double)) AS rate
+         |      FROM c),
+         |kept AS (
+         |  SELECT q.doc_id, q.text, q.lang FROM qual q JOIN r ON q.lang = r.lang
+         |  WHERE ((((q.doc_id + 42) % 1000000007) * 2654435761) % 1000000007)
+         |          / 1000000007.0 < r.rate),
+         |tk AS (SELECT doc_id, lang, $toksSql AS toks FROM kept),
+         |ck AS (
+         |  SELECT doc_id, lang,
+         |         greatest(1, cast(ceil(cast(len(toks) - 4 AS double) / 12) AS int))
+         |           AS n_chunks, toks
+         |  FROM tk),
+         |ex AS (
+         |  SELECT doc_id, lang, len(toks[i.i * 12 + 1 : i.i * 12 + 16]) AS n_ct
+         |  FROM ck CROSS JOIN LATERAL (SELECT unnest(range(n_chunks)) AS i) i)
+         |SELECT lang, cast(count(DISTINCT doc_id) AS int) AS n_docs,
+         |       cast(count(*) AS int) AS n_chunks,
+         |       cast(sum(n_ct) AS int) AS sum_chunk_tokens
+         |FROM ex GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val deduped = Dedup.dropExactDuplicates(t(s, dir, "documents"))
+        .select(col("doc_id"), col("text"), col("lang"))
+      val quality = deduped.filter(
+        TextFunctions.tokenCount(col("text")).between(10, 10000) &&
+          TextFunctions.punctRatio(col("text")) <= 0.2)
+      val sampled = MixtureSampler.temperatureSample(quality, "lang", "doc_id")
+      Chunking.tokenChunks(sampled, budget = 16, overlap = 4)
+        .join(sampled.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("doc_id")).cast("int").as("n_docs"),
+          count(lit(1)).cast("int").as("n_chunks"),
+          sum(col("n_chunk_tokens")).cast("int").as("sum_chunk_tokens"))
+        .orderBy(col("lang"))
+    },
+
     // Recall visibility for the approximate dedup paths (the round-1
     // "rows-only is not a correctness signal" finding): MinHash-LSH
     // candidates vs the exact n-gram-Jaccard pairs ON THE SAME corpus —

@@ -71,6 +71,37 @@ object SimilaritySearch {
       .select(col(queryId), col(corpusId), col("idot"), col("rk"))
   }
 
+  /** Two-stage retrieval — the production ANN shape at corpus scale:
+    * the cheap int8-code scan ([[quantizedTopK]], ¼ the scan bytes,
+    * integer multiply-add hot loop) selects a per-query `shortlist`,
+    * and ONLY those candidate ids join back their float vectors for the
+    * exact cosine re-rank. The full-precision corpus is touched for
+    * |queries|·shortlist rows total, never scanned — which is what makes
+    * exact re-ranking affordable over billions of vectors.
+    */
+  def twoStageTopK(queries: DataFrame, corpus: DataFrame, k: Int, shortlist: Int,
+      queryId: String = "query_id", corpusId: String = "vec_id",
+      queryVec: String = "qv", corpusVec: String = "embedding",
+      queryCodes: String = "qcodes", corpusCodes: String = "codes"): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val cand = quantizedTopK(
+        queries.select(col(queryId), col(queryCodes)),
+        corpus.select(col(corpusId), col(corpusCodes)), shortlist,
+        queryId, corpusId, queryCodes, corpusCodes)
+      .select(col(queryId), col(corpusId))
+    val q = withNorm(queries, queryId, queryVec, "_qv", "_qn")
+    val c = withNorm(corpus, corpusId, corpusVec, "_cv", "_cn")
+    val scored = cand
+      .join(broadcast(q), Seq(queryId))
+      .join(c, Seq(corpusId))
+      .withColumn("cosine", cosineFromNorms(col("_qv"), col("_cv"), col("_qn"), col("_cn")))
+    TopK.perGroup(scored,
+        partitionBy = Seq(col(queryId)),
+        orderBy = Seq(col("cosine").desc, col(corpusId)),
+        k = k)
+      .select(col(queryId), col(corpusId), col("cosine"), col("rk"))
+  }
+
   /** IVF-bucketed ANN: probe `nProbe` of the centroid partitions.
     * Centroids are the corpus vectors with id ≡ 0 (mod `centroidStep`) —
     * a deterministic stand-in for k-means at equal plan shape (a real

@@ -258,6 +258,66 @@ object VectorMlQueries {
         .orderBy(col("query_id"))
     },
 
+    // Two-stage ANN retrieval (the production shape): int8-code integer
+    // dot selects a 20-candidate shortlist per query, exact float cosine
+    // re-ranks ONLY the shortlist to top-5. The oracle replays the
+    // codebook, the integer shortlist ranking, AND the re-rank — hash
+    // equality proves the full-precision corpus is consulted exactly
+    // where the operator claims.
+    Q("q_ann_two_stage", {
+      val cos = cosSql("q.qv", "f.v")
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |ex AS (SELECT vec_id, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM v),
+         |cb AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM ex GROUP BY pos),
+         |codes AS (
+         |  SELECT vec_id, pos,
+         |         CAST(least(greatest(
+         |             CASE WHEN mx = mn THEN 0.0
+         |                  ELSE floor((x - mn) * 255.0 / (mx - mn) + 0.5) END,
+         |             0.0), 255.0) AS BIGINT) - 128 AS code
+         |  FROM ex JOIN cb USING (pos)),
+         |cl AS (SELECT vec_id, list(code ORDER BY pos) AS codes FROM codes GROUP BY vec_id),
+         |short AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY list_dot_product(q.codes::DOUBLE[], c.codes::DOUBLE[]) DESC,
+         |                      c.vec_id) AS rk
+         |    FROM (SELECT * FROM cl WHERE vec_id < 8) q
+         |    JOIN cl c ON c.vec_id != q.vec_id)
+         |  WHERE rk <= 20),
+         |qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |       FROM embeddings WHERE vec_id < 8),
+         |rr AS (
+         |  SELECT s.query_id, s.vec_id, $cos AS cosine
+         |  FROM short s JOIN qv q USING (query_id) JOIN v f ON f.vec_id = s.vec_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, cosine,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cosine DESC, vec_id) AS rk
+         |  FROM rr)
+         |SELECT query_id, vec_id, round(cosine, 5) AS cosine, rk
+         |FROM ranked WHERE rk <= 5
+         |ORDER BY query_id, rk""".stripMargin
+    }) { (s, dir) =>
+      import graft.operators.VectorQuantization
+      val emb = t(s, dir, "embeddings")
+      val coded = VectorQuantization.quantizeWithError(
+          emb.select(col("vec_id"), VectorFunctions.toDoubleArray(col("embedding")).as("v")),
+          vecCol = "v")
+        .select(col("vec_id"), col("codes"))
+      // persist: the coded+float corpus feeds the (broadcast) query
+      // side, the shortlist scan, and the re-rank join
+      val corpus = emb.select(col("vec_id"), col("embedding")).join(coded, "vec_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val queries = corpus.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("codes").as("qcodes"))
+      SimilaritySearch.twoStageTopK(queries, corpus, k = 5, shortlist = 20)
+        .select(col("query_id"), col("vec_id"), round(col("cosine"), 5).as("cosine"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    },
+
     // Brute-force exact cosine top-k (query side broadcast; corpus
     // streams once, per-group window limit keeps k rows pre-shuffle).
     Q("q_ann_brute_topk", {

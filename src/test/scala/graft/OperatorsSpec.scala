@@ -279,6 +279,32 @@ class VectorQuantizationSpec extends SparkSpec {
     assert(recall >= 0.6, s"quantized recall $recall")
   }
 
+  test("two-stage retrieval with a corpus-wide shortlist equals brute force exactly") {
+    val s = spark
+    import graft.operators.SimilaritySearch
+    val emb = Tables.load(s, TestSpark.sf0001, "embeddings")
+    val coded = VectorQuantization.quantizeWithError(
+        emb.select(col("vec_id"),
+          graft.functions.VectorFunctions.toDoubleArray(col("embedding")).as("v")), "v")
+      .select(col("vec_id"), col("codes"))
+    val corpus = emb.select(col("vec_id"), col("embedding")).join(coded, "vec_id").persist()
+    val n = corpus.count().toInt
+    val queries = corpus.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("codes").as("qcodes"))
+    // shortlist = whole corpus ⇒ stage 1 filters nothing ⇒ the re-rank
+    // must reproduce the exact brute-force ranking bit for bit
+    val two = SimilaritySearch.twoStageTopK(queries, corpus, k = 3, shortlist = n)
+      .select("query_id", "vec_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = SimilaritySearch.bruteForceTopK(
+        queries.select(col("query_id"), col("qv")), emb, k = 3)
+      .select("query_id", "vec_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    corpus.unpersist()
+    assert(two == brute)
+  }
+
   test("constant dimension quantizes to code -128 with zero error") {
     val s = spark; import s.implicits._
     val vecs = Seq((1L, Array(3.5, 0.0)), (2L, Array(3.5, 1.0))).toDF("id", "v")

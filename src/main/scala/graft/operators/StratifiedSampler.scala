@@ -27,4 +27,21 @@ object StratifiedSampler {
     }
     df.filter(RandomUnderSampler.hashKeepScore(col(idCol), seed) < frac)
   }
+
+  /** Deterministic k-per-stratum sample ("reservoir" with a replayable
+    * stream): the k rows with the smallest hash score per stratum — a
+    * uniform without-replacement sample that is identical across runs,
+    * partitionings, and engines. Rides [[TopK.perGroup]], so Spark plans
+    * a WindowGroupLimit: each map task keeps at most k rows per stratum
+    * BEFORE the shuffle — at corpus scale the exchange carries
+    * O(strata × k × tasks) rows, never the data.
+    */
+  def samplePerStratum(df: DataFrame, strataCol: String, k: Int,
+      idCol: String, seed: Long = 42L): DataFrame =
+    TopK.perGroup(
+        df.withColumn("_score", RandomUnderSampler.hashKeepScore(col(idCol), seed)),
+        partitionBy = Seq(col(strataCol)),
+        orderBy = Seq(col("_score"), col(idCol)),
+        k = k)
+      .drop("_score", "rk")
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Chunking, Contamination, CorpusPacking, Dedup, MixtureSampler, Multimodal, RepetitionScore, TopK}
+import graft.operators.{Chunking, Contamination, CorpusPacking, Dedup, MixtureSampler, Multimodal, RepetitionScore, StratifiedSampler, TopK}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -607,6 +607,25 @@ object TextQueries {
          |FROM ex ORDER BY doc_id, chunk_ix""".stripMargin) { (s, dir) =>
       Chunking.tokenChunks(t(s, dir, "documents"), budget = 16, overlap = 4)
         .orderBy(col("doc_id"), col("chunk_ix"))
+    },
+
+    // Deterministic k-per-stratum "reservoir": the 10 smallest hash
+    // scores per lang. Plans a WindowGroupLimit (map-side k-per-group
+    // before the exchange); the oracle replays the integer hash order
+    // exactly, so the sampled IDs — not just counts — hash-match.
+    Q("q_sample_group_topk",
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY ((((doc_id + 42) % 1000000007) * 2654435761) % 1000000007)
+        |                      / 1000000007.0, doc_id) AS rk
+        |  FROM documents) WHERE rk <= 10
+        |ORDER BY lang, doc_id""".stripMargin) { (s, dir) =>
+      StratifiedSampler.samplePerStratum(
+          t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          strataCol = "lang", k = 10, idCol = "doc_id")
+        .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))
     },
 
     // End-to-end corpus pipeline — the LLM-data-side counterpart of

@@ -24,6 +24,11 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("k-per-stratum sampler rides WindowGroupLimit (map-side k before the exchange)") {
+    val p = plan("q_sample_group_topk")
+    assert(p.contains("WindowGroupLimit"), "sampler must plan a group limit:\n" + p)
+  }
+
   test("partitioned layout: lang predicate prunes at the directory level") {
     val p = plan("q_source_partitioned_prune")
     val scan = p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n")

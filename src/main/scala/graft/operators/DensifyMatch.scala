@@ -32,7 +32,8 @@ object DensifyMatch {
       coordLat: String = "coord_lat", coordLon: String = "coord_long",
       centerLat: String = "center_lat", centerLon: String = "center_long",
       kPreselect: Int = 5, maxDistanceM: Double = 10.0,
-      cellDeg: Double = 0.08, maxAbsLatDeg: Double = 60.0): DataFrame = {
+      cellDeg: Double = 0.08, maxAbsLatDeg: Double = 60.0,
+      preselectExhaustive: Boolean = false): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val acc = accidents.select(col(accId), col(accLat), col(accLon))
     val pts = roadPoints
@@ -62,10 +63,15 @@ object DensifyMatch {
     //    grid-bucketed kNN (the reference cross-joins all centers,
     //    preprocess.py:59-93 — fatal at scale). Persisted: feeds the
     //    first match AND the straggler rematch.
+    //    `preselectExhaustive` short-circuits to the broadcast cross join
+    //    + WindowGroupLimit when the CENTER table is known-small (city
+    //    street centers fit comfortably; the grid's ~6 extra stages cost
+    //    more than they save below ~10k rows). Both paths are exact.
     val pre = NearestMatch.kNearest(acc, centers, kPreselect,
         leftId = accId, rightId = streetId,
         latL = accLat, lonL = accLon, latR = "_ct_lat", lonR = "_ct_lon",
-        cellDeg = cellDeg, maxAbsLatDeg = maxAbsLatDeg)
+        cellDeg = cellDeg, maxAbsLatDeg = maxAbsLatDeg,
+        exhaustive = preselectExhaustive)
       .select(col(accId), col(accLat), col(accLon), col(streetId))
       .persist(lvl)
 

@@ -306,8 +306,12 @@ object Geo {
         suppLat.as("coord_lat"), suppLon.as("coord_long"),
         (lit(45.3) + (sid % 11) / 11.0).as("center_lat"),
         (lit(-73.9) + (sid % 7) / 7.0).as("center_long"))
+      // 20 synthetic streets ⇒ the center preselect takes the exhaustive
+      // broadcast path (exact either way; the grid path is exercised at
+      // density by q_geo_knn_match and DensifyMatchSpec)
       DensifyMatch.densifyAndRematch(accidents, roadPoints,
-          kPreselect = 3, maxDistanceM = 8000.0, cellDeg = 0.3)
+          kPreselect = 3, maxDistanceM = 8000.0, cellDeg = 0.3,
+          preselectExhaustive = true)
         .orderBy(col("accident_id"))
     },
 

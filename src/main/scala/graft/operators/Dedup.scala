@@ -332,7 +332,7 @@ object Dedup {
     // symmetrize in ONE scan of `pairs` (explode to both directions):
     // a two-branch union would evaluate the upstream pair-generation
     // pipeline — typically an expensive LSH/Jaccard subtree — twice
-    val edges = pairs
+    val edges0 = pairs
       .select(col(idA).cast("long").as("a"), col(idB).cast("long").as("b"))
       .select(explode(array(
         struct(col("a").as("src"), col("b").as("dst")),
@@ -340,6 +340,15 @@ object Dedup {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist(lvl)
+    // Iteration width sized to the EDGE COUNT (~500k edges/partition,
+    // min 1): the loop below runs O(diameter) sequential rounds, and a
+    // session-width (32+) cached edge list makes every round pay a full
+    // task wave per stage even when the near-dup graph is tiny relative
+    // to the corpus (dup pairs are a sliver of 100 TB). The count() also
+    // materializes the persist the first round needs anyway. Coalesce is
+    // narrow — no extra shuffle.
+    val iterParts = math.max(1L, math.min(edges0.count() / 500000L, 4096L)).toInt
+    val edges = edges0.coalesce(iterParts)
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .persist(lvl)
@@ -383,7 +392,7 @@ object Dedup {
     if (!converged) log.warn(
       s"connectedComponents: maxIters=$maxIters reached before fixpoint — " +
         "components with diameter > maxIters are split; returned labeling is partial")
-    edges.unpersist()
+    edges0.unpersist() // the persisted plan is the pre-coalesce one
     labels.select(col("id").as("doc_id"), col("comp").as("component"))
   }
 

@@ -88,4 +88,40 @@ object Multimodal {
   def sampleFrames(meta: DataFrame, nFramesCol: String, stride: Int): DataFrame =
     meta.withColumn("frame_idx",
       explode(sequence(lit(0), col(nFramesCol) - 1, lit(stride))))
+
+  /** Binary→binary media transform (the resize/transcode slot): decode,
+    * scale dimensions by 1/factor, keep every `factor`-th body byte, and
+    * RE-ENCODE — the payload is rewritten in place inside one partition
+    * pass, never shuffled, and the output column is again an opaque
+    * binary a downstream stage can decode. The byte-subsampling "
+    * resampler" is the codec STUB (same contract as `decodeOne`): a real
+    * deployment swaps in an image scaler without touching the plumbing.
+    * Undecodable payloads pass through unchanged (valid=false shape) so
+    * a corrupt row can't fail a 100 TB job.
+    */
+  def resizePayload(df: DataFrame, factor: Int,
+      idCol: String = "doc_id", payloadCol: String = "payload"): DataFrame = {
+    require(factor >= 1, s"factor=$factor must be >= 1")
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = true),
+      StructField("payload", BinaryType, nullable = true),
+      StructField("resized", BooleanType, nullable = false)))
+    val rows: Dataset[Row] = df.select(col(idCol).cast("long"), col(payloadCol))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    rows.mapPartitions { it =>
+      it.map { r =>
+        val id: Any = if (r.isNullAt(0)) null else r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        decodeOne(payload) match {
+          case Some((w, h, n)) =>
+            val body = java.util.Arrays.copyOfRange(payload, 17, 17 + n)
+            val sub = Array.range(0, n, factor).map(body(_))
+            val header = f"GFT1 ${math.max(1, w / factor)}%05d ${math.max(1, h / factor)}%05d\n"
+            Row(id, header.getBytes("US-ASCII") ++ sub, true)
+          case None => Row(id, payload, false)
+        }
+      }
+    }(encoder)
+  }
 }

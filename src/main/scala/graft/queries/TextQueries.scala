@@ -447,6 +447,39 @@ object TextQueries {
       Multimodal.extractMeta(payloads).orderBy(col("doc_id"))
     },
 
+    // Multimodal binary→binary transform (the resize/transcode slot):
+    // payloads re-encoded at half dimensions with every-2nd-byte body
+    // subsampling, inside one partition pass. The body is the md5 hex of
+    // the text (pure ASCII), so the oracle can rebuild the EXPECTED
+    // OUTPUT BYTES — header format, scaled dims, subsampled body — and
+    // hash equality proves the rewritten binary is byte-identical, not
+    // just that metadata looks right.
+    Q("q_multimodal_resize",
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         (octet_length(encode(text)) % 640 + 16) // 2 AS w2,
+        |         ((octet_length(encode(text)) * 7) % 480 + 16) // 2 AS h2,
+        |         array_to_string(list_transform(range(0, 32, 2),
+        |           i -> substr(md5(text), i + 1, 1)), '') AS body2
+        |  FROM documents)
+        |SELECT doc_id, cast(33 AS int) AS n_bytes,
+        |       md5('GFT1 ' || lpad(cast(w2 AS varchar), 5, '0') || ' ' ||
+        |           lpad(cast(h2 AS varchar), 5, '0') || chr(10) || body2) AS payload_md5,
+        |       true AS resized
+        |FROM p ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val bytes = octet_length(col("text"))
+      val payloads = t(s, dir, "documents").select(
+        col("doc_id"),
+        Multimodal.encodePayload(bytes % 640 + 16, (bytes * 7) % 480 + 16,
+          md5(col("text").cast("binary"))).as("payload"))
+      Multimodal.resizePayload(payloads, factor = 2)
+        .select(col("doc_id"),
+          octet_length(col("payload")).cast("int").as("n_bytes"),
+          md5(col("payload")).as("payload_md5"),
+          col("resized"))
+        .orderBy(col("doc_id"))
+    },
+
     // Repetition-based quality signals (Gopher-style): duplicated-bigram
     // fraction (pure array expression) + most-frequent-token fraction
     // (explode → two map-side-combined aggs). The `repetitive` flag is

@@ -25,6 +25,28 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.forall(_.isNullAt(1)))
   }
 
+  test("resize rewrites the binary in place: re-decode sees halved dims, subsampled body") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, 100, 60, "0123456789")).toDF("doc_id", "w", "h", "body")
+      .select(col("doc_id"),
+        Multimodal.encodePayload(col("w"), col("h"), col("body")).as("payload"))
+    val resized = Multimodal.resizePayload(df, factor = 2)
+    val meta = Multimodal.extractMeta(resized).collect().head
+    assert(meta.getInt(1) == 50 && meta.getInt(2) == 30) // dims halved
+    assert(meta.getInt(3) == 5 && meta.getBoolean(4))    // every 2nd body byte
+    val body = new String(resized.collect().head.getAs[Array[Byte]](1).drop(17), "US-ASCII")
+    assert(body == "02468")
+  }
+
+  test("undecodable payloads pass through resize unchanged, flagged resized=false") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "junk")).toDF("doc_id", "s")
+      .select(col("doc_id"), col("s").cast("binary").as("payload"))
+    val out = Multimodal.resizePayload(df, factor = 2).collect().head
+    assert(!out.getBoolean(2))
+    assert(new String(out.getAs[Array[Byte]](1), "US-ASCII") == "junk")
+  }
+
   test("frame sampling explodes stride-spaced indices") {
     val s = spark; import s.implicits._
     val meta = Seq((1L, 10)).toDF("doc_id", "n_frames")

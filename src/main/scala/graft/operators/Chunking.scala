@@ -19,22 +19,32 @@ import org.apache.spark.sql.functions._
   */
 object Chunking {
 
+  /** @param carryCols extra document columns carried onto every chunk
+    *                   row (e.g. the mixture source) — carrying beats a
+    *                   post-hoc join back to the document table, which
+    *                   would re-scan the whole upstream pipeline or
+    *                   force a persist.
+    */
   def tokenChunks(docs: DataFrame, budget: Int, overlap: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      carryCols: Seq[String] = Nil): DataFrame = {
     require(budget > 0 && overlap >= 0 && overlap < budget,
       s"need 0 <= overlap < budget, got budget=$budget overlap=$overlap")
     val stride = budget - overlap
-    val toked = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+    val carry = carryCols.map(col)
+    val toked = docs.select(
+        col(idCol).as("doc_id") +: tokens(col(textCol)).as("_toks") +: carry: _*)
       .withColumn("_n", size(col("_toks")))
     val nChunks = greatest(lit(1),
       ceil((col("_n") - overlap).cast("double") / stride).cast("int"))
     toked
-      .select(col("doc_id"), col("_toks"), col("_n"),
-        explode(sequence(lit(0), nChunks - 1)).as("chunk_ix"))
-      .select(col("doc_id"), col("chunk_ix"),
-        slice(col("_toks"), col("chunk_ix") * stride + 1, lit(budget)).as("_chunk"))
-      .select(col("doc_id"), col("chunk_ix"),
-        size(col("_chunk")).as("n_chunk_tokens"),
-        md5(concat_ws(" ", col("_chunk")).cast("binary")).as("chunk_md5"))
+      .select(col("doc_id") +: col("_toks") +:
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_ix") +: carry: _*)
+      .select(col("doc_id") +: col("chunk_ix") +:
+        slice(col("_toks"), col("chunk_ix") * stride + 1, lit(budget)).as("_chunk") +:
+        carry: _*)
+      .select(col("doc_id") +: col("chunk_ix") +:
+        size(col("_chunk")).as("n_chunk_tokens") +:
+        md5(concat_ws(" ", col("_chunk")).cast("binary")).as("chunk_md5") +: carry: _*)
   }
 }

@@ -704,12 +704,17 @@ object TextQueries {
          |FROM ex GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
       val deduped = Dedup.dropExactDuplicates(t(s, dir, "documents"))
         .select(col("doc_id"), col("text"), col("lang"))
+      // persist: the filtered corpus feeds BOTH the mixture-rate counts
+      // and the sampling filter — unpersisted, the md5-dedup window +
+      // quality gates re-run per consumer (2 extra full scans at scale)
       val quality = deduped.filter(
-        TextFunctions.tokenCount(col("text")).between(10, 10000) &&
-          TextFunctions.punctRatio(col("text")) <= 0.2)
+          TextFunctions.tokenCount(col("text")).between(10, 10000) &&
+            TextFunctions.punctRatio(col("text")) <= 0.2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sampled = MixtureSampler.temperatureSample(quality, "lang", "doc_id")
-      Chunking.tokenChunks(sampled, budget = 16, overlap = 4)
-        .join(sampled.select(col("doc_id"), col("lang")), "doc_id")
+      // lang rides the chunk rows (carryCols): a join back to `sampled`
+      // would evaluate the dedup→quality→sample subtree twice
+      Chunking.tokenChunks(sampled, budget = 16, overlap = 4, carryCols = Seq("lang"))
         .groupBy(col("lang"))
         .agg(countDistinct(col("doc_id")).cast("int").as("n_docs"),
           count(lit(1)).cast("int").as("n_chunks"),

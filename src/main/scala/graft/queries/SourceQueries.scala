@@ -194,6 +194,34 @@ object SourceQueries {
         .orderBy(col("lang"))
     },
 
+    // Dynamic partition overwrite — the idempotent backfill pattern: a
+    // re-run of one partition's job must replace exactly that partition
+    // and leave every other byte of a 100 TB table untouched. The query
+    // writes the full table partitioned by lang, then overwrites ONLY
+    // lang='en' with recomputed rows (n_chars + 1000) in dynamic mode;
+    // the oracle computes the expected mixed state (en modified, the
+    // rest original), so hash equality proves both the surgical replace
+    // and the non-destruction of sibling partitions (static overwrite
+    // mode would have dropped them).
+    Q("q_source_partition_overwrite",
+      """SELECT lang, cast(count(*) AS int) AS n_docs,
+        |       cast(sum(CASE WHEN lang = 'en' THEN n_chars + 1000
+        |                     ELSE n_chars END) AS bigint) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val path = tmp(dir, "dynover")
+      val docs = t(s, dir, "documents")
+      docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+      docs.filter(col("lang") === "en")
+        .withColumn("n_chars", col("n_chars") + 1000)
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("lang").parquet(path)
+      s.read.parquet(path)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("int").as("n_docs"),
+          sum(col("n_chars")).cast("bigint").as("sum_chars"))
+        .orderBy(col("lang"))
+    },
+
     // P11/O3: deterministic global top-n via ORDER BY + LIMIT (Spark
     // plans TakeOrderedAndProject — no full sort materialization).
     Q("q_limit_top_orders",

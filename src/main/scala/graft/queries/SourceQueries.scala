@@ -222,6 +222,35 @@ object SourceQueries {
         .orderBy(col("lang"))
     },
 
+    // Schema evolution across file generations: a long-lived table's
+    // early files lack columns added later. Generation 1 (even doc ids)
+    // is written WITHOUT n_chars; generation 2 (odd ids) with it; the
+    // read merges footers (`mergeSchema`) and the old files' rows
+    // surface the new column as null. The oracle computes the expected
+    // merged state straight from the source table — null-count included
+    // — so hash equality proves old files remain readable and the
+    // missing column nulls out rather than erroring or misaligning.
+    Q("q_source_schema_evolution",
+      """SELECT lang,
+        |       cast(count(*) AS int) AS n_docs,
+        |       cast(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS int) AS n_with_chars,
+        |       cast(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END) AS bigint)
+        |         AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val path = tmp(dir, "schevo")
+      val docs = t(s, dir, "documents")
+      docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(path)
+      docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("append").parquet(path)
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("int").as("n_docs"),
+          count(col("n_chars")).cast("int").as("n_with_chars"),
+          sum(coalesce(col("n_chars"), lit(0L))).cast("bigint").as("sum_chars"))
+        .orderBy(col("lang"))
+    },
+
     // P11/O3: deterministic global top-n via ORDER BY + LIMIT (Spark
     // plans TakeOrderedAndProject — no full sort materialization).
     Q("q_limit_top_orders",

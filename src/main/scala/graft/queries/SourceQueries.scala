@@ -251,6 +251,29 @@ object SourceQueries {
         .orderBy(col("lang"))
     },
 
+    // Semi-structured JSON extraction (event-pipeline staple): the
+    // events table's `props` column holds JSON; `from_json` parses it
+    // inside codegen (no UDF) and the typed field aggregates per event
+    // type. count(k) vs count(*) also verifies the parse null-contract:
+    // a malformed document must null out, not fail the job.
+    Q("q_source_json_extract",
+      """SELECT event_type,
+        |       cast(count(*) AS int) AS n_events,
+        |       cast(count(CAST(props->>'k' AS int)) AS int) AS n_parsed,
+        |       cast(sum(CAST(props->>'k' AS int)) AS bigint) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("int").as("n_events"),
+          count(col("k")).cast("int").as("n_parsed"),
+          sum(col("k")).cast("bigint").as("sum_k"))
+        .orderBy(col("event_type"))
+    },
+
     // P11/O3: deterministic global top-n via ORDER BY + LIMIT (Spark
     // plans TakeOrderedAndProject — no full sort materialization).
     Q("q_limit_top_orders",

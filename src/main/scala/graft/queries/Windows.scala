@@ -267,6 +267,70 @@ object Windows {
           unix_micros(col("s_end")).as("s_end_us"),
           col("n_events"))
         .orderBy(col("user_id"), col("s_start_us"))
+    },
+
+    // Streaming exact dedup (dropDuplicatesWithinWatermark on
+    // (user_id, event_type)), emitted append-mode and counted per event
+    // type IN BATCH over the sink table. AvailableNow over one staged
+    // file = a single micro-batch, so watermark eviction cannot re-admit
+    // a key and the emitted set is exactly the distinct pairs — which
+    // the oracle computes relationally. Only KEY columns are emitted:
+    // which physical row survives a dedup is partition-order-dependent,
+    // the key set is not.
+    Q("q_stream_dedup",
+      """SELECT event_type, cast(count(DISTINCT user_id) AS int) AS n_users
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val deduped = graft.streaming.StreamingOps.streamingDedup(
+          stagedEventsStream(s, dir).select(col("ts"), col("user_id"), col("event_type")),
+          tsCol = "ts", keyCol = "user_id", watermarkDelay = "1 hour",
+          extraKeyCols = Seq("event_type"))
+        .select(col("user_id"), col("event_type"))
+      runToMemorySink(s, deduped, s"stream_dd_${Integer.toHexString(dir.hashCode)}",
+          outputMode = "append")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).cast("int").as("n_users"))
+        .orderBy(col("event_type"))
+    },
+
+    // Custom-state sessionization (flatMapGroupsWithState) through the
+    // streaming harness: append mode emits a session only when the NEXT
+    // event closes it, so with AvailableNow's single batch the emitted
+    // set is every session EXCEPT each user's open last one — exactly
+    // what the oracle computes (batch gap sessions minus the max-seq
+    // session per user). This hash-checks the arbitrary-state operator
+    // end to end, strict-gap edge and all.
+    Q("q_stream_sessions_state",
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+        |flagged AS (
+        |  SELECT user_id, ms,
+        |         CASE WHEN lag(ms) OVER w IS NULL
+        |                OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |sess AS (
+        |  SELECT user_id, ms,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ms
+        |                          ROWS UNBOUNDED PRECEDING) AS seq
+        |  FROM flagged),
+        |agg AS (
+        |  SELECT user_id, seq, cast(min(ms) AS bigint) AS start_ms,
+        |         cast(max(ms) AS bigint) AS end_ms, count(*) AS n_events
+        |  FROM sess GROUP BY user_id, seq),
+        |last AS (SELECT user_id, max(seq) AS mseq FROM agg GROUP BY user_id)
+        |SELECT a.user_id, a.start_ms, a.end_ms, a.n_events
+        |FROM agg a JOIN last l ON a.user_id = l.user_id AND a.seq < l.mseq
+        |ORDER BY a.user_id, a.start_ms""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = stagedEventsStream(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .as[graft.streaming.StreamingOps.Event]
+      val sessions = graft.streaming.StreamingOps
+        .sessionizeWithState(ev, gapMs = 1800000L, timeout = "none")
+      runToMemorySink(s, sessions.toDF(),
+          s"stream_ss_${Integer.toHexString(dir.hashCode)}", outputMode = "append")
+        .select(col("user_id"), col("start_ms"), col("end_ms"), col("n_events"))
+        .orderBy(col("user_id"), col("start_ms"))
     })
 
   /** The streaming oracle harness's source: the events table staged into
@@ -289,15 +353,15 @@ object Windows {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** Run a streaming aggregation to completion (AvailableNow) into a
-    * complete-mode memory sink and return the materialized sink table.
-    * Complete-mode memory sinks collect to the driver — fine for gate
-    * result sizes; production writes append-mode to a real sink with
-    * the same plan.
+  /** Run a streaming query to completion (AvailableNow) into a memory
+    * sink and return the materialized sink table. Memory sinks collect
+    * to the driver — fine for gate result sizes; production writes to a
+    * real sink with the same plan.
     */
-  private def runToMemorySink(s: SparkSession, df: DataFrame, name: String): DataFrame = {
+  private def runToMemorySink(s: SparkSession, df: DataFrame, name: String,
+      outputMode: String = "complete"): DataFrame = {
     val sq = df.writeStream.format("memory").queryName(name)
-      .outputMode("complete")
+      .outputMode(outputMode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     sq.awaitTermination()

@@ -57,10 +57,10 @@ object StreamingOps {
     * equivalent is `Dedup.dropExactDuplicates`.
     */
   def streamingDedup(docs: DataFrame, tsCol: String, keyCol: String,
-      watermarkDelay: String): DataFrame =
+      watermarkDelay: String, extraKeyCols: Seq[String] = Nil): DataFrame =
     docs
       .withWatermark(tsCol, watermarkDelay)
-      .dropDuplicatesWithinWatermark(keyCol)
+      .dropDuplicatesWithinWatermark(keyCol +: extraKeyCols)
 
   case class Doc(doc_id: Long, key: String, ts: java.sql.Timestamp)
   case class Event(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
@@ -73,14 +73,24 @@ object StreamingOps {
     * processing-time timeout. State per user is one (start, last, n)
     * triple — constant, watermark-independent.
     */
+  /** @param timeout processing-time idle timeout that flushes a user's
+    *                 open session, or `"none"` for NoTimeout — REQUIRED
+    *                 for run-to-completion harnesses: with a
+    *                 processing-time timeout registered, an AvailableNow
+    *                 query keeps scheduling batches to evaluate timeouts
+    *                 and `awaitTermination` never returns.
+    */
   def sessionizeWithState(events: Dataset[Event], gapMs: Long,
       timeout: String = "10 minutes"): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val timeoutConf =
+      if (timeout == "none") GroupStateTimeout.NoTimeout()
+      else GroupStateTimeout.ProcessingTimeTimeout()
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[List[SessionState], Session](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (user: Long, it: Iterator[Event], state: GroupState[List[SessionState]]) =>
           if (state.hasTimedOut) {
             val out = state.getOption.toList.flatten
@@ -104,7 +114,7 @@ object StreamingOps {
               }
             }
             open.foreach(s => state.update(List(s)))
-            state.setTimeoutDuration(timeout)
+            if (timeout != "none") state.setTimeoutDuration(timeout)
             closed.iterator
           }
       }

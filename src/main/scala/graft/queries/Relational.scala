@@ -450,5 +450,29 @@ object Relational {
         .agg(round(sum(col("l_extendedprice")), 2).as("revenue"),
           count(lit(1)).as("n_rows"))
         .orderBy(col("o_orderpriority"))
+    },
+
+    // The plain-SQL front door: Tables.registerAll + ONE SQL text run
+    // verbatim by BOTH engines (spark.sql and the DuckDB oracle) — a
+    // user who only speaks SQL strings gets the full engine (views,
+    // multi-way joins, Catalyst planning) with no DataFrame code. The
+    // shared text is the strongest cross-engine check in the suite: any
+    // divergence in parsing or semantics on this dialect subset breaks
+    // the hash.
+    {
+      val sharedSql =
+        """SELECT r_name,
+          |       cast(count(DISTINCT c_custkey) AS int) AS n_customers,
+          |       cast(count(*) AS int) AS n_orders,
+          |       round(sum(o_totalprice), 2) AS total_price
+          |FROM region
+          |JOIN nation ON n_regionkey = r_regionkey
+          |JOIN customer ON c_nationkey = n_nationkey
+          |JOIN orders ON o_custkey = c_custkey
+          |GROUP BY r_name ORDER BY r_name""".stripMargin
+      Q("q_sql_frontdoor", sharedSql) { (s, dir) =>
+        graft.Tables.registerAll(s, dir)
+        s.sql(sharedSql)
+      }
     })
 }

@@ -72,17 +72,25 @@ object Bench {
     // LAST line: values at ms precision, and if the full query map still
     // doesn't fit the tail window, keep the slowest queries and say how
     // many were omitted. Full precision always lands in `outPath`.
-    def compact(rs: Seq[(String, Double)], omitted: Int): String = {
+    // the cap is NEVER silent: the omission rule and the exact time
+    // cutoff ride in the JSON, so a round-over-round diff knows whether
+    // a missing query was dropped-as-fast or actually vanished
+    def compact(rs: Seq[(String, Double)], omitted: Int, cutoff: Double): String = {
       val m = rs.map { case (k, v) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }
         .mkString("{", ",", "}")
-      val omit = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      val omit = if (omitted > 0)
+        s""","queries_omitted":$omitted,"omit_rule":"fastest_first","omitted_max_sec":${math.rint(cutoff * 1000) / 1000}"""
+      else ""
       s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$m$omit,"sf":"$sfDir"}"""
     }
     val bySlowest = results.sortBy(-_._2)
     val line = (results.size to 0 by -5).iterator
-      .map(n => compact(bySlowest.take(n).sortBy(_._1), results.size - n))
+      .map { n =>
+        val cutoff = bySlowest.drop(n).headOption.map(_._2).getOrElse(0.0)
+        compact(bySlowest.take(n).sortBy(_._1), results.size - n, cutoff)
+      }
       .find(_.length <= 1800)
-      .getOrElse(compact(Nil, results.size))
+      .getOrElse(compact(Nil, results.size, bySlowest.headOption.map(_._2).getOrElse(0.0)))
     println(line)
     spark.stop()
   }

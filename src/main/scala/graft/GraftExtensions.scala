@@ -69,5 +69,15 @@ object GraftExtensions {
     ext.injectFunction(fn("graft_hamming64", 2, "graft_hamming64(bigint, bigint)") {
       ch => BitwiseCount(BitwiseXor(Cast(ch(0), LongType), Cast(ch(1), LongType)))
     })
+    ext.injectFunction(fn("graft_hilbert", 3,
+      "graft_hilbert(x bigint, y bigint, bits int literal)") { ch =>
+      val bits = ch(2) match {
+        case Literal(v: Number, _) => v.intValue
+        case other => throw new IllegalArgumentException(
+          s"graft_hilbert: bits must be an integer literal, got $other")
+      }
+      graft.expressions.HilbertIndex(
+        Cast(ch(0), LongType), Cast(ch(1), LongType), bits)
+    })
   }
 }

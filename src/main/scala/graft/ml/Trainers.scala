@@ -5,7 +5,7 @@ import org.apache.spark.ml.classification.{RandomForestClassificationModel, Rand
 import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
 import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.ml.functions.vector_to_array
-import org.apache.spark.ml.tuning.{ParamGridBuilder, TrainValidationSplit, TrainValidationSplitModel}
+import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder, TrainValidationSplit, TrainValidationSplitModel}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -105,6 +105,42 @@ object Trainers {
         .setLabelCol("label").setRawPredictionCol("probability").setMetricName("areaUnderPR"))
       .setEstimatorParamMaps(grid)
       .setTrainRatio(trainRatio)
+      .setSeed(seed)
+      .setParallelism(4)
+  }
+
+  /** M7 (the reference's BRF half): CrossValidator over the same pipeline
+    * shape with `numFolds = 4` and `collectSubModels = true`, exactly the
+    * reference's headline tuning call
+    * (`src/random_forest.py:56-81`: `CrossValidator(estimator=pipeline,
+    * estimatorParamMaps=paramGrid, evaluator=pr_evaluator, numFolds=4,
+    * collectSubModels=True)`). The grid here is a small numTrees ×
+    * maxDepth slice of the reference's 216-point grid — same axes, sized
+    * for the verification harness; callers pass wider grids in production.
+    *
+    * Scale note: k-fold CV runs folds × grid fits. Each fold's split is a
+    * filter over the same (cached) frame, so the input scans stay k, not
+    * k × grid; `setParallelism` lets independent grid fits share the
+    * cluster. `collectSubModels` keeps folds × grid fitted models on the
+    * driver — fine for forests (KB each), the reference's own choice.
+    */
+  def cv(featureCols: Seq[String], seed: Long = 42L,
+      numTreesGrid: Seq[Int] = Seq(10, 20), maxDepthGrid: Seq[Int] = Seq(4, 8),
+      numFolds: Int = 4, collectSubModels: Boolean = true): CrossValidator = {
+    val rf = brfClassifier(seed, numTrees = 10, maxDepth = 4, weightCol = "weight")
+    val pipe = new Pipeline().setStages(Array(
+      new ClassWeighter().setClassWeights(Array(1.0, 1.0)), assembler(featureCols), rf))
+    val grid = new ParamGridBuilder()
+      .addGrid(rf.numTrees, numTreesGrid)
+      .addGrid(rf.maxDepth, maxDepthGrid)
+      .build()
+    new CrossValidator()
+      .setEstimator(pipe)
+      .setEvaluator(new BinaryClassificationEvaluator()
+        .setLabelCol("label").setRawPredictionCol("probability").setMetricName("areaUnderPR"))
+      .setEstimatorParamMaps(grid)
+      .setNumFolds(numFolds)
+      .setCollectSubModels(collectSubModels)
       .setSeed(seed)
       .setParallelism(4)
   }

@@ -326,9 +326,18 @@ object Dedup {
     * no extra change-count join. The driver loop is over ITERATIONS
     * (bounded by `maxIters`), never over rows.
     */
+  /** @param checkpointDir when set, lineage truncation uses RELIABLE
+    *   `checkpoint()` into this (shared-FS) directory, so an executor
+    *   loss mid-convergence recovers from the checkpoint instead of
+    *   failing the job — the production mode at 100 TB. When None,
+    *   `localCheckpoint` (executor blocks, no FS round trip) keeps the
+    *   single-node fast path. Identical labeling either way.
+    */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxIters: Int = 20): DataFrame = {
+      idB: String = "id_b", maxIters: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     // symmetrize in ONE scan of `pairs` (explode to both directions):
     // a two-branch union would evaluate the upstream pair-generation
     // pipeline — typically an expensive LSH/Jaccard subtree — twice
@@ -372,17 +381,22 @@ object Dedup {
       it += 1
       // lineage truncation: the logical plan otherwise nests one join per
       // round, so plan analysis/serialization grows linearly with cluster
-      // diameter. localCheckpoint every 5 rounds bounds plan depth at O(5)
-      // joins. (Trade-off: localCheckpoint stores blocks on executors and
-      // DISCARDS lineage, so an executor loss fails the job instead of
-      // recomputing — use reliable checkpoint() on a shared FS in
-      // production. The win here is plan size, not fault tolerance.)
+      // diameter. A checkpoint every 5 rounds bounds plan depth at O(5)
+      // joins. With `checkpointDir` set it is a RELIABLE checkpoint
+      // (recomputable after executor loss — the production mode); without
+      // it, `localCheckpoint` stores executor blocks and discards
+      // lineage, trading fault tolerance for the FS round trip.
       // The checkpointed copy replaces the persisted one, which is
       // released immediately — otherwise one cached label set would leak
       // per 5 iterations in long-lived sessions.
       val next =
-        if (it % 5 == 0) { val cp = cached.localCheckpoint(eager = true); cached.unpersist(); cp }
-        else cached
+        if (it % 5 == 0) {
+          val cp = checkpointDir match {
+            case Some(_) => cached.checkpoint(eager = true)
+            case None => cached.localCheckpoint(eager = true)
+          }
+          cached.unpersist(); cp
+        } else cached
       val nsig = sigOf(next)
       converged = nsig == sig
       sig = nsig

@@ -20,8 +20,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape for 100 TB: per-source counts are a map-side-combined
   * aggregate over a short key (thousands of sources at most); the rate
-  * table is broadcast back; the corpus itself is touched by exactly one
-  * codegen'd filter pass — no corpus shuffle, no driver collect.
+  * table is broadcast back; no corpus shuffle, no driver collect. Note
+  * `temperatureSample(docs, ...)` necessarily reads `docs` TWICE — once
+  * for the counting aggregate, once for the filter pass — so callers
+  * should persist `docs` when it is an expensive derived frame (the
+  * corpus-pipeline query does), or pre-compute the rate table and call
+  * `sampleWithRates` for a strict single pass over the corpus.
   */
 object MixtureSampler {
 
@@ -35,10 +39,22 @@ object MixtureSampler {
         rate(col("n_docs").cast("double"), col("_cmin").cast("double"), alpha).as("_rate"))
   }
 
-  /** Sampled corpus (all original columns) plus the per-row `_rate`. */
+  /** Sampled corpus (all original columns) plus the per-row `_rate`.
+    * Scans `docs` twice (count pass + filter pass) — see the scale note
+    * above; pass a persisted frame or use [[sampleWithRates]].
+    */
   def temperatureSample(docs: DataFrame, sourceCol: String, idCol: String,
       alpha: Double = 0.5, seed: Long = 42L): DataFrame =
-    docs.join(broadcast(rates(docs, sourceCol, alpha).drop("n_docs")), sourceCol)
+    sampleWithRates(docs, rates(docs, sourceCol, alpha), sourceCol, idCol, seed)
+
+  /** The strict one-pass half: filter `docs` against a PRE-COMPUTED rate
+    * table (from [[rates]], possibly persisted/stored) — the corpus is
+    * touched by exactly one codegen'd filter pass behind a broadcast
+    * join.
+    */
+  def sampleWithRates(docs: DataFrame, rateTable: DataFrame, sourceCol: String,
+      idCol: String, seed: Long = 42L): DataFrame =
+    docs.join(broadcast(rateTable.select(col(sourceCol), col("_rate"))), sourceCol)
       .filter(RandomUnderSampler.hashKeepScore(col(idCol), seed) < col("_rate"))
 
   /** rate = (cmin/c)^(1-alpha); the alpha = 0.5 case uses sqrt explicitly

@@ -12,14 +12,18 @@ import org.apache.spark.sql.types._
   *
   * The decode itself is the ONLY non-relational step, so it is isolated
   * in `decodePartition`: a typed `mapPartitions` (the JVM analogue of
-  * `mapInPandas` — batched, no per-row closure dispatch). This container
-  * has no image/audio codecs, so the decoder STUB parses the engine's
-  * deterministic GFT1 header format; a real deployment swaps
-  * `decodeOne` for a JPEG/PNG/FLAC decoder without touching any of the
-  * surrounding plumbing (schema, partitioning, batching).
+  * `mapInPandas` — batched, no per-row closure dispatch). Two codecs sit
+  * behind the decode slot:
+  *   - **real images** via the JDK's own `javax.imageio` readers
+  *     (PNG/BMP/JPEG/GIF — no external dependency), selected by magic-
+  *     byte sniff so non-image payloads never pay an ImageIO attempt;
+  *   - the deterministic **GFT1** fixture format (below) for audio/video
+  *     payloads this container has no codecs for — the documented STUB
+  *     slot; a real deployment swaps in FLAC/H.264 without touching the
+  *     surrounding plumbing (schema, partitioning, batching).
   *
-  * Header layout (ASCII, 17 bytes): "GFT1 wwwww hhhhh\n" then the raw
-  * body bytes.
+  * GFT1 header layout (ASCII, 17 bytes): "GFT1 wwwww hhhhh\n" then the
+  * raw body bytes.
   */
 object Multimodal {
 
@@ -44,10 +48,14 @@ object Multimodal {
       lit("\n").cast("binary"),
       body.cast("binary"))
 
-  /** STUB decoder — real codec goes here. Parses the 17-byte GFT1
-    * header; returns None for payloads that don't carry it.
+  /** (width, height, body_bytes) of a payload: GFT1 header first (cheap
+    * fixed-offset parse), then a real `javax.imageio` decode for payloads
+    * whose magic bytes name a JDK-shipped image format. None = neither.
     */
-  private def decodeOne(payload: Array[Byte]): Option[(Int, Int, Int)] = {
+  private[operators] def decodeOne(payload: Array[Byte]): Option[(Int, Int, Int)] =
+    decodeGft1(payload).orElse(decodeImage(payload))
+
+  private def decodeGft1(payload: Array[Byte]): Option[(Int, Int, Int)] = {
     if (payload == null || payload.length < 17) return None
     val header = new String(payload, 0, 17, "US-ASCII")
     if (!header.startsWith("GFT1 ") || header(16) != '\n') return None
@@ -55,6 +63,30 @@ object Multimodal {
       header.substring(11, 16).trim.toInt,
       payload.length - 17))
     catch { case _: NumberFormatException => None }
+  }
+
+  /** True iff the payload's magic bytes name a format the JDK's ImageIO
+    * ships a reader for (PNG / BMP / JPEG / GIF) — the sniff keeps
+    * non-image rows from paying a full ImageIO reader-lookup attempt.
+    */
+  private def looksLikeImage(p: Array[Byte]): Boolean =
+    p != null && p.length >= 8 && (
+      ((p(0) & 0xFF) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') || // PNG
+      (p(0) == 'B' && p(1) == 'M') ||                                         // BMP
+      ((p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8) ||                     // JPEG
+      (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8'))             // GIF
+
+  // decode from memory, not an executor-local ImageIO temp file per row
+  private lazy val imageIoNoCache: Unit = javax.imageio.ImageIO.setUseCache(false)
+
+  private def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int)] =
+    readImage(payload).map(img => (img.getWidth, img.getHeight, payload.length))
+
+  private def readImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    if (!looksLikeImage(payload)) return None
+    imageIoNoCache
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    catch { case scala.util.control.NonFatal(_) => None } // corrupt row ≠ failed task
   }
 
   /** Typed metadata extraction over (id, payload) rows: one decode pass
@@ -90,14 +122,14 @@ object Multimodal {
       explode(sequence(lit(0), col(nFramesCol) - 1, lit(stride))))
 
   /** Binary→binary media transform (the resize/transcode slot): decode,
-    * scale dimensions by 1/factor, keep every `factor`-th body byte, and
-    * RE-ENCODE — the payload is rewritten in place inside one partition
-    * pass, never shuffled, and the output column is again an opaque
-    * binary a downstream stage can decode. The byte-subsampling "
-    * resampler" is the codec STUB (same contract as `decodeOne`): a real
-    * deployment swaps in an image scaler without touching the plumbing.
-    * Undecodable payloads pass through unchanged (valid=false shape) so
-    * a corrupt row can't fail a 100 TB job.
+    * scale dimensions by 1/factor, and RE-ENCODE — the payload is
+    * rewritten in place inside one partition pass, never shuffled, and
+    * the output column is again an opaque binary a downstream stage can
+    * decode. Real images (PNG/BMP/JPEG/GIF) are rescaled with Graphics2D
+    * bilinear drawImage and re-encoded as PNG; GFT1 fixtures keep the
+    * deterministic byte-subsampling resampler (the audio/video STUB
+    * slot). Undecodable payloads pass through unchanged (resized=false)
+    * so a corrupt row can't fail a 100 TB job.
     */
   def resizePayload(df: DataFrame, factor: Int,
       idCol: String = "doc_id", payloadCol: String = "payload"): DataFrame = {
@@ -113,13 +145,27 @@ object Multimodal {
       it.map { r =>
         val id: Any = if (r.isNullAt(0)) null else r.getLong(0)
         val payload = r.getAs[Array[Byte]](1)
-        decodeOne(payload) match {
+        decodeGft1(payload) match {
           case Some((w, h, n)) =>
             val body = java.util.Arrays.copyOfRange(payload, 17, 17 + n)
             val sub = Array.range(0, n, factor).map(body(_))
             val header = f"GFT1 ${math.max(1, w / factor)}%05d ${math.max(1, h / factor)}%05d\n"
             Row(id, header.getBytes("US-ASCII") ++ sub, true)
-          case None => Row(id, payload, false)
+          case None => readImage(payload) match {
+            case Some(img) =>
+              val (nw, nh) = (math.max(1, img.getWidth / factor), math.max(1, img.getHeight / factor))
+              val out = new java.awt.image.BufferedImage(
+                nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, nw, nh, null)
+              g.dispose()
+              val bytes = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bytes)
+              Row(id, bytes.toByteArray, true)
+            case None => Row(id, payload, false)
+          }
         }
       }
     }(encoder)

@@ -17,10 +17,16 @@ import org.apache.spark.sql.functions._
   * cell id. That join alone is only guaranteed exact for neighbours
   * within the neighbourhood's coverage radius, so a second phase checks,
   * per left row, that k candidates were found AND the k-th candidate
-  * distance is within the guaranteed-coverage radius; the (few) rows
-  * failing the guarantee are re-matched exhaustively. Net cost at scale:
-  * one equi-join shuffle + a cross join restricted to the sparse-region
-  * stragglers, instead of |L|·|R| everywhere.
+  * distance is within the guaranteed-coverage radius; rows failing the
+  * guarantee are retried through progressively wider grids (`cellDeg`
+  * doubles each round, so the 3×3 neighbourhood covers what 9×9 of the
+  * original cells would), and only the residue still unproven after
+  * `widenRounds` rounds is re-matched exhaustively. Net cost at scale:
+  * a handful of equi-join shuffles (each over only the previous round's
+  * stragglers) + a cross join restricted to a residue that shrank
+  * geometrically, instead of |L|·|R| everywhere — a systematic guarantee
+  * failure (sparse rural region, ocean sensors) widens the grid instead
+  * of exploding into |stragglers|·|R|.
   */
 object NearestMatch {
 
@@ -41,7 +47,7 @@ object NearestMatch {
       latL: String = "lat", lonL: String = "lon",
       latR: String = "lat", lonR: String = "lon",
       cellDeg: Double = 0.1, maxAbsLatDeg: Double = 60.0,
-      exhaustive: Boolean = false): DataFrame = {
+      widenRounds: Int = 3, exhaustive: Boolean = false): DataFrame = {
 
     // Rename right-side coordinates internally so identically-named
     // left/right columns (e.g. both "lat"/"lon", the defaults) can never
@@ -58,38 +64,55 @@ object NearestMatch {
 
     if (exhaustive) return rankK(left.crossJoin(r))
 
-    // Phase 1: equi-join on cell id, right side exploded to its 3×3
-    // neighbourhood (9× the smaller side, NOT a cross join).
-    val lcell = left
-      .withColumn("cx", floor(col(latL) / cellDeg))
-      .withColumn("cy", floor(col(lonL) / cellDeg))
-    val rcell = r
-      .withColumn("cx", explode(sequence(floor(col("_r_lat") / cellDeg) - 1,
-        floor(col("_r_lat") / cellDeg) + 1)))
-      .withColumn("cy", explode(sequence(floor(col("_r_lon") / cellDeg) - 1,
-        floor(col("_r_lon") / cellDeg) + 1)))
-    val phase1 = rankK(lcell.join(rcell, Seq("cx", "cy")).drop("cx", "cy"))
+    // One grid round: equi-join on cell id (right side exploded to its
+    // 3×3 neighbourhood — 9× the smaller side, NOT a cross join), then
+    // split results into provably-complete rows and stragglers.
+    // A left row's top-k is provably complete iff it found k candidates
+    // and the k-th is inside the coverage radius of `cd`.
+    def gridRound(lpart: DataFrame, cd: Double): (DataFrame, DataFrame) = {
+      val lcell = lpart
+        .withColumn("cx", floor(col(latL) / cd))
+        .withColumn("cy", floor(col(lonL) / cd))
+      val rcell = r
+        .withColumn("cx", explode(sequence(floor(col("_r_lat") / cd) - 1,
+          floor(col("_r_lat") / cd) + 1)))
+        .withColumn("cy", explode(sequence(floor(col("_r_lon") / cd) - 1,
+          floor(col("_r_lon") / cd) + 1)))
+      val ranked = rankK(lcell.join(rcell, Seq("cx", "cy")).drop("cx", "cy"))
 
-    // Phase 2: a left row's top-k is provably complete iff it found k
-    // candidates and the k-th is inside the coverage radius.
-    val guarantee = coverageRadiusM(cellDeg, maxAbsLatDeg)
-    val perLeft = Window.partitionBy(col(leftId))
-    val flagged = phase1
-      .withColumn("_nc", count(lit(1)).over(perLeft))
-      .withColumn("_dk", max(col("distance_m")).over(perLeft))
-    // strict <: at exactly the coverage radius a neighbour can sit on a
-    // cell boundary that floors into the 4th ring.
-    // persist: `proven` feeds BOTH the anti-join (to find stragglers) and
-    // the final union — without it Spark recomputes the grid join twice
-    // (SURVEY C3; flagged by the round-1 judge).
-    val proven = flagged.filter(col("_nc") === k && col("_dk") < guarantee)
-      .drop("_nc", "_dk")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val guarantee = coverageRadiusM(cd, maxAbsLatDeg)
+      val perLeft = Window.partitionBy(col(leftId))
+      val flagged = ranked
+        .withColumn("_nc", count(lit(1)).over(perLeft))
+        .withColumn("_dk", max(col("distance_m")).over(perLeft))
+      // strict <: at exactly the coverage radius a neighbour can sit on a
+      // cell boundary that floors into the 4th ring.
+      // persist: `proven` feeds BOTH the anti-join (to find stragglers)
+      // and the final union — without it Spark recomputes the grid join
+      // twice (SURVEY C3; flagged by the round-1 judge).
+      val proven = flagged.filter(col("_nc") === k && col("_dk") < guarantee)
+        .drop("_nc", "_dk")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val unproven = lpart.join(
+        proven.select(col(leftId)).distinct(), Seq(leftId), "left_anti")
+      (proven, unproven)
+    }
 
-    val unprovenLeft = left.join(
-      proven.select(col(leftId)).distinct(), Seq(leftId), "left_anti")
-    val fallback = rankK(unprovenLeft.crossJoin(r))
-
-    proven.unionByName(fallback)
+    // Widening loop: stragglers of round i retry at 2× the cell size.
+    var remaining = left
+    var cd = cellDeg
+    val provens = Seq.newBuilder[DataFrame]
+    var round = 0
+    while (round < math.max(1, widenRounds)) {
+      val (proven, unproven) = gridRound(remaining, cd)
+      provens += proven
+      remaining = unproven
+      cd *= 2
+      round += 1
+    }
+    // Exhaustive residue: only rows no widened grid could prove — at
+    // scale a geometrically-shrunk set, typically empty.
+    val fallback = rankK(remaining.crossJoin(r))
+    (provens.result() :+ fallback).reduce(_ unionByName _)
   }
 }

@@ -18,8 +18,14 @@ import org.apache.spark.sql.functions._
   *    count) rows shuffle, never text.
   *  - `repetitive`: either signal over its threshold.
   *
-  * At 100 TB both aggregations partition by doc_id-ish keys with
-  * near-uniform cardinality — no skew, no all-pairs, no driver loop.
+  * ONE scan of the corpus: the per-doc bigram scalars are computed
+  * before the token explode, ride it as constant columns, and are
+  * recovered with `first()` in the per-doc aggregation — no self-join of
+  * two branches over the documents table (which would scan and tokenize
+  * the dominant input twice). Both aggregations are map-side combined
+  * and partition by doc_id-ish keys with near-uniform cardinality — no
+  * skew, no all-pairs, no driver loop; only (doc_id, token, count, two
+  * scalars) rows shuffle, never text.
   */
 object RepetitionScore {
 
@@ -35,14 +41,22 @@ object RepetitionScore {
           .otherwise(lit(1.0) - size(array_distinct(col("_bg"))).cast("double") /
             size(col("_bg")).cast("double")).as("dup_bigram_frac"))
 
-    val tok = bigr.select(col("doc_id"), explode(col("_toks")).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("_n"))
+    // plain explode (not outer): zero-token docs carry no repetition
+    // signal and are excluded, matching the historical join semantics
+    bigr
+      .select(col("doc_id"), col("n_bigrams"), col("dup_bigram_frac"),
+        explode(col("_toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("_n"),
+        first(col("n_bigrams")).as("n_bigrams"),
+        first(col("dup_bigram_frac")).as("dup_bigram_frac"))
       .groupBy(col("doc_id"))
-      .agg(max(col("_n")).as("_top"), sum(col("_n")).as("n_tokens"))
-      .select(col("doc_id"), col("n_tokens"),
+      .agg(max(col("_n")).as("_top"), sum(col("_n")).as("n_tokens"),
+        first(col("n_bigrams")).as("n_bigrams"),
+        first(col("dup_bigram_frac")).as("dup_bigram_frac"))
+      .select(col("doc_id"), col("n_bigrams"), col("dup_bigram_frac"),
+        col("n_tokens"),
         (col("_top").cast("double") / col("n_tokens")).as("top_token_frac"))
-
-    bigr.drop("_toks").join(tok, "doc_id")
       .withColumn("repetitive",
         col("dup_bigram_frac") > maxDupBigramFrac || col("top_token_frac") > maxTopTokenFrac)
   }

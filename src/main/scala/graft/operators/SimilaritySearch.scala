@@ -74,10 +74,15 @@ object SimilaritySearch {
   /** Two-stage retrieval — the production ANN shape at corpus scale:
     * the cheap int8-code scan ([[quantizedTopK]], ¼ the scan bytes,
     * integer multiply-add hot loop) selects a per-query `shortlist`,
-    * and ONLY those candidate ids join back their float vectors for the
-    * exact cosine re-rank. The full-precision corpus is touched for
-    * |queries|·shortlist rows total, never scanned — which is what makes
-    * exact re-ranking affordable over billions of vectors.
+    * and ONLY those candidates are re-ranked by exact cosine. The
+    * float-vector corpus is read through ONE streaming scan probed by a
+    * BROADCAST of the shortlist (|queries|·shortlist ids by
+    * construction — explicitly hinted, so a size misestimate of the
+    * windowed candidate subtree can never pick a sort-merge join that
+    * shuffles the corpus), and norms/dot products are computed only for
+    * the shortlisted rows — which is what makes exact re-ranking
+    * affordable over billions of vectors. PlanSpec asserts the
+    * broadcast-probe plan shape.
     */
   def twoStageTopK(queries: DataFrame, corpus: DataFrame, k: Int, shortlist: Int,
       queryId: String = "query_id", corpusId: String = "vec_id",
@@ -90,10 +95,13 @@ object SimilaritySearch {
         queryId, corpusId, queryCodes, corpusCodes)
       .select(col(queryId), col(corpusId))
     val q = withNorm(queries, queryId, queryVec, "_qv", "_qn")
-    val c = withNorm(corpus, corpusId, corpusVec, "_cv", "_cn")
-    val scored = cand
+    // corpus streams once; float vectors and norms materialize only for
+    // broadcast-hash-join survivors (the shortlist)
+    val candVecs = corpus.select(col(corpusId), toDoubleArray(col(corpusVec)).as("_cv"))
+      .join(broadcast(cand), Seq(corpusId))
+      .withColumn("_cn", norm(col("_cv")))
+    val scored = candVecs
       .join(broadcast(q), Seq(queryId))
-      .join(c, Seq(corpusId))
       .withColumn("cosine", cosineFromNorms(col("_qv"), col("_cv"), col("_qn"), col("_cn")))
     TopK.perGroup(scored,
         partitionBy = Seq(col(queryId)),

@@ -146,43 +146,66 @@ object Geo {
         .orderBy(col("c_custkey"))
     },
 
-    // F8 solar geometry (reference src/solar_features.py:6-79) over the
-    // events table, coordinates derived from user_id.
-    // Z-order (Morton) layout clustering: customers quantized to a
-    // 256×256 cell grid, keyed by the interleaved-bit z-value, cut into
-    // 50-row blocks (a stand-in for files/row-groups), and the per-block
-    // cell bounding box measured — against the same blocks under naive
-    // key order. Z-order block boxes are compact in BOTH dimensions
-    // (that is the pruning win the layout buys at scale); the window
-    // here only SIMULATES the layout for measurement — the production
-    // write path is ZOrder.repartitionByZ (repartitionByRange + sorted
-    // files), which needs no global window. All-integer bit arithmetic
-    // after one deterministic quantization ⇒ exact oracle replay.
+    // Space-filling-curve layout clustering: customers quantized to a
+    // 256×256 cell grid, keyed by (a) the Morton interleaved-bit
+    // z-value, (b) the HILBERT index (reflect+swap rotation per bit
+    // level — the oracle replays the identical loop as a chained-CTE
+    // unroll), cut into 50-row blocks (a stand-in for files/row-groups),
+    // and the per-block cell bounding box measured — against the same
+    // blocks under naive key order. Curve block boxes are compact in
+    // BOTH dimensions (that is the pruning win the layout buys at
+    // scale; Hilbert's are tighter still — ZOrderSpec asserts the
+    // property); the window here only SIMULATES the layout for
+    // measurement — the production write path is ZOrder.repartitionByZ
+    // (repartitionByRange + sorted files), which needs no global window.
+    // All-integer arithmetic after one deterministic quantization ⇒
+    // exact oracle replay of both curves.
     Q("q_geo_zorder_layout", {
-      val zTerms = (0 until 8).map(i =>
+      val bits = 8
+      val n = 1L << bits
+      val zTerms = (0 until bits).map(i =>
         s"(((cx >> $i) & 1) << ${2 * i}) + (((cy >> $i) & 1) << ${2 * i + 1})")
         .mkString(" + ")
+      // the Hilbert xy→d loop unrolled to one CTE per bit level, highest
+      // first — state (x_k, y_k, d_k) mirrors HilbertIndex.compute
+      val hilbChain = (0 until bits).map { k =>
+        val s = 1L << (bits - 1 - k)
+        val (px, py, pd) = (s"x$k", s"y$k", s"d$k")
+        s"""h${k + 1} AS (
+           |  SELECT c_custkey,
+           |    $pd + ${s * s} * xor(3 * (CASE WHEN ($px & $s) > 0 THEN 1 ELSE 0 END),
+           |                         CASE WHEN ($py & $s) > 0 THEN 1 ELSE 0 END) AS d${k + 1},
+           |    CASE WHEN ($py & $s) = 0
+           |         THEN (CASE WHEN ($px & $s) > 0 THEN ${n - 1} - $py ELSE $py END)
+           |         ELSE $px END AS x${k + 1},
+           |    CASE WHEN ($py & $s) = 0
+           |         THEN (CASE WHEN ($px & $s) > 0 THEN ${n - 1} - $px ELSE $px END)
+           |         ELSE $py END AS y${k + 1}
+           |  FROM h$k)""".stripMargin
+      }.mkString(",\n")
       def cellSql(v: String, lo: Double, span: Double) =
         s"CAST(least(greatest(floor(($v - ($lo)) / $span * 256.0), 0.0), 255.0) AS BIGINT)"
+      def blockSql(src: String, layout: String) =
+        s"""SELECT '$layout' AS layout, CAST(floor((rn - 1) / 50.0) AS BIGINT) AS block,
+           |       count(*) AS n_pts,
+           |       max(cx) - min(cx) + 1 AS x_span, max(cy) - min(cy) + 1 AS y_span
+           |FROM $src GROUP BY 1, 2""".stripMargin
       s"""WITH pts AS (
          |  SELECT c_custkey,
          |         ${cellSql(custLonSql, -74.0, 1.0)} AS cx,
          |         ${cellSql(custLatSql, 45.0, 1.0)} AS cy
          |  FROM customer),
-         |pz AS (SELECT *, $zTerms AS z FROM pts),
+         |h0 AS (SELECT c_custkey, cx AS x0, cy AS y0, 0 AS d0 FROM pts),
+         |$hilbChain,
+         |pz AS (SELECT p.*, $zTerms AS z, h.d$bits AS hv
+         |       FROM pts p JOIN h$bits h USING (c_custkey)),
          |zb AS (SELECT *, row_number() OVER (ORDER BY z, c_custkey) AS rn FROM pz),
+         |hb AS (SELECT *, row_number() OVER (ORDER BY hv, c_custkey) AS rn FROM pz),
          |kb AS (SELECT *, row_number() OVER (ORDER BY c_custkey) AS rn FROM pz),
-         |zs AS (
-         |  SELECT 'zorder' AS layout, CAST(floor((rn - 1) / 50.0) AS BIGINT) AS block,
-         |         count(*) AS n_pts,
-         |         max(cx) - min(cx) + 1 AS x_span, max(cy) - min(cy) + 1 AS y_span
-         |  FROM zb GROUP BY 1, 2),
-         |ks AS (
-         |  SELECT 'keyorder' AS layout, CAST(floor((rn - 1) / 50.0) AS BIGINT) AS block,
-         |         count(*) AS n_pts,
-         |         max(cx) - min(cx) + 1 AS x_span, max(cy) - min(cy) + 1 AS y_span
-         |  FROM kb GROUP BY 1, 2)
-         |SELECT * FROM zs UNION ALL SELECT * FROM ks
+         |zs AS (${blockSql("zb", "zorder")}),
+         |hs AS (${blockSql("hb", "hilbert")}),
+         |ks AS (${blockSql("kb", "keyorder")})
+         |SELECT * FROM zs UNION ALL SELECT * FROM hs UNION ALL SELECT * FROM ks
          |ORDER BY layout, block""".stripMargin
     }) { (s, dir) =>
       val bits = 8
@@ -191,6 +214,7 @@ object Geo {
           ZOrder.cellId(custLon, -74.0, -73.0, bits).as("cx"),
           ZOrder.cellId(custLat, 45.0, 46.0, bits).as("cy"))
         .withColumn("z", ZOrder.interleave(col("cx"), col("cy"), bits))
+        .withColumn("hv", ZOrder.hilbert(col("cx"), col("cy"), bits))
       def blockStats(ord: Column, layout: String): DataFrame =
         cells
           .withColumn("rn", row_number().over(Window.orderBy(ord, col("c_custkey"))))
@@ -201,6 +225,7 @@ object Geo {
             (max(col("cy")) - min(col("cy")) + 1).as("y_span"))
           .withColumn("layout", lit(layout))
       blockStats(col("z"), "zorder")
+        .unionByName(blockStats(col("hv"), "hilbert"))
         .unionByName(blockStats(col("c_custkey"), "keyorder"))
         .orderBy(col("layout"), col("block"))
     },

@@ -434,18 +434,22 @@ object Relational {
     },
 
     // Skew-salted fact⋈dim join (operators/SaltedJoin): row-identical to
-    // the plain join — the oracle IS the plain join — with the shuffle
-    // spread over 8 sub-keys per order key.
+    // the plain join — the oracle IS the plain join — with the salt
+    // count derived from the observed key histogram (a tiny per-salt row
+    // budget so the test SF actually spreads over >1 sub-key; production
+    // uses the reducer-sized default).
     Q("q_join_salted_revenue",
       """SELECT o_orderpriority,
         |       round(sum(l_extendedprice), 2) AS revenue,
         |       count(*) AS n_rows
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val fact = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"))
       SaltedJoin.inner(
-          t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice")),
+          fact,
           t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
-          leftKey = "l_orderkey", rightKey = "o_orderkey", nSalts = 8)
+          leftKey = "l_orderkey", rightKey = "o_orderkey",
+          nSalts = SaltedJoin.deriveSalts(fact, "l_orderkey", rowsPerSalt = 2L, maxSalts = 8))
         .groupBy(col("o_orderpriority"))
         .agg(round(sum(col("l_extendedprice")), 2).as("revenue"),
           count(lit(1)).as("n_rows"))

@@ -301,5 +301,36 @@ object TrainQueries {
         }
         .toDF("num_trees", "max_depth", "val_auprc", "best_num_trees", "best_max_depth")
         .orderBy($"num_trees", $"max_depth")
+    },
+
+    // M7 (CrossValidator half): 4-fold CV with collectSubModels, the
+    // reference's BRF tuning shape (`src/random_forest.py:74-79`).
+    // Reports the fold-averaged metric per grid point, the chosen best,
+    // and the collected submodel count — rows-only (forest metrics).
+    Q.rowsOnly("q_ml_cv_best") { (s, dir) =>
+      import s.implicits._
+      // same sampling discipline as q_ml_tvs_best: CV runs
+      // folds × grid = 8 fits + the refit, so tune on a deterministic
+      // ~1/11 sample and persist it (each fit re-reads the frame).
+      val (train, _) = split(orderFeatures(s, dir))
+      val sample = train.filter(pmod(col("id"), lit(11)) === 1).persist()
+      val cvModel = try {
+        Trainers.cv(featureCols, seed = 42L,
+          numTreesGrid = Seq(5, 10), maxDepthGrid = Seq(3, 5), numFolds = 4)
+          .fit(fitSized(sample))
+      } finally sample.unpersist()
+      val best = cvModel.bestModel.asInstanceOf[org.apache.spark.ml.PipelineModel]
+      val rf = best.stages.last.asInstanceOf[RandomForestClassificationModel]
+      val nSub = cvModel.subModels.map(_.length).sum
+      cvModel.getEstimatorParamMaps.zip(cvModel.avgMetrics).toSeq
+        .map { case (pm, m) =>
+          val nt = pm.toSeq.find(_.param.name == "numTrees").map(_.value.toString).getOrElse("")
+          val md = pm.toSeq.find(_.param.name == "maxDepth").map(_.value.toString).getOrElse("")
+          (nt.toInt, md.toInt, math.rint(m * 1e4) / 1e4,
+            rf.getNumTrees, rf.getMaxDepth, nSub)
+        }
+        .toDF("num_trees", "max_depth", "avg_auprc", "best_num_trees",
+          "best_max_depth", "n_submodels")
+        .orderBy($"num_trees", $"max_depth")
     })
 }

@@ -222,10 +222,11 @@ object Windows {
         |       count(*) AS n_events
         |FROM events GROUP BY 1, 2, 3
         |ORDER BY user_id, w_start_ms""".stripMargin) { (s, dir) =>
+      val (src, staged) = stagedEventsStream(s, dir)
       val counts = graft.streaming.StreamingOps.windowedCounts(
-        stagedEventsStream(s, dir), "ts", "user_id",
+        src, "ts", "user_id",
         windowDur = "1 hour", slideDur = "1 hour", watermarkDelay = "30 minutes")
-      runToMemorySink(s, counts, s"stream_wc_${Integer.toHexString(dir.hashCode)}")
+      runToMemorySink(s, counts, sinkName("stream_wc_", dir), staged = staged :: Nil)
         .select(col("user_id"),
           unix_millis(col("w_start")).as("w_start_ms"),
           unix_millis(col("w_end")).as("w_end_ms"),
@@ -258,10 +259,11 @@ object Windows {
         |       count(*) AS n_events
         |FROM sess GROUP BY user_id, seq
         |ORDER BY user_id, s_start_us""".stripMargin) { (s, dir) =>
+      val (src, staged) = stagedEventsStream(s, dir)
       val sessions = graft.streaming.StreamingOps.sessionWindows(
-        stagedEventsStream(s, dir), "ts", "user_id",
+        src, "ts", "user_id",
         gap = "30 minutes", watermarkDelay = "30 minutes")
-      runToMemorySink(s, sessions, s"stream_sess_${Integer.toHexString(dir.hashCode)}")
+      runToMemorySink(s, sessions, sinkName("stream_sess_", dir), staged = staged :: Nil)
         .select(col("user_id"),
           unix_micros(col("s_start")).as("s_start_us"),
           unix_micros(col("s_end")).as("s_end_us"),
@@ -281,13 +283,14 @@ object Windows {
       """SELECT event_type, cast(count(DISTINCT user_id) AS int) AS n_users
         |FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val (src, staged) = stagedEventsStream(s, dir)
       val deduped = graft.streaming.StreamingOps.streamingDedup(
-          stagedEventsStream(s, dir).select(col("ts"), col("user_id"), col("event_type")),
+          src.select(col("ts"), col("user_id"), col("event_type")),
           tsCol = "ts", keyCol = "user_id", watermarkDelay = "1 hour",
           extraKeyCols = Seq("event_type"))
         .select(col("user_id"), col("event_type"))
-      runToMemorySink(s, deduped, s"stream_dd_${Integer.toHexString(dir.hashCode)}",
-          outputMode = "append")
+      runToMemorySink(s, deduped, sinkName("stream_dd_", dir),
+          outputMode = "append", staged = staged :: Nil)
         .groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).cast("int").as("n_users"))
         .orderBy(col("event_type"))
@@ -322,49 +325,101 @@ object Windows {
         |FROM agg a JOIN last l ON a.user_id = l.user_id AND a.seq < l.mseq
         |ORDER BY a.user_id, a.start_ms""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val ev = stagedEventsStream(s, dir)
+      val (src, staged) = stagedEventsStream(s, dir)
+      val ev = src
         .select(col("user_id"), col("event_id"), col("ts"))
         .as[graft.streaming.StreamingOps.Event]
       val sessions = graft.streaming.StreamingOps
         .sessionizeWithState(ev, gapMs = 1800000L, timeout = "none")
       runToMemorySink(s, sessions.toDF(),
-          s"stream_ss_${Integer.toHexString(dir.hashCode)}", outputMode = "append")
+          sinkName("stream_ss_", dir), outputMode = "append", staged = staged :: Nil)
         .select(col("user_id"), col("start_ms"), col("end_ms"), col("n_events"))
         .orderBy(col("user_id"), col("start_ms"))
+    },
+
+    // Stream-stream interval join (view→click attribution within 6
+    // hours per user) — the one streaming shape the surface lacked. TWO
+    // independent file-source streams (each its own staged directory),
+    // watermarked on both sides so each join buffer's state is bounded
+    // by watermark + interval; with AvailableNow's single batch the
+    // emitted append set is exactly the batch interval join, which the
+    // oracle computes relationally. Boundary compares at MICROsecond
+    // precision on both engines (see q_stream_sessions).
+    Q("q_stream_join",
+      """SELECT v.user_id AS user_id, v.event_id AS view_id,
+        |       c.event_id AS click_id,
+        |       cast(epoch_us(v.ts) AS bigint) AS view_us,
+        |       cast(epoch_us(c.ts) AS bigint) AS click_us
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON v.user_id = c.user_id
+        | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
+        |ORDER BY user_id, view_id, click_id""".stripMargin) { (s, dir) =>
+      val (vsrc, vstaged) = stagedEventsStream(s, dir)
+      val (csrc, cstaged) = stagedEventsStream(s, dir)
+      val views = vsrc.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("v_ts"))
+      val clicks = csrc.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("c_ts"))
+      val joined = graft.streaming.StreamingOps.intervalJoin(
+        views, clicks, leftKey = "user_id", rightKey = "c_user",
+        leftTs = "v_ts", rightTs = "c_ts",
+        maxDelay = "6 hours", watermarkDelay = "30 minutes")
+      runToMemorySink(s, joined, sinkName("stream_j_", dir),
+          outputMode = "append", staged = Seq(vstaged, cstaged))
+        .select(col("user_id"), col("view_id"), col("click_id"),
+          unix_micros(col("v_ts")).as("view_us"),
+          unix_micros(col("c_ts")).as("click_us"))
+        .orderBy(col("user_id"), col("view_id"), col("click_id"))
     })
 
   /** The streaming oracle harness's source: the events table staged into
-    * a tmp arrival directory (the file source streams a DIRECTORY it
-    * tails — the production shape) and read back with the SAME
-    * nanos→micros truncation as Tables.load (the file source needs an
-    * explicit schema; nanosAsLong applies to it too).
+    * a FRESH per-invocation arrival directory (the file source streams a
+    * DIRECTORY it tails — the production shape; `createTempDirectory`
+    * rules out cross-run collisions a fixed hash-keyed path allowed) and
+    * read back with the SAME nanos→micros truncation as Tables.load (the
+    * file source needs an explicit schema; nanosAsLong applies to it
+    * too). The returned path is handed to `runToMemorySink`, which
+    * deletes it once the stream terminates.
     */
-  private def stagedEventsStream(s: SparkSession, dir: String): DataFrame = {
+  private def stagedEventsStream(s: SparkSession, dir: String): (DataFrame, java.nio.file.Path) = {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val inDir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_streamin_${Integer.toHexString(dir.hashCode)}")
-    java.nio.file.Files.createDirectories(inDir)
+    val inDir = java.nio.file.Files.createTempDirectory("graft_streamin_")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       inDir.resolve("events.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    s.readStream.schema(schema).parquet(inDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    (s.readStream.schema(schema).parquet(inDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000"))), inDir)
   }
 
+  /** Memory-sink view name: the full sanitized dataset path, so two
+    * datasets can never collide the way a 32-bit hashCode key could
+    * (re-running the SAME query+dataset reuses its name — the restart
+    * replaces the view, bounding view count at queries × datasets).
+    */
+  private def sinkName(prefix: String, dir: String): String =
+    prefix + dir.replaceAll("[^A-Za-z0-9]", "_")
+
   /** Run a streaming query to completion (AvailableNow) into a memory
-    * sink and return the materialized sink table. Memory sinks collect
-    * to the driver — fine for gate result sizes; production writes to a
-    * real sink with the same plan.
+    * sink and return the materialized sink table, deleting the staged
+    * arrival directories once the stream has terminated. Memory sinks
+    * collect to the driver — fine for gate result sizes; production
+    * writes to a real sink with the same plan.
     */
   private def runToMemorySink(s: SparkSession, df: DataFrame, name: String,
-      outputMode: String = "complete"): DataFrame = {
+      outputMode: String = "complete",
+      staged: Seq[java.nio.file.Path] = Nil): DataFrame = {
     val sq = df.writeStream.format("memory").queryName(name)
       .outputMode(outputMode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     sq.awaitTermination()
+    staged.foreach { p =>
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
     s.table(name)
   }
 }

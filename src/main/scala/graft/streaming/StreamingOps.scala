@@ -62,6 +62,25 @@ object StreamingOps {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCol +: extraKeyCols)
 
+  /** Stream-stream interval join (the attribution shape: right events
+    * matching a left event on `key` within [leftTs, leftTs + maxDelay]).
+    * Both sides carry watermarks, and the join condition bounds right's
+    * event time by left's, so Spark derives a state-eviction horizon for
+    * BOTH join buffers: each side's state is O(events per watermark +
+    * maxDelay window), independent of stream length — the condition for
+    * a stream-stream join to run forever. Column names must be disjoint
+    * across the two sides (rename before calling).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      maxDelay: String, watermarkDelay: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    l.join(r, col(leftKey) === col(rightKey) &&
+      col(rightTs) >= col(leftTs) &&
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelay"))
+  }
+
   case class Doc(doc_id: Long, key: String, ts: java.sql.Timestamp)
   case class Event(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
   case class SessionState(start: Long, last: Long, n: Long)

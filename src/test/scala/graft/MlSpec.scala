@@ -218,4 +218,28 @@ class TrainersSpec extends SparkSpec {
     assert(Seq(3, 5).contains(rf.getNumTrees))
     assert(Seq(2, 3).contains(rf.getMaxDepth))
   }
+
+  test("CV: numFolds=4, submodels = folds × grid, best metric is the max avg") {
+    val train = feats.filter(pmod(col("id"), lit(5)) =!= 0)
+    val cvModel = Trainers.cv(fcols, seed = 42L,
+      numTreesGrid = Seq(3, 5), maxDepthGrid = Seq(2, 3), numFolds = 4).fit(train)
+    assert(cvModel.avgMetrics.length == 4) // one fold-averaged metric per grid point
+    assert(cvModel.avgMetrics.forall(m => m >= 0 && m <= 1))
+    // collectSubModels=true keeps every fold × grid fitted model
+    assert(cvModel.subModels.length == 4) // folds
+    assert(cvModel.subModels.forall(_.length == 4)) // grid points per fold
+    assert(cvModel.subModels.flatten.forall(_.isInstanceOf[org.apache.spark.ml.PipelineModel]))
+    val best = cvModel.bestModel.asInstanceOf[org.apache.spark.ml.PipelineModel]
+    val rf = best.stages.last.asInstanceOf[RandomForestClassificationModel]
+    assert(Seq(3, 5).contains(rf.getNumTrees))
+    assert(Seq(2, 3).contains(rf.getMaxDepth))
+    // best model corresponds to the argmax of avgMetrics
+    val bestIdx = cvModel.avgMetrics.zipWithIndex.maxBy(_._1)._2
+    val pm = cvModel.getEstimatorParamMaps(bestIdx)
+    val bestNt = pm.toSeq.find(_.param.name == "numTrees").get.value.asInstanceOf[Int]
+    assert(rf.getNumTrees == bestNt)
+    // a best-metric floor: on the learnable synthetic label CV should
+    // beat a random-classifier AUPRC by a wide margin
+    assert(cvModel.avgMetrics.max > 0.5, s"best avg AUPRC ${cvModel.avgMetrics.max}")
+  }
 }

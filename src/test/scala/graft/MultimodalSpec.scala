@@ -47,6 +47,39 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(out.getAs[Array[Byte]](1), "US-ASCII") == "junk")
   }
 
+  /** A real in-memory PNG (w×h RGB gradient) — generated with the JDK's
+    * own writer, so the decode test exercises a genuine codec round trip
+    * with no media fixture files.
+    */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, (x * 37 + y * 101) & 0xFFFFFF)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("real PNG payloads decode via javax.imageio: true width/height/bytes") {
+    val s = spark; import s.implicits._
+    val png = pngBytes(7, 5)
+    val df = Seq((1L, png), (2L, pngBytes(33, 17))).toDF("doc_id", "payload")
+    val meta = Multimodal.extractMeta(df).orderBy("doc_id").collect()
+    assert(meta(0).getInt(1) == 7 && meta(0).getInt(2) == 5)
+    assert(meta(0).getInt(3) == png.length && meta(0).getBoolean(4))
+    assert(meta(1).getInt(1) == 33 && meta(1).getInt(2) == 17 && meta(1).getBoolean(4))
+  }
+
+  test("real PNG resize: output is a decodable PNG with scaled dimensions") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, pngBytes(8, 6))).toDF("doc_id", "payload")
+    val resized = Multimodal.resizePayload(df, factor = 2)
+    val out = resized.collect().head
+    assert(out.getBoolean(2))
+    // re-decode through the same engine path: dims halved, still an image
+    val meta = Multimodal.extractMeta(resized).collect().head
+    assert(meta.getInt(1) == 4 && meta.getInt(2) == 3 && meta.getBoolean(4))
+  }
+
   test("frame sampling explodes stride-spaced indices") {
     val s = spark; import s.implicits._
     val meta = Seq((1L, 10)).toDF("doc_id", "n_frames")

@@ -136,6 +136,21 @@ class DedupSpec extends SparkSpec {
     assert(comp == (0L to 12L).map(_ -> 0L).toMap)
   }
 
+  test("connected components: reliable-checkpoint mode labels identically") {
+    val s = spark; import s.implicits._
+    // long enough to cross the every-5 checkpoint boundary in BOTH modes
+    val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cpDir = java.nio.file.Files.createTempDirectory("graft_cc_cp").toString
+    def labels(dir: Option[String]) =
+      Dedup.connectedComponents(pairs, checkpointDir = dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(Some(cpDir)) == labels(None))
+    // the reliable mode really wrote checkpoint files to the shared dir
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(cpDir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(wrote > 0, "reliable checkpoint() wrote nothing")
+  }
+
   test("minhash est_jaccard tracks true jaccard for near-dup pairs at sf0.001") {
     val s = spark; import s.implicits._
     val docs = Tables.load(s, TestSpark.sf0001, "documents").select("doc_id", "text")
@@ -218,6 +233,52 @@ class ZOrderSpec extends SparkSpec {
     // uniform random ids: key-order blocks span the whole 256×256 space;
     // z-order blocks must be at least 4× tighter
     assert(zArea * 4 < kArea, s"z=$zArea key=$kArea")
+  }
+
+  test("hilbert is a unit-step bijection on the full 4-bit grid (and codegen = eval)") {
+    val s = spark; import s.implicits._
+    val bits = 4
+    val side = 1 << bits
+    val grid = for (x <- 0L until side; y <- 0L until side) yield (x, y)
+    val got = grid.toDF("x", "y")
+      .select(col("x"), col("y"), ZOrder.hilbert(col("x"), col("y"), bits).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // expression output = the interpreted companion loop
+    grid.foreach { case (x, y) =>
+      assert(got((x, y)) == graft.expressions.HilbertIndex.compute(x, y, bits))
+    }
+    // bijection onto [0, side²)
+    val ds = got.values.toSeq.sorted
+    assert(ds == (0L until side.toLong * side).toSeq)
+    // consecutive curve positions are grid-adjacent (|dx|+|dy| = 1) —
+    // the locality property Morton does NOT have
+    val byD = got.toSeq.map { case ((x, y), d) => d -> (x, y) }.sortBy(_._1).map(_._2)
+    byD.sliding(2).foreach { case Seq((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1, s"jump at ($x1,$y1)→($x2,$y2)")
+    }
+  }
+
+  test("hilbert blocks are at least as tight as morton blocks on average") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(5)
+    val pts = Seq.tabulate(2000)(i =>
+      (i.toLong, rnd.nextDouble(), rnd.nextDouble())).toDF("id", "x", "y")
+      .select(col("id"), ZOrder.cellId(col("x"), 0.0, 1.0, 8).as("cx"),
+        ZOrder.cellId(col("y"), 0.0, 1.0, 8).as("cy"))
+      .withColumn("z", ZOrder.interleave(col("cx"), col("cy"), 8))
+      .withColumn("h", ZOrder.hilbert(col("cx"), col("cy"), 8))
+      .persist()
+    def meanBlockArea(ord: org.apache.spark.sql.Column): Double = pts
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(ord, col("id"))))
+      .withColumn("blk", floor((col("rn") - 1) / 50.0))
+      .groupBy("blk")
+      .agg(((max(col("cx")) - min(col("cx")) + 1) *
+        (max(col("cy")) - min(col("cy")) + 1)).as("area"))
+      .agg(avg(col("area"))).head.getDouble(0)
+    val (hArea, zArea) = (meanBlockArea(col("h")), meanBlockArea(col("z")))
+    pts.unpersist()
+    assert(hArea <= zArea, s"hilbert=$hArea morton=$zArea")
   }
 
   test("repartitionByZ yields non-overlapping sorted z-ranges per partition") {
@@ -340,6 +401,34 @@ class NearestMatchSpec extends SparkSpec {
     val r = NearestMatch.kNearest(left, right, k = 1, leftId = "lid", rightId = "rid")
       .select("rid").collect()
     assert(r.map(_.getLong(0)).toSeq == Seq(10L))
+  }
+
+  test("sparse region: widened-grid retries stay exact when most rows fail round 1") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(13)
+    // right points are scattered over ~3 degrees; at cellDeg=0.02 the 3×3
+    // neighbourhood covers ~2 km, so for most left rows the k=3 neighbours
+    // sit far outside the first guarantee → systematic straggler load.
+    val left = Seq.tabulate(120)(i =>
+      (i.toLong, 45.0 + 3 * rnd.nextDouble(), -74.0 + 3 * rnd.nextDouble())).toDF("lid", "lat", "lon")
+    val right = Seq.tabulate(25)(i =>
+      (i.toLong, 45.0 + 3 * rnd.nextDouble(), -74.0 + 3 * rnd.nextDouble())).toDF("rid", "lat", "lon")
+    def run(ex: Boolean, rounds: Int = 3) =
+      NearestMatch.kNearest(left, right, k = 3, leftId = "lid", rightId = "rid",
+          cellDeg = 0.02, widenRounds = rounds, exhaustive = ex)
+        .select(col("lid"), col("rid"), col("rk"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // sanity: >50% of left rows really do fail the first-round guarantee
+    val guarantee = NearestMatch.coverageRadiusM(0.02, 60.0)
+    val exact = NearestMatch.kNearest(left, right, k = 3, leftId = "lid",
+        rightId = "rid", exhaustive = true)
+    val failing = exact.groupBy(col("lid"))
+      .agg(max(col("distance_m")).as("dk"))
+      .filter(col("dk") >= guarantee).count()
+    assert(failing > 60, s"fixture too dense: only $failing/120 stragglers")
+    assert(run(false) == run(true))
+    // more widening rounds must not change the result, only the plan
+    assert(run(false, rounds = 5) == run(true))
   }
 }
 
@@ -482,6 +571,33 @@ class SimilaritySearchSpec extends SparkSpec {
       .select("k", "lv", "rv").collect().map(_.toSeq).toSet
     assert(salted == plain)
     assert(salted.size == 4) // key 1 x3 + key 2; keys 3/4 unmatched
+  }
+
+  test("left-outer salted join equals plain left-outer on a skewed fixture") {
+    val s = spark; import s.implicits._
+    // heavy-hitter shape: one null-ish default key (0) holds most rows
+    val left = (Seq.tabulate(500)(i => (0L, s"hot$i")) ++
+      Seq((1L, "a"), (2L, "b"), (9L, "no_match"))).toDF("k", "lv")
+    val right = Seq((0L, "dim0"), (1L, "x"), (2L, "y"), (4L, "z")).toDF("rk", "rv")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "lv", "rv").collect()
+        .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) null else r.getString(2)))
+    val salted = rows(graft.operators.SaltedJoin.leftOuter(left, right, "k", "rk", nSalts = 4))
+    val plain = rows(left.join(right, $"k" === $"rk", "left_outer"))
+    assert(salted.sorted.toSeq == plain.sorted.toSeq)
+    // unmatched left row preserved exactly once with null right columns
+    assert(salted.count(_._1 == 9L) == 1 && salted.find(_._1 == 9L).get._3 == null)
+  }
+
+  test("deriveSalts sizes the salt count from the heaviest key") {
+    val s = spark; import s.implicits._
+    val skewed = (Seq.fill(90)(0L) ++ (1L to 10L)).toDF("k")
+    // heaviest key has 90 rows → 90/20 rounded up = 5 salts
+    assert(graft.operators.SaltedJoin.deriveSalts(skewed, "k", rowsPerSalt = 20L) == 5)
+    // cap applies; empty frame degrades to 1
+    assert(graft.operators.SaltedJoin.deriveSalts(skewed, "k", rowsPerSalt = 1L, maxSalts = 16) == 16)
+    assert(graft.operators.SaltedJoin.deriveSalts(
+      Seq.empty[Long].toDF("k"), "k") == 1)
   }
 
   test("kmeans-centroid IVF recall@5 >= 0.5 of brute force at sf0.001") {

@@ -81,6 +81,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "corpus must stream, not cartesian-shuffle")
   }
 
+  test("two-stage ANN re-rank probes the corpus with broadcast joins only") {
+    val p = plan("q_ann_two_stage")
+    // the float-vector corpus must never ride a shuffle: the shortlist
+    // and query sides are broadcast, so any sort-merge join means a size
+    // misestimate un-did the explicit broadcast hints
+    assert(!p.contains("SortMergeJoin"),
+      "re-rank must broadcast the shortlist, not shuffle the corpus:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast probe:\n" + p)
+  }
+
   test("shingle pair generation hash-joins (no sort of exploded shingle strings)") {
     val p = plan("q_dedup_jaccard_pairs")
     assert(p.contains("ShuffledHashJoin"), "self-join should honor the shuffle_hash hint")

@@ -79,6 +79,40 @@ class StreamingSpec extends SparkSpec {
     assert(closed == Seq(2L, 1L)) // session 3 (event 4) still open in state
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val views = Seq(
+      Event(1L, 10L, ts("2024-01-01 00:00:00")),
+      Event(1L, 11L, ts("2024-01-01 01:00:00")),
+      Event(2L, 12L, ts("2024-01-01 00:00:00")))
+    val clicks = Seq(
+      Event(1L, 20L, ts("2024-01-01 00:05:00")),  // joins view 10 only
+      Event(1L, 21L, ts("2024-01-01 01:09:00")),  // joins views 10? (69min > 10) no; 11 yes
+      Event(1L, 22L, ts("2024-01-01 01:10:00")),  // exactly at 11+10min bound → joins 11
+      Event(2L, 23L, ts("2024-01-01 02:00:00"))) // outside any interval
+    def shape(v: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.DataFrame) = (
+      v.select(col("user_id"), col("event_id").as("view_id"), col("ts").as("v_ts")),
+      c.select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts")))
+    val memV = MemoryStream[Event]; memV.addData(views: _*)
+    val memC = MemoryStream[Event]; memC.addData(clicks: _*)
+    val (sv, sc) = shape(memV.toDF(), memC.toDF())
+    val q = StreamingOps.intervalJoin(sv, sc, "user_id", "c_user", "v_ts", "c_ts",
+        maxDelay = "10 minutes", watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("ij").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("view_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamed = pairs(spark.table("ij"))
+    val (bv, bc) = shape(views.toDF(), clicks.toDF())
+    val batch = pairs(StreamingOps.intervalJoin(bv, bc, "user_id", "c_user",
+      "v_ts", "c_ts", maxDelay = "10 minutes", watermarkDelay = "1 minute"))
+    assert(streamed == batch)
+    assert(streamed == Set((10L, 20L), (11L, 21L), (11L, 22L)))
+  }
+
   test("streamingDedup emits one row per key with watermark-bounded state") {
     val s = spark; import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext

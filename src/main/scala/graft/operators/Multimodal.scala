@@ -113,6 +113,55 @@ object Multimodal {
     }(encoder)
   }
 
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = true),
+    StructField("sample_rate", FloatType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("n_frames", LongType, nullable = true),
+    StructField("duration_s", DoubleType, nullable = true),
+    StructField("valid", BooleanType, nullable = false)))
+
+  /** Audio metadata (sample rate / channels / frames / duration) via the
+    * JDK's own `javax.sound.sampled` parser — real WAV/AIFF/AU header
+    * decode with no external dependency, same partition-local plumbing
+    * contract as [[extractMeta]]: payload bytes never shuffle, corrupt
+    * rows yield valid=false instead of failing the task.
+    */
+  def extractAudioMeta(df: DataFrame, idCol: String = "doc_id",
+      payloadCol: String = "payload"): DataFrame = {
+    val rows: Dataset[Row] = df.select(col(idCol).cast("long"), col(payloadCol))
+    val encoder = org.apache.spark.sql.Encoders.row(audioMetaSchema)
+    rows.mapPartitions { it =>
+      it.map { r =>
+        val id: Any = if (r.isNullAt(0)) null else r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        decodeAudio(payload) match {
+          case Some((rate, ch, frames)) =>
+            val dur = if (rate > 0) frames / rate.toDouble else null
+            Row(id, rate, ch, frames, dur, true)
+          case None => Row(id, null, null, null, null, false)
+        }
+      }
+    }(encoder)
+  }
+
+  private def decodeAudio(payload: Array[Byte]): Option[(Float, Int, Long)] = {
+    if (payload == null || payload.length < 12) return None
+    // magic sniff (same discipline as images): RIFF/WAVE, FORM/AIFF, .snd
+    val riff = payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F'
+    val aiff = payload(0) == 'F' && payload(1) == 'O' && payload(2) == 'R' && payload(3) == 'M'
+    val au = payload(0) == '.' && payload(1) == 's' && payload(2) == 'n' && payload(3) == 'd'
+    if (!(riff || aiff || au)) return None
+    try {
+      val in = new java.io.ByteArrayInputStream(payload)
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(in)
+      try {
+        val f = ais.getFormat
+        Some((f.getSampleRate, f.getChannels, ais.getFrameLength))
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Deterministic frame sampling over a decoded-media table: keep every
     * `stride`-th frame index per document up to n_frames — pure
     * relational (sequence + explode), no decode needed.

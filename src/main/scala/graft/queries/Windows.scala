@@ -407,15 +407,29 @@ object Windows {
     * arrival directories once the stream has terminated. Memory sinks
     * collect to the driver — fine for gate result sizes; production
     * writes to a real sink with the same plan.
+    *
+    * The stateful shuffle is narrowed to 4 partitions for the stream's
+    * lifetime: a streaming query opens/commits one state store PER
+    * shuffle partition PER micro-batch, and this harness replays one
+    * small batch — at the session's width (32) the per-store overhead
+    * dominates wall time ~5:1 (measured on the interval join). The width
+    * is pinned at query start from the session conf, so the temporary
+    * setting is restored immediately after termination; results are
+    * partitioning-independent. Production streams size this to their
+    * key cardinality instead.
     */
   private def runToMemorySink(s: SparkSession, df: DataFrame, name: String,
       outputMode: String = "complete",
       staged: Seq[java.nio.file.Path] = Nil): DataFrame = {
-    val sq = df.writeStream.format("memory").queryName(name)
-      .outputMode(outputMode)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    sq.awaitTermination()
+    val prevWidth = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val sq = df.writeStream.format("memory").queryName(name)
+        .outputMode(outputMode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevWidth)
     staged.foreach { p =>
       java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
         .forEach(f => java.nio.file.Files.deleteIfExists(f))

@@ -80,6 +80,40 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.getInt(1) == 4 && meta.getInt(2) == 3 && meta.getBoolean(4))
   }
 
+  /** A real in-memory WAV (silence, 16-bit PCM) via the JDK's own
+    * writer — the audio decode test needs no fixture files either.
+    */
+  private def wavBytes(rate: Float, channels: Int, frames: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](frames * fmt.getFrameSize)),
+      fmt, frames)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("real WAV payloads decode via javax.sound: rate/channels/frames/duration") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, wavBytes(8000f, 1, 1600)), (2L, wavBytes(44100f, 2, 44100)))
+      .toDF("doc_id", "payload")
+    val meta = Multimodal.extractAudioMeta(df).orderBy("doc_id").collect()
+    assert(meta(0).getFloat(1) == 8000f && meta(0).getInt(2) == 1)
+    assert(meta(0).getLong(3) == 1600L && meta(0).getBoolean(5))
+    assert(math.abs(meta(0).getDouble(4) - 0.2) < 1e-9) // 1600 frames @ 8 kHz
+    assert(meta(1).getFloat(1) == 44100f && meta(1).getInt(2) == 2)
+    assert(math.abs(meta(1).getDouble(4) - 1.0) < 1e-9)
+  }
+
+  test("non-audio payloads yield valid=false from the audio decoder") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "RIFFgarbage".getBytes("US-ASCII")), (2L, pngBytes(4, 4)))
+      .toDF("doc_id", "payload")
+    val meta = Multimodal.extractAudioMeta(df).orderBy("doc_id").collect()
+    assert(meta.forall(!_.getBoolean(5)))
+  }
+
   test("frame sampling explodes stride-spaced indices") {
     val s = spark; import s.implicits._
     val meta = Seq((1L, 10)).toDF("doc_id", "n_frames")

@@ -121,15 +121,19 @@ object SimilaritySearch {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       centroidStep: Int, nProbe: Int,
       queryId: String = "query_id", corpusId: String = "vec_id",
-      queryVec: String = "qv", corpusVec: String = "embedding"): DataFrame = {
-    val c = withNorm(corpus, corpusId, corpusVec, "_cv", "_cn")
-    // deterministic "centroids": every centroidStep-th corpus vector
-    val centroids = c
+      queryVec: String = "qv", corpusVec: String = "embedding"): DataFrame =
+    ivfTopKFrom(modularCentroids(corpus, centroidStep, corpusId, corpusVec),
+      queries, corpus, k, nProbe, queryId, corpusId, queryVec, corpusVec)
+
+  /** Deterministic "centroids": every centroidStep-th corpus vector —
+    * the oracle-expressible stand-in for a k-means fit (same plan shape
+    * either way; see [[kmeansCentroids]] for the production fit).
+    */
+  def modularCentroids(corpus: DataFrame, centroidStep: Int,
+      corpusId: String = "vec_id", corpusVec: String = "embedding"): DataFrame =
+    withNorm(corpus, corpusId, corpusVec, "_cv", "_cn")
       .filter(pmod(col(corpusId), lit(centroidStep)) === 0)
       .select(col(corpusId).as("cent_id"), col("_cv").as("cent_v"), col("_cn").as("cent_n"))
-    ivfTopKFrom(centroids, queries, corpus, k, nProbe,
-      queryId, corpusId, queryVec, corpusVec)
-  }
 
   /** K-means centroids for `ivfTopKFrom` — the production IVF fit
     * (MLlib KMeans over the embedding column; deterministic under
@@ -159,17 +163,26 @@ object SimilaritySearch {
   def ivfTopKFrom(centroids: DataFrame, queries: DataFrame, corpus: DataFrame,
       k: Int, nProbe: Int,
       queryId: String = "query_id", corpusId: String = "vec_id",
-      queryVec: String = "qv", corpusVec: String = "embedding"): DataFrame = {
+      queryVec: String = "qv", corpusVec: String = "embedding"): DataFrame =
+    probeIvfIndex(buildIvfIndex(centroids, corpus, corpusId, corpusVec),
+      centroids, queries, k, nProbe, queryId, corpusId, queryVec)
 
-    val c = withNorm(corpus, corpusId, corpusVec, "_cv", "_cn")
-    val q = withNorm(queries, queryId, queryVec, "_qv", "_qn")
-
-    // assign each corpus vector to its single nearest centroid via
-    // max_by aggregation — partial (map-side) aggregation collapses the
-    // corpus×nCentroids candidate set to one row per corpus vector BEFORE
-    // any shuffle; a window formulation would shuffle all nCentroids×
-    // rows. Tie-break: highest _sim, then smallest cent_id.
-    val assigned = c.crossJoin(broadcast(centroids))
+  /** The BUILD half of a stored IVF index: every corpus vector assigned
+    * to its single nearest centroid via max_by aggregation — partial
+    * (map-side) aggregation collapses the corpus×nCentroids candidate
+    * set to one row per corpus vector BEFORE any shuffle; a window
+    * formulation would shuffle all nCentroids× rows. Tie-break: highest
+    * _sim, then smallest cent_id. The rows carry the vectors and norms
+    * (IVF lists store the vectors) — at corpus scale this table is
+    * WRITTEN ONCE, `partitionBy("cent_id")`, so the assignment pass (the
+    * dominant IVF cost) never re-runs per query batch and probes prune
+    * unprobed partitions at the directory level (dynamic partition
+    * pruning; asserted in PlanSpec on `q_ann_ivf_stored`).
+    */
+  def buildIvfIndex(centroids: DataFrame, corpus: DataFrame,
+      corpusId: String = "vec_id", corpusVec: String = "embedding"): DataFrame =
+    withNorm(corpus, corpusId, corpusVec, "_cv", "_cn")
+      .crossJoin(broadcast(centroids))
       .withColumn("_sim", cosineFromNorms(col("_cv"), col("cent_v"), col("_cn"), col("cent_n")))
       .groupBy(col(corpusId))
       .agg(max_by(struct(col("cent_id"), col("_cv").as("v"), col("_cn").as("n")),
@@ -177,7 +190,17 @@ object SimilaritySearch {
       .select(col(corpusId), col("_m.v").as("_cv"), col("_m.n").as("_cn"),
         col("_m.cent_id").as("cent_id"))
 
-    // each query probes its nProbe nearest centroids
+  /** The PROBE half: each query finds its nProbe nearest centroids, and
+    * an equi-join on centroid id into the (stored) index replaces the
+    * full corpus scan. Per query batch the cost is |queries|×nCentroids
+    * centroid scoring plus a broadcast probe into ~nProbe/nCentroids of
+    * the index — the daily-serving shape over a once-built index.
+    */
+  def probeIvfIndex(index: DataFrame, centroids: DataFrame, queries: DataFrame,
+      k: Int, nProbe: Int,
+      queryId: String = "query_id", corpusId: String = "vec_id",
+      queryVec: String = "qv"): DataFrame = {
+    val q = withNorm(queries, queryId, queryVec, "_qv", "_qn")
     val probes = TopK.perGroup(
         q.crossJoin(broadcast(centroids))
           .withColumn("_sim",
@@ -186,8 +209,7 @@ object SimilaritySearch {
         orderBy = Seq(col("_sim").desc, col("cent_id")), k = nProbe)
       .select(col(queryId), col("_qv"), col("_qn"), col("cent_id"))
 
-    // equi-join on centroid id replaces the full scan
-    val scored = assigned.join(broadcast(probes), "cent_id")
+    val scored = index.join(broadcast(probes), "cent_id")
       .filter(col(queryId) =!= col(corpusId))
       .withColumn("cosine", cosineFromNorms(col("_qv"), col("_cv"), col("_qn"), col("_cn")))
     TopK.perGroup(scored,

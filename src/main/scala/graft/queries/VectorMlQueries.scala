@@ -358,6 +358,32 @@ object VectorMlQueries {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // IVF against a STORED index — the serving shape at corpus scale:
+    // the assignment pass runs once and lands as a parquet table
+    // partitioned by cent_id; the query batch probes the READ-BACK index,
+    // and the broadcast probe join prunes unprobed partitions at the
+    // directory level (dynamic partition pruning — asserted in PlanSpec).
+    // Same parameters as q_ann_ivf_topk, so the identical oracle proves
+    // the store → read → probe round trip is lossless (double arrays are
+    // bit-exact through parquet).
+    Q("q_ann_ivf_stored", ivfSql(final_ = "topk")) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val cents = SimilaritySearch.modularCentroids(emb, centroidStep = 31)
+      val idxPath = s"${System.getProperty("java.io.tmpdir")}/graft_ivfidx_${Integer.toHexString(dir.hashCode)}"
+      val built = SimilaritySearch.buildIvfIndex(cents, emb)
+      built.write.mode("overwrite").partitionBy("cent_id").parquet(idxPath)
+      // read back with the WRITTEN schema: partition-column type
+      // inference would otherwise downcast cent_id to int, and the
+      // resulting cast on the partition attribute defeats dynamic
+      // partition pruning in the probe join
+      val index = s.read.schema(built.schema).parquet(idxPath)
+      SimilaritySearch.probeIvfIndex(index, cents, queries, k = 5, nProbe = 4)
+        .withColumn("cosine", round(col("cosine"), 5))
+        .orderBy(col("query_id"), col("rk"))
+    },
+
     // IVF recall@k against the exact brute-force top-k on the same
     // queries — both sides now oracle-checked end to end (also
     // floor-asserted in SimilaritySearchSpec).

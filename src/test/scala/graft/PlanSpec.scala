@@ -81,6 +81,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "corpus must stream, not cartesian-shuffle")
   }
 
+  test("stored IVF index probe prunes unprobed partitions dynamically") {
+    val p = plan("q_ann_ivf_stored")
+    // the index scan must carry a dynamic-pruning subquery on cent_id:
+    // only the probed centroid partitions of the stored index are read
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      "probe join must dynamically prune index partitions:\n" +
+        p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+  }
+
   test("two-stage ANN re-rank probes the corpus with broadcast joins only") {
     val p = plan("q_ann_two_stage")
     // the float-vector corpus must never ride a shuffle: the shortlist

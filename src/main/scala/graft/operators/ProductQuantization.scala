@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) with asymmetric-distance (ADC) scoring —
+  * the vector-compression step between scalar int8 quantization
+  * ([[VectorQuantization]]) and IVF bucketing ([[SimilaritySearch]]) in
+  * a production ANN stack: a dim-d vector stores as `m` small codebook
+  * ids (one per d/m-dim subspace), ~m bytes instead of 4d — at 100 TB
+  * the difference between an index that fits executor memory and one
+  * that doesn't.
+  *
+  * - **Codebooks** (`modularCodebooks`): per subspace j, the j-th
+  *   subvectors of every `step`-th corpus vector — the deterministic,
+  *   oracle-expressible stand-in for per-subspace k-means (same plan
+  *   shape; a k-means fit slots in without changing encode/score).
+  * - **Encoding** (`encode`): per (vector, subspace), the codebook entry
+  *   minimizing squared L2 distance (`min_by` — partial aggregation, no
+  *   window), packed to one `codes` array per vector in subspace order —
+  *   the compact stored form.
+  * - **ADC top-k** (`adcTopK`): each query computes its distance table
+  *   to every codebook entry (|q|·m·|codebook| rows — broadcast-sized),
+  *   the encoded corpus explodes its codes and probes the table with a
+  *   broadcast equi-join on (j, code), and per-(query, vector) distances
+  *   sum IN SUBSPACE ORDER (sorted collect + left-to-right aggregate),
+  *   so the float result is bit-replayable by the DuckDB oracle's
+  *   list_reduce. Approximate distance = Σ_j ‖q_j − cb[j, code_j]‖².
+  *
+  * All distances derive from the codegen'd [[graft.expressions.DotProduct]]
+  * (d² = ⟨a,a⟩ + ⟨b,b⟩ − 2⟨a,b⟩), keeping left-to-right summation on
+  * both engines.
+  *
+  * Ranking fidelity is data-dependent: ADC error is bounded by the
+  * codebook reconstruction error, so PQ separates what the codebooks
+  * resolve — clusters and coarse neighborhoods — while fine ranking
+  * within a spread narrower than the quantization noise (e.g. i.i.d.
+  * unit vectors) is genuinely beyond any m-byte code. Production stacks
+  * train per-subspace k-means codebooks (slots into `codebooks` without
+  * touching encode/score, exactly like [[SimilaritySearch.kmeansCentroids]])
+  * and re-rank a PQ shortlist at full precision
+  * ([[SimilaritySearch.twoStageTopK]]'s shape). ProductQuantizationSpec
+  * asserts the neighborhood-preservation property on clustered data.
+  */
+object ProductQuantization {
+
+  private def d2(a: Column, b: Column): Column =
+    dot(a, a) + dot(b, b) - lit(2.0) * dot(a, b)
+
+  /** Per-subspace codebooks: (j, code_id, cb_v) for every `step`-th
+    * corpus vector's j-th subvector. Broadcast-sized by construction
+    * (|corpus|/step × m rows).
+    */
+  def modularCodebooks(corpus: DataFrame, m: Int, subDim: Int, step: Int,
+      corpusId: String = "vec_id", corpusVec: String = "embedding"): DataFrame =
+    corpus.filter(pmod(col(corpusId), lit(step)) === 0)
+      .select(col(corpusId).as("code_id"), toDoubleArray(col(corpusVec)).as("_v"))
+      .withColumn("j", explode(sequence(lit(0), lit(m - 1))))
+      .select(col("j"), col("code_id"),
+        slice(col("_v"), col("j") * subDim + 1, lit(subDim)).as("cb_v"))
+
+  /** Encode every corpus vector as `m` codebook ids (subspace order):
+    * (corpusId, codes array<long>). One broadcast join + two partial
+    * aggregations — the corpus never shuffles wider than one row per
+    * (vector, subspace).
+    */
+  def encode(corpus: DataFrame, codebooks: DataFrame, m: Int, subDim: Int,
+      corpusId: String = "vec_id", corpusVec: String = "embedding"): DataFrame =
+    corpus.select(col(corpusId), toDoubleArray(col(corpusVec)).as("_v"))
+      .withColumn("j", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("sub_v", slice(col("_v"), col("j") * subDim + 1, lit(subDim)))
+      .join(broadcast(codebooks), "j")
+      .withColumn("_d2", d2(col("sub_v"), col("cb_v")))
+      // nearest entry per (vector, subspace); ties to the smallest id
+      .groupBy(col(corpusId), col("j"))
+      .agg(min_by(col("code_id"), struct(col("_d2"), col("code_id"))).as("code"))
+      .groupBy(col(corpusId))
+      .agg(array_sort(collect_list(struct(col("j"), col("code")))).as("_jc"))
+      .select(col(corpusId), col("_jc.code").as("codes"))
+
+  /** ADC top-k of each query over a PQ-encoded corpus (ascending
+    * approximate distance, ties to the smallest corpus id).
+    */
+  def adcTopK(queries: DataFrame, encoded: DataFrame, codebooks: DataFrame,
+      k: Int, m: Int, subDim: Int,
+      queryId: String = "query_id", corpusId: String = "vec_id",
+      queryVec: String = "qv"): DataFrame = {
+    val dtable = queries
+      .select(col(queryId), toDoubleArray(col(queryVec)).as("_qv"))
+      .withColumn("j", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("q_sub", slice(col("_qv"), col("j") * subDim + 1, lit(subDim)))
+      .join(broadcast(codebooks), "j")
+      .select(col(queryId), col("j"), col("code_id").as("code"),
+        d2(col("q_sub"), col("cb_v")).as("_d2"))
+
+    val scored = encoded
+      .select(col(corpusId), posexplode(col("codes")).as(Seq("j", "code")))
+      .join(broadcast(dtable), Seq("j", "code"))
+      .filter(col(queryId) =!= col(corpusId))
+      // subspace-ORDERED summation: collect (j, d2), sort, fold left to
+      // right — bit-replayable externally, unlike an unordered SUM
+      .groupBy(col(queryId), col(corpusId))
+      .agg(array_sort(collect_list(struct(col("j"), col("_d2")))).as("_jd"))
+      .withColumn("adc_d2",
+        aggregate(col("_jd._d2"), lit(0.0), (acc, x) => acc + x))
+    TopK.perGroup(scored.drop("_jd"),
+        partitionBy = Seq(col(queryId)),
+        orderBy = Seq(col("adc_d2"), col(corpusId)),
+        k = k)
+      .select(col(queryId), col(corpusId), col("adc_d2"), col("rk"))
+  }
+}

@@ -318,6 +318,61 @@ object VectorMlQueries {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // Product quantization + ADC scoring (operators/ProductQuantization):
+    // 64-dim vectors → 8 subspaces × 8 dims, codebooks = every 41st
+    // corpus vector's subvectors, codes = per-subspace argmin-L2 entry,
+    // query scores = subspace-ORDERED sums of distance-table lookups —
+    // every float op is a left-to-right dot product, so the oracle
+    // replays encode + ADC bit-exactly (list_reduce = Spark's ordered
+    // aggregate fold).
+    Q("q_ann_pq_adc", {
+      def d2Sql(a: String, b: String) =
+        s"(list_dot_product($a, $a) + list_dot_product($b, $b) - 2 * list_dot_product($a, $b))"
+      s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |      FROM embeddings WHERE vec_id < 8),
+         |js AS (SELECT unnest(range(8)) AS j),
+         |cb AS (
+         |  SELECT js.j, vec_id AS code_id, cv[js.j*8+1 : js.j*8+8] AS cb_v
+         |  FROM c CROSS JOIN js WHERE vec_id % 41 = 0),
+         |enc AS (
+         |  SELECT vec_id, j, code FROM (
+         |    SELECT c.vec_id, cb.j, cb.code_id AS code,
+         |           row_number() OVER (PARTITION BY c.vec_id, cb.j
+         |             ORDER BY ${d2Sql("c.cv[cb.j*8+1 : cb.j*8+8]", "cb.cb_v")},
+         |                      cb.code_id) AS rn
+         |    FROM c CROSS JOIN cb)
+         |  WHERE rn = 1),
+         |dt AS (
+         |  SELECT q.query_id, cb.j, cb.code_id AS code,
+         |         ${d2Sql("q.qv[cb.j*8+1 : cb.j*8+8]", "cb.cb_v")} AS dd
+         |  FROM q CROSS JOIN cb),
+         |scored AS (
+         |  SELECT d.query_id, e.vec_id,
+         |         list_reduce(list_prepend(0.0, list(d.dd ORDER BY e.j)),
+         |                     (acc, x) -> acc + x) AS adc_d2
+         |  FROM enc e JOIN dt d ON e.j = d.j AND e.code = d.code
+         |  WHERE d.query_id != e.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, vec_id, round(adc_d2, 5) AS adc_d2, rk FROM (
+         |  SELECT query_id, vec_id, adc_d2,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY adc_d2, vec_id) AS rk
+         |  FROM scored)
+         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+    }) { (s, dir) =>
+      import graft.operators.ProductQuantization
+      val emb = t(s, dir, "embeddings")
+      val cb = ProductQuantization.modularCodebooks(emb, m = 8, subDim = 8, step = 41)
+      val encoded = ProductQuantization.encode(emb, cb, m = 8, subDim = 8)
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      ProductQuantization.adcTopK(queries, encoded, cb, k = 5, m = 8, subDim = 8)
+        .select(col("query_id"), col("vec_id"),
+          round(col("adc_d2"), 5).as("adc_d2"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    },
+
     // Brute-force exact cosine top-k (query side broadcast; corpus
     // streams once, per-group window limit keeps k rows pre-shuffle).
     Q("q_ann_brute_topk", {

@@ -377,6 +377,50 @@ class VectorQuantizationSpec extends SparkSpec {
   }
 }
 
+class ProductQuantizationSpec extends SparkSpec {
+  import graft.operators.ProductQuantization
+
+  test("codes are well-formed: m entries per vector, all from the codebook") {
+    val s = spark
+    val emb = Tables.load(s, TestSpark.sf0001, "embeddings")
+    val cb = ProductQuantization.modularCodebooks(emb, m = 8, subDim = 8, step = 41)
+    val cbIds = cb.select("code_id").distinct().collect().map(_.getLong(0)).toSet
+    val enc = ProductQuantization.encode(emb, cb, m = 8, subDim = 8).collect()
+    assert(enc.length == emb.count())
+    enc.foreach { r =>
+      val codes = r.getSeq[Long](1)
+      assert(codes.length == 8)
+      assert(codes.forall(cbIds.contains))
+    }
+  }
+
+  test("ADC top-k preserves cluster neighborhoods on clustered data") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(17)
+    val (dim, m, sd) = (64, 8, 8)
+    // 20 well-separated centers (N(0,4) per dim → inter-cluster d² ≈ 512),
+    // 25 points each with 0.1-σ noise (intra-cluster d² ≈ 1.3): the regime
+    // PQ exists for — codebook error ≪ cluster separation
+    val centers = Array.fill(20, dim)(rnd.nextGaussian() * 2.0)
+    val vecs = for (ci <- 0 until 20; p <- 0 until 25) yield
+      ((ci * 25 + p).toLong, centers(ci).map(_ + rnd.nextGaussian() * 0.1).toSeq)
+    val emb = vecs.toDF("vec_id", "embedding")
+    val cb = ProductQuantization.modularCodebooks(emb, m, sd, step = 7)
+    val enc = ProductQuantization.encode(emb, cb, m, sd)
+    // one query per 5th cluster (ids 0, 125, 250, 375)
+    val queries = emb.filter(pmod(col("vec_id"), lit(125)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val top = ProductQuantization.adcTopK(queries, enc, cb, k = 5, m = m, subDim = sd)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(top.length == 4 * 5)
+    // every retrieved neighbor must come from the query's own cluster
+    top.foreach { case (q, v) =>
+      assert(v / 25 == q / 25, s"query $q (cluster ${q / 25}) retrieved $v (cluster ${v / 25})")
+    }
+  }
+}
+
 class NearestMatchSpec extends SparkSpec {
 
   test("grid-bucketed kNN equals exhaustive kNN (including sparse fallback rows)") {

@@ -60,6 +60,47 @@ object ProductQuantization {
       .select(col("j"), col("code_id"),
         slice(col("_v"), col("j") * subDim + 1, lit(subDim)).as("cb_v"))
 
+  /** Per-subspace K-MEANS codebooks — the production PQ fit (k-means
+    * minimizes exactly the reconstruction error that bounds ADC
+    * fidelity; ProductQuantizationSpec asserts it beats the modular
+    * sample at equal codebook size). m driver-coordinated MLlib fits of
+    * k centers each over the subvector projections; deterministic under
+    * `seed`. Codebook ids are the cluster indexes. Slots into
+    * [[encode]]/[[adcTopK]] unchanged, like
+    * [[SimilaritySearch.kmeansCentroids]] does for IVF.
+    */
+  def kmeansCodebooks(corpus: DataFrame, m: Int, subDim: Int, k: Int,
+      seed: Long = 42L, corpusVec: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    (0 until m).flatMap { j =>
+      val feat = corpus.select(array_to_vector(
+        slice(toDoubleArray(col(corpusVec)), j * subDim + 1, subDim)).as("features"))
+      val model = new KMeans().setK(k).setSeed(seed + j)
+        .setFeaturesCol("features").fit(feat)
+      model.clusterCenters.zipWithIndex.toSeq
+        .map { case (c, i) => (j, i.toLong, c.toArray.toSeq) }
+    }.toDF("j", "code_id", "cb_v")
+  }
+
+  /** Mean squared reconstruction error of a codebook over the corpus —
+    * the quantity k-means training minimizes and the bound on ADC
+    * ranking fidelity; exposed so index builders can compare codebook
+    * fits before committing one to a 100 TB encode pass.
+    */
+  def reconstructionError(corpus: DataFrame, codebooks: DataFrame, m: Int, subDim: Int,
+      corpusId: String = "vec_id", corpusVec: String = "embedding"): Double =
+    encode(corpus, codebooks, m, subDim, corpusId, corpusVec)
+      .select(col(corpusId), posexplode(col("codes")).as(Seq("j", "code")))
+      .join(corpus.select(col(corpusId), toDoubleArray(col(corpusVec)).as("_v")), corpusId)
+      .withColumn("sub_v", slice(col("_v"), col("j") * subDim + 1, lit(subDim)))
+      .join(broadcast(codebooks.withColumnRenamed("code_id", "code")), Seq("j", "code"))
+      .groupBy(col(corpusId))
+      .agg(sum(d2(col("sub_v"), col("cb_v"))).as("_e"))
+      .agg(avg(col("_e"))).head().getDouble(0)
+
   /** Encode every corpus vector as `m` codebook ids (subspace order):
     * (corpusId, codes array<long>). One broadcast join + two partial
     * aggregations — the corpus never shuffles wider than one row per

@@ -394,6 +394,18 @@ class ProductQuantizationSpec extends SparkSpec {
     }
   }
 
+  test("k-means codebooks beat modular sampling at equal size (reconstruction error)") {
+    val s = spark
+    val emb = Tables.load(s, TestSpark.sf0001, "embeddings")
+    val modular = ProductQuantization.modularCodebooks(emb, m = 8, subDim = 8, step = 41)
+    val kCb = modular.select("code_id").distinct().count().toInt // equal codebook size
+    val kmeans = ProductQuantization.kmeansCodebooks(emb, m = 8, subDim = 8, k = kCb)
+    val (eModular, eKmeans) = (
+      ProductQuantization.reconstructionError(emb, modular, 8, 8),
+      ProductQuantization.reconstructionError(emb, kmeans, 8, 8))
+    assert(eKmeans < eModular, s"kmeans $eKmeans !< modular $eModular")
+  }
+
   test("ADC top-k preserves cluster neighborhoods on clustered data") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(17)

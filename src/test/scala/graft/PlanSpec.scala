@@ -90,6 +90,13 @@ class PlanSpec extends SparkSpec {
         p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
   }
 
+  test("PQ encode and ADC probe ride broadcast joins — corpus never sort-merges") {
+    val p = plan("q_ann_pq_adc")
+    assert(!p.contains("SortMergeJoin"),
+      "codebooks and distance tables are broadcast-sized by construction:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast probes:\n" + p)
+  }
+
   test("two-stage ANN re-rank probes the corpus with broadcast joins only") {
     val p = plan("q_ann_two_stage")
     // the float-vector corpus must never ride a shuffle: the shortlist

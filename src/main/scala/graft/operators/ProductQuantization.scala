@@ -123,11 +123,13 @@ object ProductQuantization {
   /** ADC top-k of each query over a PQ-encoded corpus (ascending
     * approximate distance, ties to the smallest corpus id).
     */
-  def adcTopK(queries: DataFrame, encoded: DataFrame, codebooks: DataFrame,
-      k: Int, m: Int, subDim: Int,
-      queryId: String = "query_id", corpusId: String = "vec_id",
-      queryVec: String = "qv"): DataFrame = {
-    val dtable = queries
+  /** Per-query distance table to every codebook entry: (queryId, j,
+    * code, _d2) — |q|·m·|codebook| rows, broadcast-sized by
+    * construction.
+    */
+  private def distanceTable(queries: DataFrame, codebooks: DataFrame,
+      m: Int, subDim: Int, queryId: String, queryVec: String): DataFrame =
+    queries
       .select(col(queryId), toDoubleArray(col(queryVec)).as("_qv"))
       .withColumn("j", explode(sequence(lit(0), lit(m - 1))))
       .withColumn("q_sub", slice(col("_qv"), col("j") * subDim + 1, lit(subDim)))
@@ -135,12 +137,71 @@ object ProductQuantization {
       .select(col(queryId), col("j"), col("code_id").as("code"),
         d2(col("q_sub"), col("cb_v")).as("_d2"))
 
+  def adcTopK(queries: DataFrame, encoded: DataFrame, codebooks: DataFrame,
+      k: Int, m: Int, subDim: Int,
+      queryId: String = "query_id", corpusId: String = "vec_id",
+      queryVec: String = "qv"): DataFrame = {
+    val dtable = distanceTable(queries, codebooks, m, subDim, queryId, queryVec)
     val scored = encoded
       .select(col(corpusId), posexplode(col("codes")).as(Seq("j", "code")))
       .join(broadcast(dtable), Seq("j", "code"))
       .filter(col(queryId) =!= col(corpusId))
       // subspace-ORDERED summation: collect (j, d2), sort, fold left to
       // right — bit-replayable externally, unlike an unordered SUM
+      .groupBy(col(queryId), col(corpusId))
+      .agg(array_sort(collect_list(struct(col("j"), col("_d2")))).as("_jd"))
+      .withColumn("adc_d2",
+        aggregate(col("_jd._d2"), lit(0.0), (acc, x) => acc + x))
+    TopK.perGroup(scored.drop("_jd"),
+        partitionBy = Seq(col(queryId)),
+        orderBy = Seq(col("adc_d2"), col(corpusId)),
+        k = k)
+      .select(col(queryId), col(corpusId), col("adc_d2"), col("rk"))
+  }
+
+  /** IVF-PQ index build — the canonical billion-vector index shape (an
+    * inverted file whose lists hold PQ codes, not vectors): ONE corpus
+    * scan assigns each vector to its nearest IVF centroid
+    * ([[SimilaritySearch.buildIvfIndex]]) and PQ-encodes it in the same
+    * pass. The index row is (corpusId, cent_id, codes) — ids and ~m
+    * bytes of codes, no floats — written `partitionBy("cent_id")` like
+    * the plain IVF index. (Codes here quantize the raw vectors; the
+    * by-residual variant — encode v − centroid — drops reconstruction
+    * error further and slots in by rewriting `_cv` before the explode.)
+    */
+  def buildIvfPqIndex(centroids: DataFrame, codebooks: DataFrame, corpus: DataFrame,
+      m: Int, subDim: Int,
+      corpusId: String = "vec_id", corpusVec: String = "embedding"): DataFrame =
+    SimilaritySearch.buildIvfIndex(centroids, corpus, corpusId, corpusVec)
+      .withColumn("j", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("sub_v", slice(col("_cv"), col("j") * subDim + 1, lit(subDim)))
+      .join(broadcast(codebooks), "j")
+      .withColumn("_d2", d2(col("sub_v"), col("cb_v")))
+      .groupBy(col(corpusId), col("cent_id"), col("j"))
+      .agg(min_by(col("code_id"), struct(col("_d2"), col("code_id"))).as("code"))
+      .groupBy(col(corpusId), col("cent_id"))
+      .agg(array_sort(collect_list(struct(col("j"), col("code")))).as("_jc"))
+      .select(col(corpusId), col("cent_id"), col("_jc.code").as("codes"))
+
+  /** IVF-PQ probe: centroid probing restricts the ADC scan to the
+    * probed inverted lists — per batch, |q|·m·|codebook| table build +
+    * a broadcast probe into ~nProbe/nCentroids of the code index. The
+    * 100 TB serving path: the index carries no vectors, so the scan
+    * reads ~m bytes per candidate.
+    */
+  def probeIvfPq(index: DataFrame, centroids: DataFrame, codebooks: DataFrame,
+      queries: DataFrame, k: Int, nProbe: Int, m: Int, subDim: Int,
+      queryId: String = "query_id", corpusId: String = "vec_id",
+      queryVec: String = "qv"): DataFrame = {
+    val probes = SimilaritySearch
+      .centroidProbes(queries, centroids, nProbe, queryId, queryVec)
+      .select(col(queryId), col("cent_id"))
+    val dtable = distanceTable(queries, codebooks, m, subDim, queryId, queryVec)
+    val scored = index
+      .join(broadcast(probes), "cent_id")
+      .select(col(queryId), col(corpusId), posexplode(col("codes")).as(Seq("j", "code")))
+      .join(broadcast(dtable), Seq("j", "code", queryId))
+      .filter(col(queryId) =!= col(corpusId))
       .groupBy(col(queryId), col(corpusId))
       .agg(array_sort(collect_list(struct(col("j"), col("_d2")))).as("_jd"))
       .withColumn("adc_d2",

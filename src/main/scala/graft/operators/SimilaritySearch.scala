@@ -196,19 +196,26 @@ object SimilaritySearch {
     * centroid scoring plus a broadcast probe into ~nProbe/nCentroids of
     * the index — the daily-serving shape over a once-built index.
     */
-  def probeIvfIndex(index: DataFrame, centroids: DataFrame, queries: DataFrame,
-      k: Int, nProbe: Int,
-      queryId: String = "query_id", corpusId: String = "vec_id",
-      queryVec: String = "qv"): DataFrame = {
+  /** Each query's nProbe nearest centroids: (queryId, _qv, _qn,
+    * cent_id) — the shared front half of every IVF probe path.
+    */
+  def centroidProbes(queries: DataFrame, centroids: DataFrame, nProbe: Int,
+      queryId: String = "query_id", queryVec: String = "qv"): DataFrame = {
     val q = withNorm(queries, queryId, queryVec, "_qv", "_qn")
-    val probes = TopK.perGroup(
+    TopK.perGroup(
         q.crossJoin(broadcast(centroids))
           .withColumn("_sim",
             cosineFromNorms(col("_qv"), col("cent_v"), col("_qn"), col("cent_n"))),
         partitionBy = Seq(col(queryId)),
         orderBy = Seq(col("_sim").desc, col("cent_id")), k = nProbe)
       .select(col(queryId), col("_qv"), col("_qn"), col("cent_id"))
+  }
 
+  def probeIvfIndex(index: DataFrame, centroids: DataFrame, queries: DataFrame,
+      k: Int, nProbe: Int,
+      queryId: String = "query_id", corpusId: String = "vec_id",
+      queryVec: String = "qv"): DataFrame = {
+    val probes = centroidProbes(queries, centroids, nProbe, queryId, queryVec)
     val scored = index.join(broadcast(probes), "cent_id")
       .filter(col(queryId) =!= col(corpusId))
       .withColumn("cosine", cosineFromNorms(col("_qv"), col("_cv"), col("_qn"), col("_cn")))

@@ -373,6 +373,82 @@ object VectorMlQueries {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // IVF-PQ — the canonical billion-vector index (inverted lists of PQ
+    // codes, no floats in the index): one corpus pass assigns + encodes;
+    // probing restricts ADC to the probed lists. Composes the two
+    // oracle-proven halves, and the oracle replays the composition:
+    // argmax-cosine assignment (as q_ann_ivf_topk) ∘ PQ encode + ADC
+    // (as q_ann_pq_adc) over only the probed partitions.
+    Q("q_ann_ivfpq_topk", {
+      def d2Sql(a: String, b: String) =
+        s"(list_dot_product($a, $a) + list_dot_product($b, $b) - 2 * list_dot_product($a, $b))"
+      s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |      FROM embeddings WHERE vec_id < 8),
+         |cent AS (SELECT vec_id AS cent_id, cv AS cent_v FROM c WHERE vec_id % 31 = 0),
+         |assigned AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT c.vec_id, cent.cent_id,
+         |           row_number() OVER (PARTITION BY c.vec_id
+         |             ORDER BY ${cosSql("c.cv", "cent.cent_v")} DESC, cent.cent_id) AS rn
+         |    FROM c CROSS JOIN cent)
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT query_id, cent_id FROM (
+         |    SELECT q.query_id, cent.cent_id,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY ${cosSql("q.qv", "cent.cent_v")} DESC, cent.cent_id) AS rn
+         |    FROM q CROSS JOIN cent)
+         |  WHERE rn <= 4),
+         |js AS (SELECT unnest(range(8)) AS j),
+         |cb AS (
+         |  SELECT js.j, vec_id AS code_id, cv[js.j*8+1 : js.j*8+8] AS cb_v
+         |  FROM c CROSS JOIN js WHERE vec_id % 41 = 0),
+         |enc AS (
+         |  SELECT vec_id, j, code FROM (
+         |    SELECT c.vec_id, cb.j, cb.code_id AS code,
+         |           row_number() OVER (PARTITION BY c.vec_id, cb.j
+         |             ORDER BY ${d2Sql("c.cv[cb.j*8+1 : cb.j*8+8]", "cb.cb_v")},
+         |                      cb.code_id) AS rn
+         |    FROM c CROSS JOIN cb)
+         |  WHERE rn = 1),
+         |dt AS (
+         |  SELECT q.query_id, cb.j, cb.code_id AS code,
+         |         ${d2Sql("q.qv[cb.j*8+1 : cb.j*8+8]", "cb.cb_v")} AS dd
+         |  FROM q CROSS JOIN cb),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id
+         |  FROM assigned a JOIN probes p ON a.cent_id = p.cent_id
+         |  WHERE p.query_id != a.vec_id),
+         |scored AS (
+         |  SELECT n.query_id, n.vec_id,
+         |         list_reduce(list_prepend(0.0, list(d.dd ORDER BY e.j)),
+         |                     (acc, x) -> acc + x) AS adc_d2
+         |  FROM cand n
+         |  JOIN enc e ON e.vec_id = n.vec_id
+         |  JOIN dt d ON d.query_id = n.query_id AND d.j = e.j AND d.code = e.code
+         |  GROUP BY 1, 2)
+         |SELECT query_id, vec_id, round(adc_d2, 5) AS adc_d2, rk FROM (
+         |  SELECT query_id, vec_id, adc_d2,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY adc_d2, vec_id) AS rk
+         |  FROM scored)
+         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+    }) { (s, dir) =>
+      import graft.operators.ProductQuantization
+      val emb = t(s, dir, "embeddings")
+      val cents = SimilaritySearch.modularCentroids(emb, centroidStep = 31)
+      val cb = ProductQuantization.modularCodebooks(emb, m = 8, subDim = 8, step = 41)
+      val index = ProductQuantization.buildIvfPqIndex(cents, cb, emb, m = 8, subDim = 8)
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      ProductQuantization.probeIvfPq(index, cents, cb, queries,
+          k = 5, nProbe = 4, m = 8, subDim = 8)
+        .select(col("query_id"), col("vec_id"),
+          round(col("adc_d2"), 5).as("adc_d2"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    },
+
     // Brute-force exact cosine top-k (query side broadcast; corpus
     // streams once, per-group window limit keeps k rows pre-shuffle).
     Q("q_ann_brute_topk", {

@@ -431,6 +431,31 @@ class ProductQuantizationSpec extends SparkSpec {
       assert(v / 25 == q / 25, s"query $q (cluster ${q / 25}) retrieved $v (cluster ${v / 25})")
     }
   }
+
+  test("IVF-PQ: probed code lists still retrieve the query's cluster") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(19)
+    val (dim, m, sd) = (64, 8, 8)
+    val centers = Array.fill(20, dim)(rnd.nextGaussian() * 2.0)
+    val vecs = for (ci <- 0 until 20; p <- 0 until 25) yield
+      ((ci * 25 + p).toLong, centers(ci).map(_ + rnd.nextGaussian() * 0.1).toSeq)
+    val emb = vecs.toDF("vec_id", "embedding")
+    val cents = graft.operators.SimilaritySearch.modularCentroids(emb, centroidStep = 13)
+    val cb = ProductQuantization.modularCodebooks(emb, m, sd, step = 7)
+    val index = ProductQuantization.buildIvfPqIndex(cents, cb, emb, m, sd)
+    // index rows carry ids + codes only — no float columns
+    assert(index.columns.toSet == Set("vec_id", "cent_id", "codes"))
+    val queries = emb.filter(pmod(col("vec_id"), lit(125)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val top = ProductQuantization.probeIvfPq(index, cents, cb, queries,
+        k = 5, nProbe = 4, m = m, subDim = sd)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(top.length == 4 * 5)
+    top.foreach { case (q, v) =>
+      assert(v / 25 == q / 25, s"query $q (cluster ${q / 25}) retrieved $v (cluster ${v / 25})")
+    }
+  }
 }
 
 class NearestMatchSpec extends SparkSpec {

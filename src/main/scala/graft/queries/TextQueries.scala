@@ -407,6 +407,77 @@ object TextQueries {
         .orderBy(col("doc_id"), col("tfidf").desc, col("token"))
     },
 
+    // BM25 ranked retrieval (k1=1.2, b=0.75) for a literal query-term
+    // set — the mining-relevant-documents shape of a training-data
+    // pipeline (complementing dedup and contamination): per-term
+    // partials = IDF · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)), summed
+    // per doc IN TERM ORDER (sorted collect + fold = DuckDB's
+    // list_reduce) so the float path replays exactly; avgdl is an exact
+    // integer sum divided once (an avg() of doubles would be
+    // summation-order-dependent across engines). ln + round(4) follows
+    // the green q_text_tfidf_top3 precedent.
+    Q("q_text_bm25", {
+      val termsSql = "('hash', 'join', 'scan')"
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($toksSql) AS token FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+         |stats AS (SELECT cast(sum(dl) AS double) / count(*) AS avgdl,
+         |                 count(*) AS n FROM dl),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+         |       WHERE token IN $termsSql GROUP BY 1, 2),
+         |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |parts AS (
+         |  SELECT t.doc_id, t.token,
+         |         ln((n - df + 0.5) / (df + 0.5) + 1)
+         |           * (t.tf * 2.2)
+         |           / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / avgdl)) AS part
+         |  FROM tf t JOIN dl d USING (doc_id) JOIN dfreq USING (token)
+         |  CROSS JOIN stats),
+         |scored AS (
+         |  SELECT doc_id,
+         |         round(list_reduce(list_prepend(0.0, list(part ORDER BY token)),
+         |                           (acc, x) -> acc + x), 4) AS bm25,
+         |         cast(count(*) AS int) AS n_terms
+         |  FROM parts GROUP BY doc_id)
+         |SELECT doc_id, bm25, n_terms, rk FROM (
+         |  SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+         |  FROM scored)
+         |WHERE rk <= 20 ORDER BY rk""".stripMargin
+    }) { (s, dir) =>
+      val terms = Seq("hash", "join", "scan")
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
+        count(lit(1)).as("n"))
+      val tf = tok.filter(col("token").isInCollection(terms))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val parts = tf.join(dl, "doc_id").join(broadcast(dfreq), "token")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("token"),
+          (log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+            * (col("tf") * 2.2)
+            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+            .as("part"))
+      val scored = parts
+        .groupBy(col("doc_id"))
+        .agg(array_sort(collect_list(struct(col("token"), col("part")))).as("_tp"),
+          count(lit(1)).cast("int").as("n_terms"))
+        .select(col("doc_id"),
+          round(aggregate(col("_tp.part"), lit(0.0), (acc, x) => acc + x), 4).as("bm25"),
+          col("n_terms"))
+      // persisted `tok` is released by the harness's per-query cache
+      // clear (unpersisting here, before evaluation, would defeat it)
+      scored
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("bm25").desc, col("doc_id"))))
+        .filter(col("rk") <= 20)
+        .orderBy(col("rk"))
+    },
+
     // Multimodal metadata as a pure projection (no decode needed when
     // metadata is already columnar); the decode path proper is
     // q_multimodal_decode below.

@@ -165,14 +165,28 @@ object ProductQuantization {
     * ([[SimilaritySearch.buildIvfIndex]]) and PQ-encodes it in the same
     * pass. The index row is (corpusId, cent_id, codes) — ids and ~m
     * bytes of codes, no floats — written `partitionBy("cent_id")` like
-    * the plain IVF index. (Codes here quantize the raw vectors; the
-    * by-residual variant — encode v − centroid — drops reconstruction
-    * error further and slots in by rewriting `_cv` before the explode.)
+    * the plain IVF index.
+    *
+    * @param byResidual encode v − centroid instead of v (the FAISS
+    *   default): residuals have far smaller spread than raw vectors, so
+    *   the same codebook budget reconstructs them tighter. The probe
+    *   side must use the same flag (its distance tables are then built
+    *   per probed (query, centroid) pair against q − centroid).
+    *   Residual subtraction is element-wise — bit-identical across
+    *   engines, so both variants stay oracle-replayable.
     */
   def buildIvfPqIndex(centroids: DataFrame, codebooks: DataFrame, corpus: DataFrame,
       m: Int, subDim: Int,
-      corpusId: String = "vec_id", corpusVec: String = "embedding"): DataFrame =
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      byResidual: Boolean = false): DataFrame =
     SimilaritySearch.buildIvfIndex(centroids, corpus, corpusId, corpusVec)
+      .transform { assigned =>
+        if (!byResidual) assigned
+        else assigned
+          .join(broadcast(centroids.select(col("cent_id"), col("cent_v"))), "cent_id")
+          .withColumn("_cv", zip_with(col("_cv"), col("cent_v"), (a, b) => a - b))
+          .drop("cent_v")
+      }
       .withColumn("j", explode(sequence(lit(0), lit(m - 1))))
       .withColumn("sub_v", slice(col("_cv"), col("j") * subDim + 1, lit(subDim)))
       .join(broadcast(codebooks), "j")
@@ -192,15 +206,31 @@ object ProductQuantization {
   def probeIvfPq(index: DataFrame, centroids: DataFrame, codebooks: DataFrame,
       queries: DataFrame, k: Int, nProbe: Int, m: Int, subDim: Int,
       queryId: String = "query_id", corpusId: String = "vec_id",
-      queryVec: String = "qv"): DataFrame = {
+      queryVec: String = "qv", byResidual: Boolean = false): DataFrame = {
     val probes = SimilaritySearch
       .centroidProbes(queries, centroids, nProbe, queryId, queryVec)
-      .select(col(queryId), col("cent_id"))
-    val dtable = distanceTable(queries, codebooks, m, subDim, queryId, queryVec)
+    val (joined, dtableKey) =
+      if (!byResidual) {
+        val dtable = distanceTable(queries, codebooks, m, subDim, queryId, queryVec)
+        (broadcast(dtable), Seq("j", "code", queryId))
+      } else {
+        // residual mode: one distance table per probed (query, centroid)
+        // pair — |q|·nProbe·m·|codebook| rows, still broadcast-sized
+        val dtable = probes
+          .join(broadcast(centroids.select(col("cent_id"), col("cent_v"))), "cent_id")
+          .withColumn("_rv", zip_with(col("_qv"), col("cent_v"), (a, b) => a - b))
+          .withColumn("j", explode(sequence(lit(0), lit(m - 1))))
+          .withColumn("q_sub", slice(col("_rv"), col("j") * subDim + 1, lit(subDim)))
+          .join(broadcast(codebooks), "j")
+          .select(col(queryId), col("cent_id"), col("j"),
+            col("code_id").as("code"), d2(col("q_sub"), col("cb_v")).as("_d2"))
+        (broadcast(dtable), Seq("j", "code", queryId, "cent_id"))
+      }
     val scored = index
-      .join(broadcast(probes), "cent_id")
-      .select(col(queryId), col(corpusId), posexplode(col("codes")).as(Seq("j", "code")))
-      .join(broadcast(dtable), Seq("j", "code", queryId))
+      .join(broadcast(probes.select(col(queryId), col("cent_id"))), "cent_id")
+      .select(col(queryId), col("cent_id"), col(corpusId),
+        posexplode(col("codes")).as(Seq("j", "code")))
+      .join(joined, dtableKey)
       .filter(col(queryId) =!= col(corpusId))
       .groupBy(col(queryId), col(corpusId))
       .agg(array_sort(collect_list(struct(col("j"), col("_d2")))).as("_jd"))

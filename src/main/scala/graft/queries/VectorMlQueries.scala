@@ -449,6 +449,100 @@ object VectorMlQueries {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // IVF-PQ **by residual** — the FAISS default: codes quantize
+    // v − centroid (far smaller spread than raw vectors at equal
+    // codebook budget), codebooks are trained ON the residuals, and the
+    // probe builds one distance table per probed (query, centroid) pair
+    // against q − centroid. Element-wise subtraction is bit-identical
+    // across engines, so even this variant replays exactly.
+    Q("q_ann_ivfpq_residual", {
+      def d2Sql(a: String, b: String) =
+        s"(list_dot_product($a, $a) + list_dot_product($b, $b) - 2 * list_dot_product($a, $b))"
+      s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |      FROM embeddings WHERE vec_id < 8),
+         |cent AS (SELECT vec_id AS cent_id, cv AS cent_v FROM c WHERE vec_id % 31 = 0),
+         |assigned AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT c.vec_id, cent.cent_id,
+         |           row_number() OVER (PARTITION BY c.vec_id
+         |             ORDER BY ${cosSql("c.cv", "cent.cent_v")} DESC, cent.cent_id) AS rn
+         |    FROM c CROSS JOIN cent)
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT query_id, cent_id FROM (
+         |    SELECT q.query_id, cent.cent_id,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY ${cosSql("q.qv", "cent.cent_v")} DESC, cent.cent_id) AS rn
+         |    FROM q CROSS JOIN cent)
+         |  WHERE rn <= 4),
+         |res AS (
+         |  SELECT a.vec_id, a.cent_id,
+         |         list_transform(range(64), i -> c.cv[i+1] - cent.cent_v[i+1]) AS rv
+         |  FROM assigned a JOIN c USING (vec_id)
+         |  JOIN cent ON a.cent_id = cent.cent_id),
+         |js AS (SELECT unnest(range(8)) AS j),
+         |cb AS (
+         |  SELECT js.j, vec_id AS code_id, rv[js.j*8+1 : js.j*8+8] AS cb_v
+         |  FROM res CROSS JOIN js WHERE vec_id % 41 = 0),
+         |enc AS (
+         |  SELECT vec_id, j, code FROM (
+         |    SELECT r.vec_id, cb.j, cb.code_id AS code,
+         |           row_number() OVER (PARTITION BY r.vec_id, cb.j
+         |             ORDER BY ${d2Sql("r.rv[cb.j*8+1 : cb.j*8+8]", "cb.cb_v")},
+         |                      cb.code_id) AS rn
+         |    FROM res r CROSS JOIN cb)
+         |  WHERE rn = 1),
+         |qres AS (
+         |  SELECT p.query_id, p.cent_id,
+         |         list_transform(range(64), i -> q.qv[i+1] - cent.cent_v[i+1]) AS rqv
+         |  FROM probes p JOIN q USING (query_id)
+         |  JOIN cent ON p.cent_id = cent.cent_id),
+         |dt AS (
+         |  SELECT r.query_id, r.cent_id, cb.j, cb.code_id AS code,
+         |         ${d2Sql("r.rqv[cb.j*8+1 : cb.j*8+8]", "cb.cb_v")} AS dd
+         |  FROM qres r CROSS JOIN cb),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id, a.cent_id
+         |  FROM assigned a JOIN probes p ON a.cent_id = p.cent_id
+         |  WHERE p.query_id != a.vec_id),
+         |scored AS (
+         |  SELECT n.query_id, n.vec_id,
+         |         list_reduce(list_prepend(0.0, list(d.dd ORDER BY e.j)),
+         |                     (acc, x) -> acc + x) AS adc_d2
+         |  FROM cand n
+         |  JOIN enc e ON e.vec_id = n.vec_id
+         |  JOIN dt d ON d.query_id = n.query_id AND d.cent_id = n.cent_id
+         |            AND d.j = e.j AND d.code = e.code
+         |  GROUP BY 1, 2)
+         |SELECT query_id, vec_id, round(adc_d2, 5) AS adc_d2, rk FROM (
+         |  SELECT query_id, vec_id, adc_d2,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY adc_d2, vec_id) AS rk
+         |  FROM scored)
+         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+    }) { (s, dir) =>
+      import graft.operators.ProductQuantization
+      val emb = t(s, dir, "embeddings")
+      val cents = SimilaritySearch.modularCentroids(emb, centroidStep = 31)
+      // codebooks trained on the residuals themselves (modular sample of
+      // them — the oracle-expressible stand-in for residual k-means)
+      val resid = SimilaritySearch.buildIvfIndex(cents, emb)
+        .join(broadcast(cents.select(col("cent_id"), col("cent_v"))), "cent_id")
+        .select(col("vec_id"),
+          zip_with(col("_cv"), col("cent_v"), (a, b) => a - b).as("embedding"))
+      val cb = ProductQuantization.modularCodebooks(resid, m = 8, subDim = 8, step = 41)
+      val index = ProductQuantization.buildIvfPqIndex(cents, cb, emb,
+        m = 8, subDim = 8, byResidual = true)
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      ProductQuantization.probeIvfPq(index, cents, cb, queries,
+          k = 5, nProbe = 4, m = 8, subDim = 8, byResidual = true)
+        .select(col("query_id"), col("vec_id"),
+          round(col("adc_d2"), 5).as("adc_d2"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    },
+
     // Brute-force exact cosine top-k (query side broadcast; corpus
     // streams once, per-group window limit keeps k rows pre-shuffle).
     Q("q_ann_brute_topk", {

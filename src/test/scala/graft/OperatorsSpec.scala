@@ -456,6 +456,43 @@ class ProductQuantizationSpec extends SparkSpec {
       assert(v / 25 == q / 25, s"query $q (cluster ${q / 25}) retrieved $v (cluster ${v / 25})")
     }
   }
+
+  test("by-residual IVF-PQ reconstructs tighter than raw at equal codebook size") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val (dim, m, sd) = (64, 8, 8)
+    val centers = Array.fill(20, dim)(rnd.nextGaussian() * 2.0)
+    val vecs = for (ci <- 0 until 20; p <- 0 until 25) yield
+      ((ci * 25 + p).toLong, centers(ci).map(_ + rnd.nextGaussian() * 0.1).toSeq)
+    val emb = vecs.toDF("vec_id", "embedding")
+    val cents = graft.operators.SimilaritySearch.modularCentroids(emb, centroidStep = 13)
+    // residual corpus: v − assigned centroid
+    val resid = graft.operators.SimilaritySearch.buildIvfIndex(cents, emb)
+      .join(broadcast(cents.select(col("cent_id"), col("cent_v"))), "cent_id")
+      .select(col("vec_id"),
+        zip_with(col("_cv"), col("cent_v"), (a, b) => a - b).as("embedding"))
+      .persist()
+    val rawCb = ProductQuantization.modularCodebooks(emb, m, sd, step = 7)
+    val resCb = ProductQuantization.modularCodebooks(resid, m, sd, step = 7)
+    // both errors are MSE of the final approximation of v (residual mode
+    // adds the exactly-known centroid back), so directly comparable
+    val eRaw = ProductQuantization.reconstructionError(emb, rawCb, m, sd)
+    val eRes = ProductQuantization.reconstructionError(resid, resCb, m, sd)
+    resid.unpersist()
+    assert(eRes < eRaw, s"residual $eRes !< raw $eRaw")
+    // and the composed residual path still retrieves the query's cluster
+    val index = ProductQuantization.buildIvfPqIndex(cents, resCb, emb, m, sd, byResidual = true)
+    val queries = emb.filter(pmod(col("vec_id"), lit(125)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val top = ProductQuantization.probeIvfPq(index, cents, resCb, queries,
+        k = 5, nProbe = 4, m = m, subDim = sd, byResidual = true)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(top.length == 4 * 5)
+    top.foreach { case (q, v) =>
+      assert(v / 25 == q / 25, s"query $q (cluster ${q / 25}) retrieved $v (cluster ${v / 25})")
+    }
+  }
 }
 
 class NearestMatchSpec extends SparkSpec {

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Sparse-vector (TF-IDF) cosine similarity join over documents — the
+  * lexical complement to the embedding near-dup path in [[Dedup]]: pairs
+  * are generated ONLY through shared terms (word n-gram shingles), so
+  * the cost is Σ df² over terms, never |docs|² — the standard
+  * "similarity join via inverted index" shape (prefix-filtering family).
+  *
+  * 100 TB design:
+  *  - a document-frequency cap drops terms too common to be
+  *    discriminative BEFORE the pair-generating self-join (a term in d
+  *    docs yields d² pair rows; boilerplate would dominate otherwise) —
+  *    aggregated df + broadcast anti-join, same discipline as
+  *    [[Dedup.ngramJaccardPairs]]. Cosine is then defined in the capped
+  *    term space, which is also what an inverted-index implementation
+  *    ships: stop-terms never enter the index.
+  *  - norms and dots fold over term-sorted lists, so the float scores
+  *    replay bit-for-bit and the threshold filter is engine-stable.
+  *  - the (doc, term, weight) projection is persisted: it feeds the norm
+  *    aggregation and both sides of the pair join.
+  */
+object SparseSimilarity {
+
+  /** TF-IDF cosine pairs with `cos ≥ threshold` over word `n`-gram terms.
+    *
+    * Output: (id_a, id_b, n_common int — shared distinct terms,
+    * cos double rounded 4), id_a < id_b.
+    */
+  def cosinePairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.3,
+      maxTermDf: Int = 100, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"), explode(TextFunctions.shinglesFromTokens(col("_toks"), n)).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val overCap = dfreq.filter(col("df") > maxTermDf).select(col("term"))
+    val nDocs = docs.count().toDouble
+    // persist: weights feed the norm fold and BOTH pair-join sides
+    val w = tf.join(broadcast(overCap), Seq("term"), "left_anti")
+      .join(dfreq, Seq("term"))
+      .select(col("doc_id"), col("term"),
+        (col("tf") * log(lit(nDocs) / col("df"))).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nrm = w
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("term"), (col("w") * col("w")).as("w2")))).as("_p"))
+      .select(col("doc_id"), sqrt(aggregate(col("_p.w2"), lit(0.0), (acc, x) => acc + x)).as("nrm"))
+    // shuffle_hash: sort-merge would sort the exploded term strings on
+    // both sides; the df cap has already bounded per-key skew
+    val dots = w.as("a").hint("shuffle_hash")
+      .join(w.as("b"), col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), col("a.term").as("term"),
+        (col("a.w") * col("b.w")).as("part"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).cast("int").as("n_common"),
+        array_sort(collect_list(struct(col("term"), col("part")))).as("_p"))
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        aggregate(col("_p.part"), lit(0.0), (acc, x) => acc + x).as("dot"))
+    dots
+      .join(nrm.withColumnRenamed("doc_id", "id_a").withColumnRenamed("nrm", "nrm_a"), Seq("id_a"))
+      .join(nrm.withColumnRenamed("doc_id", "id_b").withColumnRenamed("nrm", "nrm_b"), Seq("id_b"))
+      .withColumn("cos", col("dot") / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_common"), round(col("cos"), 4).as("cos"))
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Chunking, Contamination, CorpusPacking, Dedup, MixtureSampler, Multimodal, RepetitionScore, StratifiedSampler, TopK}
+import graft.operators.{Chunking, Contamination, CorpusPacking, Dedup, LexicalStats, MixtureSampler, Multimodal, NgramLanguageModel, RepetitionScore, SparseSimilarity, StratifiedSampler, TopK}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -818,5 +818,122 @@ object TextQueries {
         .withColumn("recall",
           when(col("n_exact") === 0, lit(1.0))
             .otherwise(round(col("n_recalled") / col("n_exact"), 4)))
+    },
+
+    // Bigram-LM perplexity filter (CCNet-style): score every document by
+    // its average bigram log-likelihood under the corpus's own add-α
+    // bigram model. Float sums fold over (w1, w2)-sorted lists on both
+    // engines, so the doubles replay bit-for-bit.
+    Q("q_text_lm_score",
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |bg AS (SELECT doc_id, z[1] AS w1, z[2] AS w2
+         |       FROM (SELECT doc_id,
+         |               unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS z
+         |             FROM tk WHERE len(toks) >= 2)),
+         |c2 AS (SELECT w1, w2, cast(count(*) AS bigint) AS c2 FROM bg GROUP BY 1, 2),
+         |c1 AS (SELECT w1, cast(sum(c2) AS bigint) AS c1 FROM c2 GROUP BY 1),
+         |v AS (SELECT cast(count(DISTINCT token) AS bigint) AS vsz
+         |      FROM (SELECT unnest(toks) AS token FROM tk)),
+         |parts AS (
+         |  SELECT b.doc_id, b.w1, b.w2,
+         |         ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * vsz)) AS part
+         |  FROM bg b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+         |SELECT doc_id, cast(count(*) AS int) AS n_bigrams,
+         |       round(list_reduce(list_prepend(0.0, list(part ORDER BY w1, w2)),
+         |                         (acc, x) -> acc + x) / count(*), 4) AS avg_ll
+         |FROM parts GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      NgramLanguageModel.scoreDocs(t(s, dir, "documents"), alpha = 0.5)
+        .orderBy(col("doc_id"))
+    },
+
+    // Per-document lexical profile: OOV rate vs the corpus top-20
+    // vocabulary, token entropy, type-token ratio — the statistical
+    // quality signals complementing the rule gates of q_text_quality.
+    Q("q_text_lexical_profile",
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS token FROM tk),
+         |tf AS (SELECT doc_id, token, cast(count(*) AS bigint) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, cast(sum(tf) AS bigint) AS dl,
+         |              cast(count(*) AS bigint) AS n_types FROM tf GROUP BY 1),
+         |vocab AS (
+         |  SELECT token FROM (
+         |    SELECT token, row_number() OVER (ORDER BY count(*) DESC, token) AS rk
+         |    FROM tok GROUP BY token) WHERE rk <= 20),
+         |oov AS (SELECT t.doc_id,
+         |               cast(sum(CASE WHEN v.token IS NULL THEN t.tf ELSE 0 END) AS bigint)
+         |                 AS oov_occ
+         |        FROM tf t LEFT JOIN vocab v USING (token) GROUP BY 1),
+         |ent AS (
+         |  SELECT t.doc_id,
+         |         round(list_reduce(list_prepend(0.0,
+         |             list(-(cast(t.tf AS double) / cast(d.dl AS double))
+         |                   * ln(cast(t.tf AS double) / cast(d.dl AS double)) ORDER BY t.token)),
+         |           (acc, x) -> acc + x), 4) AS entropy
+         |  FROM tf t JOIN dl d USING (doc_id) GROUP BY t.doc_id)
+         |SELECT d.doc_id, cast(d.dl AS int) AS dl, cast(d.n_types AS int) AS n_types,
+         |       round(cast(d.n_types AS double) / cast(d.dl AS double), 4) AS ttr,
+         |       round(cast(o.oov_occ AS double) / cast(d.dl AS double), 4) AS oov_rate,
+         |       e.entropy
+         |FROM dl d JOIN oov o USING (doc_id) JOIN ent e USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      LexicalStats.profile(t(s, dir, "documents"), vocabSize = 20)
+        .orderBy(col("doc_id"))
+    },
+
+    // Per-source mixture-drift monitor: unigram KL(source ‖ corpus).
+    Q("q_source_kl_drift",
+      s"""WITH tk AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+         |tok AS (SELECT source, unnest(toks) AS token FROM tk),
+         |sf AS (SELECT source, token, cast(count(*) AS bigint) AS sc FROM tok GROUP BY 1, 2),
+         |st AS (SELECT source, cast(sum(sc) AS bigint) AS stot FROM sf GROUP BY 1),
+         |cf AS (SELECT token, cast(sum(sc) AS bigint) AS cc FROM sf GROUP BY 1),
+         |ct AS (SELECT cast(sum(cc) AS bigint) AS ctot FROM cf),
+         |parts AS (
+         |  SELECT s.source, s.token, t.stot,
+         |         (cast(s.sc AS double) / cast(t.stot AS double))
+         |           * ln((cast(s.sc AS double) / cast(t.stot AS double))
+         |                / (cast(c.cc AS double) / cast(x.ctot AS double))) AS part
+         |  FROM sf s JOIN st t USING (source) JOIN cf c USING (token) CROSS JOIN ct x)
+         |SELECT source, cast(max(stot) AS int) AS n_tokens,
+         |       round(list_reduce(list_prepend(0.0, list(part ORDER BY token)),
+         |                         (acc, x) -> acc + x), 4) AS kl
+         |FROM parts GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      LexicalStats.sourceDrift(t(s, dir, "documents"))
+        .orderBy(col("source"))
+    },
+
+    // Sparse TF-IDF cosine similarity join over trigram terms — pairs
+    // only through shared (df-capped) terms, never all-pairs.
+    Q("q_text_cosine_pairs",
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, concat_ws(' ', z[1], z[2], z[3]) AS term
+         |       FROM (SELECT doc_id,
+         |               unnest(list_zip(toks[1:len(toks)-2], toks[2:len(toks)-1],
+         |                               toks[3:len(toks)])) AS z
+         |             FROM tk WHERE len(toks) >= 3)),
+         |tf AS (SELECT doc_id, term, cast(count(*) AS bigint) AS tf FROM sh GROUP BY 1, 2),
+         |dfreq AS (SELECT term, cast(count(*) AS bigint) AS df FROM tf GROUP BY 1),
+         |nd AS (SELECT cast(count(*) AS bigint) AS n FROM documents),
+         |w AS (SELECT doc_id, term, tf * ln(cast(n AS double) / df) AS w
+         |      FROM tf JOIN dfreq USING (term) CROSS JOIN nd WHERE df <= 100),
+         |nrm AS (SELECT doc_id,
+         |               sqrt(list_reduce(list_prepend(0.0, list(w * w ORDER BY term)),
+         |                                (acc, x) -> acc + x)) AS nrm
+         |        FROM w GROUP BY doc_id),
+         |dots AS (
+         |  SELECT id_a, id_b, cast(count(*) AS int) AS n_common,
+         |         list_reduce(list_prepend(0.0, list(part ORDER BY term)),
+         |                     (acc, x) -> acc + x) AS dot
+         |  FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.term AS term,
+         |               a.w * b.w AS part
+         |        FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id)
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_common, round(cos, 4) AS cos FROM (
+         |  SELECT d.id_a, d.id_b, d.n_common, d.dot / (na.nrm * nb.nrm) AS cos
+         |  FROM dots d JOIN nrm na ON d.id_a = na.doc_id JOIN nrm nb ON d.id_b = nb.doc_id)
+         |WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      SparseSimilarity.cosinePairs(t(s, dir, "documents"),
+          n = 3, threshold = 0.3, maxTermDf = 100)
+        .orderBy(col("id_a"), col("id_b"))
     })
 }

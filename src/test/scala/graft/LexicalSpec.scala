@@ -1,0 +1,96 @@
+package graft
+
+import graft.operators.{LexicalStats, NgramLanguageModel, SparseSimilarity}
+import org.apache.spark.sql.functions._
+
+class NgramLanguageModelSpec extends SparkSpec {
+
+  test("add-alpha bigram log-likelihood matches hand computation") {
+    val s = spark; import s.implicits._
+    // c2: (a,b)=3, (b,a)=1, (b,c)=1; c1: a·=3, b·=2; V=3
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val r = NgramLanguageModel.scoreDocs(docs, alpha = 0.5)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    val pAB = math.log(3.5 / 4.5)
+    val pBA = math.log(1.5 / 3.5)
+    val pBC = math.log(1.5 / 3.5)
+    assert(r(1L).getAs[Int]("n_bigrams") == 3)
+    assert(math.abs(r(1L).getAs[Double]("avg_ll") - (pAB + pBA + pAB) / 3) < 1e-3)
+    assert(r(2L).getAs[Int]("n_bigrams") == 2)
+    assert(math.abs(r(2L).getAs[Double]("avg_ll") - (pAB + pBC) / 2) < 1e-3)
+  }
+
+  test("documents with fewer than two tokens have no score row") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "only"), (2L, "two tokens")).toDF("doc_id", "text")
+    val ids = NgramLanguageModel.scoreDocs(docs).select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(2L))
+  }
+
+  test("a doc of corpus-typical bigrams outscores a doc of rare ones") {
+    val s = spark; import s.implicits._
+    val docs = ((1 to 20).map(i => (i.toLong, "the quick fox")) :+
+      (99L, "zxq wvu zxq")).toDF("doc_id", "text")
+    val r = NgramLanguageModel.scoreDocs(docs)
+      .collect().map(x => x.getLong(0) -> x.getAs[Double]("avg_ll")).toMap
+    assert(r(1L) > r(99L))
+  }
+}
+
+class LexicalStatsSpec extends SparkSpec {
+
+  test("profile: dl/types/ttr/oov/entropy on a hand-built fixture") {
+    val s = spark; import s.implicits._
+    // corpus counts: a=2, b=1, c=4 → top-1 vocab = {c}
+    val docs = Seq((1L, "a a b"), (2L, "c c c c")).toDF("doc_id", "text")
+    val r = LexicalStats.profile(docs, vocabSize = 1)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Int]("dl") == 3 && r(1L).getAs[Int]("n_types") == 2)
+    assert(r(1L).getAs[Double]("ttr") == 0.6667)
+    assert(r(1L).getAs[Double]("oov_rate") == 1.0)
+    val h = -(2.0 / 3) * math.log(2.0 / 3) - (1.0 / 3) * math.log(1.0 / 3)
+    assert(math.abs(r(1L).getAs[Double]("entropy") - h) < 1e-3)
+    assert(r(2L).getAs[Double]("oov_rate") == 0.0)
+    assert(r(2L).getAs[Double]("entropy") == 0.0)
+    assert(r(2L).getAs[Double]("ttr") == 0.25)
+  }
+
+  test("sourceDrift: symmetric two-source split gives KL = ln 2 each") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "a a", "srcA"), (2L, "b b", "srcB")).toDF("doc_id", "text", "source")
+    val r = LexicalStats.sourceDrift(docs)
+      .collect().map(x => x.getString(0) -> x.getAs[Double]("kl")).toMap
+    assert(math.abs(r("srcA") - math.log(2.0)) < 1e-3)
+    assert(math.abs(r("srcB") - math.log(2.0)) < 1e-3)
+  }
+
+  test("sourceDrift: a single source matching the corpus has KL 0") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "a b c", "only"), (2L, "c b a", "only")).toDF("doc_id", "text", "source")
+    val r = LexicalStats.sourceDrift(docs).collect()
+    assert(r.length == 1 && r.head.getAs[Double]("kl") == 0.0)
+  }
+}
+
+class SparseSimilaritySpec extends SparkSpec {
+
+  test("identical docs reach cosine 1.0; disjoint docs pair with nothing") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "x y z w"), (2L, "x y z w"),          // identical
+      (3L, "p q r s t")                          // disjoint (keeps idf > 0)
+    ).toDF("doc_id", "text")
+    val r = SparseSimilarity.cosinePairs(docs, n = 3, threshold = 0.3).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("id_a") == 1L && r.head.getAs[Long]("id_b") == 2L)
+    assert(r.head.getAs[Double]("cos") == 1.0)
+    assert(r.head.getAs[Int]("n_common") == 2)
+  }
+
+  test("document-frequency cap removes over-common terms before pairing") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "x y z"), (2L, "x y z"), (3L, "a b c")).toDF("doc_id", "text")
+    // "x y z" has df=2 > cap=1 → capped away → no candidate pairs at all
+    assert(SparseSimilarity.cosinePairs(docs, n = 3, maxTermDf = 1).isEmpty)
+  }
+}

@@ -19,8 +19,14 @@ import org.apache.spark.storage.StorageLevel
   *    [[Dedup.ngramJaccardPairs]]. Cosine is then defined in the capped
   *    term space, which is also what an inverted-index implementation
   *    ships: stop-terms never enter the index.
-  *  - norms and dots fold over term-sorted lists, so the float scores
-  *    replay bit-for-bit and the threshold filter is engine-stable.
+  *  - weights are FIXED-POINT integers (`round(tfidf · 2^16)`), so dots
+  *    and squared norms are exact long sums: order-free, map-side
+  *    combinable partial aggregation on the pair key instead of a
+  *    collect-and-fold (which shuffles every pair row with its term
+  *    string and builds per-pair arrays — measured 2.4× slower at
+  *    sf0.1). Same bit-exact-integer-score discipline as the int8 SDC
+  *    ranking in [[SimilaritySearch]]. ANSI mode makes any overflow
+  *    loud; headroom is ~2^63 / (maxW·2^16)² shared terms per pair.
   *  - the (doc, term, weight) projection is persisted: it feeds the norm
   *    aggregation and both sides of the pair join.
   */
@@ -29,10 +35,13 @@ object SparseSimilarity {
   /** TF-IDF cosine pairs with `cos ≥ threshold` over word `n`-gram terms.
     *
     * Output: (id_a, id_b, n_common int — shared distinct terms,
-    * cos double rounded 4), id_a < id_b.
+    * cos double rounded 4), id_a < id_b. Cosine is computed over the
+    * fixed-point (2^16) quantized weight vectors — deterministic across
+    * engines and re-runs by construction.
     */
   def cosinePairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.3,
       maxTermDf: Int = 100, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val scale = 1L << 16
     val tf = docs
       .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("_toks"))
       .select(col("doc_id"), explode(TextFunctions.shinglesFromTokens(col("_toks"), n)).as("term"))
@@ -40,31 +49,26 @@ object SparseSimilarity {
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val overCap = dfreq.filter(col("df") > maxTermDf).select(col("term"))
     val nDocs = docs.count().toDouble
-    // persist: weights feed the norm fold and BOTH pair-join sides
+    // persist: weights feed the norm aggregation and BOTH pair-join sides
     val w = tf.join(broadcast(overCap), Seq("term"), "left_anti")
       .join(dfreq, Seq("term"))
       .select(col("doc_id"), col("term"),
-        (col("tf") * log(lit(nDocs) / col("df"))).as("w"))
+        floor(col("tf") * log(lit(nDocs) / col("df")) * scale).as("wq"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nrm = w
-      .groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(struct(col("term"), (col("w") * col("w")).as("w2")))).as("_p"))
-      .select(col("doc_id"), sqrt(aggregate(col("_p.w2"), lit(0.0), (acc, x) => acc + x)).as("nrm"))
-    // shuffle_hash: sort-merge would sort the exploded term strings on
-    // both sides; the df cap has already bounded per-key skew
+    // exact long sums — plain aggregates, partial-aggregated map-side
+    val nrm = w.groupBy(col("doc_id"))
+      .agg(sum(col("wq") * col("wq")).as("nrm2"))
     val dots = w.as("a").hint("shuffle_hash")
       .join(w.as("b"), col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), col("a.term").as("term"),
-        (col("a.w") * col("b.w")).as("part"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (col("a.wq") * col("b.wq")).as("part"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).cast("int").as("n_common"),
-        array_sort(collect_list(struct(col("term"), col("part")))).as("_p"))
-      .select(col("id_a"), col("id_b"), col("n_common"),
-        aggregate(col("_p.part"), lit(0.0), (acc, x) => acc + x).as("dot"))
+      .agg(count(lit(1)).cast("int").as("n_common"), sum(col("part")).as("dot"))
     dots
-      .join(nrm.withColumnRenamed("doc_id", "id_a").withColumnRenamed("nrm", "nrm_a"), Seq("id_a"))
-      .join(nrm.withColumnRenamed("doc_id", "id_b").withColumnRenamed("nrm", "nrm_b"), Seq("id_b"))
-      .withColumn("cos", col("dot") / (col("nrm_a") * col("nrm_b")))
+      .join(nrm.withColumnRenamed("doc_id", "id_a").withColumnRenamed("nrm2", "nrm2_a"), Seq("id_a"))
+      .join(nrm.withColumnRenamed("doc_id", "id_b").withColumnRenamed("nrm2", "nrm2_b"), Seq("id_b"))
+      .withColumn("cos", col("dot").cast("double")
+        / (sqrt(col("nrm2_a").cast("double")) * sqrt(col("nrm2_b").cast("double"))))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("n_common"), round(col("cos"), 4).as("cos"))
   }

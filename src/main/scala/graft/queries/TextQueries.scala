@@ -914,22 +914,21 @@ object TextQueries {
          |tf AS (SELECT doc_id, term, cast(count(*) AS bigint) AS tf FROM sh GROUP BY 1, 2),
          |dfreq AS (SELECT term, cast(count(*) AS bigint) AS df FROM tf GROUP BY 1),
          |nd AS (SELECT cast(count(*) AS bigint) AS n FROM documents),
-         |w AS (SELECT doc_id, term, tf * ln(cast(n AS double) / df) AS w
+         |w AS (SELECT doc_id, term,
+         |             cast(floor(tf * ln(cast(n AS double) / df) * 65536) AS bigint) AS wq
          |      FROM tf JOIN dfreq USING (term) CROSS JOIN nd WHERE df <= 100),
-         |nrm AS (SELECT doc_id,
-         |               sqrt(list_reduce(list_prepend(0.0, list(w * w ORDER BY term)),
-         |                                (acc, x) -> acc + x)) AS nrm
+         |nrm AS (SELECT doc_id, cast(sum(wq * wq) AS bigint) AS nrm2
          |        FROM w GROUP BY doc_id),
          |dots AS (
          |  SELECT id_a, id_b, cast(count(*) AS int) AS n_common,
-         |         list_reduce(list_prepend(0.0, list(part ORDER BY term)),
-         |                     (acc, x) -> acc + x) AS dot
-         |  FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.term AS term,
-         |               a.w * b.w AS part
+         |         cast(sum(part) AS bigint) AS dot
+         |  FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.wq * b.wq AS part
          |        FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id)
          |  GROUP BY 1, 2)
          |SELECT id_a, id_b, n_common, round(cos, 4) AS cos FROM (
-         |  SELECT d.id_a, d.id_b, d.n_common, d.dot / (na.nrm * nb.nrm) AS cos
+         |  SELECT d.id_a, d.id_b, d.n_common,
+         |         cast(d.dot AS double)
+         |           / (sqrt(cast(na.nrm2 AS double)) * sqrt(cast(nb.nrm2 AS double))) AS cos
          |  FROM dots d JOIN nrm na ON d.id_a = na.doc_id JOIN nrm nb ON d.id_b = nb.doc_id)
          |WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       SparseSimilarity.cosinePairs(t(s, dir, "documents"),

@@ -289,18 +289,33 @@ object Dedup {
       .select(col("doc_id"),
         (0 until nBits).map(i => when(col(s"_b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
           .reduce(_ + _).as("fp"))
+    hammingPairs(fp, nBits, maxHamming)
+  }
+
+  /** All pairs of fingerprints within `maxHamming` bits, candidates via
+    * pigeonhole LSH blocks (two fingerprints within hamming h agree on
+    * one of h+1 disjoint bit blocks — candidate generation is COMPLETE
+    * at the requested radius). Shared by the text SimHash path and the
+    * multimodal perceptual-hash path.
+    */
+  def hammingPairs(fps: DataFrame, nBits: Int, maxHamming: Int,
+      idCol: String = "doc_id", fpCol: String = "fp"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < nBits, s"maxHamming=$maxHamming out of [0, $nBits)")
+    val chunks = maxHamming + 1 // pigeonhole: exact for hamming <= maxHamming
     // distribute the bits over `chunks` near-equal disjoint blocks
     val widths = (0 until chunks).map(i => nBits / chunks + (if (i < nBits % chunks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
-    val blocked = fp.select(col("doc_id"), col("fp"),
-      explode(array((0 until chunks).map { i =>
-        val mask = if (widths(i) >= 64) -1L else (1L << widths(i)) - 1L
-        struct(lit(i).as("blk"),
-          shiftright(col("fp"), offsets(i)).bitwiseAND(mask).as("bkey"))
-      }: _*)).as("b"))
+    val blocked = fps.select(col(idCol).as("doc_id"), col(fpCol).as("fp"))
+      .select(col("doc_id"), col("fp"),
+        explode(array((0 until chunks).map { i =>
+          val mask = if (widths(i) >= 64) -1L else (1L << widths(i)) - 1L
+          struct(lit(i).as("blk"),
+            shiftright(col("fp"), offsets(i)).bitwiseAND(mask).as("bkey"))
+        }: _*)).as("b"))
       .select(col("doc_id"), col("fp"), col("b.blk").as("blk"), col("b.bkey").as("bkey"))
-      // persist: both self-join sides — the 64 conditional-sum
-      // fingerprint aggregation upstream is the expensive part
+      // persist: both self-join sides — the upstream fingerprint
+      // computation (64 conditional sums / a media decode pass) is the
+      // expensive part
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     blocked.as("a")
       .join(blocked.as("b"),
@@ -411,6 +426,30 @@ object Dedup {
   }
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Leakage-safe train/test split: documents are assigned by the HASH OF
+    * THEIR NEAR-DUP GROUP (connected component of `pairs`; singletons are
+    * their own group), so two near-duplicates can never straddle the
+    * split — the standard guard against eval contamination when a corpus
+    * carries duplicate clusters. The group hash is the same replayable
+    * integer family as [[MixtureSampler]] (Knuth multiplicative mod
+    * 1e9+7), so the split is deterministic across engines and re-runs —
+    * a requirement for a split that must stay stable while the corpus is
+    * re-processed.
+    *
+    * Output: docs' id column + (grp long, split string('train'|'test')).
+    */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame, testFrac: Double = 0.1,
+      idCol: String = "doc_id"): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val cut = (testFrac * 1000000007L).toLong
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(comps, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("grp"))
+      .withColumn("split",
+        when(((col("grp") + 42) % 1000000007L) * 2654435761L % 1000000007L < cut, lit("test"))
+          .otherwise(lit("train")))
+  }
 
   /** Embedding near-duplicates: pairs with cosine ≥ threshold, candidates
     * from MULTI-TABLE random-hyperplane LSH — `nTables` independent

@@ -162,6 +162,92 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  val phashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = true),
+    StructField("phash", LongType, nullable = true),
+    StructField("valid", BooleanType, nullable = false)))
+
+  /** 60-bit perceptual hash (block-mean aHash family) of a media payload:
+    * bit k is set iff block k's mean exceeds the global mean. Near-
+    * identical media differ in few bits — pair with
+    * [[Dedup.hammingPairs]] (pigeonhole blocking, never all-pairs) for
+    * the image-near-dup stage of a multimodal curation pipeline
+    * (LAION/DataComp-style).
+    *
+    *  - real images (PNG/BMP/JPEG/GIF via `javax.imageio`): 10×6 grid of
+    *    luma (299r+587g+114b)/1000 block means — the classic 2-D aHash
+    *    at 60 bits.
+    *  - GFT1 fixtures: 60 equal 1-D buckets over the body bytes — the
+    *    deterministic stub-codec analogue, SQL-replayable so the whole
+    *    hash→block→pair path gets a DuckDB oracle.
+    *
+    * All comparisons are exact integer cross-multiplications
+    * (`blockSum·n > total·blockCnt`) — no float means, so the hash is
+    * bit-identical across engines and re-runs. 60 bits (not 64) keeps
+    * the fingerprint ANSI-SQL-representable (1<<63 overflows BIGINT).
+    * Same partition-local contract as [[extractMeta]]: payloads never
+    * shuffle, undecodable rows yield valid=false.
+    */
+  def perceptualHash(df: DataFrame, idCol: String = "doc_id",
+      payloadCol: String = "payload"): DataFrame = {
+    val rows: Dataset[Row] = df.select(col(idCol).cast("long"), col(payloadCol))
+    val encoder = org.apache.spark.sql.Encoders.row(phashSchema)
+    rows.mapPartitions { it =>
+      it.map { r =>
+        val id: Any = if (r.isNullAt(0)) null else r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        phashOne(payload) match {
+          case Some(h) => Row(id, h, true)
+          case None => Row(id, null, false)
+        }
+      }
+    }(encoder)
+  }
+
+  private[operators] def phashOne(payload: Array[Byte]): Option[Long] =
+    decodeGft1(payload).flatMap { case (_, _, n) =>
+      if (n <= 0) None
+      else {
+        val sums = new Array[Long](60); val cnts = new Array[Long](60)
+        var i = 0; var total = 0L
+        while (i < n) {
+          val v = (payload(17 + i) & 0xFF).toLong
+          val k = (i.toLong * 60 / n).toInt
+          sums(k) += v; cnts(k) += 1; total += v; i += 1
+        }
+        Some(bitsOf(sums, cnts, total, n.toLong))
+      }
+    }.orElse(readImage(payload).map { img =>
+      val (w, h) = (img.getWidth, img.getHeight)
+      val sums = new Array[Long](60); val cnts = new Array[Long](60)
+      var total = 0L
+      var y = 0
+      while (y < h) {
+        val by = math.min(y.toLong * 6 / h, 5L).toInt
+        var x = 0
+        while (x < w) {
+          val bx = math.min(x.toLong * 10 / w, 9L).toInt
+          val rgb = img.getRGB(x, y)
+          val luma = (299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF)
+            + 114L * (rgb & 0xFF)) / 1000L
+          val k = by * 10 + bx
+          sums(k) += luma; cnts(k) += 1; total += luma
+          x += 1
+        }
+        y += 1
+      }
+      bitsOf(sums, cnts, total, w.toLong * h)
+    })
+
+  private def bitsOf(sums: Array[Long], cnts: Array[Long], total: Long, n: Long): Long = {
+    var fp = 0L; var k = 0
+    while (k < 60) {
+      if (sums(k) * n > total * cnts(k)) fp |= 1L << k
+      k += 1
+    }
+    fp
+  }
+
   /** Deterministic frame sampling over a decoded-media table: keep every
     * `stride`-th frame index per document up to n_frames — pure
     * relational (sequence + explode), no decode needed.

@@ -934,5 +934,131 @@ object TextQueries {
       SparseSimilarity.cosinePairs(t(s, dir, "documents"),
           n = 3, threshold = 0.3, maxTermDf = 100)
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Multimodal near-dup: 60-bit block-mean perceptual hash over GFT1
+    // payloads, paired within hamming<=3 via pigeonhole blocking. The
+    // fixture builds, for every 5th doc, a "re-encoded variant" payload
+    // whose block pattern differs in exactly 2 (or 3, every 10th doc)
+    // buckets — the oracle replays byte construction, decode, the exact
+    // integer block-mean threshold, and the pairing, so hash equality
+    // proves the whole media-dedup path at the requested radius.
+    Q("q_multimodal_phash_neardup", {
+      // md5 parity: Knuth-multiplicative parities are Beatty-sequence
+      // structured (thousands of accidental hamming<=3 collisions);
+      // md5 gives genuinely independent per-(doc, bucket) pattern bits
+      val bit = "('0x' || substr(md5(d || '_' || k), 1, 15))::BIGINT % 2"
+      s"""WITH src AS (
+         |  SELECT doc_id * 2 AS pid, doc_id AS d, 0 AS var FROM documents
+         |  UNION ALL
+         |  SELECT doc_id * 2 + 1 AS pid, doc_id AS d, 1 AS var FROM documents
+         |  WHERE doc_id % 5 = 0),
+         |bytes AS (
+         |  SELECT pid, i.i AS i, 120 + (d % 7) * 13 AS n,
+         |         (CASE WHEN (CASE WHEN var = 1 AND (
+         |                k = d % 60 OR k = (d * 7 + 13) % 60
+         |                OR (d % 10 = 0 AND k = (d * 13 + 29) % 60))
+         |              THEN 1 - ($bit) ELSE $bit END) = 1
+         |          THEN 200 ELSE 50 END)
+         |           + (CASE WHEN i.i % 17 = 3 THEN 1 ELSE 0 END) AS v
+         |  FROM (SELECT pid, d, var, 120 + (d % 7) * 13 AS n FROM src) s
+         |  CROSS JOIN LATERAL (SELECT unnest(range(n)) AS i) i
+         |  CROSS JOIN LATERAL (SELECT (i.i * 60) // n AS k) kk),
+         |buckets AS (
+         |  SELECT pid, (i * 60) // n AS k, cast(sum(v) AS bigint) AS s,
+         |         cast(count(*) AS bigint) AS c, max(n) AS n
+         |  FROM bytes GROUP BY 1, 2),
+         |tot AS (SELECT pid, cast(sum(s) AS bigint) AS total, max(n) AS n
+         |        FROM buckets GROUP BY 1),
+         |fp AS (
+         |  SELECT b.pid,
+         |         cast(sum(CASE WHEN b.s * t.n > t.total * b.c THEN 1::BIGINT << b.k
+         |                       ELSE 0::BIGINT END) AS bigint) AS phash
+         |  FROM buckets b JOIN tot t USING (pid) GROUP BY 1)
+         |SELECT a.pid AS id_a, b.pid AS id_b,
+         |       cast(bit_count(xor(a.phash, b.phash)) AS int) AS hamming
+         |FROM fp a JOIN fp b ON a.pid < b.pid
+         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin
+    }) { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val src = docs.select((col("doc_id") * 2).as("pid"), col("doc_id").as("d"), lit(0).as("var"))
+        .unionByName(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") * 2 + 1).as("pid"), col("doc_id").as("d"), lit(1).as("var")))
+      val n = lit(120) + (col("d") % 7) * 13
+      // body hex: per position i, bucket k=(i*60)/n; base pattern bit is
+      // hash(d, k); variants flip 2-3 designated buckets; +1 jitter at
+      // i%17==3 keeps bytes non-uniform. 200/50 blocks sit far from the
+      // global mean, so the phash recovers exactly the pattern bits.
+      val hexBody = array_join(transform(sequence(lit(0), n - 1), { i =>
+        val k = floor(i * 60 / n).cast("long")
+        val base = conv(substring(md5(concat_ws("_", col("d"), k).cast("binary")), 1, 15),
+          16, 10).cast("long") % 2
+        val flipped = col("var") === 1 && (
+          k === col("d") % 60 || k === (col("d") * 7 + 13) % 60 ||
+            (col("d") % 10 === 0 && k === (col("d") * 13 + 29) % 60))
+        val eff = when(flipped, lit(1) - base).otherwise(base)
+        val jit = i % 17 === 3
+        when(eff === 1, when(jit, lit("C9")).otherwise(lit("C8")))
+          .otherwise(when(jit, lit("33")).otherwise(lit("32")))
+      }), "")
+      val payloads = src.select(col("pid"),
+        Multimodal.encodePayload(n, lit(1), unhex(hexBody)).as("payload"))
+      Dedup.hammingPairs(
+          Multimodal.perceptualHash(payloads, idCol = "pid").select(col("doc_id"), col("phash")),
+          nBits = 60, maxHamming = 3, fpCol = "phash")
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Leakage-safe train/test split: assignment hashes the NEAR-DUP
+    // GROUP (connected component; singletons = own doc), so duplicate
+    // clusters never straddle the split. Oracle replays components
+    // (recursive CTE, as q_dedup_components) + the Knuth mod-1e9+7 hash.
+    Q("q_ml_group_split",
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len($toksSql) < 3 THEN CAST([] AS VARCHAR[])
+         |         ELSE list_transform(range(len($toksSql) - 2),
+         |                i -> array_to_string($toksSql[i + 1 : i + 3], ' ')) END)) AS shingle
+         |  FROM documents),
+         |capped AS (
+         |  SELECT doc_id, shingle FROM (
+         |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
+         |  WHERE df <= 1000),
+         |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+         |  FROM capped a JOIN capped b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |prs AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE cast(n_common AS double) / (sa.n_shingles + sb.n_shingles - n_common) >= 0.3),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM prs
+         |  UNION SELECT id_b AS src, id_a AS dst FROM prs),
+         |reach(id, comp) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+         |comps AS (SELECT id AS doc_id, min(comp) AS component FROM reach GROUP BY id),
+         |lab AS (
+         |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS grp,
+         |         CASE WHEN (((coalesce(c.component, d.doc_id) + 42) % 1000000007)
+         |                      * 2654435761) % 1000000007 < 100000000
+         |              THEN 'test' ELSE 'train' END AS split
+         |  FROM documents d LEFT JOIN comps c USING (doc_id))
+         |SELECT split, cast(count(*) AS int) AS n_docs,
+         |       cast(count(DISTINCT grp) AS int) AS n_groups
+         |FROM lab GROUP BY split ORDER BY split""".stripMargin) { (s, dir) =>
+      Dedup.leakageSafeSplit(t(s, dir, "documents"),
+          Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 3, threshold = 0.3),
+          testFrac = 0.1)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).cast("int").as("n_docs"),
+          countDistinct(col("grp")).cast("int").as("n_groups"))
+        .orderBy(col("split"))
     })
 }

@@ -121,6 +121,51 @@ class MultimodalSpec extends SparkSpec {
       .select("frame_idx").collect().map(_.getInt(0)).toSeq
     assert(frames == Seq(0, 3, 6, 9))
   }
+
+  test("perceptual hash: real PNGs — near-identical close, different far, dedup pairs found") {
+    val s = spark; import s.implicits._
+    // structured gradient image + a lightly-perturbed copy + an inverted one
+    def img(invert: Boolean, noise: Boolean): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(40, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 40; y <- 0 until 24) {
+        val base = if ((x / 4 + y / 4) % 2 == 0) 230 else 25
+        val v0 = if (invert) 255 - base else base
+        val v = if (noise && (x * 24 + y) % 37 == 0) math.min(255, v0 + 6) else v0
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", out)
+      out.toByteArray
+    }
+    val df = Seq((1L, img(invert = false, noise = false)),
+      (2L, img(invert = false, noise = true)),
+      (3L, img(invert = true, noise = false))).toDF("doc_id", "payload")
+    val h = Multimodal.perceptualHash(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(2L)) <= 3, s"near-identical pair too far: ${ham(h(1L), h(2L))}")
+    assert(ham(h(1L), h(3L)) >= 20, s"inverted image too close: ${ham(h(1L), h(3L))}")
+    // end-to-end: the pigeonhole pairing finds exactly the near-dup pair
+    val pairs = graft.operators.Dedup.hammingPairs(
+        Multimodal.perceptualHash(df).select(col("doc_id"), col("phash")),
+        nBits = 60, maxHamming = 3, fpCol = "phash")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("perceptual hash: GFT1 bucket semantics are exact-integer and deterministic") {
+    val s = spark; import s.implicits._
+    // 120 bytes: first half 200s, second half 50s → bits 0-29 set only
+    val body = Array.fill(60)(200.toByte) ++ Array.fill(60)(50.toByte)
+    val payload = "GFT1 00120 00001\n".getBytes("US-ASCII") ++ body
+    val r = Multimodal.perceptualHash(Seq((7L, payload)).toDF("doc_id", "payload")).collect()
+    assert(r.length == 1 && r.head.getBoolean(2))
+    assert(r.head.getLong(1) == (1L << 30) - 1)
+    // undecodable → valid=false, null hash
+    val bad = Multimodal.perceptualHash(
+      Seq((8L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")).collect()
+    assert(!bad.head.getBoolean(2) && bad.head.isNullAt(1))
+  }
 }
 
 class RandomSplitSpec extends SparkSpec {

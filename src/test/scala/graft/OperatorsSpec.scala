@@ -151,6 +151,25 @@ class DedupSpec extends SparkSpec {
     assert(wrote > 0, "reliable checkpoint() wrote nothing")
   }
 
+  test("leakageSafeSplit: near-dup groups never straddle; singletons split too") {
+    val s = spark; import s.implicits._
+    val docs = (1L to 40L).map(i => Tuple1(i)).toDF("doc_id")
+    // components {1,2,3} and {10,11}; the rest are singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val r = Dedup.leakageSafeSplit(docs, pairs, testFrac = 0.3).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getString(2))).toMap
+    assert(r.size == 40)
+    // every member of a component carries the same group AND the same split
+    assert(Set(r(1L), r(2L), r(3L)).size == 1)
+    assert(Set(r(10L), r(11L)).size == 1)
+    val bySplit = r.values.groupBy(_._2)
+    assert(bySplit.keySet.subsetOf(Set("train", "test")) && bySplit("test").nonEmpty)
+    // deterministic: re-running yields the identical assignment
+    val again = Dedup.leakageSafeSplit(docs, pairs, testFrac = 0.3).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getString(2))).toMap
+    assert(again == r)
+  }
+
   test("minhash est_jaccard tracks true jaccard for near-dup pairs at sf0.001") {
     val s = spark; import s.implicits._
     val docs = Tables.load(s, TestSpark.sf0001, "documents").select("doc_id", "text")

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Chunking, Contamination, CorpusPacking, Dedup, LexicalStats, MixtureSampler, Multimodal, NgramLanguageModel, RepetitionScore, SparseSimilarity, StratifiedSampler, TopK}
+import graft.operators.{BpeMerges, Chunking, Contamination, CorpusPacking, Dedup, LexicalStats, MixtureSampler, Multimodal, NegativeSampler, NgramLanguageModel, RepetitionScore, SnapshotDiff, SparseSimilarity, StratifiedSampler, TopK}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1060,5 +1060,70 @@ object TextQueries {
         .agg(count(lit(1)).cast("int").as("n_docs"),
           countDistinct(col("grp")).cast("int").as("n_groups"))
         .orderBy(col("split"))
+    },
+
+    // BPE tokenizer-fit inner step: most frequent adjacent character
+    // pairs inside words — each merge iteration of a BPE trainer is
+    // exactly this count (tiny key domain, map-side combined).
+    Q("q_text_bpe_merges",
+      s"""WITH w AS (SELECT unnest($toksSql) AS w FROM documents),
+         |pr AS (SELECT unnest(list_transform(range(strlen(w) - 1), i -> substr(w, i + 1, 2)))
+         |         AS pair
+         |       FROM w WHERE strlen(w) >= 2),
+         |cnt AS (SELECT pair, cast(count(*) AS bigint) AS cnt FROM pr GROUP BY 1)
+         |SELECT cast(rk AS int) AS rk, pair, cnt FROM (
+         |  SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair) AS rk FROM cnt)
+         |WHERE rk <= 20 ORDER BY rk""".stripMargin) { (s, dir) =>
+      BpeMerges.topMerges(t(s, dir, "documents"), k = 20).orderBy(col("rk"))
+    },
+
+    // Corpus snapshot diff: added/removed/changed/unchanged by content
+    // hash across two deterministic snapshot derivations — the daily
+    // crawl-reconciliation primitive deciding what to reprocess.
+    Q("q_source_snapshot_diff",
+      """WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 != 7),
+        |v2 AS (SELECT doc_id, CASE WHEN doc_id % 10 = 3 THEN text || ' v2' ELSE text END AS text
+        |       FROM documents WHERE doc_id % 10 != 5),
+        |h1 AS (SELECT doc_id, md5(text) AS h FROM v1),
+        |h2 AS (SELECT doc_id, md5(text) AS h FROM v2),
+        |d AS (SELECT coalesce(h1.doc_id, h2.doc_id) AS doc_id,
+        |        CASE WHEN h1.h IS NULL THEN 'added'
+        |             WHEN h2.h IS NULL THEN 'removed'
+        |             WHEN h1.h = h2.h THEN 'unchanged' ELSE 'changed' END AS status
+        |      FROM h1 FULL OUTER JOIN h2 ON h1.doc_id = h2.doc_id)
+        |SELECT status, cast(count(*) AS int) AS n, cast(min(doc_id) AS bigint) AS min_id,
+        |       cast(max(doc_id) AS bigint) AS max_id
+        |FROM d GROUP BY status ORDER BY status""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val v1 = docs.filter(col("doc_id") % 10 =!= 7).select(col("doc_id"), col("text"))
+      val v2 = docs.filter(col("doc_id") % 10 =!= 5)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 3, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      SnapshotDiff.diffStatus(v1, v2)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).cast("int").as("n"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("status"))
+    },
+
+    // Deterministic negative sampling for a contrastive training set:
+    // hash-sliced candidates, broadcast query set, top-k per query.
+    Q("q_sample_negatives",
+      """WITH q AS (SELECT doc_id AS q_id, md5(text) AS q_md5 FROM documents
+        |           WHERE doc_id % 50 = 0),
+        |c AS (SELECT doc_id AS neg_id, md5(text) AS c_md5 FROM documents
+        |      WHERE ((doc_id + 42) * 2654435761) % 1000000007 % 5 = 0),
+        |r AS (SELECT q_id, neg_id,
+        |        ((q_id * 31 + neg_id + 42) % 1000000007) * 2654435761 % 1000000007 AS h
+        |      FROM c JOIN q ON c_md5 != q_md5),
+        |rk AS (SELECT q_id, neg_id,
+        |         cast(row_number() OVER (PARTITION BY q_id ORDER BY h, neg_id) AS int) AS rk
+        |       FROM r)
+        |SELECT q_id, neg_id, rk FROM rk WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      NegativeSampler.negatives(docs.filter(col("doc_id") % 50 === 0), docs,
+          k = 5, sliceMod = 5)
+        .orderBy(col("q_id"), col("rk"))
     })
 }

@@ -72,6 +72,62 @@ class LexicalStatsSpec extends SparkSpec {
   }
 }
 
+class BpeMergesSpec extends SparkSpec {
+
+  test("counts adjacent in-word character pairs; single-char words excluded") {
+    val s = spark; import s.implicits._
+    // "abab" -> ab, ba, ab ; "ab" -> ab ; "x" -> none
+    val docs = Seq((1L, "abab ab x")).toDF("doc_id", "text")
+    val r = graft.operators.BpeMerges.topMerges(docs, k = 10)
+      .collect().map(x => x.getString(1) -> (x.getInt(0), x.getLong(2))).toMap
+    assert(r("ab") == (1, 3L))
+    assert(r("ba") == (2, 1L))
+    assert(r.size == 2)
+  }
+}
+
+class SnapshotDiffSpec extends SparkSpec {
+
+  test("classifies added/removed/changed/unchanged by content hash") {
+    val s = spark; import s.implicits._
+    val v1 = Seq((1L, "same"), (2L, "old"), (3L, "gone")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "same"), (2L, "new"), (4L, "fresh")).toDF("doc_id", "text")
+    val r = graft.operators.SnapshotDiff.diffStatus(v1, v2)
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+}
+
+class NegativeSamplerSpec extends SparkSpec {
+
+  test("k negatives per query, never a content match, reproducible") {
+    val s = spark; import s.implicits._
+    val corpus = (1L to 100L).map(i => (i, if (i == 7L) "querytext" else s"doc $i"))
+      .toDF("doc_id", "text")
+    val queries = Seq((7L, "querytext")).toDF("doc_id", "text")
+    val r = graft.operators.NegativeSampler.negatives(queries, corpus, k = 5, sliceMod = 1)
+      .collect()
+    assert(r.length == 5)
+    assert(r.map(_.getInt(2)).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+    assert(!r.map(_.getLong(1)).contains(7L)) // the content match is excluded
+    val again = graft.operators.NegativeSampler.negatives(queries, corpus, k = 5, sliceMod = 1)
+      .collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet ==
+      again.map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet)
+  }
+
+  test("query set broadcasts — the corpus never sort-merges") {
+    val s = spark; import s.implicits._
+    val corpus = (1L to 50L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val queries = Seq((1L, "doc 1")).toDF("doc_id", "text")
+    val p = graft.operators.NegativeSampler.negatives(queries, corpus, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query side must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"), "corpus must not sort-merge:\n" + p)
+  }
+}
+
 class SparseSimilaritySpec extends SparkSpec {
 
   test("identical docs reach cosine 1.0; disjoint docs pair with nothing") {

@@ -107,6 +107,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "expected broadcast probe:\n" + p)
   }
 
+  test("bigram LM scoring broadcasts its scalars; no cartesian against the corpus") {
+    val p = plan("q_text_lm_score")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "vocab-size scalar must broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"), "no cartesian:\n" + p)
+  }
+
+  test("cosine pair join hash-joins shared terms; df cap broadcast-anti-joins") {
+    val p = plan("q_text_cosine_pairs")
+    assert(p.contains("ShuffledHashJoin"), "pair join must hash-join:\n" + p)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "df cap must be a broadcast anti-join:\n" + p)
+  }
+
+  test("negative sampler: top-k per query rides WindowGroupLimit") {
+    val p = plan("q_sample_negatives")
+    assert(p.contains("WindowGroupLimit"), "per-query k must group-limit:\n" + p)
+    assert(!p.contains("SortMergeJoin"), "corpus must not sort-merge:\n" + p)
+  }
+
+  test("BPE merge count plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_text_bpe_merges")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must take-ordered:\n" + p)
+  }
+
   test("shingle pair generation hash-joins (no sort of exploded shingle strings)") {
     val p = plan("q_dedup_jaccard_pairs")
     assert(p.contains("ShuffledHashJoin"), "self-join should honor the shuffle_hash hint")

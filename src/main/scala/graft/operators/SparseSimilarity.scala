@@ -42,6 +42,11 @@ object SparseSimilarity {
   def cosinePairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.3,
       maxTermDf: Int = 100, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val scale = 1L << 16
+    // no persist on tf: its shuffle output is shared across the df table
+    // and the weight projection by Spark's ReusedExchange — caching it
+    // measured strictly slower (blocks the codegen pipeline for no saved
+    // work); `w` below IS persisted because its three consumers sit on
+    // different shuffle keys
     val tf = docs
       .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("_toks"))
       .select(col("doc_id"), explode(TextFunctions.shinglesFromTokens(col("_toks"), n)).as("term"))

@@ -760,5 +760,41 @@ object VectorMlQueries {
         .groupBy(col("label").cast("int").as("label"), col("weight"))
         .agg(count(lit(1)).as("n_rows"))
         .orderBy(col("label"))
+    },
+
+    // Embedding-space drift monitor: per-label centroid cosine + norm
+    // ratio vs the corpus centroid. 2^20 fixed-point quantization makes
+    // every corpus-sized sum an exact integer aggregate; only the final
+    // 64-element centroid folds run in (dimension-ordered) float.
+    Q("q_embed_centroid_drift",
+      """WITH e AS (
+        |  SELECT vec_id, label, unnest(embedding) AS v,
+        |         generate_subscripts(embedding, 1) AS d
+        |  FROM embeddings),
+        |qq AS (SELECT label, d, cast(floor(cast(v AS double) * 1048576) AS bigint) AS q
+        |       FROM e),
+        |g AS (SELECT label, d, cast(sum(q) AS bigint) AS s FROM qq GROUP BY 1, 2),
+        |c AS (SELECT d, cast(sum(s) AS bigint) AS sc FROM g GROUP BY 1),
+        |ng AS (SELECT label, cast(count(*) AS bigint) AS n FROM embeddings GROUP BY 1),
+        |n2c AS (SELECT list_reduce(list_prepend(0.0,
+        |          list(cast(sc AS double) * cast(sc AS double) ORDER BY d)),
+        |          (a, x) -> a + x) AS n2 FROM c),
+        |gg AS (
+        |  SELECT g.label,
+        |         list_reduce(list_prepend(0.0,
+        |           list(cast(g.s AS double) * cast(c.sc AS double) ORDER BY g.d)),
+        |           (a, x) -> a + x) AS dot,
+        |         list_reduce(list_prepend(0.0,
+        |           list(cast(g.s AS double) * cast(g.s AS double) ORDER BY g.d)),
+        |           (a, x) -> a + x) AS n2g
+        |  FROM g JOIN c USING (d) GROUP BY g.label)
+        |SELECT gg.label, cast(ng.n AS int) AS n_vecs,
+        |       round(dot / (sqrt(n2g) * sqrt(n2c.n2)), 6) AS cos_to_corpus,
+        |       round((cast((SELECT sum(n) FROM ng) AS double) / ng.n)
+        |             * sqrt(n2g) / sqrt(n2c.n2), 6) AS norm_ratio
+        |FROM gg JOIN ng USING (label) CROSS JOIN n2c
+        |ORDER BY label""".stripMargin) { (s, dir) =>
+      graft.operators.EmbeddingDrift.groupCentroidDrift(t(s, dir, "embeddings"))
+        .orderBy(col("label"))
     })
 }

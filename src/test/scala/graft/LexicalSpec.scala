@@ -128,6 +128,37 @@ class NegativeSamplerSpec extends SparkSpec {
   }
 }
 
+class EmbeddingDriftSpec extends SparkSpec {
+
+  test("aligned group has cos 1; orthogonal group drifts; norms scale") {
+    val s = spark; import s.implicits._
+    // group A: all vectors along e1; group B: along e2. Corpus centroid
+    // sits between → both groups at cos ~0.707, A's norm = B's norm.
+    val emb = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f), 0), (2L, Seq(1f, 0f, 0f, 0f), 0),
+      (3L, Seq(0f, 1f, 0f, 0f), 1), (4L, Seq(0f, 1f, 0f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val r = graft.operators.EmbeddingDrift.groupCentroidDrift(emb)
+      .collect().map(x => x.getInt(0) -> x).toMap
+    assert(r(0).getAs[Int]("n_vecs") == 2)
+    assert(math.abs(r(0).getAs[Double]("cos_to_corpus") - math.sqrt(0.5)) < 1e-4)
+    assert(math.abs(r(1).getAs[Double]("cos_to_corpus") - math.sqrt(0.5)) < 1e-4)
+    // each group's mean has norm 1; corpus mean norm = sqrt(2)/2
+    assert(math.abs(r(0).getAs[Double]("norm_ratio") - math.sqrt(2.0)) < 1e-4)
+  }
+
+  test("a group identical to the corpus has cos 1 and norm ratio 1") {
+    val s = spark; import s.implicits._
+    val emb = Seq(
+      (1L, Seq(0.3f, 0.4f, 0.5f), 7), (2L, Seq(0.3f, 0.4f, 0.5f), 7)
+    ).toDF("vec_id", "embedding", "label")
+    val r = graft.operators.EmbeddingDrift.groupCentroidDrift(emb).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Double]("cos_to_corpus") == 1.0)
+    assert(r.head.getAs[Double]("norm_ratio") == 1.0)
+  }
+}
+
 class SparseSimilaritySpec extends SparkSpec {
 
   test("identical docs reach cosine 1.0; disjoint docs pair with nothing") {

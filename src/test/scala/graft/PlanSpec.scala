@@ -132,6 +132,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "top-k must take-ordered:\n" + p)
   }
 
+  test("embedding drift: corpus centroid broadcasts; one corpus-sized shuffle only") {
+    val p = plan("q_embed_centroid_drift")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "corpus centroid must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"), "no corpus-sized sort-merge:\n" + p)
+  }
+
   test("shingle pair generation hash-joins (no sort of exploded shingle strings)") {
     val p = plan("q_dedup_jaccard_pairs")
     assert(p.contains("ShuffledHashJoin"), "self-join should honor the shuffle_hash hint")

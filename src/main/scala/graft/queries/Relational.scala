@@ -478,5 +478,24 @@ object Relational {
         graft.Tables.registerAll(s, dir)
         s.sql(sharedSql)
       }
+    },
+
+    // Join-key skew audit: top heavy hitters with share + cumulative
+    // share — the pre-join diagnostic feeding SaltedJoin.deriveSalts.
+    Q("q_diag_heavy_hitters",
+      """WITH c AS (SELECT cast(user_id AS varchar) AS key, cast(count(*) AS bigint) AS cnt
+        |           FROM events GROUP BY 1),
+        |tot AS (SELECT cast(sum(cnt) AS bigint) AS total FROM c),
+        |top AS (SELECT key, cnt, row_number() OVER (ORDER BY cnt DESC, key) AS rk
+        |        FROM c QUALIFY rk <= 10),
+        |sh AS (SELECT rk, key, cnt,
+        |              cast(cnt AS double) / cast(total AS double) AS share
+        |       FROM top CROSS JOIN tot)
+        |SELECT cast(rk AS int) AS rk, key, cnt, round(share, 6) AS share,
+        |       round(sum(share) OVER (ORDER BY rk
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_share
+        |FROM sh ORDER BY rk""".stripMargin) { (s, dir) =>
+      graft.operators.SkewDiagnostics.heavyHitters(t(s, dir, "events"), "user_id", k = 10)
+        .orderBy(col("rk"))
     })
 }

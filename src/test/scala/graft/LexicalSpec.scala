@@ -128,6 +128,18 @@ class NegativeSamplerSpec extends SparkSpec {
   }
 }
 
+class SkewDiagnosticsSpec extends SparkSpec {
+
+  test("heavy hitters: counts, shares, cumulative share, tie-break by key") {
+    val s = spark; import s.implicits._
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c")).map(Tuple1(_)).toDF("k")
+    val r = graft.operators.SkewDiagnostics.heavyHitters(df, "k", k = 2).collect()
+    assert(r.map(_.getString(1)).toSeq == Seq("a", "b")) // tie b/c → key order
+    assert(r.head.getLong(2) == 6L && r.head.getDouble(3) == 0.5)
+    assert(r(1).getDouble(4) == 0.75) // cum share over the top-2
+  }
+}
+
 class EmbeddingDriftSpec extends SparkSpec {
 
   test("aligned group has cos 1; orthogonal group drifts; norms scale") {

@@ -115,6 +115,37 @@ object Windows {
     // Gap-based sessionization (lag + cumulative boundary sum) with a
     // per-session rollup — timestamps exported as epoch millis so both
     // engines compare integers.
+    // Strictly-ordered conversion funnel (view → click → purchase):
+    // per-stage reach counts + exact integer gap sums. A later view
+    // cannot retro-qualify an earlier click (`us > t_prev` at each
+    // stage) — the oracle replays the same sequential LEFT JOIN chain.
+    Q("q_events_funnel",
+      """WITH e AS (SELECT user_id, event_type, cast(epoch_us(ts) AS bigint) AS us
+        |           FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT s1.user_id, s1.t1, min(e.us) AS t2
+        |       FROM s1 LEFT JOIN e ON e.user_id = s1.user_id
+        |         AND e.event_type = 'click' AND e.us > s1.t1
+        |       GROUP BY 1, 2),
+        |s3 AS (SELECT s2.user_id, s2.t1, s2.t2, min(e.us) AS t3
+        |       FROM s2 LEFT JOIN e ON e.user_id = s2.user_id
+        |         AND e.event_type = 'purchase' AND e.us > s2.t2
+        |       GROUP BY 1, 2, 3)
+        |SELECT cast(count(t1) AS int) AS n_stage1,
+        |       cast(count(t2) AS int) AS n_stage2,
+        |       cast(count(t3) AS int) AS n_stage3,
+        |       cast(sum(t2 - t1) AS bigint) AS sum_gap12_us,
+        |       cast(sum(t3 - t2) AS bigint) AS sum_gap23_us
+        |FROM s3""".stripMargin) { (s, dir) =>
+      graft.operators.Funnel.conversion(t(s, dir, "events"),
+          stages = Seq("view", "click", "purchase"))
+        .agg(count(col("t1")).cast("int").as("n_stage1"),
+          count(col("t2")).cast("int").as("n_stage2"),
+          count(col("t3")).cast("int").as("n_stage3"),
+          sum(col("t2") - col("t1")).as("sum_gap12_us"),
+          sum(col("t3") - col("t2")).as("sum_gap23_us"))
+    },
+
     Q("q_sessionize_gap30m",
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id, value,

@@ -128,6 +128,38 @@ class NegativeSamplerSpec extends SparkSpec {
   }
 }
 
+class FunnelSpec extends SparkSpec {
+
+  test("strict ordering: a later view cannot retro-qualify an earlier click") {
+    val s = spark; import s.implicits._
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val events = Seq(
+      // user 1 completes in order: view@10, click@20, purchase@30
+      (1L, "view", ts(10)), (1L, "click", ts(20)), (1L, "purchase", ts(30)),
+      // user 2: click BEFORE first view → t2 must be null
+      (2L, "click", ts(5)), (2L, "view", ts(10)),
+      // user 3: never views → absent from the funnel
+      (3L, "click", ts(1)), (3L, "purchase", ts(2))
+    ).toDF("user_id", "event_type", "ts")
+    val r = graft.operators.Funnel.conversion(events, Seq("view", "click", "purchase"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r.keySet == Set(1L, 2L))
+    assert(r(1L).getLong(1) == 10000000L && r(1L).getLong(2) == 20000000L
+      && r(1L).getLong(3) == 30000000L)
+    assert(r(2L).getLong(1) == 10000000L && r(2L).isNullAt(2) && r(2L).isNullAt(3))
+  }
+
+  test("first qualifying occurrence wins at each stage") {
+    val s = spark; import s.implicits._
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val events = Seq(
+      (1L, "view", ts(10)), (1L, "click", ts(12)), (1L, "click", ts(11))
+    ).toDF("user_id", "event_type", "ts")
+    val r = graft.operators.Funnel.conversion(events, Seq("view", "click")).collect()
+    assert(r.head.getLong(2) == 11000000L)
+  }
+}
+
 class SkewDiagnosticsSpec extends SparkSpec {
 
   test("heavy hitters: counts, shares, cumulative share, tie-break by key") {

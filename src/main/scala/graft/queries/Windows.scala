@@ -115,6 +115,24 @@ object Windows {
     // Gap-based sessionization (lag + cumulative boundary sum) with a
     // per-session rollup — timestamps exported as epoch millis so both
     // engines compare integers.
+    // Weekly cohort retention: users bucketed by first-signup week,
+    // counted distinct in each later activity week. Exact integer
+    // floor-division on epoch micros — no float or timezone path.
+    Q("q_events_retention",
+      """WITH e AS (SELECT user_id, event_type, cast(epoch_us(ts) AS bigint) AS us
+        |           FROM events),
+        |cohort AS (SELECT user_id, min(us) // 604800000000 AS cohort_bucket
+        |           FROM e WHERE event_type = 'signup' GROUP BY 1),
+        |activity AS (SELECT DISTINCT user_id, us // 604800000000 AS bucket FROM e)
+        |SELECT cohort_bucket, bucket - cohort_bucket AS bucket_offset,
+        |       cast(count(DISTINCT a.user_id) AS bigint) AS n_users
+        |FROM activity a JOIN cohort c USING (user_id)
+        |WHERE bucket - cohort_bucket >= 0
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      graft.operators.Retention.cohorts(t(s, dir, "events"))
+        .orderBy(col("cohort_bucket"), col("bucket_offset"))
+    },
+
     // Strictly-ordered conversion funnel (view → click → purchase):
     // per-stage reach counts + exact integer gap sums. A later view
     // cannot retro-qualify an earlier click (`us > t_prev` at each

@@ -160,6 +160,27 @@ class FunnelSpec extends SparkSpec {
   }
 }
 
+class RetentionSpec extends SparkSpec {
+
+  test("cohorts count distinct users per offset; pre-signup activity excluded") {
+    val s = spark; import s.implicits._
+    val week = 7L * 86400L * 1000L // ms
+    def ts(w: Long) = new java.sql.Timestamp(w * week + 1000L)
+    val events = Seq(
+      (1L, "signup", ts(0)), (1L, "click", ts(0)), (1L, "click", ts(1)), // w0 + w1
+      (2L, "signup", ts(0)), (2L, "click", ts(0)),                       // w0 only
+      (3L, "click", ts(0)), (3L, "signup", ts(1))                        // pre-signup w0 dropped
+    ).toDF("user_id", "event_type", "ts")
+    val r = graft.operators.Retention.cohorts(events)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    val c0 = r.keys.map(_._1).min // epoch week of ts(0)
+    assert(r((c0, 0L)) == 2L)      // users 1 and 2 active in signup week
+    assert(r((c0, 1L)) == 1L)      // only user 1 returns
+    assert(r((c0 + 1, 0L)) == 1L)  // user 3's cohort starts a week later
+    assert(!r.keys.exists(_._2 < 0))
+  }
+}
+
 class SkewDiagnosticsSpec extends SparkSpec {
 
   test("heavy hitters: counts, shares, cumulative share, tie-break by key") {

@@ -194,10 +194,14 @@ object Multimodal {
     val encoder = org.apache.spark.sql.Encoders.row(phashSchema)
     rows.mapPartitions { it =>
       it.map { r =>
+        // same contract as extractMeta: a null id demotes the row to
+        // valid=false even when the payload decodes — a null-keyed
+        // fingerprint would silently vanish from the pairing equi-join
         val id: Any = if (r.isNullAt(0)) null else r.getLong(0)
         val payload = r.getAs[Array[Byte]](1)
         phashOne(payload) match {
-          case Some(h) => Row(id, h, true)
+          case Some(h) if id != null => Row(id, h, true)
+          case Some(h) => Row(null, h, false)
           case None => Row(id, null, false)
         }
       }

@@ -27,18 +27,19 @@ object NegativeSampler {
   def negatives(queries: DataFrame, corpus: DataFrame, k: Int = 5,
       sliceMod: Int = 5, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), md5(col(textCol).cast("binary")).as("q_md5"))
+    // mod BEFORE multiplying, like every Knuth hash in the repo: the
+    // reduced value × 2654435761 stays under Long.MaxValue for any id,
+    // where (id + 42) × 2654435761 overflows (ANSI throw) past ~3.5e9
     val cand = corpus
       .select(col(idCol).as("neg_id"), md5(col(textCol).cast("binary")).as("c_md5"))
-      .filter((col("neg_id") + 42) * 2654435761L % 1000000007L % sliceMod === 0)
+      .filter((col("neg_id") + 42) % 1000000007L * 2654435761L % 1000000007L % sliceMod === 0)
     val ranked = cand.join(broadcast(q), col("c_md5") =!= col("q_md5"))
       .select(col("q_id"), col("neg_id"),
-        (((col("q_id") * 31 + col("neg_id") + 42) % 1000000007L)
+        ((col("q_id") % 1000000007L * 31 + col("neg_id") % 1000000007L + 42) % 1000000007L
           * 2654435761L % 1000000007L).as("h"))
+    // perGroup's rk IS the deterministic per-query rank — no second window
     TopK.perGroup(ranked, partitionBy = Seq(col("q_id")),
         orderBy = Seq(col("h"), col("neg_id")), k = k)
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
-          .orderBy(col("h"), col("neg_id"))))
       .select(col("q_id"), col("neg_id"), col("rk"))
   }
 }

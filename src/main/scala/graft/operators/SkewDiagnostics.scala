@@ -25,9 +25,13 @@ object SkewDiagnostics {
     val counts = df.groupBy(col(keyCol).cast("string").as("key"))
       .agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("total"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("cnt").desc, col("key"))
+    // nulls LAST on the key tie-break (Spark's asc default is nulls
+    // first; DuckDB's is nulls last — null join keys are a classic heavy
+    // hitter, so the tie order must match the oracle's)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("key").asc_nulls_last)
     counts
-      .orderBy(col("cnt").desc, col("key")).limit(k)
+      .orderBy(col("cnt").desc, col("key").asc_nulls_last).limit(k)
       .crossJoin(broadcast(total))
       .withColumn("rk", row_number().over(w))
       .withColumn("share", col("cnt").cast("double") / col("total").cast("double"))

@@ -1067,9 +1067,9 @@ object TextQueries {
     // exactly this count (tiny key domain, map-side combined).
     Q("q_text_bpe_merges",
       s"""WITH w AS (SELECT unnest($toksSql) AS w FROM documents),
-         |pr AS (SELECT unnest(list_transform(range(strlen(w) - 1), i -> substr(w, i + 1, 2)))
+         |pr AS (SELECT unnest(list_transform(range(length(w) - 1), i -> substr(w, i + 1, 2)))
          |         AS pair
-         |       FROM w WHERE strlen(w) >= 2),
+         |       FROM w WHERE length(w) >= 2),
          |cnt AS (SELECT pair, cast(count(*) AS bigint) AS cnt FROM pr GROUP BY 1)
          |SELECT cast(rk AS int) AS rk, pair, cnt FROM (
          |  SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair) AS rk FROM cnt)
@@ -1113,9 +1113,10 @@ object TextQueries {
       """WITH q AS (SELECT doc_id AS q_id, md5(text) AS q_md5 FROM documents
         |           WHERE doc_id % 50 = 0),
         |c AS (SELECT doc_id AS neg_id, md5(text) AS c_md5 FROM documents
-        |      WHERE ((doc_id + 42) * 2654435761) % 1000000007 % 5 = 0),
+        |      WHERE (doc_id + 42) % 1000000007 * 2654435761 % 1000000007 % 5 = 0),
         |r AS (SELECT q_id, neg_id,
-        |        ((q_id * 31 + neg_id + 42) % 1000000007) * 2654435761 % 1000000007 AS h
+        |        (q_id % 1000000007 * 31 + neg_id % 1000000007 + 42) % 1000000007
+        |          * 2654435761 % 1000000007 AS h
         |      FROM c JOIN q ON c_md5 != q_md5),
         |rk AS (SELECT q_id, neg_id,
         |         cast(row_number() OVER (PARTITION BY q_id ORDER BY h, neg_id) AS int) AS rk

@@ -112,9 +112,6 @@ object Windows {
         .orderBy(col("event_id"))
     },
 
-    // Gap-based sessionization (lag + cumulative boundary sum) with a
-    // per-session rollup — timestamps exported as epoch millis so both
-    // engines compare integers.
     // Weekly cohort retention: users bucketed by first-signup week,
     // counted distinct in each later activity week. Exact integer
     // floor-division on epoch micros — no float or timezone path.
@@ -164,6 +161,9 @@ object Windows {
           sum(col("t3") - col("t2")).as("sum_gap23_us"))
     },
 
+    // Gap-based sessionization (lag + cumulative boundary sum) with a
+    // per-session rollup — timestamps exported as epoch millis so both
+    // engines compare integers.
     Q("q_sessionize_gap30m",
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id, value,

@@ -191,6 +191,14 @@ class SkewDiagnosticsSpec extends SparkSpec {
     assert(r.head.getLong(2) == 6L && r.head.getDouble(3) == 0.5)
     assert(r(1).getDouble(4) == 0.75) // cum share over the top-2
   }
+
+  test("null keys tie-break LAST (DuckDB order), not Spark's nulls-first default") {
+    val s = spark; import s.implicits._
+    val df = (Seq.fill(3)(Some("a")) ++ Seq.fill(3)(Option.empty[String]))
+      .map(Tuple1(_)).toDF("k")
+    val r = graft.operators.SkewDiagnostics.heavyHitters(df, "k", k = 2).collect()
+    assert(r.head.getString(1) == "a" && r(1).isNullAt(1))
+  }
 }
 
 class EmbeddingDriftSpec extends SparkSpec {

@@ -165,6 +165,10 @@ class MultimodalSpec extends SparkSpec {
     val bad = Multimodal.perceptualHash(
       Seq((8L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")).collect()
     assert(!bad.head.getBoolean(2) && bad.head.isNullAt(1))
+    // null id + decodable payload → valid=false (extractMeta contract)
+    val nullId = Multimodal.perceptualHash(
+      Seq((Option.empty[Long], payload)).toDF("doc_id", "payload")).collect()
+    assert(!nullId.head.getBoolean(2))
   }
 }
 

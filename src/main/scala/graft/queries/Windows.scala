@@ -112,6 +112,41 @@ object Windows {
         .orderBy(col("event_id"))
     },
 
+    // Streaming strictly-ordered funnel (flatMapGroupsWithState): one
+    // append-mode row per newly-reached stage per user. The oracle is
+    // the BATCH funnel chain unpivoted to (user, stage, t_us) — append
+    // emission is exact because a stage is reached at most once.
+    Q("q_stream_funnel",
+      """WITH e AS (SELECT user_id, event_type, cast(epoch_us(ts) AS bigint) AS us
+        |           FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT s1.user_id, s1.t1, min(e.us) AS t2
+        |       FROM s1 LEFT JOIN e ON e.user_id = s1.user_id
+        |         AND e.event_type = 'click' AND e.us > s1.t1
+        |       GROUP BY 1, 2),
+        |s3 AS (SELECT s2.user_id, s2.t1, s2.t2, min(e.us) AS t3
+        |       FROM s2 LEFT JOIN e ON e.user_id = s2.user_id
+        |         AND e.event_type = 'purchase' AND e.us > s2.t2
+        |       GROUP BY 1, 2, 3)
+        |SELECT user_id, stage, t_us FROM (
+        |  SELECT user_id, 1 AS stage, t1 AS t_us FROM s3 WHERE t1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT user_id, 2 AS stage, t2 AS t_us FROM s3 WHERE t2 IS NOT NULL
+        |  UNION ALL
+        |  SELECT user_id, 3 AS stage, t3 AS t_us FROM s3 WHERE t3 IS NOT NULL)
+        |ORDER BY user_id, stage""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val (src, staged) = stagedEventsStream(s, dir)
+      val ev = src.select(col("user_id"), col("event_type"), col("ts"))
+        .as[graft.streaming.StreamingOps.TypedEvent]
+      val reaches = graft.streaming.StreamingOps
+        .funnelWithState(ev, stages = Seq("view", "click", "purchase"))
+      runToMemorySink(s, reaches.toDF(), sinkName("stream_f_", dir),
+          outputMode = "append", staged = staged :: Nil)
+        .select(col("user_id"), col("stage"), col("t_us"))
+        .orderBy(col("user_id"), col("stage"))
+    },
+
     // Weekly cohort retention: users bucketed by first-signup week,
     // counted distinct in each later activity week. Exact integer
     // floor-division on epoch micros — no float or timezone path.

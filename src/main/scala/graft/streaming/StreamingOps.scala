@@ -138,4 +138,47 @@ object StreamingOps {
           }
       }
   }
+
+  case class TypedEvent(user_id: Long, event_type: String, ts: java.sql.Timestamp)
+  case class FunnelReach(user_id: Long, stage: Int, t_us: Long)
+
+  /** Streaming strictly-ordered funnel (`flatMapGroupsWithState`): per
+    * user, emit one append-mode row the first time each stage of
+    * `stages` is reached strictly after the previous stage — the
+    * continuous version of [[graft.operators.Funnel.conversion]], with
+    * the same semantics per batch horizon (each emitted stage time is
+    * final: a stage can only be reached once, so append mode is exact).
+    * State per user is the list of reached stage times — at most
+    * |stages| longs, constant and watermark-independent. Same late-data
+    * caveat as [[sessionizeWithState]]: events are ordered within each
+    * batch, so an AvailableNow replay is batch-equivalent.
+    */
+  def funnelWithState(events: Dataset[TypedEvent], stages: Seq[String]): Dataset[FunnelReach] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val k = stages.length
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Long], FunnelReach](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[TypedEvent], state: GroupState[List[Long]]) =>
+          // times of stages reached so far, in stage order
+          var times = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ListBuffer[FunnelReach]()
+          // exact epoch MICROS (getTime alone is millis — the table's
+          // timestamps carry micros, and the oracle compares epoch_us)
+          def us(e: TypedEvent): Long =
+            e.ts.getTime / 1000L * 1000000L + e.ts.getNanos / 1000L
+          it.toSeq.sortBy(e => (us(e), e.event_type)).foreach { e =>
+            val t = us(e)
+            if (times.length < k && e.event_type == stages(times.length) &&
+                (times.isEmpty || t > times.last)) {
+              times = times :+ t
+              out += FunnelReach(user, times.length, t)
+            }
+          }
+          if (times.nonEmpty) state.update(times)
+          out.iterator
+      }
+  }
 }

@@ -79,6 +79,39 @@ class StreamingSpec extends SparkSpec {
     assert(closed == Seq(2L, 1L)) // session 3 (event 4) still open in state
   }
 
+  test("streaming funnel emits each stage once, in order, across batches") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import StreamingOps.TypedEvent
+    val mem = MemoryStream[TypedEvent]
+    mem.addData(
+      TypedEvent(1L, "click", ts("2024-01-01 00:00:00")), // pre-view click: ignored
+      TypedEvent(1L, "view", ts("2024-01-01 00:01:00")),
+      TypedEvent(1L, "click", ts("2024-01-01 00:02:00")),
+      TypedEvent(2L, "view", ts("2024-01-01 00:00:30")))
+    val q = StreamingOps.funnelWithState(mem.toDS(), Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("ffs").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000L) finally q.stop()
+    val r1 = spark.table("ffs").collect()
+      .map(x => (x.getLong(0), x.getInt(1))).sorted.toSeq
+    assert(r1 == Seq((1L, 1), (1L, 2), (2L, 1)))
+    // more data: user 1 purchases (a fresh query replays the whole
+    // memory stream — the purchase reach must now appear; the second
+    // click is ignored because that stage is already passed)
+    mem.addData(TypedEvent(1L, "purchase", ts("2024-01-01 00:03:00")),
+      TypedEvent(1L, "click", ts("2024-01-01 00:04:00")))
+    val q2 = StreamingOps.funnelWithState(mem.toDS(), Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("ffs2").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q2.awaitTermination(120000L) finally q2.stop()
+    val r2 = spark.table("ffs2").collect()
+      .map(x => (x.getLong(0), x.getInt(1))).sorted.toSeq
+    assert(r2.contains((1L, 3)), s"purchase reach missing: $r2")
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val s = spark; import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext

@@ -54,7 +54,34 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text",
-      maxShingleDf: Int = 1000): DataFrame = {
+      maxShingleDf: Int = 1000): DataFrame =
+    shingleIntersections(docs, n, idCol, textCol, maxShingleDf)
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+
+  /** Containment near-dup pairs: |A∩B| / min(|A|, |B|) ≥ `threshold` —
+    * catches a SMALL document embedded in a big one (quotation,
+    * boilerplate inclusion, article + wrapper page), where symmetric
+    * Jaccard stays low because the union is dominated by the big side.
+    * Same candidate machinery (and cost bound) as [[ngramJaccardPairs]].
+    */
+  def containmentPairs(docs: DataFrame, n: Int, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxShingleDf: Int = 1000): DataFrame =
+    shingleIntersections(docs, n, idCol, textCol, maxShingleDf)
+      .withColumn("containment",
+        col("n_common").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "n_common", "n_a", "n_b", "containment")
+
+  /** Shared candidate stage of the exact pair scorers: distinct-shingle
+    * intersection counts + both set sizes for every pair sharing ≥1
+    * (df-capped) shingle.
+    */
+  private def shingleIntersections(docs: DataFrame, n: Int,
+      idCol: String, textCol: String, maxShingleDf: Int): DataFrame = {
     // persist: the exploded shingle set feeds FOUR consumers (df cap,
     // both self-join sides, per-doc sizes) — without it the tokenize +
     // shingle + explode pipeline re-runs per consumer (C3; the round-1
@@ -85,10 +112,6 @@ object Dedup {
     inter
       .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_shingles", "n_a"), "id_a")
       .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_shingles", "n_b"), "id_b")
-      .withColumn("jaccard",
-        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
   }
 
   /** MinHash + LSH near-duplicate candidate pairs.

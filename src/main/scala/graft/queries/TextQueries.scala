@@ -180,6 +180,41 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Containment near-dup: |A∩B| / min(|A|,|B|) catches a small doc
+    // embedded in a big one where symmetric Jaccard stays low (union
+    // dominated by the big side). Threshold chosen above the Jaccard
+    // query's so the two surface genuinely different pairs.
+    Q("q_dedup_containment",
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len($toksSql) < 3 THEN CAST([] AS VARCHAR[])
+         |         ELSE list_transform(range(len($toksSql) - 2),
+         |                i -> array_to_string($toksSql[i + 1 : i + 3], ' ')) END)) AS shingle
+         |  FROM documents),
+         |capped AS (
+         |  SELECT doc_id, shingle FROM (
+         |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
+         |  WHERE df <= 1000),
+         |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+         |  FROM capped a JOIN capped b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_common,
+         |       sa.n_shingles AS n_a, sb.n_shingles AS n_b,
+         |       round(cast(n_common AS double) / least(sa.n_shingles, sb.n_shingles), 6)
+         |         AS containment
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = id_a
+         |JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE cast(n_common AS double) / least(sa.n_shingles, sb.n_shingles) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), n = 3, threshold = 0.5)
+        .withColumn("containment", round(col("containment"), 6))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // MinHash+LSH near-dup candidates, md5 hash family: the oracle
     // replays the WHOLE pipeline — Kirsch–Mitzenmacher k=32 signatures
     // from two 60-bit md5 slices ((h1 + i·h2) mod 2^31-1), 8×4 banding,

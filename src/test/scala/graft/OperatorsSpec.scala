@@ -151,6 +151,18 @@ class DedupSpec extends SparkSpec {
     assert(wrote > 0, "reliable checkpoint() wrote nothing")
   }
 
+  test("containment finds a small doc embedded in a big one that Jaccard misses") {
+    val s = spark; import s.implicits._
+    val quote = "alpha beta gamma delta epsilon"
+    val wrapper = quote + " " + (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, quote), (2L, wrapper)).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, n = 3, threshold = 0.9).collect()
+    assert(cont.length == 1 && cont.head.getAs[Double]("containment") == 1.0)
+    // symmetric jaccard on the same pair is far below any dedup threshold
+    val jac = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.3)
+    assert(jac.isEmpty)
+  }
+
   test("leakageSafeSplit: near-dup groups never straddle; singletons split too") {
     val s = spark; import s.implicits._
     val docs = (1L to 40L).map(i => Tuple1(i)).toDF("doc_id")

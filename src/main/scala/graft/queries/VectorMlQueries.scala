@@ -65,6 +65,43 @@ object VectorMlQueries {
         s"""$base
            |SELECT query_id, vec_id, round(cosine, 5) AS cosine, rk
            |FROM ivf ORDER BY query_id, rk""".stripMargin
+      case "sweep" =>
+        // probes keeps rn (<= 4); each sweep point replays the search
+        // restricted to its own rn <= np prefix of probed centroids
+        s"""${base.replace("  SELECT query_id, qv, cent_id FROM (", "  SELECT query_id, qv, cent_id, rn FROM (")},
+           |sweep AS (SELECT unnest([1, 2, 4]) AS np),
+           |scored_np AS (
+           |  SELECT s.np, p.query_id, a.vec_id, ${cosSql("p.qv", "a.cv")} AS cosine
+           |  FROM probes p JOIN sweep s ON p.rn <= s.np
+           |  JOIN assigned a ON a.cent_id = p.cent_id
+           |  WHERE p.query_id != a.vec_id),
+           |ivf_np AS (
+           |  SELECT np, query_id, vec_id FROM (
+           |    SELECT np, query_id, vec_id,
+           |           row_number() OVER (PARTITION BY np, query_id
+           |                              ORDER BY cosine DESC, vec_id) AS rk
+           |    FROM scored_np)
+           |  WHERE rk <= 5),
+           |pairs AS (
+           |  SELECT q.query_id, c.vec_id, ${cosSql("q.qv", "c.cv")} AS cosine
+           |  FROM q CROSS JOIN c WHERE q.query_id != c.vec_id),
+           |brute AS (
+           |  SELECT query_id, vec_id FROM (
+           |    SELECT query_id, vec_id,
+           |           row_number() OVER (PARTITION BY query_id
+           |                              ORDER BY cosine DESC, vec_id) AS rk
+           |    FROM pairs)
+           |  WHERE rk <= 5)
+           |SELECT cast(s.np AS int) AS nprobe,
+           |       cast(count(*) AS bigint) AS n_exact,
+           |       cast(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS bigint)
+           |         AS n_recalled,
+           |       round(cast(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS bigint)
+           |             / cast(count(*) AS bigint), 4) AS recall_at_5
+           |FROM sweep s CROSS JOIN brute b
+           |LEFT JOIN ivf_np i
+           |  ON i.np = s.np AND b.query_id = i.query_id AND b.vec_id = i.vec_id
+           |GROUP BY s.np ORDER BY nprobe""".stripMargin
       case "recall" =>
         s"""$base,
            |pairs AS (
@@ -626,6 +663,27 @@ object VectorMlQueries {
         .agg(count(lit(1)).as("n_exact"),
           sum(coalesce(col("_hit"), lit(0L))).as("n_recalled"))
         .withColumn("recall_at_5", round(col("n_recalled") / col("n_exact"), 4))
+    },
+
+    // IVF nprobe tuning sweep: recall@5 at nprobe ∈ {1, 2, 4} in one
+    // result — the table a user reads to pick the recall/cost point.
+    Q("q_ann_ivf_sweep", ivfSql(final_ = "sweep")) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      // tiny (|Q|·k rows) but feeds all three sweep branches
+      val brute = SimilaritySearch.bruteForceTopK(queries, emb, k = 5)
+        .select(col("query_id"), col("vec_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Seq(1, 2, 4).map { np =>
+        val ivf = SimilaritySearch.ivfTopK(queries, emb, k = 5, centroidStep = 31, nProbe = np)
+          .select(col("query_id"), col("vec_id"), lit(1L).as("_hit"))
+        brute.join(ivf, Seq("query_id", "vec_id"), "left_outer")
+          .agg(count(lit(1)).as("n_exact"),
+            sum(coalesce(col("_hit"), lit(0L))).as("n_recalled"))
+          .select(lit(np).as("nprobe"), col("n_exact"), col("n_recalled"),
+            round(col("n_recalled") / col("n_exact"), 4).as("recall_at_5"))
+      }.reduce(_ unionByName _).orderBy(col("nprobe"))
     },
 
     // IVF with PRODUCTION centroids — MLlib KMeans fit on the embedding

@@ -375,7 +375,16 @@ object Dedup {
       idB: String = "id_b", maxIters: Int = 20,
       checkpointDir: Option[String] = None): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    val sc = pairs.sparkSession.sparkContext
+    // A session-level checkpoint dir (spark.checkpoint.dir / an earlier
+    // setCheckpointDir) opts the whole session into reliable mode: use it
+    // even when the caller didn't pass one explicitly.
+    val effectiveCkpt = checkpointDir.orElse(sc.getCheckpointDir)
+    // setCheckpointDir is SparkContext-GLOBAL: remember the prior value
+    // and restore it on exit so this call can't silently redirect other
+    // code's checkpoints for the rest of the session.
+    val priorCkpt = sc.getCheckpointDir
+    checkpointDir.foreach(sc.setCheckpointDir)
     // symmetrize in ONE scan of `pairs` (explode to both directions):
     // a two-branch union would evaluate the upstream pair-generation
     // pipeline — typically an expensive LSH/Jaccard subtree — twice
@@ -429,7 +438,7 @@ object Dedup {
       // per 5 iterations in long-lived sessions.
       val next =
         if (it % 5 == 0) {
-          val cp = checkpointDir match {
+          val cp = effectiveCkpt match {
             case Some(_) => cached.checkpoint(eager = true)
             case None => cached.localCheckpoint(eager = true)
           }
@@ -445,6 +454,10 @@ object Dedup {
       s"connectedComponents: maxIters=$maxIters reached before fixpoint — " +
         "components with diameter > maxIters are split; returned labeling is partial")
     edges0.unpersist() // the persisted plan is the pre-coalesce one
+    // restore the caller's checkpoint dir (there is no public "unset", so
+    // a previously-unset dir stays at whatever this call set — harmless,
+    // but a previously-SET dir must come back)
+    if (checkpointDir.isDefined) priorCkpt.foreach(sc.setCheckpointDir)
     labels.select(col("id").as("doc_id"), col("comp").as("component"))
   }
 
@@ -461,10 +474,19 @@ object Dedup {
     * re-processed.
     *
     * Output: docs' id column + (grp long, split string('train'|'test')).
+    *
+    * @param checkpointDir forwarded to [[connectedComponents]]: at 100 TB
+    *   the split job is exactly the long-running job that loses an
+    *   executor mid-flight, so production callers pass a shared-FS dir
+    *   (or set a session checkpoint dir, which is picked up
+    *   automatically) to get RELIABLE checkpoints; None on a session
+    *   with no checkpoint dir keeps the single-node localCheckpoint
+    *   fast path. The labeling — and therefore the split — is identical
+    *   either way.
     */
   def leakageSafeSplit(docs: DataFrame, pairs: DataFrame, testFrac: Double = 0.1,
-      idCol: String = "doc_id"): DataFrame = {
-    val comps = connectedComponents(pairs)
+      idCol: String = "doc_id", checkpointDir: Option[String] = None): DataFrame = {
+    val comps = connectedComponents(pairs, checkpointDir = checkpointDir)
     val cut = (testFrac * 1000000007L).toLong
     docs.select(col(idCol).cast("long").as("doc_id"))
       .join(comps, Seq("doc_id"), "left_outer")

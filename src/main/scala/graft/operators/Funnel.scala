@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Strictly-ordered conversion funnel over an event log: per user, the
@@ -9,12 +10,17 @@ import org.apache.spark.sql.functions._
   * earlier click). The per-user event-analytics primitive behind
   * conversion and drop-off reporting.
   *
-  * 100 TB design: one aggregation per stage, each a min() on (user,
-  * carried stage times) — map-side combined, shuffled on the user key
-  * every round, so k stages cost k narrow shuffles of ONE ROW PER
-  * SURVIVING USER (not per event; the event table is filtered to the
-  * stage's type before each join). Times are exact integer microseconds
-  * end to end — no float path at all.
+  * 100 TB design: ONE shuffle total. Events are filtered to the funnel's
+  * stage types, shuffled once on the user key, and every stage time is a
+  * whole-partition window `min` over that same partitioning — stage i+1's
+  * predicate (`us > t_i`) reads stage i's window column, so Catalyst
+  * chains k Window operators behind a single Exchange + sort, and the
+  * final per-user rollup reuses the partitioning too (no second
+  * shuffle). A naive "min time per (user, stage) then repair" pre-pivot
+  * is NOT equivalent — the global min of a later stage can precede t_i
+  * while a qualifying later event exists — which is why the strict-order
+  * predicate must run over the event rows themselves. Times are exact
+  * integer microseconds end to end — no float path at all.
   */
 object Funnel {
 
@@ -25,18 +31,22 @@ object Funnel {
   def conversion(events: DataFrame, stages: Seq[String], userCol: String = "user_id",
       typeCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
     require(stages.nonEmpty, "at least one funnel stage")
-    val e = events.select(col(userCol).as("user"), col(typeCol).as("typ"),
-      unix_micros(col(tsCol)).as("us"))
-    val first = e.filter(col("typ") === stages.head)
-      .groupBy(col("user")).agg(min(col("us")).as("t1"))
-    stages.zipWithIndex.drop(1).foldLeft(first) { case (cur, (stage, i)) =>
-      val prev = s"t$i"; val nxt = s"t${i + 1}"
-      val carried = col("user") +: (1 to i).map(j => col(s"t$j"))
-      val stageEv = e.filter(col("typ") === stage)
-        .select(col("user").as("_su"), col("us"))
-      cur.join(stageEv, col("user") === col("_su") && col("us") > col(prev), "left_outer")
-        .groupBy(carried: _*)
-        .agg(min(col("us")).as(nxt))
+    val e = events.filter(col(typeCol).isInCollection(stages))
+      .select(col(userCol).as("user"), col(typeCol).as("typ"),
+        unix_micros(col(tsCol)).as("us"))
+    val w = Window.partitionBy(col("user"))
+    val withTs = stages.zipWithIndex.foldLeft(e) { case (cur, (stage, i)) =>
+      val qualifies =
+        if (i == 0) col("typ") === stage
+        else col("typ") === stage && col("us") > col(s"t$i")
+      cur.withColumn(s"t${i + 1}", min(when(qualifies, col("us"))).over(w))
     }
+    // every row of a user carries identical t1..tk after the windows, so
+    // the rollup's min() is just "pick the value"; it runs on the same
+    // user partitioning the windows established — no extra exchange
+    val ts = stages.indices.map(i => min(col(s"t${i + 1}")).as(s"t${i + 1}"))
+    withTs.filter(col("t1").isNotNull)
+      .groupBy(col("user"))
+      .agg(ts.head, ts.tail: _*)
   }
 }

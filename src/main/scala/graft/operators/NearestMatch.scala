@@ -41,13 +41,33 @@ object NearestMatch {
   /** @param left  (leftId, lat, lon) — extra columns are kept
     * @param right (rightId, lat, lon)
     * @return left columns + rightId + distance_m + rank `rk` ≤ k
+    *
+    * The widening loop persists one `proven` frame per round (each feeds
+    * both the straggler anti-join and the final union). They stay cached
+    * until the session drops them; a long-lived session that runs many
+    * matches should use [[kNearestReleasable]] and call the release
+    * thunk once the result has been materialized (count/write), which
+    * unpersists every per-round frame.
     */
   def kNearest(left: DataFrame, right: DataFrame, k: Int,
       leftId: String, rightId: String,
       latL: String = "lat", lonL: String = "lon",
       latR: String = "lat", lonR: String = "lon",
       cellDeg: Double = 0.1, maxAbsLatDeg: Double = 60.0,
-      widenRounds: Int = 3, exhaustive: Boolean = false): DataFrame = {
+      widenRounds: Int = 3, exhaustive: Boolean = false): DataFrame =
+    kNearestReleasable(left, right, k, leftId, rightId, latL, lonL, latR, lonR,
+      cellDeg, maxAbsLatDeg, widenRounds, exhaustive)._1
+
+  /** [[kNearest]] plus a release thunk that unpersists the per-round
+    * cached frames — call it AFTER materializing the result (the frames
+    * back the result's plan; releasing first forces recomputation).
+    */
+  def kNearestReleasable(left: DataFrame, right: DataFrame, k: Int,
+      leftId: String, rightId: String,
+      latL: String = "lat", lonL: String = "lon",
+      latR: String = "lat", lonR: String = "lon",
+      cellDeg: Double = 0.1, maxAbsLatDeg: Double = 60.0,
+      widenRounds: Int = 3, exhaustive: Boolean = false): (DataFrame, () => Unit) = {
 
     // Rename right-side coordinates internally so identically-named
     // left/right columns (e.g. both "lat"/"lon", the defaults) can never
@@ -62,7 +82,7 @@ object NearestMatch {
         orderBy = Seq(col("distance_m"), col(rightId)), // rightId = deterministic tie-break
         k = k)
 
-    if (exhaustive) return rankK(left.crossJoin(r))
+    if (exhaustive) return (rankK(left.crossJoin(r)), () => ())
 
     // One grid round: equi-join on cell id (right side exploded to its
     // 3×3 neighbourhood — 9× the smaller side, NOT a cross join), then
@@ -113,6 +133,8 @@ object NearestMatch {
     // Exhaustive residue: only rows no widened grid could prove — at
     // scale a geometrically-shrunk set, typically empty.
     val fallback = rankK(remaining.crossJoin(r))
-    (provens.result() :+ fallback).reduce(_ unionByName _)
+    val rounds = provens.result()
+    ((rounds :+ fallback).reduce(_ unionByName _),
+      () => rounds.foreach(_.unpersist()))
   }
 }

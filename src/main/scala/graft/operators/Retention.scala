@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Cohort retention over an event log: users grouped by the time bucket
@@ -22,13 +22,22 @@ object Retention {
   def cohorts(events: DataFrame, cohortType: String = "signup",
       userCol: String = "user_id", typeCol: String = "event_type", tsCol: String = "ts",
       bucketUs: Long = 7L * 86400L * 1000000L): DataFrame = {
+    // FLOOR division, not `div` (which truncates toward zero): pre-1970
+    // timestamps have negative epoch micros, and a truncating bucket
+    // would both disagree with floor-division engines and straddle the
+    // epoch with a double-width bucket.
+    def bucketOf(name: String): Column = {
+      val us = col(name)
+      expr(s"$name div $bucketUs") -
+        when(us < 0 && pmod(us, lit(bucketUs)) =!= 0, 1L).otherwise(0L)
+    }
     val e = events.select(col(userCol).as("user"), col(typeCol).as("typ"),
       unix_micros(col(tsCol)).as("us"))
     val cohort = e.filter(col("typ") === cohortType)
       .groupBy(col("user")).agg(min(col("us")).as("su"))
-      .select(col("user"), expr(s"su div $bucketUs").as("cohort_bucket"))
+      .select(col("user"), bucketOf("su").as("cohort_bucket"))
     val activity = e
-      .select(col("user"), expr(s"us div $bucketUs").as("bucket"))
+      .select(col("user"), bucketOf("us").as("bucket"))
       .distinct()
     activity.join(cohort, Seq("user"))
       .select(col("cohort_bucket"), (col("bucket") - col("cohort_bucket")).as("bucket_offset"),

@@ -513,10 +513,17 @@ object Windows {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       sq.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevWidth)
-    staged.foreach { p =>
-      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevWidth)
+      // staged deletion sits in the finally so a stream that THROWS
+      // doesn't leak its per-invocation arrival copy; the walk stream is
+      // closed (Using) so long harness runs don't leak file handles
+      staged.foreach { p =>
+        scala.util.Using.resource(java.nio.file.Files.walk(p)) { w =>
+          w.sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        }
+      }
     }
     s.table(name)
   }

@@ -1,7 +1,7 @@
 package graft.ml
 
 import org.apache.spark.ml.{Pipeline, PipelineModel, PipelineStage, Transformer}
-import org.apache.spark.ml.classification.{RandomForestClassificationModel, RandomForestClassifier}
+import org.apache.spark.ml.classification.{GBTClassifier, RandomForestClassificationModel, RandomForestClassifier}
 import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
 import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.ml.functions.vector_to_array
@@ -72,6 +72,43 @@ object Trainers {
       Array(sampler, weighter, assembler(featureCols), brfClassifier(seed, numTrees, maxDepth))
     new Pipeline().setStages(stages)
   }
+
+  /** M9 surrogate: gradient-boosted trees standing in for the
+    * reference's XGBoost model — the fourth member of its published
+    * 4-model comparison (`mains/main_xgboost.py:36-94`; tuned params
+    * `results/xgb/params`: eta=0.27, max_depth=30,
+    * scale_pos_weight=17.25; test AUPRC 0.5305, `results/xgb/results`).
+    * xgboost4j is an external jar this engine deliberately does not
+    * depend on; Spark's own `GBTClassifier` carries the same
+    * boosted-trees semantics with a direct param mapping:
+    * maxDepth ↔ max_depth, stepSize ↔ eta, maxIter ↔ boosting rounds,
+    * subsamplingRate ↔ subsample, featureSubsetStrategy ↔
+    * colsample_bytree, and class imbalance via weightCol (a
+    * [[ClassWeighter]] with weights (1, scalePosWeight)) ↔
+    * scale_pos_weight.
+    */
+  def gbtClassifier(seed: Long = 42L, maxIter: Int = 20, maxDepth: Int = 5,
+      stepSize: Double = 0.27, subsamplingRate: Double = 1.0,
+      featureSubsetStrategy: String = "all", weightCol: String = "weight"): GBTClassifier =
+    new GBTClassifier()
+      .setLabelCol("label").setFeaturesCol("features")
+      .setMaxIter(maxIter).setMaxDepth(maxDepth).setStepSize(stepSize)
+      .setSubsamplingRate(subsamplingRate)
+      .setFeatureSubsetStrategy(featureSubsetStrategy)
+      .setWeightCol(weightCol)
+      .setSeed(seed)
+
+  /** M9 surrogate pipeline: weighter → assembler → GBT (the XGBoost
+    * main's `Pipeline([xgboost])` plus the imbalance handling its
+    * scale_pos_weight did internally).
+    */
+  def gbtPipeline(featureCols: Seq[String], seed: Long = 42L,
+      scalePosWeight: Double = 17.25, maxIter: Int = 20, maxDepth: Int = 5,
+      stepSize: Double = 0.27): Pipeline =
+    new Pipeline().setStages(Array(
+      new ClassWeighter().setClassWeights(Array(1.0, scalePosWeight)),
+      assembler(featureCols),
+      gbtClassifier(seed, maxIter, maxDepth, stepSize)))
 
   /** M6: AUPRC + AUROC of a fitted model on a scored frame
     * (`src/evaluate.py:5-18`).

@@ -263,6 +263,32 @@ object TrainQueries {
       } finally { train0.unpersist(); test0.unpersist() }
     },
 
+    // M9 surrogate: GBT (the reference's fourth model, XGBoost — see
+    // Trainers.gbtClassifier) trained and evaluated with the exact
+    // query shape of q_ml_rf_train_metrics, completing the published
+    // base/urf/brf/xgb 4-model comparison surface. Deterministic under
+    // seed 42 but iterative → rows-only; AUROC floor + persistence
+    // round-trip asserted in TrainersSpec.
+    Q.rowsOnly("q_ml_gbt_train_metrics") { (s, dir) =>
+      val (train0, test0) = split(orderFeatures(s, dir))
+      train0.persist(); test0.persist()
+      try {
+        val (train, test) = (fitSized(train0), fitSized(test0))
+        // scalePosWeight from the data's own imbalance would need an
+        // extra count pass; the synthetic label is ~balanced, so 1.0
+        // (the reference's 17.25 reflects ITS 17:1 corpus). sum_qty is
+        // excluded: the label is literally a threshold on it, and
+        // boosting finds the exact split — a degenerate 1.0 everywhere
+        // tells the gate nothing. Without it the model must approximate
+        // from correlated features, so the metrics actually move.
+        val pipe = Trainers.gbtPipeline(featureCols.filterNot(_ == "sum_qty"),
+          seed = 42L, scalePosWeight = 1.0, maxIter = 10, maxDepth = 4, stepSize = 0.27)
+        val model = pipe.fit(train)
+        Trainers.resultsFrame(model, train, test, s)
+          .withColumn("value", round(col("value"), 4))
+      } finally { train0.unpersist(); test0.unpersist() }
+    },
+
     Q.rowsOnly("q_ml_rf_importances") { (s, dir) =>
       val (train0, _) = split(orderFeatures(s, dir))
       train0.persist()

@@ -156,6 +156,32 @@ class TrainersSpec extends SparkSpec {
     assert(probs.forall(p => p >= 0.0 && p <= 1.0))
   }
 
+  test("gbt pipeline (XGBoost surrogate) separates classes, save/load is exact") {
+    val train = feats.filter(pmod(col("id"), lit(5)) =!= 0)
+    val test = feats.filter(pmod(col("id"), lit(5)) === 0)
+    // sum_qty excluded like q_ml_gbt_train_metrics: the label is a
+    // threshold on it, and the floor should test real generalization
+    val model = Trainers.gbtPipeline(fcols.filterNot(_ == "sum_qty"),
+      seed = 42L, scalePosWeight = 1.0,
+      maxIter = 8, maxDepth = 3, stepSize = 0.27).fit(train)
+    val scored = model.transform(test)
+    val (auprc, auroc) = Trainers.evaluate(scored)
+    assert(auroc > 0.65 && auroc <= 1.0, s"auroc $auroc")
+    assert(auprc > 0.0 && auprc <= 1.0, s"auprc $auprc")
+    val probs = scored.select(Trainers.probPositive()).collect().map(_.getDouble(0))
+    assert(probs.forall(p => p >= 0.0 && p <= 1.0))
+    // persistence round trip: identical per-row scores after reload
+    val dir = java.nio.file.Files.createTempDirectory("graft_gbt").toString + "/pm"
+    model.write.overwrite().save(dir)
+    val loaded = org.apache.spark.ml.PipelineModel.load(dir)
+    def scores(m: org.apache.spark.ml.PipelineModel) =
+      m.transform(test).select(col("id"), Trainers.probPositive().as("p"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (a, b) = (scores(model), scores(loaded))
+    assert(a.keySet == b.keySet && a.nonEmpty)
+    a.foreach { case (k, v) => assert(v == b(k), s"id $k: $v != ${b(k)}") }
+  }
+
   test("feature importances: non-negative, sum to 1, labeled") {
     val train = feats.filter(pmod(col("id"), lit(5)) =!= 0)
     val model = Trainers.brfPipeline(fcols, seed = 42L, targetImbalanceRatio = 2.0,

@@ -340,6 +340,159 @@ object Geo {
         .orderBy(col("accident_id"))
     },
 
+    // §3.1-3.2 end to end: the ACCIDENT pipeline as one replayed oracle
+    // query — fixture accidents (customers) + road points (suppliers,
+    // 20 streets) → exact nearest-road match → positive samples →
+    // full-year negative grid → anti-join dedup → train-period
+    // accident-count feature → date + solar + IDW features → per
+    // (split, label, month) rollup. The DuckDB oracle replays EVERY
+    // stage, so hash equality proves the whole composition (each stage
+    // is also individually gated by its own query); the forest fit that
+    // follows in production stays rows-only in q_ml_rf_train_metrics by
+    // design. Float sums round at rollup (3/2/1 decimals) per the
+    // engine-exactness discipline; counts are exact integers.
+    Q("q_pipeline_accidents", {
+      val hvM = haversineSql("a.a_lat", "a.a_lon", "r.p_lat", "r.p_lon")
+      val hvL = haversineSql("min(p_lat)", "min(p_lon)", "max(p_lat)", "max(p_lon)")
+      val hvI = haversineSql("f.loc_lat", "f.loc_long", "st.st_lat", "st.st_lon")
+      s"""WITH acc AS (
+         |  SELECT c_custkey AS accident_id,
+         |         $custLatSql AS a_lat, $custLonSql AS a_lon,
+         |         DATE '2017-01-01' + CAST(c_custkey % 365 AS INT) AS date,
+         |         CAST(c_custkey % 24 AS INT) AS hour
+         |  FROM customer),
+         |roads AS (
+         |  SELECT DISTINCT CAST(s_suppkey % 20 AS INT) AS street_id,
+         |         $suppLatSql AS p_lat, $suppLonSql AS p_lon
+         |  FROM supplier),
+         |matched AS (
+         |  SELECT accident_id, street_id, date, hour FROM (
+         |    SELECT a.accident_id, r.street_id, a.date, a.hour,
+         |           row_number() OVER (PARTITION BY a.accident_id
+         |             ORDER BY $hvM, r.street_id) AS rk
+         |    FROM acc a CROSS JOIN roads r) WHERE rk = 1),
+         |feats AS (
+         |  SELECT street_id, $hvL AS street_length,
+         |         min(p_lat) AS loc_lat, min(p_lon) AS loc_long
+         |  FROM roads GROUP BY street_id),
+         |pos AS (
+         |  SELECT m.street_id, m.date, m.hour, f.street_length,
+         |         f.loc_lat, f.loc_long, CAST(1.0 AS DOUBLE) AS label
+         |  FROM matched m JOIN feats f USING (street_id)),
+         |grid AS (
+         |  SELECT CAST(g.d AS DATE) AS date, CAST(h.h AS INT) AS hour
+         |  FROM generate_series(DATE '2017-01-01', DATE '2017-12-31', INTERVAL 1 DAY) g(d)
+         |  CROSS JOIN generate_series(0, 23) h(h)),
+         |neg AS (
+         |  SELECT f.street_id, g.date, g.hour, f.street_length,
+         |         f.loc_lat, f.loc_long, CAST(0.0 AS DOUBLE) AS label
+         |  FROM grid g CROSS JOIN feats f),
+         |negdedup AS (
+         |  SELECT n.* FROM neg n ANTI JOIN pos p USING (street_id, date, hour)),
+         |allsamples AS (
+         |  SELECT * FROM pos UNION ALL SELECT * FROM negdedup),
+         |traincnt AS (
+         |  SELECT street_id, count(*) AS accident_count FROM pos
+         |  WHERE date < DATE '2017-07-01' GROUP BY 1),
+         |withcnt AS (
+         |  SELECT a.*, coalesce(t.accident_count, 0) AS accident_count
+         |  FROM allsamples a LEFT JOIN traincnt t USING (street_id)),
+         |stations AS (
+         |  SELECT $suppLatSql AS st_lat, $suppLonSql AS st_lon,
+         |         CAST(s_acctbal AS DOUBLE) AS val
+         |  FROM supplier),
+         |idw AS (
+         |  SELECT street_id,
+         |         round(sum(val / pow(greatest(d, 1.0), 2))
+         |               / sum(1.0 / pow(greatest(d, 1.0), 2)), 3) AS idw_acctbal
+         |  FROM (SELECT f.street_id, $hvI AS d, st.val
+         |        FROM feats f CROSS JOIN stations st
+         |        WHERE $hvI < 30000)
+         |  GROUP BY street_id),
+         |final AS (
+         |  SELECT CASE WHEN w.date < DATE '2017-07-01' THEN 'train' ELSE 'test' END AS split,
+         |         CAST(w.label AS INT) AS label, CAST(month(w.date) AS INT) AS m,
+         |         w.street_id, w.street_length, w.accident_count,
+         |         cos(w.hour * (2 * pi() / 24)) AS f_hour_cos,
+         |         sin(dayofyear(w.date) * (2 * pi() / 365)) AS f_doy_sin,
+         |         degrees(asin(greatest(least(
+         |           sin(radians(-23.45 * cos((2 * pi() / 365) * (dayofyear(w.date) + 10))))
+         |             * sin(radians(w.loc_lat))
+         |           + cos(radians(-23.45 * cos((2 * pi() / 365) * (dayofyear(w.date) + 10))))
+         |             * cos(radians(w.loc_lat))
+         |             * cos(0.2618 * ((w.hour + 0.5
+         |                 + (4 * (w.loc_long - 15 * (-5.0))
+         |                    + (-7.655 * sin(dayofyear(w.date) * (2 * pi() / 365))
+         |                       + 9.873 * sin(dayofyear(w.date) * (2 * pi() / 365) * 2 + 3.588))) / 60)
+         |                 - 12)), 1.0), -1.0))) AS solar_elevation,
+         |         coalesce(i.idw_acctbal, 0.0) AS idw_acctbal
+         |  FROM withcnt w LEFT JOIN idw i USING (street_id))
+         |SELECT split, label, m,
+         |       count(*) AS n_samples,
+         |       CAST(count(DISTINCT street_id) AS BIGINT) AS n_streets,
+         |       CAST(sum(accident_count) AS BIGINT) AS sum_acc,
+         |       round(sum(street_length), 1) AS len_sum,
+         |       round(sum(f_hour_cos), 3) AS hour_cos_sum,
+         |       round(sum(f_doy_sin), 3) AS doy_sin_sum,
+         |       round(sum(solar_elevation), 2) AS solar_sum,
+         |       round(sum(idw_acctbal), 1) AS idw_sum
+         |FROM final GROUP BY 1, 2, 3
+         |ORDER BY split, label, m""".stripMargin
+    }) { (s, dir) =>
+      import graft.pipeline.AccidentPipeline
+      val accidents = t(s, dir, "customer").select(
+        col("c_custkey").as("accident_id"),
+        custLat.as("loc_lat"), custLon.as("loc_long"),
+        date_add(to_date(lit("2017-01-01")), (col("c_custkey") % 365).cast("int")).as("date"),
+        (col("c_custkey") % 24).cast("int").as("hour"))
+      val roadPoints = t(s, dir, "supplier").select(
+        pmod(col("s_suppkey"), lit(20)).cast("int").as("street_id"),
+        suppLat.as("coord_lat"), suppLon.as("coord_long"))
+      val matched = AccidentPipeline.matchAccidentsToRoads(accidents, roadPoints, cellDeg = 0.08)
+      // per-street features: length = span between the extreme points
+      // (min/max of doubles are order-free exact, so the oracle replays
+      // them bit-for-bit), representative location = the min point
+      val roadFeats = roadPoints.groupBy(col("street_id")).agg(
+          min(col("coord_lat")).as("mnlat"), min(col("coord_long")).as("mnlon"),
+          max(col("coord_lat")).as("mxlat"), max(col("coord_long")).as("mxlon"))
+        .select(col("street_id"),
+          GeoFunctions.haversineMeters(col("mnlat"), col("mnlon"),
+            col("mxlat"), col("mxlon")).as("street_length"),
+          col("mnlat").as("loc_lat"), col("mnlon").as("loc_long"))
+      val pos = AccidentPipeline.positiveSamples(matched, roadFeats)
+      // fraction 1.0: the hash-sampled path is murmur3 (q_sample_negatives
+      // covers it rows-exactly); the replayed pipeline keeps every slot
+      val neg = AccidentPipeline.negativeSamples(s, roadFeats, Seq(2017), sampleFraction = 1.0)
+      val (train, test) = AccidentPipeline.dataset(pos, neg, splitDate = "2017-07-01")
+      // IDW "weather" (reference src/preprocess.py:360-398): supplier
+      // acctbal interpolated onto street locations within 30 km,
+      // broadcast back per street (20 rows)
+      val stations = t(s, dir, "supplier").select(
+        suppLat.as("st_lat"), suppLon.as("st_lon"), col("s_acctbal").cast("double").as("val"))
+      val cand = roadFeats.select(col("street_id"), col("loc_lat"), col("loc_long"))
+        .crossJoin(stations)
+        .withColumn("d", GeoFunctions.haversineMeters(col("loc_lat"), col("loc_long"),
+          col("st_lat"), col("st_lon")))
+        .filter(col("d") < 30000)
+      val idw = IdwInterpolation.interpolate(cand, "street_id", "d", Seq("val"))
+        .select(col("street_id"), round(col("val"), 3).as("idw_acctbal"))
+      val tagged = train.withColumn("split", lit("train"))
+        .unionByName(test.withColumn("split", lit("test")))
+      tagged.join(broadcast(idw), Seq("street_id"), "left_outer")
+        .withColumn("idw_acctbal", coalesce(col("idw_acctbal"), lit(0.0)))
+        .groupBy(col("split"), col("label").cast("int").as("label"),
+          month(col("date")).as("m"))
+        .agg(count(lit(1)).as("n_samples"),
+          countDistinct(col("street_id")).as("n_streets"),
+          sum(col("accident_count")).as("sum_acc"),
+          round(sum(col("street_length")), 1).as("len_sum"),
+          round(sum(col("f_hour_cos")), 3).as("hour_cos_sum"),
+          round(sum(col("f_doy_sin")), 3).as("doy_sin_sum"),
+          round(sum(col("solar_elevation")), 2).as("solar_sum"),
+          round(sum(col("idw_acctbal")), 1).as("idw_sum"))
+        .orderBy(col("split"), col("label"), col("m"))
+    },
+
     // F1/F7 date parts + cyclic encodings (reference
     // src/preprocess.py:401-419), aggregated per (year, month, iso dow).
     Q("q_date_features",

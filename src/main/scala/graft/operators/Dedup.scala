@@ -496,6 +496,79 @@ object Dedup {
           .otherwise(lit("train")))
   }
 
+  /** X60 semantic near-duplicates (SemDeDup-style: cluster the
+    * embedding space, then compare ONLY within a cluster): candidate
+    * pairs come from an equality join on the cluster id, never from
+    * all-pairs — the embedding-space complement of the lexical
+    * inverted-index pairing in [[SparseSimilarity]], and the
+    * literature-standard corpus-level semantic dedup.
+    *
+    * `centroids` is any (cent_id, cent_v, cent_n) table: the production
+    * fit is [[SimilaritySearch.kmeansCentroids]] (MLlib KMeans,
+    * deterministic under seed); [[SimilaritySearch.modularCentroids]]
+    * is the oracle-expressible stand-in at identical plan shape. The
+    * assignment reuses the IVF build (broadcast centroids + map-side
+    * max_by — vectors shuffle ONCE into their cluster), so cost is
+    * Σ|cluster|²/2 instead of n²/2; at 100 TB size k so n/k bounds the
+    * per-cluster self-join, exactly like an IVF list.
+    */
+  /** @param nAssign soft-assignment width: with 1 (the SemDeDup
+    *   default) each vector lives in exactly its nearest cluster and
+    *   the assignment is the map-side max_by of the IVF build; with
+    *   n > 1 a vector joins its n nearest clusters, so a pair straddling
+    *   a cluster boundary is still caught when ANY cluster is shared —
+    *   recall rises at ~n² candidate cost, the same dial as IVF nProbe.
+    */
+  def semanticNearDupPairs(emb: DataFrame, centroids: DataFrame, cosThreshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nAssign: Int = 1): DataFrame = {
+    require(nAssign >= 1, s"nAssign=$nAssign must be >= 1")
+    def scoreOf(va: Column, vb: Column, na: Column, nb: Column): Column =
+      when(na * nb === 0.0, lit(0.0))
+        .otherwise(VectorFunctions.dot(va, vb) / (na * nb))
+    if (nAssign == 1) {
+      // hard assignment: the index rows already carry vector + norm, so
+      // the intra-cluster self-join needs no join-back
+      val idx = SimilaritySearch.buildIvfIndex(centroids, emb, idCol, vecCol)
+      val a = idx.select(col("cent_id"), col(idCol).as("id_a"),
+        col("_cv").as("va"), col("_cn").as("na"))
+      val b = idx.select(col("cent_id"), col(idCol).as("id_b"),
+        col("_cv").as("vb"), col("_cn").as("nb"))
+      a.join(b, Seq("cent_id"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cosine", scoreOf(col("va"), col("vb"), col("na"), col("nb")))
+        .filter(col("cosine") >= cosThreshold)
+        .select(col("id_a"), col("id_b"), col("cosine"))
+    } else {
+      // soft assignment: candidate rows carry ONLY (cent_id, id) through
+      // the self-join + pair dedup (a pair sharing 2 clusters arrives
+      // twice); vectors join back AFTER dedup — the same
+      // never-shuffle-vectors-through-pairs discipline as
+      // [[embeddingNearDupPairs]]
+      val vecs = emb.select(col(idCol).as("vec_id"),
+        VectorFunctions.toDoubleArray(col(vecCol)).as("v"))
+        .withColumn("n", VectorFunctions.norm(col("v")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val assigned = TopK.perGroup(
+          vecs.crossJoin(broadcast(centroids))
+            .withColumn("_sim", scoreOf(col("v"), col("cent_v"), col("n"), col("cent_n"))),
+          partitionBy = Seq(col("vec_id")),
+          orderBy = Seq(col("_sim").desc, col("cent_id")), k = nAssign)
+        .select(col("cent_id"), col("vec_id"))
+      val cand = assigned.as("a")
+        .join(assigned.as("b"),
+          col("a.cent_id") === col("b.cent_id") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      cand
+        .join(vecs.select(col("vec_id").as("id_a"), col("v").as("va"), col("n").as("na")), "id_a")
+        .join(vecs.select(col("vec_id").as("id_b"), col("v").as("vb"), col("n").as("nb")), "id_b")
+        .withColumn("cosine", scoreOf(col("va"), col("vb"), col("na"), col("nb")))
+        .filter(col("cosine") >= cosThreshold)
+        .select(col("id_a"), col("id_b"), col("cosine"))
+    }
+  }
+
   /** Embedding near-duplicates: pairs with cosine ≥ threshold, candidates
     * from MULTI-TABLE random-hyperplane LSH — `nTables` independent
     * nBits-bit hash tables; a pair is a candidate when it collides in

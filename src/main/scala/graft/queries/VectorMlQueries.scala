@@ -720,6 +720,66 @@ object VectorMlQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // X60 semantic dedup (SemDeDup): cluster-then-compare — pairs are
+    // generated ONLY intra-cluster. Centroids here are the
+    // oracle-expressible modular rule (vec_id ≡ 0 mod 31, same plan
+    // shape as the k-means fit), so DuckDB replays assignment + the
+    // intra-cluster brute-force pairing + threshold exactly.
+    Q("q_dedup_semantic", {
+      s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+         |cent AS (SELECT vec_id AS cent_id, cv AS cent_v FROM c WHERE vec_id % 31 = 0),
+         |assigned AS (
+         |  SELECT vec_id, cv, cent_id FROM (
+         |    SELECT c.vec_id, c.cv, cent.cent_id,
+         |           row_number() OVER (PARTITION BY c.vec_id
+         |             ORDER BY ${cosSql("c.cv", "cent.cent_v")} DESC, cent.cent_id) AS rn
+         |    FROM c CROSS JOIN cent)
+         |  WHERE rn = 1),
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.cv", "b.cv")} AS cosine
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, round(cosine, 5) AS cosine
+         |FROM pairs WHERE cosine >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin
+    }) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Dedup.semanticNearDupPairs(emb,
+          SimilaritySearch.modularCentroids(emb, centroidStep = 31), cosThreshold = 0.35)
+        .withColumn("cosine", round(col("cosine"), 5))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // X60 recall monitor: the production path (k-means centroids, k =
+    // the corpus's 10 latent classes) vs FULL brute-force pairs at the
+    // same threshold. Precision is 1 by construction (every emitted
+    // pair is exact-cosine-scored); recall is what clustering trades —
+    // floor-asserted in DedupSpec, monitored here at bench scale.
+    Q.rowsOnly("q_dedup_semantic_recall") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val cents = SimilaritySearch.kmeansCentroids(emb, kCentroids = 10, seed = 42L)
+      val vecs = emb.select(col("vec_id"),
+        graft.functions.VectorFunctions.toDoubleArray(col("embedding")).as("v"))
+        .withColumn("n", graft.functions.VectorFunctions.norm(col("v")))
+        .persist()
+      val brute = vecs.as("a").join(vecs.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cosine",
+          when(col("a.n") * col("b.n") === 0.0, lit(0.0))
+            .otherwise(graft.functions.VectorFunctions.dot(col("a.v"), col("b.v"))
+              / (col("a.n") * col("b.n"))))
+        .filter(col("cosine") >= 0.35)
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      // soft assignment (2 nearest clusters): boundary pairs are caught
+      // when any cluster is shared — the recall dial of the operator
+      val sem = Dedup.semanticNearDupPairs(emb, cents, cosThreshold = 0.35, nAssign = 2)
+        .select(col("id_a"), col("id_b"), lit(1L).as("_hit"))
+      try brute.join(sem, Seq("id_a", "id_b"), "left_outer")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("_hit"), lit(0L))).as("n_recalled"))
+        .withColumn("recall", round(col("n_recalled") / col("n_exact"), 4))
+      finally vecs.unpersist(blocking = false)
+    },
+
     // M10 threshold-metrics curve over a deterministic pseudo-score.
     Q("q_ml_threshold_metrics",
       """WITH scored AS (

@@ -110,6 +110,35 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.5, s"embed LSH recall $recall")
   }
 
+  test("semantic dedup: pairs are exact-cosine intra-cluster; soft assign lifts recall") {
+    val s = spark
+    val emb = Tables.load(s, TestSpark.sf0001, "embeddings")
+    import graft.functions.VectorFunctions
+    val v = emb.select(col("vec_id"), VectorFunctions.toDoubleArray(col("embedding")).as("v"))
+    val brute = v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .filter(VectorFunctions.cosineSimilarity(col("a.v"), col("b.v")) >= 0.35)
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cents = SimilaritySearch.kmeansCentroids(emb, kCentroids = 10, seed = 42L).persist()
+    def pairsOf(nAssign: Int): Set[(Long, Long)] =
+      Dedup.semanticNearDupPairs(emb, cents, cosThreshold = 0.35, nAssign = nAssign)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hard = pairsOf(1)
+    val soft = pairsOf(2)
+    // precision 1 by construction: every emitted pair is exact-scored
+    assert(hard.subsetOf(brute), "semantic dedup must not invent pairs")
+    assert(soft.subsetOf(brute))
+    // hard single-assignment pairs all share a cluster; soft assignment
+    // can only ADD boundary pairs, never lose one
+    assert(hard.subsetOf(soft), "nAssign=2 must be a superset of nAssign=1")
+    def recall(p: Set[(Long, Long)]) =
+      if (brute.isEmpty) 1.0 else (brute intersect p).size.toDouble / brute.size
+    assert(recall(soft) >= recall(hard))
+    // floor guards against silent collapse of the clustering path
+    assert(recall(soft) >= 0.4, s"semantic recall ${recall(soft)}")
+    cents.unpersist()
+  }
+
   test("connected components: chains merge to min id, disjoint clusters stay apart") {
     val s = spark; import s.implicits._
     // chain 1-2-3-4 (diameter 3, needs >1 propagation round) + pair 10-11

@@ -480,6 +480,32 @@ object Relational {
       }
     },
 
+    // The SQL front door, window + join half: the other query shape a
+    // SQL-only user pastes daily — a multi-way join feeding a
+    // partitioned window rank with a top-k subquery filter. Same
+    // discipline as q_sql_frontdoor: ONE SQL text runs verbatim on both
+    // engines (rk cast to int because DuckDB's row_number is BIGINT
+    // while Spark's is int — the one dialect seam, pinned by the cast).
+    {
+      val sharedSql =
+        """SELECT n_name, o_orderkey, total_price, cast(rk AS int) AS rk
+          |FROM (
+          |  SELECT n_name, o_orderkey,
+          |         round(o_totalprice, 2) AS total_price,
+          |         row_number() OVER (PARTITION BY n_name
+          |                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+          |  FROM orders
+          |  JOIN customer ON o_custkey = c_custkey
+          |  JOIN nation ON c_nationkey = n_nationkey
+          |) ranked
+          |WHERE rk <= 3
+          |ORDER BY n_name, rk""".stripMargin
+      Q("q_sql_frontdoor_window", sharedSql) { (s, dir) =>
+        graft.Tables.registerAll(s, dir)
+        s.sql(sharedSql)
+      }
+    },
+
     // Join-key skew audit: top heavy hitters with share + cumulative
     // share — the pre-join diagnostic feeding SaltedJoin.deriveSalts.
     Q("q_diag_heavy_hitters",

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{BpeMerges, Chunking, Contamination, CorpusPacking, Dedup, LexicalStats, MixtureSampler, Multimodal, NegativeSampler, NgramLanguageModel, RepetitionScore, SnapshotDiff, SparseSimilarity, StratifiedSampler, TopK}
+import graft.operators.{BpeMerges, Chunking, Contamination, CorpusPacking, Dedup, HybridRetrieval, LexicalStats, MixtureSampler, Multimodal, NegativeSampler, NgramLanguageModel, RepetitionScore, SimilaritySearch, SnapshotDiff, SparseSimilarity, StratifiedSampler, TopK}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1161,5 +1161,75 @@ object TextQueries {
       NegativeSampler.negatives(docs.filter(col("doc_id") % 50 === 0), docs,
           k = 5, sliceMod = 5)
         .orderBy(col("q_id"), col("rk"))
+    },
+
+    // Hybrid retrieval: BM25 lexical ranking + dense cosine ranking of
+    // the same corpus (doc_id == vec_id), fused by reciprocal rank
+    // (k_rrf = 60). Ranks — not float scores — cross the fusion join, so
+    // the whole hybrid stack replays exactly in the oracle.
+    Q("q_hybrid_rrf", {
+      val cos =
+        """(CASE WHEN sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv)) = 0
+          | THEN 0.0
+          | ELSE list_dot_product(q.qv, c.cv)
+          |      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) END)""".stripMargin
+      s"""WITH qt AS (
+         |  SELECT * FROM (VALUES (0, 'hash'), (0, 'join'), (1, 'scan'), (1, 'filter'),
+         |                        (2, 'window'), (2, 'stream')) AS v(query_id, token)),
+         |tok AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+         |stats AS (SELECT cast(sum(dl) AS double) / count(*) AS avgdl, count(*) AS n FROM dl),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+         |       WHERE token IN (SELECT token FROM qt) GROUP BY 1, 2),
+         |dfreq AS (SELECT token AS dftoken, count(*) AS df FROM tf GROUP BY 1),
+         |parts AS (
+         |  SELECT qt.query_id, t.doc_id, t.token,
+         |         ln((n - df + 0.5) / (df + 0.5) + 1) * (t.tf * 2.2)
+         |           / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / avgdl)) AS part
+         |  FROM tf t JOIN qt ON t.token = qt.token JOIN dfreq ON t.token = dftoken
+         |    JOIN dl d ON t.doc_id = d.doc_id CROSS JOIN stats
+         |  WHERE t.doc_id != qt.query_id),
+         |lexscore AS (
+         |  SELECT query_id, doc_id,
+         |         list_reduce(list_prepend(0.0, list(part ORDER BY token)), (acc, x) -> acc + x) AS bm25
+         |  FROM parts GROUP BY 1, 2),
+         |lex AS (
+         |  SELECT query_id, doc_id, lex_rk FROM (
+         |    SELECT query_id, doc_id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS lex_rk
+         |    FROM lexscore) WHERE lex_rk <= 30),
+         |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3),
+         |c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+         |dense AS (
+         |  SELECT query_id, doc_id, dense_rk FROM (
+         |    SELECT q.query_id, c.vec_id AS doc_id,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |                              ORDER BY $cos DESC, c.vec_id) AS dense_rk
+         |    FROM q CROSS JOIN c WHERE q.query_id != c.vec_id) WHERE dense_rk <= 30),
+         |fused AS (
+         |  SELECT coalesce(l.query_id, d.query_id) AS query_id,
+         |         coalesce(l.doc_id, d.doc_id) AS doc_id,
+         |         l.lex_rk, d.dense_rk,
+         |         coalesce(1.0 / (60 + l.lex_rk), 0.0) + coalesce(1.0 / (60 + d.dense_rk), 0.0) AS rrf
+         |  FROM lex l FULL OUTER JOIN dense d
+         |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id)
+         |SELECT query_id, doc_id, round(rrf, 6) AS rrf, lex_rk, dense_rk, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rk
+         |  FROM fused) WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val qt = Seq((0L, "hash"), (0L, "join"), (1L, "scan"), (1L, "filter"),
+        (2L, "window"), (2L, "stream")).toDF("query_id", "token")
+      val lex = HybridRetrieval.bm25PerQuery(docs, qt, topN = 30)
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val dense = SimilaritySearch.bruteForceTopK(queries, emb, k = 30)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rk").as("dense_rk"))
+      HybridRetrieval.rrfFuse(lex, dense, k = 10)
+        .select(col("query_id"), col("doc_id"), round(col("rrf"), 6).as("rrf"),
+          col("lex_rk"), col("dense_rk"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
     })
 }

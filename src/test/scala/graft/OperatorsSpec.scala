@@ -793,3 +793,39 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(recall >= 0.5, s"kmeans-IVF recall@5 = $recall")
   }
 }
+
+class HybridRetrievalSpec extends SparkSpec {
+
+  test("bm25PerQuery: term-restricted, self-excluded, tf/df ordering sane") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (0L, "hash only here"),              // matches, but IS query 0 → excluded
+      (1L, "hash join scan"),
+      (2L, "hash hash filter stuff"),
+      (3L, "nothing relevant at all"),
+      (4L, "join join join hash pad pad")).toDF("doc_id", "text")
+    val qt = Seq((0L, "hash"), (0L, "join")).toDF("query_id", "token")
+    val out = HybridRetrieval.bm25PerQuery(docs, qt, topN = 10).collect()
+    val ids = out.map(_.getAs[Long]("doc_id")).toSet
+    assert(ids == Set(1L, 2L, 4L), s"got $ids")     // 3 matches no term, 0 is self
+    // doc 4 has both terms with the highest tf → must outrank single-ish docs
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("lex_rk")).toMap
+    assert(byId(4L) == 1, s"ranks $byId")
+    assert(out.forall(_.getAs[Double]("bm25") > 0.0))
+  }
+
+  test("rrfFuse: hand-computed reciprocal-rank scores and ordering") {
+    val s = spark; import s.implicits._
+    val lex = Seq((0L, 10L, 1), (0L, 11L, 2)).toDF("query_id", "doc_id", "lex_rk")
+    val dense = Seq((0L, 11L, 1), (0L, 12L, 2)).toDF("query_id", "doc_id", "dense_rk")
+    val out = HybridRetrieval.rrfFuse(lex, dense, k = 10)
+      .orderBy(col("rk")).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(11L, 10L, 12L))
+    val top = out.head
+    // both legs present: 1/(60+2) + 1/(60+1)
+    assert(math.abs(top.getAs[Double]("rrf") - (1.0 / 62 + 1.0 / 61)) < 1e-12)
+    // one-leg docs carry a null rank from the absent leg, not a zero
+    assert(out(1).isNullAt(out(1).fieldIndex("dense_rk")))
+    assert(math.abs(out(1).getAs[Double]("rrf") - 1.0 / 61) < 1e-12)
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{BpeMerges, Chunking, Contamination, CorpusPacking, Dedup, HybridRetrieval, LexicalStats, MixtureSampler, Multimodal, NegativeSampler, NgramLanguageModel, RepetitionScore, SimilaritySearch, SnapshotDiff, SparseSimilarity, StratifiedSampler, TopK}
+import graft.operators.{Boilerplate, BpeMerges, Chunking, Contamination, CorpusPacking, Dedup, HybridRetrieval, LexicalStats, MixtureSampler, Multimodal, NegativeSampler, NgramLanguageModel, RepetitionScore, SimilaritySearch, SnapshotDiff, SparseSimilarity, StratifiedSampler, TopK}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1161,6 +1161,37 @@ object TextQueries {
       NegativeSampler.negatives(docs.filter(col("doc_id") % 50 === 0), docs,
           k = 5, sliceMod = 5)
         .orderBy(col("q_id"), col("rk"))
+    },
+
+    // C4-style boilerplate removal: fixed-width pseudo-lines recurring
+    // in >= 2 distinct docs are dropped; docs rebuilt from the
+    // surviving lines in order. Only the md5 digest rides the df
+    // shuffle; the rebuild is replayed via an ordered line fold.
+    Q("q_text_boilerplate",
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |lines AS (
+         |  SELECT doc_id, i AS line_no,
+         |         array_to_string(toks[(i*5+1):(i*5+5)], ' ') AS line
+         |  FROM tok, unnest(range(greatest(1, cast(ceil(len(toks)/5.0) AS int)))) AS t(i)),
+         |bp AS (SELECT md5(line) AS lh FROM lines
+         |       GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+         |marked AS (SELECT l.doc_id, l.line_no, l.line, (lh IS NOT NULL) AS is_bp
+         |           FROM lines l LEFT JOIN bp ON md5(l.line) = lh),
+         |rebuilt AS (
+         |  SELECT doc_id,
+         |         count(*) AS n_lines,
+         |         cast(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS int) AS n_removed,
+         |         md5(coalesce(array_to_string(
+         |           list(CASE WHEN NOT is_bp THEN line END ORDER BY line_no)
+         |             FILTER (NOT is_bp), ' '), '')) AS clean_md5
+         |  FROM marked GROUP BY 1)
+         |SELECT doc_id, n_lines, n_removed, clean_md5
+         |FROM rebuilt WHERE n_removed > 0 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Boilerplate.removeBoilerplate(t(s, dir, "documents"), lineTokens = 5, minDocs = 2)
+        .filter(col("n_removed") > 0)
+        .select(col("doc_id"), col("n_lines"), col("n_removed"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy(col("doc_id"))
     },
 
     // Hybrid retrieval: BM25 lexical ranking + dense cosine ranking of

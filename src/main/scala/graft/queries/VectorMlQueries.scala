@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.VectorFunctions
 import graft.ml.{BaselineRateModel, ClassWeighter}
-import graft.operators.{Dedup, SimilaritySearch, ThresholdMetrics}
+import graft.operators.{Dedup, MmrRerank, SimilaritySearch, ThresholdMetrics}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -914,5 +914,67 @@ object VectorMlQueries {
         |ORDER BY label""".stripMargin) { (s, dir) =>
       graft.operators.EmbeddingDrift.groupCentroidDrift(t(s, dir, "embeddings"))
         .orderBy(col("label"))
+    },
+
+    // MMR diversity re-ranking of a dense top-8 shortlist (λ=0.7,
+    // pick 4). The greedy recurrence is unrolled step by step in BOTH
+    // engines, so every pick — including the redundancy max — is
+    // hash-checked, not just the final set.
+    Q("q_embed_mmr", mmrSql(shortN = 8, k = 4)) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val short = SimilaritySearch.bruteForceTopK(queries, emb, k = 8)
+      val cands = short
+        .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+        .select(col("query_id"), col("vec_id").as("doc_id"),
+          col("cosine").as("rel"), col("embedding").as("cv"))
+      MmrRerank.rerank(cands, k = 4, lambda = 0.7)
+        .select(col("query_id"), col("doc_id"),
+          round(col("score"), 6).as("mmr"), col("step"))
+        .orderBy(col("query_id"), col("step"))
     })
+
+  /** Oracle for [[MmrRerank]]: the greedy selection unrolled as one CTE
+    * chain per step, mirroring the operator's dataframe stages.
+    */
+  private def mmrSql(shortN: Int, k: Int): String = {
+    val steps = (2 to k).map { s =>
+      val prev = s"sel${s - 1}"
+      s""",
+         |pick$s AS (
+         |  SELECT query_id, doc_id, score FROM (
+         |    SELECT c.query_id, c.doc_id,
+         |           0.7*c.rel - 0.3*max(p.sim) AS score,
+         |           row_number() OVER (PARTITION BY c.query_id
+         |                              ORDER BY 0.7*c.rel - 0.3*max(p.sim) DESC, c.doc_id) AS rn
+         |    FROM cands c
+         |    JOIN $prev sl ON c.query_id = sl.query_id
+         |    JOIN pairs p ON p.query_id = c.query_id AND p.a = c.doc_id AND p.b = sl.doc_id
+         |    WHERE c.doc_id NOT IN (SELECT doc_id FROM $prev x WHERE x.query_id = c.query_id)
+         |    GROUP BY c.query_id, c.doc_id, c.rel)
+         |  WHERE rn = 1),
+         |sel$s AS (SELECT query_id, doc_id, score, step FROM sel${s - 1}
+         |          UNION ALL SELECT query_id, doc_id, score, $s AS step FROM pick$s)""".stripMargin
+    }.mkString
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |           FROM embeddings WHERE vec_id < 3),
+       |c0 AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+       |cands AS (
+       |  SELECT query_id, doc_id, rel, cv FROM (
+       |    SELECT q.query_id, c0.vec_id AS doc_id, ${cosSql("q.qv", "c0.cv")} AS rel, c0.cv,
+       |           row_number() OVER (PARTITION BY q.query_id
+       |                              ORDER BY ${cosSql("q.qv", "c0.cv")} DESC, c0.vec_id) AS rn
+       |    FROM q CROSS JOIN c0 WHERE q.query_id != c0.vec_id) WHERE rn <= $shortN),
+       |pairs AS (
+       |  SELECT x.query_id, x.doc_id AS a, y.doc_id AS b, ${cosSql("x.cv", "y.cv")} AS sim
+       |  FROM cands x JOIN cands y ON x.query_id = y.query_id AND x.doc_id != y.doc_id),
+       |sel1 AS (
+       |  SELECT query_id, doc_id, 0.7*rel AS score, 1 AS step FROM (
+       |    SELECT query_id, doc_id, rel,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id) AS rn
+       |    FROM cands) WHERE rn = 1)$steps
+       |SELECT query_id, doc_id, round(score, 6) AS mmr, step
+       |FROM sel$k ORDER BY query_id, step""".stripMargin
+  }
 }

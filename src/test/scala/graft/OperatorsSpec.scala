@@ -829,3 +829,51 @@ class HybridRetrievalSpec extends SparkSpec {
     assert(math.abs(out(1).getAs[Double]("rrf") - 1.0 / 61) < 1e-12)
   }
 }
+
+class BoilerplateSpec extends SparkSpec {
+
+  test("cross-doc lines removed, unique docs untouched, tail line kept") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "a b c d e x y z w v"),
+      (2L, "a b c d e q r s t u early"),   // shares line 0 with doc 1; 11 tokens → 3 lines
+      (3L, "unique tokens only here now")).toDF("doc_id", "text")
+    val out = Boilerplate.removeBoilerplate(docs, lineTokens = 5, minDocs = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Int]("n_removed"), r.getAs[String]("clean_text")))).toMap
+    assert(out(1L) == ((2L, 1, "x y z w v")))
+    assert(out(2L) == ((3L, 1, "q r s t u early")))      // tail "early" survives as its own line
+    assert(out(3L) == ((1L, 0, "unique tokens only here now")))
+  }
+
+  test("fully-boilerplate doc rebuilds to empty text") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "same five tokens here now"),
+      (2L, "same five tokens here now"),
+      (3L, "different body of text ok")).toDF("doc_id", "text")
+    val out = Boilerplate.removeBoilerplate(docs, lineTokens = 5, minDocs = 2)
+      .filter(col("doc_id") === 1L).collect().head
+    assert(out.getAs[Int]("n_removed") == 1 && out.getAs[String]("clean_text") == "")
+  }
+}
+
+class MmrRerankSpec extends SparkSpec {
+
+  test("greedy picks diversity over redundant relevance (hand-computed)") {
+    val s = spark; import s.implicits._
+    // c2 is nearly as relevant as c1 but identical to it; c3 is less
+    // relevant but orthogonal — MMR at λ=0.7 must pick c1, c3, c2
+    val cands = Seq(
+      (0L, 1L, 0.90, Seq(1.0, 0.0)),
+      (0L, 2L, 0.85, Seq(1.0, 0.0)),
+      (0L, 3L, 0.50, Seq(0.0, 1.0))).toDF("query_id", "doc_id", "rel", "cv")
+    val out = MmrRerank.rerank(cands, k = 3, lambda = 0.7)
+      .orderBy(col("step")).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 3L, 2L))
+    val scores = out.map(_.getAs[Double]("score"))
+    assert(math.abs(scores(0) - 0.7 * 0.90) < 1e-12)             // empty-set redundancy
+    assert(math.abs(scores(1) - (0.7 * 0.50 - 0.3 * 0.0)) < 1e-12)
+    assert(math.abs(scores(2) - (0.7 * 0.85 - 0.3 * 1.0)) < 1e-12) // max sim to {c1,c3} = 1
+  }
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch (Cormode & Muthukrishnan 2005): a depth × width
+  * grid of counters; each key increments one counter per row (chosen by
+  * that row's hash); a point estimate is the MIN over the key's cells —
+  * always an over-estimate, with error ≤ εN at depth ln(1/δ) rows.
+  *
+  * The cell counts are plain `groupBy(j, bucket).count` — map-side
+  * combined, constant output size (≤ depth·width rows) no matter the
+  * input — and the hash family is the md5 split this repo's oracle
+  * queries replay in DuckDB, so the SKETCH ITSELF is deterministic and
+  * externally checkable, not just its error bound.
+  *
+  * Scale shape (100 TB): the build is one shuffle whose key space is
+  * depth·width cells (map-side combine collapses each partition to at
+  * most that many rows first); sketches from different partitions,
+  * days, or streams merge by cell-wise SUM — the mergeability that
+  * makes CMS the standard distributed/streaming counter. Point queries
+  * broadcast the constant-size sketch.
+  */
+object CountMinSketch {
+
+  /** Row-j hash of a key into [0, width). 15 hex chars < 2^60 keeps the
+    * conv result inside a long before the modulo (ANSI-safe).
+    */
+  def cellHash(key: Column, j: Int, width: Int): Column =
+    conv(substring(md5(concat_ws(":", lit(j), key).cast("binary")), 1, 15), 16, 10)
+      .cast("long") % width
+
+  /** Build the sketch: one row per non-empty cell (j, bucket, cnt). */
+  def build(df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 1, s"depth=$depth width=$width")
+    df.select(explode(array((0 until depth).map(j =>
+        struct(lit(j).as("j"), cellHash(col(keyCol), j, width).as("bucket"))): _*)).as("_c"))
+      .groupBy(col("_c.j").as("j"), col("_c.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-estimate each probe key against a built sketch: min over the
+    * key's depth cells; a key addressing an absent cell estimates 0.
+    * The sketch side is broadcast — it is ≤ depth·width rows by
+    * construction.
+    */
+  def pointEstimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
+      depth: Int, width: Int): DataFrame = {
+    val cells = probes.select(col(keyCol),
+        explode(array((0 until depth).map(j =>
+          struct(lit(j).as("j"), cellHash(col(keyCol), j, width).as("bucket"))): _*)).as("_c"))
+      .select(col(keyCol), col("_c.j").as("j"), col("_c.bucket").as("bucket"))
+    cells
+      .join(broadcast(sketch), Seq("j", "bucket"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{QuantileBinning, RangeJoin, SaltedJoin}
+import graft.operators.{CountMinSketch, QuantileBinning, RangeJoin, SaltedJoin}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -209,6 +209,38 @@ object Relational {
         .pivot("l_returnflag", Seq("A", "N", "R"))
         .agg(round(sum(col("l_quantity")), 2))
         .orderBy(col("l_linestatus"))
+    },
+
+    // Count-min sketch: depth-4 × width-512 counter grid over
+    // l_partkey, point-estimated for a probe set and compared to the
+    // exact counts. The md5 hash family replays in DuckDB, so the
+    // sketch CELLS are hash-checked — not just an error-bound boolean.
+    Q("q_agg_cms_partkey",
+      """WITH js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+        |cells AS (SELECT l_partkey, j,
+        |                 ('0x' || substr(md5(j || ':' || l_partkey), 1, 15))::BIGINT % 512 AS bucket
+        |          FROM lineitem CROSS JOIN js),
+        |sketch AS (SELECT j, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2),
+        |probes AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_partkey % 200 = 7),
+        |pc AS (SELECT l_partkey, j,
+        |              ('0x' || substr(md5(j || ':' || l_partkey), 1, 15))::BIGINT % 512 AS bucket
+        |       FROM probes CROSS JOIN js),
+        |est AS (SELECT pc.l_partkey, min(coalesce(s.cnt, 0)) AS est
+        |        FROM pc LEFT JOIN sketch s ON pc.j = s.j AND pc.bucket = s.bucket GROUP BY 1),
+        |ex AS (SELECT l_partkey, count(*) AS exact FROM lineitem
+        |       WHERE l_partkey % 200 = 7 GROUP BY 1)
+        |SELECT e.l_partkey, ex.exact, e.est
+        |FROM est e JOIN ex ON e.l_partkey = ex.l_partkey
+        |ORDER BY e.l_partkey""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val sketch = CountMinSketch.build(li, "l_partkey", depth = 4, width = 512)
+      val probes = li.filter(col("l_partkey") % 200 === 7).select(col("l_partkey")).distinct()
+      val exact = li.filter(col("l_partkey") % 200 === 7)
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("exact"))
+      CountMinSketch.pointEstimate(sketch, probes, "l_partkey", depth = 4, width = 512)
+        .join(exact, "l_partkey")
+        .select(col("l_partkey"), col("exact"), col("est"))
+        .orderBy(col("l_partkey"))
     },
 
     // A6 floor-bucketed histogram (reference: probability buckets,

@@ -1163,6 +1163,26 @@ object TextQueries {
         .orderBy(col("q_id"), col("rk"))
     },
 
+    // Weighted sampling without replacement (Efraimidis–Spirakis):
+    // key = -ln(u)/w with u a pure function of (doc_id, seed) — the
+    // quality-weighted corpus subset is reproducible and auditable.
+    Q("q_sample_weighted",
+      """WITH keyed AS (
+        |  SELECT doc_id, n_chars,
+        |         -ln((('0x' || substr(md5(doc_id || ':' || 42), 1, 13))::BIGINT + 1)
+        |             / 4503599627370496.0) / n_chars AS key
+        |  FROM documents)
+        |SELECT doc_id, n_chars, round(key, 9) AS es_key,
+        |       cast(row_number() OVER (ORDER BY key, doc_id) AS int) AS rk
+        |FROM keyed ORDER BY key, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      graft.operators.WeightedSampler.sampleWithoutReplacement(
+          t(s, dir, "documents"), idCol = "doc_id", weightCol = "n_chars",
+          k = 20, seed = 42L)
+        .select(col("doc_id"), col("n_chars"),
+          round(col("key"), 9).as("es_key"), col("rk"))
+        .orderBy(col("rk"))
+    },
+
     // C4-style boilerplate removal: fixed-width pseudo-lines recurring
     // in >= 2 distinct docs are dropped; docs rebuilt from the
     // surviving lines in order. Only the md5 digest rides the df

@@ -877,3 +877,54 @@ class MmrRerankSpec extends SparkSpec {
     assert(math.abs(scores(2) - (0.7 * 0.85 - 0.3 * 1.0)) < 1e-12) // max sim to {c1,c3} = 1
   }
 }
+
+class CountMinSketchSpec extends SparkSpec {
+
+  test("estimates are exact with no collisions, never under-estimate with them") {
+    val s = spark; import s.implicits._
+    val keys = (1L to 50L).flatMap(k => Seq.fill((k % 5).toInt + 1)(k))
+    val df = keys.toDF("k")
+    val probes = (1L to 50L).toDF("k")
+    val exact = keys.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    // wide sketch: 50 keys into 4×4096 cells → collisions vanishingly rare
+    val wide = CountMinSketch.pointEstimate(
+        CountMinSketch.build(df, "k", depth = 4, width = 4096), probes, "k",
+        depth = 4, width = 4096)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("est")).toMap
+    assert(wide == exact)
+    // narrow sketch: heavy collisions — still never below the true count
+    val narrow = CountMinSketch.pointEstimate(
+        CountMinSketch.build(df, "k", depth = 2, width = 8), probes, "k",
+        depth = 2, width = 8)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("est")).toMap
+    assert(narrow.forall { case (k, est) => est >= exact(k) })
+    assert(narrow.exists { case (k, est) => est > exact(k) }, "width 8 must collide")
+  }
+
+  test("sketches merge by cell-wise sum") {
+    val s = spark; import s.implicits._
+    val a = Seq(1L, 1L, 2L, 3L).toDF("k")
+    val b = Seq(2L, 3L, 3L, 4L).toDF("k")
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      CountMinSketch.build(df, "k", depth = 3, width = 64)
+        .collect().map(r => (r.getAs[Int]("j"), r.getAs[Long]("bucket")) -> r.getAs[Long]("cnt")).toMap
+    val merged = (cells(a).toSeq ++ cells(b).toSeq)
+      .groupBy(_._1).map { case (c, v) => c -> v.map(_._2).sum }
+    assert(merged == cells(a.union(b)))
+  }
+}
+
+class WeightedSamplerSpec extends SparkSpec {
+
+  test("deterministic in (id, seed); dominant weight is selected first") {
+    val s = spark; import s.implicits._
+    val df = ((1L to 24L).map(i => (i, 0.001)) :+ (99L, 1.0e12)).toDF("id", "w")
+    def ids(seed: Long) = WeightedSampler
+      .sampleWithoutReplacement(df, "id", "w", k = 5, seed = seed)
+      .orderBy(col("rk")).collect().map(_.getAs[Long]("id")).toSeq
+    val run1 = ids(42L)
+    assert(run1 == ids(42L), "same seed must replay identically")
+    assert(run1.head == 99L, s"dominant weight not first: $run1")
+    assert(ids(7L) != run1, "different seed should reorder the tail")
+  }
+}

@@ -555,5 +555,95 @@ object Relational {
         |FROM sh ORDER BY rk""".stripMargin) { (s, dir) =>
       graft.operators.SkewDiagnostics.heavyHitters(t(s, dir, "events"), "user_id", k = 10)
         .orderBy(col("rk"))
+    },
+
+    // Bloom-filter runtime pruning: the filter is built on the urgent
+    // orders' keys and every distinct lineitem key is probed. The md5
+    // hash family and 32-bits-per-word bitmap replay in DuckDB, so the
+    // stats row is sensitive to EVERY bit of the filter: a single wrong
+    // word flips n_candidate/n_false_pos. n_false_neg must be 0 by
+    // construction.
+    Q("q_join_bloom_prune",
+      """WITH js AS (SELECT unnest([0, 1, 2]) AS j),
+        |dim AS (SELECT DISTINCT o_orderkey AS key FROM orders
+        |        WHERE o_orderpriority = '1-URGENT'),
+        |bpos AS (SELECT key, (('0x' || substr(md5(j || ':' || key), 1, 15))::BIGINT % 16384) AS pos
+        |         FROM dim CROSS JOIN js),
+        |words AS (SELECT pos // 32 AS widx, bit_or((1::BIGINT) << (pos % 32)::INT) AS word
+        |          FROM bpos GROUP BY 1),
+        |probes AS (SELECT DISTINCT l_orderkey AS key FROM lineitem),
+        |ppos AS (SELECT key, (('0x' || substr(md5(j || ':' || key), 1, 15))::BIGINT % 16384) AS pos
+        |         FROM probes CROSS JOIN js),
+        |hits AS (SELECT p.key,
+        |                count(*) = sum(CASE WHEN ((coalesce(w.word, 0) >> (p.pos % 32)::INT) & 1) = 1
+        |                               THEN 1 ELSE 0 END) AS candidate
+        |         FROM ppos p LEFT JOIN words w ON p.pos // 32 = w.widx GROUP BY p.key),
+        |lab AS (SELECT h.key, h.candidate, d.key IS NOT NULL AS member
+        |        FROM hits h LEFT JOIN dim d ON h.key = d.key)
+        |SELECT cast(count(*) AS BIGINT) AS n_probe,
+        |       cast(count(*) FILTER (WHERE member) AS BIGINT) AS n_member,
+        |       cast(count(*) FILTER (WHERE candidate) AS BIGINT) AS n_candidate,
+        |       cast(count(*) FILTER (WHERE candidate AND NOT member) AS BIGINT) AS n_false_pos,
+        |       cast(count(*) FILTER (WHERE member AND NOT candidate) AS BIGINT) AS n_false_neg
+        |FROM lab""".stripMargin) { (s, dir) =>
+      import graft.operators.BloomFilter
+      val dim = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("key")).distinct()
+      val probes = t(s, dir, "lineitem").select(col("l_orderkey").as("key")).distinct()
+      val bloom = BloomFilter.build(dim, "key", k = 3, mBits = 16384)
+      BloomFilter.mightContain(bloom, probes, "key", k = 3, mBits = 16384)
+        .join(dim.withColumn("member", lit(true)), Seq("key"), "left")
+        .select(col("candidate"), coalesce(col("member"), lit(false)).as("member"))
+        .agg(count(lit(1)).as("n_probe"),
+          sum(when(col("member"), 1L).otherwise(0L)).as("n_member"),
+          sum(when(col("candidate"), 1L).otherwise(0L)).as("n_candidate"),
+          sum(when(col("candidate") && !col("member"), 1L).otherwise(0L)).as("n_false_pos"),
+          sum(when(col("member") && !col("candidate"), 1L).otherwise(0L)).as("n_false_neg"))
+    },
+
+    // Integer PageRank over the customer↔supplier trade graph, 3 damped
+    // iterations in exact scaled-integer arithmetic (floor-divided
+    // contributions, d = 85/100, scale 10^6) — every iteration is
+    // bit-identical across engines, so the CENTRALITY VALUES are
+    // hash-checked, not just the ranking.
+    Q("q_graph_pagerank",
+      """WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sup
+        |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (SELECT 'c:' || c AS src, 's:' || sup AS dst FROM e0
+        |          UNION ALL SELECT 's:' || sup, 'c:' || c FROM e0),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+        |r1 AS (SELECT n.node, 150000 + (85 * coalesce(s.m, 0)) // 100 AS rank
+        |       FROM nodes n LEFT JOIN (
+        |         SELECT e.dst AS node, sum(r.rank // d.outdeg) AS m
+        |         FROM edges e JOIN (SELECT node, 1000000 AS rank FROM nodes) r ON e.src = r.node
+        |         JOIN deg d ON e.src = d.src GROUP BY 1) s USING (node)),
+        |r2 AS (SELECT n.node, 150000 + (85 * coalesce(s.m, 0)) // 100 AS rank
+        |       FROM nodes n LEFT JOIN (
+        |         SELECT e.dst AS node, sum(r.rank // d.outdeg) AS m
+        |         FROM edges e JOIN r1 r ON e.src = r.node
+        |         JOIN deg d ON e.src = d.src GROUP BY 1) s USING (node)),
+        |r3 AS (SELECT n.node, 150000 + (85 * coalesce(s.m, 0)) // 100 AS rank
+        |       FROM nodes n LEFT JOIN (
+        |         SELECT e.dst AS node, sum(r.rank // d.outdeg) AS m
+        |         FROM edges e JOIN r2 r ON e.src = r.node
+        |         JOIN deg d ON e.src = d.src GROUP BY 1) s USING (node))
+        |SELECT node, cast(rank AS BIGINT) AS rank,
+        |       cast(row_number() OVER (ORDER BY rank DESC, node) AS int) AS rk
+        |FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin) { (s, dir) =>
+      val e0 = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sup")).distinct()
+      val edges = e0.select(concat(lit("c:"), col("c")).as("src"),
+          concat(lit("s:"), col("sup")).as("dst"))
+        .unionAll(e0.select(concat(lit("s:"), col("sup")).as("src"),
+          concat(lit("c:"), col("c")).as("dst")))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rank").desc, col("node").asc)
+      graft.operators.PageRank.ranks(edges, iterations = 3)
+        .orderBy(col("rank").desc, col("node").asc).limit(20)
+        .withColumn("rk", row_number().over(w))
+        .select(col("node"), col("rank"), col("rk"))
+        .orderBy(col("rk"))
     })
 }

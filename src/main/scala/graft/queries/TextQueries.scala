@@ -1112,6 +1112,33 @@ object TextQueries {
       BpeMerges.topMerges(t(s, dir, "documents"), k = 20).orderBy(col("rk"))
     },
 
+    // PMI collocations: adjacent-pair association scores with every
+    // factor inside the ln an exact integer count — the scores
+    // themselves hash-compare, not just the ranking.
+    Q("q_text_collocations",
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |bg AS (SELECT z[1] AS w1, z[2] AS w2
+         |       FROM (SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS z
+         |             FROM tk WHERE len(toks) >= 2)),
+         |pairs AS (SELECT w1, w2, cast(count(*) AS bigint) AS c_ab
+         |          FROM bg GROUP BY 1, 2 HAVING count(*) >= 5),
+         |uni AS (SELECT w, cast(count(*) AS bigint) AS c
+         |        FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY 1),
+         |nu AS (SELECT cast(sum(c) AS bigint) AS n_uni FROM uni),
+         |nb AS (SELECT cast(count(*) AS bigint) AS n_bi FROM bg),
+         |scored AS (
+         |  SELECT p.w1, p.w2, p.c_ab,
+         |         round(ln(p.c_ab::DOUBLE * nu.n_uni::DOUBLE * nu.n_uni::DOUBLE
+         |               / (nb.n_bi::DOUBLE * a.c::DOUBLE * b.c::DOUBLE)), 6) AS pmi
+         |  FROM pairs p JOIN uni a ON p.w1 = a.w JOIN uni b ON p.w2 = b.w
+         |  CROSS JOIN nu CROSS JOIN nb)
+         |SELECT cast(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS int) AS rk,
+         |       w1, w2, c_ab, pmi
+         |FROM scored ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin) { (s, dir) =>
+      graft.operators.Collocations.topPmi(t(s, dir, "documents"), k = 20, minCount = 5L)
+        .orderBy(col("rk"))
+    },
+
     // Corpus snapshot diff: added/removed/changed/unchanged by content
     // hash across two deterministic snapshot derivations — the daily
     // crawl-reconciliation primitive deciding what to reprocess.
@@ -1140,6 +1167,41 @@ object TextQueries {
         .agg(count(lit(1)).cast("int").as("n"),
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
         .orderBy(col("status"))
+    },
+
+    // SCD-2 history: the same two snapshot derivations folded into a
+    // row-versioned [valid_from, valid_to) history — unchanged rows
+    // stay open, changed rows close at v2 and reopen, deletions close,
+    // additions open. Every interval edge is hash-checked.
+    Q("q_source_scd2_history",
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 != 7),
+        |v2 AS (SELECT doc_id, md5(CASE WHEN doc_id % 10 = 3 THEN text || ' v2' ELSE text END) AS h
+        |       FROM documents WHERE doc_id % 10 != 5),
+        |hist1 AS (SELECT doc_id, h, 1 AS valid_from, cast(NULL AS int) AS valid_to FROM v1),
+        |j AS (SELECT coalesce(o.doc_id, s.doc_id) AS doc_id, o.h AS h, o.valid_from, s.h AS h_new
+        |      FROM hist1 o FULL OUTER JOIN v2 s ON o.doc_id = s.doc_id),
+        |still AS (SELECT doc_id, h, valid_from, cast(NULL AS int) AS valid_to
+        |          FROM j WHERE h IS NOT NULL AND h_new IS NOT NULL AND h = h_new),
+        |closedr AS (SELECT doc_id, h, valid_from, 2 AS valid_to
+        |            FROM j WHERE h IS NOT NULL AND (h_new IS NULL OR h != h_new)),
+        |opened AS (SELECT doc_id, h_new AS h, 2 AS valid_from, cast(NULL AS int) AS valid_to
+        |           FROM j WHERE h_new IS NOT NULL AND (h IS NULL OR h != h_new)),
+        |hist2 AS (SELECT * FROM still UNION ALL SELECT * FROM closedr UNION ALL SELECT * FROM opened)
+        |SELECT doc_id, h, cast(valid_from AS int) AS valid_from, valid_to,
+        |       valid_to IS NULL AS is_current
+        |FROM hist2 ORDER BY doc_id, valid_from""".stripMargin) { (s, dir) =>
+      import graft.operators.Scd2
+      val docs = t(s, dir, "documents")
+      val v1 = docs.filter(col("doc_id") % 10 =!= 7)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      val v2 = docs.filter(col("doc_id") % 10 =!= 5)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 10 === 3, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("h"))
+      Scd2.merge(Scd2.init(v1, version = 1, idCol = "doc_id"), v2,
+          version = 2, idCol = "doc_id")
+        .withColumn("is_current", col("valid_to").isNull)
+        .orderBy(col("doc_id"), col("valid_from"))
     },
 
     // Deterministic negative sampling for a contrastive training set:

@@ -928,3 +928,90 @@ class WeightedSamplerSpec extends SparkSpec {
     assert(ids(7L) != run1, "different seed should reorder the tail")
   }
 }
+
+class BloomFilterSpec extends SparkSpec {
+
+  test("no false negatives; pruned join row-identical to plain join") {
+    val s = spark; import s.implicits._
+    import graft.operators.BloomFilter
+    val dim = (1L to 200L).filter(_ % 3 == 0).toDF("k")
+    val fact = (1L to 1000L).map(i => (i % 400, i)).toDF("k", "v")
+    val bloom = BloomFilter.build(dim, "k", k = 3, mBits = 1024)
+    val flags = BloomFilter.mightContain(bloom, fact.select("k").distinct(), "k", 3, 1024)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Boolean]("candidate")).toMap
+    val members = dim.collect().map(_.getAs[Long]("k")).toSet
+    assert(members.forall(m => flags.getOrElse(m % 400, false) || !flags.contains(m)),
+      "a member key must never be rejected")
+    members.filter(flags.contains).foreach(m => assert(flags(m), s"false negative at $m"))
+    val plain = fact.join(dim, "k").orderBy($"k", $"v").collect().toSeq
+    val pruned = BloomFilter.prunedJoin(fact, dim.withColumnRenamed("k", "dk"), "k", "dk")
+      .select($"k", $"v").orderBy($"k", $"v").collect().toSeq
+    assert(pruned == plain)
+  }
+
+  test("filters built on partitions merge by word-wise OR") {
+    val s = spark; import s.implicits._
+    import graft.operators.BloomFilter
+    val a = (1L to 50L).toDF("k")
+    val b = (40L to 90L).toDF("k")
+    def words(df: org.apache.spark.sql.DataFrame) =
+      BloomFilter.build(df, "k", k = 3, mBits = 512)
+        .collect().map(r => r.getAs[Long]("widx") -> r.getAs[Long]("word")).toMap
+    val merged = (words(a).toSeq ++ words(b).toSeq)
+      .groupBy(_._1).map { case (w, v) => w -> v.map(_._2).reduce(_ | _) }
+    assert(merged == words(a.union(b)))
+  }
+}
+
+class PageRankSpec extends SparkSpec {
+
+  test("a 2-cycle is a fixed point at exactly scale; a hub outranks leaves") {
+    val s = spark; import s.implicits._
+    import graft.operators.PageRank
+    val cycle = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val r = PageRank.ranks(cycle, iterations = 4)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("a" -> 1000000L, "b" -> 1000000L))
+    // star: leaves l1..l4 <-> hub (bidirectional so every node has outdeg)
+    val star = (1 to 4).flatMap(i => Seq((s"l$i", "hub"), ("hub", s"l$i"))).toDF("src", "dst")
+    val sr = PageRank.ranks(star, iterations = 3)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(sr("hub") > sr("l1"), s"hub must dominate: $sr")
+    assert((1 to 4).map(i => sr(s"l$i")).distinct.size == 1, "leaves symmetric")
+  }
+}
+
+class CollocationsSpec extends SparkSpec {
+
+  test("a planted collocation tops the list; min support filters noise") {
+    val s = spark; import s.implicits._
+    import graft.operators.Collocations
+    val docs = ((1 to 8).map(i => (i.toLong, "new york " + s"w$i x$i y$i z$i")) :+
+      (99L, "rare pair only once here")).toDF("doc_id", "text")
+    val top = Collocations.topPmi(docs, k = 5, minCount = 5L).collect()
+    assert(top.head.getAs[String]("w1") == "new" && top.head.getAs[String]("w2") == "york")
+    assert(top.head.getAs[Long]("c_ab") == 8L)
+    assert(!top.exists(r => r.getAs[String]("w1") == "rare"), "below min support")
+    assert(top.forall(_.getAs[Double]("pmi") > 0.0))
+  }
+}
+
+class Scd2Spec extends SparkSpec {
+
+  test("change/delete/add/unchanged produce the right intervals; stable merge is a no-op") {
+    val s = spark; import s.implicits._
+    import graft.operators.Scd2
+    val v1 = Seq((1L, "h1"), (2L, "h2"), (3L, "h3")).toDF("id", "h")
+    val v2 = Seq((1L, "h1"), (2L, "h2x"), (4L, "h4")).toDF("id", "h") // 3 deleted, 4 added
+    val hist = Scd2.merge(Scd2.init(v1, 1), v2, 2)
+    val rows = hist.collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("h"),
+      r.getAs[Int]("valid_from"), Option(r.getAs[Integer]("valid_to")).map(_.toInt))).toSet
+    assert(rows == Set(
+      (1L, "h1", 1, None), (2L, "h2", 1, Some(2)), (2L, "h2x", 2, None),
+      (3L, "h3", 1, Some(2)), (4L, "h4", 2, None)))
+    // merging the identical snapshot again closes nothing
+    val again = Scd2.merge(hist, v2, 3)
+    assert(again.filter($"valid_to" === 3).count() == 0)
+    assert(again.filter($"valid_to".isNull).count() == 3)
+  }
+}

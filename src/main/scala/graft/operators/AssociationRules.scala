@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Market-basket association mining (support / confidence / lift) —
+  * the classic co-occurrence analysis over (basket, item) pairs:
+  * which items appear together more often than chance. The retail
+  * framing is canonical, but the same operator mines co-occurring
+  * tags, co-edited files, co-clicked results, or co-citation in a
+  * corpus. [[Collocations]] is the ADJACENCY version of this over
+  * token streams; here co-occurrence is set membership per basket.
+  *
+  * Determinism: support and pair counts are exact longs; confidence
+  * and lift divide those longs once at the end — hash-comparable.
+  *
+  * Scale shape (100 TB): the pair generation is a self-join ON THE
+  * BASKET KEY — each basket of size d yields d(d-1)/2 pairs and never
+  * leaves its partition group, so cost is Σd² per basket, not |items|².
+  * `maxBasket` drops degenerate mega-baskets (a basket holding half
+  * the catalog generates quadratic garbage and zero signal — the same
+  * df-cap discipline as [[SparseSimilarity]]). The min-support cut
+  * runs BEFORE the item-count joins, so only surviving pairs shuffle
+  * twice more; top-k is a TakeOrderedAndProject.
+  */
+object AssociationRules {
+
+  /** Top-`k` item pairs by lift among pairs with support ≥ `minSupport`.
+    * Output: (rk int, item_a, item_b long, c_ab long, confidence
+    * double r6 = P(b|a), lift double r6), lift-desc, ties on (a, b).
+    */
+  def topLift(df: DataFrame, basketCol: String, itemCol: String,
+      k: Int = 20, minSupport: Long = 3L, maxBasket: Int = 1000): DataFrame = {
+    val items = df.select(col(basketCol).as("o"), col(itemCol).as("p")).distinct()
+    val sized = items.groupBy(col("o")).agg(count(lit(1)).as("d"))
+      .filter(col("d") <= maxBasket).select(col("o"))
+    val li = items.join(sized, "o")
+    val nBaskets = li.agg(countDistinct(col("o")).as("n_baskets"))
+    val ci = li.groupBy(col("p")).agg(count(lit(1)).as("c"))
+    val pairs = li.select(col("o"), col("p").as("pa"))
+      .join(li.select(col("o"), col("p").as("pb")), "o")
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minSupport)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("lift").desc, col("item_a").asc, col("item_b").asc)
+    pairs
+      .join(ci.select(col("p").as("pa"), col("c").as("c_a")), "pa")
+      .join(ci.select(col("p").as("pb"), col("c").as("c_b")), "pb")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("pa").as("item_a"), col("pb").as("item_b"), col("c_ab"),
+        round(col("c_ab").cast("double") / col("c_a").cast("double"), 6).as("confidence"),
+        round(col("c_ab").cast("double") * col("n_baskets").cast("double")
+          / (col("c_a").cast("double") * col("c_b").cast("double")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("item_a").asc, col("item_b").asc).limit(k)
+      .withColumn("rk", row_number().over(w))
+      .select(col("rk"), col("item_a"), col("item_b"), col("c_ab"),
+        col("confidence"), col("lift"))
+  }
+}

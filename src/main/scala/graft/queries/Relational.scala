@@ -645,5 +645,51 @@ object Relational {
         .withColumn("rk", row_number().over(w))
         .select(col("node"), col("rank"), col("rk"))
         .orderBy(col("rk"))
+    },
+
+    // Market-basket association rules over order baskets: top pairs by
+    // lift with exact integer support counts; confidence and lift
+    // divide those longs once at the end.
+    Q("q_basket_rules",
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |n AS (SELECT cast(count(DISTINCT o) AS bigint) AS n_baskets FROM li),
+        |ci AS (SELECT p, cast(count(*) AS bigint) AS c FROM li GROUP BY 1),
+        |pairs AS (SELECT a.p AS pa, b.p AS pb, cast(count(*) AS bigint) AS c_ab
+        |          FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |          GROUP BY 1, 2 HAVING count(*) >= 3),
+        |scored AS (
+        |  SELECT pa AS item_a, pb AS item_b, c_ab,
+        |         round(c_ab::DOUBLE / ca.c::DOUBLE, 6) AS confidence,
+        |         round(c_ab::DOUBLE * n.n_baskets::DOUBLE / (ca.c::DOUBLE * cb.c::DOUBLE), 6) AS lift
+        |  FROM pairs JOIN ci ca ON pairs.pa = ca.p JOIN ci cb ON pairs.pb = cb.p CROSS JOIN n)
+        |SELECT cast(row_number() OVER (ORDER BY lift DESC, item_a, item_b) AS int) AS rk,
+        |       item_a, item_b, c_ab, confidence, lift
+        |FROM scored ORDER BY lift DESC, item_a, item_b LIMIT 20""".stripMargin) { (s, dir) =>
+      graft.operators.AssociationRules.topLift(t(s, dir, "lineitem"),
+          basketCol = "l_orderkey", itemCol = "l_partkey", k = 20, minSupport = 3L)
+        .orderBy(col("rk"))
+    },
+
+    // Incremental aggregate maintenance: Spark folds a pre-1997 base
+    // view and a 1997+ delta batch together with one full-outer merge;
+    // the ORACLE RECOMPUTES FROM SCRATCH — the hash match is the proof
+    // that incremental refresh ≡ full rebuild. Cents keep sums exact.
+    Q("q_agg_incremental_view",
+      """SELECT o_custkey,
+        |       cast(count(*) AS bigint) AS cnt,
+        |       cast(sum(cast(floor(o_totalprice * 100) AS bigint)) AS bigint) AS sm,
+        |       cast(min(cast(floor(o_totalprice * 100) AS bigint)) AS bigint) AS mn,
+        |       cast(max(cast(floor(o_totalprice * 100) AS bigint)) AS bigint) AS mx
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      import graft.operators.IncrementalAgg
+      val cents = t(s, dir, "orders").select(col("o_custkey"), col("o_orderdate"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val base = IncrementalAgg.partial(
+        cents.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+        "o_custkey", "cents")
+      val delta = IncrementalAgg.partial(
+        cents.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")),
+        "o_custkey", "cents")
+      IncrementalAgg.merge(base, delta, "o_custkey").orderBy(col("o_custkey"))
     })
 }

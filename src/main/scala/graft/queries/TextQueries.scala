@@ -1139,6 +1139,59 @@ object TextQueries {
         .orderBy(col("rk"))
     },
 
+    // Budget-constrained selection: maximal value-per-cost prefix
+    // (value = distinct tokens, cost = tokens) under a 12k-token
+    // budget — the fractional-knapsack greedy of data selection. The
+    // ratio is one division of exact longs, so the SELECTED SET
+    // replays bit-identically.
+    Q("q_sample_budget",
+      s"""WITH sc AS (SELECT doc_id,
+         |              cast(len($toksSql) AS bigint) AS cost,
+         |              cast(len(list_distinct($toksSql)) AS bigint) AS value
+         |            FROM documents),
+         |r AS (SELECT doc_id, cost, value, value::DOUBLE / cost::DOUBLE AS ratio
+         |      FROM sc WHERE cost > 0),
+         |c AS (SELECT doc_id, cost, value, ratio,
+         |             cast(sum(cost) OVER (ORDER BY ratio DESC, doc_id
+         |               ROWS UNBOUNDED PRECEDING) AS bigint) AS cum_cost
+         |      FROM r)
+         |SELECT doc_id, cost, value, round(ratio, 6) AS ratio, cum_cost
+         |FROM c WHERE cum_cost <= 12000 ORDER BY ratio DESC, doc_id""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("cost"),
+        size(array_distinct(TextFunctions.tokens(col("text")))).as("value"))
+      graft.operators.BudgetSelection.greedyPrefix(scored, "doc_id", "cost", "value",
+          budget = 12000L)
+        .orderBy(col("ratio").desc, col("doc_id"))
+    },
+
+    // Percentile-rank quality ensembling: three incomparable signals
+    // normalized to corpus percentiles and averaged — ties share a
+    // percentile by rank semantics, so the blend replays exactly.
+    Q("q_text_quality_blend",
+      s"""WITH sc AS (SELECT doc_id, cast(n_chars AS bigint) AS s_chars,
+         |              cast(len($toksSql) AS bigint) AS s_tok,
+         |              cast(len(list_distinct($toksSql)) AS bigint) AS s_distinct
+         |            FROM documents),
+         |pr AS (SELECT doc_id, s_chars, s_tok, s_distinct,
+         |              percent_rank() OVER (ORDER BY s_chars) AS p1,
+         |              percent_rank() OVER (ORDER BY s_tok) AS p2,
+         |              percent_rank() OVER (ORDER BY s_distinct) AS p3
+         |       FROM sc)
+         |SELECT doc_id, round(p1, 6) AS pr_s_chars, round(p2, 6) AS pr_s_tok,
+         |       round(p3, 6) AS pr_s_distinct, round((p1 + p2 + p3) / 3, 6) AS blend
+         |FROM pr ORDER BY blend DESC, doc_id LIMIT 25""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions
+      val sig = t(s, dir, "documents").select(col("doc_id"),
+        col("n_chars").as("s_chars"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("s_tok"),
+        size(array_distinct(TextFunctions.tokens(col("text")))).cast("long").as("s_distinct"))
+      graft.operators.QualityEnsemble.percentileBlend(sig, "doc_id",
+          Seq("s_chars", "s_tok", "s_distinct"))
+        .orderBy(col("blend").desc, col("doc_id")).limit(25)
+    },
+
     // Corpus snapshot diff: added/removed/changed/unchanged by content
     // hash across two deterministic snapshot derivations — the daily
     // crawl-reconciliation primitive deciding what to reprocess.

@@ -196,6 +196,52 @@ object Windows {
           sum(col("t3") - col("t2")).as("sum_gap23_us"))
     },
 
+    // Rolling z-score anomaly flags over hourly ingest-volume buckets:
+    // per-bucket totals are exact scaled longs, the trailing-24h
+    // moments are integer sums over a ROWS frame, and the flag derives
+    // from the ROUNDED z on both sides so the boundary is identical.
+    Q("q_events_anomaly",
+      """WITH b AS (SELECT cast(epoch_us(ts) AS bigint) // 3600000000 AS bucket,
+        |                  cast(floor(value * 1000) AS bigint) AS v FROM events),
+        |tot AS (SELECT bucket, cast(sum(v) AS bigint) AS total FROM b GROUP BY 1),
+        |roll AS (SELECT bucket, total,
+        |                count(*) OVER w AS cnt,
+        |                cast(sum(total) OVER w AS bigint) AS s1,
+        |                cast(sum(total * total) OVER w AS bigint) AS s2
+        |         FROM tot WINDOW w AS (ORDER BY bucket ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT bucket, total,
+        |             s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / 24.0 AS d2,
+        |             CASE WHEN s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / 24.0 > 0
+        |                  THEN round((total::DOUBLE - s1::DOUBLE / 24.0)
+        |                       / sqrt((s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / 24.0) / 23.0), 4)
+        |             END AS z,
+        |             s1
+        |      FROM roll WHERE cnt = 24)
+        |SELECT bucket, total, z,
+        |       CASE WHEN d2 > 0 THEN abs(z) > 3.0 ELSE total * 24 != s1 END AS is_anomaly
+        |FROM z ORDER BY bucket""".stripMargin) { (s, dir) =>
+      graft.operators.AnomalyDetection.rollingZScore(t(s, dir, "events"))
+        .orderBy(col("bucket"))
+    },
+
+    // Exponentially-decayed trending scores: each event contributes
+    // 2^-age_days, scaled to exact longs (2^40 ≡ today) so the whole
+    // score is order-free integer arithmetic — no pow(), no floats.
+    Q("q_events_trending",
+      """WITH us AS (SELECT user_id AS key, cast(epoch_us(ts) AS bigint) AS us FROM events),
+        |mx AS (SELECT max(us) AS mx_us FROM us),
+        |aged AS (SELECT key, (mx_us - us) // 86400000000 AS age FROM us CROSS JOIN mx),
+        |sc AS (SELECT key, cast(count(*) AS bigint) AS n_events,
+        |              cast(sum((1::BIGINT) << (40 - age)::INT) AS bigint) AS score
+        |       FROM aged WHERE age < 40 GROUP BY 1)
+        |SELECT cast(row_number() OVER (ORDER BY score DESC, key) AS int) AS rk,
+        |       key, n_events, score
+        |FROM sc ORDER BY score DESC, key LIMIT 20""".stripMargin) { (s, dir) =>
+      graft.operators.TrendingScore.topDecayed(t(s, dir, "events"), keyCol = "user_id",
+          k = 20, maxAgeDays = 40)
+        .orderBy(col("rk"))
+    },
+
     // Gap-based sessionization (lag + cumulative boundary sum) with a
     // per-session rollup — timestamps exported as epoch millis so both
     // engines compare integers.

@@ -1015,3 +1015,125 @@ class Scd2Spec extends SparkSpec {
     assert(again.filter($"valid_to".isNull).count() == 3)
   }
 }
+
+class AnomalyDetectionSpec extends SparkSpec {
+
+  test("a planted spike is flagged; steady traffic is not") {
+    val s = spark; import s.implicits._
+    import java.sql.Timestamp
+    // 30 hourly buckets of value 10.0, bucket 27 spikes to 100.0
+    val rows = (0 until 30).flatMap { h =>
+      val v = if (h == 27) 100.0 else 10.0
+      Seq((new Timestamp(h * 3600L * 1000L), v))
+    }
+    val df = rows.toDF("ts", "value")
+    val out = graft.operators.AnomalyDetection.rollingZScore(df, lookback = 24)
+      .collect().map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Double]("z"), r.getAs[Boolean]("is_anomaly"))).toMap
+    assert(out.size == 6, s"buckets 24..29 have a full window: $out")
+    // constant reference window: z is undefined (null -> 0.0 via getAs),
+    // the flag falls back to any departure from the constant
+    assert(out(27L)._2, s"spike not flagged: ${out(27L)}")
+    assert(!out(24L)._2 && !out(25L)._2 && !out(26L)._2)
+    // once the spike enters the window, variance > 0 and z takes over
+    assert(!out(29L)._2)
+  }
+}
+
+class AssociationRulesSpec extends SparkSpec {
+
+  test("a planted pair dominates lift; mega-baskets are dropped") {
+    val s = spark; import s.implicits._
+    import graft.operators.AssociationRules
+    // items 1,2 co-occur in 4 of 20 baskets; filler items are spread out
+    val baskets = (1 to 20).flatMap { b =>
+      val base = Seq((b.toLong, (100 + b % 7).toLong), (b.toLong, (200 + b % 5).toLong))
+      if (b <= 4) base ++ Seq((b.toLong, 1L), (b.toLong, 2L)) else base
+    }
+    val df = baskets.toDF("o", "p")
+    val top = AssociationRules.topLift(df, "o", "p", k = 5, minSupport = 3L)
+    val head = top.orderBy(col("rk")).collect().head
+    assert((head.getAs[Long]("item_a"), head.getAs[Long]("item_b")) == (1L, 2L))
+    assert(head.getAs[Long]("c_ab") == 4L)
+    assert(head.getAs[Double]("confidence") == 1.0) // P(2|1): 1 only ever with 2
+    assert(head.getAs[Double]("lift") == 5.0)       // 4*20/(4*4)
+    // a basket over maxBasket contributes nothing
+    val withMega = df.union((1 to 50).map(i => (99L, 1000L + i)).toDF("o", "p"))
+    val t2 = AssociationRules.topLift(withMega, "o", "p", k = 5, minSupport = 3L,
+      maxBasket = 10)
+    assert(!t2.collect().exists(_.getAs[Long]("item_a") >= 1000L))
+  }
+}
+
+class BudgetSelectionSpec extends SparkSpec {
+
+  test("prefix respects the budget and prefers high value-per-cost") {
+    val s = spark; import s.implicits._
+    import graft.operators.BudgetSelection
+    val df = Seq((1L, 10L, 100L), (2L, 10L, 90L), (3L, 10L, 80L), (4L, 10L, 10L))
+      .toDF("id", "cost", "value")
+    val sel = BudgetSelection.greedyPrefix(df, "id", "cost", "value", budget = 25L)
+      .orderBy(col("id")).collect()
+    assert(sel.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L), "only two fit in 25")
+    assert(sel.last.getAs[Long]("cum_cost") == 20L)
+    val all = BudgetSelection.greedyPrefix(df, "id", "cost", "value", budget = 1000L)
+    assert(all.count() == 4)
+    assert(BudgetSelection.greedyPrefix(df, "id", "cost", "value", budget = 5L).count() == 0)
+  }
+}
+
+class IncrementalAggSpec extends SparkSpec {
+
+  test("merge of disjoint batches equals full recompute; empty sides pass through") {
+    val s = spark; import s.implicits._
+    import graft.operators.IncrementalAgg
+    val all = Seq((1L, 10L), (1L, 20L), (2L, 5L), (3L, 7L), (3L, -2L)).toDF("k", "v")
+    val a = IncrementalAgg.partial(all.filter($"v" >= 5), "k", "v")
+    val b = IncrementalAgg.partial(all.filter($"v" < 5), "k", "v")
+    val merged = IncrementalAgg.merge(a, b, "k").orderBy($"k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val full = IncrementalAgg.partial(all, "k", "v").orderBy($"k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(merged.toSeq == full.toSeq)
+    // key 2 only exists in batch a — the full-outer merge must keep it intact
+    assert(merged.find(_._1 == 2L).get == (2L, 1L, 5L, 5L, 5L))
+  }
+}
+
+class TrendingScoreSpec extends SparkSpec {
+
+  test("fresh activity outranks heavier stale activity; old events weigh zero") {
+    val s = spark; import s.implicits._
+    import java.sql.Timestamp
+    val day = 86400L * 1000L
+    // user 1: one event today; user 2: three events 10 days ago;
+    // user 3: a thousand events 50 days ago (outside the horizon)
+    val rows = Seq((1L, new Timestamp(60 * day))) ++
+      Seq.fill(3)((2L, new Timestamp(50 * day))) ++
+      (1 to 1000).map(_ => (3L, new Timestamp(10 * day)))
+    val out = graft.operators.TrendingScore.topDecayed(
+        rows.toDF("user_id", "ts"), keyCol = "user_id", k = 10, maxAgeDays = 40)
+      .collect().map(r => r.getAs[Long]("key") -> r.getAs[Long]("score")).toMap
+    assert(out(1L) == (1L << 40), s"today's event is weight 1.0: $out")
+    assert(out(2L) == 3L * (1L << 30), "10-day-old events decay 2^-10")
+    assert(out(1L) > out(2L))
+    assert(!out.contains(3L), "events past the horizon weigh exactly zero")
+  }
+}
+
+class QualityEnsembleSpec extends SparkSpec {
+
+  test("ties share a percentile; blend averages the signals") {
+    val s = spark; import s.implicits._
+    import graft.operators.QualityEnsemble
+    val df = Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 30L, 300L))
+      .toDF("id", "a", "b")
+    val out = QualityEnsemble.percentileBlend(df, "id", Seq("a", "b"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("pr_a"), r.getAs[Double]("pr_b"), r.getAs[Double]("blend"))).toMap
+    assert(out(1L)._1 == 0.0 && out(2L)._1 == 0.0, "tied signal a shares percentile 0")
+    assert(out(3L)._1 == 1.0)
+    assert(out(1L)._2 == 0.0 && out(2L)._2 == 0.5 && out(3L)._2 == 1.0)
+    assert(out(2L)._3 == 0.25 && out(3L)._3 == 1.0)
+  }
+}

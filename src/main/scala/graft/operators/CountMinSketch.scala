@@ -39,6 +39,21 @@ object CountMinSketch {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Join-cardinality estimate from two sketches over the SAME hash
+    * family: the CMS inner product — Σ_cells a·b per row, min over
+    * rows — upper-bounds |A ⋈ B| on the sketched key (Cormode &
+    * Muthukrishnan §4.2). This is the classic sketch-based join-size
+    * estimator: planners compare it against broadcast thresholds
+    * WITHOUT touching either table. All integer arithmetic.
+    * Output: one row (est_join_size long).
+    */
+  def innerProduct(sketchA: DataFrame, sketchB: DataFrame): DataFrame = {
+    val b = sketchB.select(col("j"), col("bucket"), col("cnt").as("cnt2"))
+    sketchA.join(b, Seq("j", "bucket"))
+      .groupBy(col("j")).agg(sum(col("cnt") * col("cnt2")).as("est"))
+      .agg(min(col("est")).as("est_join_size"))
+  }
+
   /** Point-estimate each probe key against a built sketch: min over the
     * key's depth cells; a key addressing an absent cell estimates 0.
     * The sketch side is broadcast — it is ≤ depth·width rows by

@@ -54,4 +54,15 @@ object Scd2 {
   def init(snapshot: DataFrame, version: Int, idCol: String = "id"): DataFrame =
     snapshot.select(col(idCol), col("h"), lit(version).as("valid_from"),
       lit(null).cast("int").as("valid_to"))
+
+  /** Point-in-time read: the rows valid AT `version` — the
+    * "as-of day X" reconstruction that makes the history useful. A
+    * partition filter on valid_from plus the open-interval predicate;
+    * at scale the history's id-bucketing makes this exchange-free
+    * into a downstream join.
+    */
+  def snapshotAt(history: DataFrame, version: Int, idCol: String = "id"): DataFrame =
+    history.filter(col("valid_from") <= version &&
+        (col("valid_to").isNull || col("valid_to") > version))
+      .select(col(idCol), col("h"))
 }

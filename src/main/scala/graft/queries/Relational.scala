@@ -691,5 +691,194 @@ object Relational {
         cents.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")),
         "o_custkey", "cents")
       IncrementalAgg.merge(base, delta, "o_custkey").orderBy(col("o_custkey"))
+    },
+
+    // Triangle listing on the part co-occurrence graph (support >= 2):
+    // ordered edges u < v make each triangle appear exactly once as
+    // (a,b)(b,c)(a,c) — the full triangle list is hash-checked.
+    Q("q_graph_triangles",
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT a.p AS u, b.p AS v FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |        FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT a, b, c FROM tri ORDER BY a, b, c""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val e = li.select(col("o"), col("p").as("u"))
+        .join(li.select(col("o"), col("p").as("v")), "o")
+        .filter(col("u") < col("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2).select(col("u"), col("v"))
+      graft.operators.Triangles.listTriangles(e).orderBy(col("a"), col("b"), col("c"))
+    },
+
+    // Blocked fuzzy entity resolution: multi-attribute entity strings,
+    // a (first-word, size) blocking key, levenshtein <= 2 gate, best
+    // match per dirty record — the full match list is hash-checked.
+    Q("q_er_match",
+      """WITH ent AS (SELECT p_partkey AS id,
+        |               p_name || ' ' || p_brand || ' ' || p_type || ' sz' || p_size AS name,
+        |               string_split(p_name, ' ')[1] AS blk1, p_size AS blk2
+        |             FROM part),
+        |dirty AS (SELECT id AS d_id, substr(name, 1, len(name) - 1) AS d_name, blk1, blk2
+        |          FROM ent WHERE id % 7 = 3),
+        |blocked AS (SELECT d.d_id, d.d_name, c.id AS c_id, c.name AS c_name
+        |            FROM dirty d JOIN ent c USING (blk1, blk2)),
+        |scored AS (SELECT d_id, c_id, levenshtein(d_name, c_name) AS lev
+        |           FROM blocked WHERE levenshtein(d_name, c_name) <= 2),
+        |best AS (SELECT d_id, c_id, cast(lev AS int) AS lev,
+        |                row_number() OVER (PARTITION BY d_id ORDER BY lev, c_id) AS rn
+        |         FROM scored)
+        |SELECT d_id, c_id, lev FROM best WHERE rn = 1 ORDER BY d_id""".stripMargin) { (s, dir) =>
+      val ent = t(s, dir, "part").select(col("p_partkey").as("id"),
+        concat_ws(" ", col("p_name"), col("p_brand"), col("p_type"),
+          concat(lit("sz"), col("p_size"))).as("name"),
+        element_at(split(col("p_name"), " "), 1).as("blk1"), col("p_size").as("blk2"))
+      val dirty = ent.filter(col("id") % 7 === 3)
+        .select(col("id"), expr("substr(name, 1, length(name) - 1)").as("name"),
+          col("blk1"), col("blk2"))
+      graft.operators.EntityResolution.resolve(dirty, ent,
+          blockCols = Seq("blk1", "blk2"), maxDistance = 2)
+        .orderBy(col("d_id"))
+    },
+
+    // One-pass table profile: per-column null/distinct counts and
+    // typed min/max rendered to strings — the ingest data-quality
+    // snapshot.
+    Q("q_diag_profile",
+      """WITH p AS (
+        |  SELECT 1 AS ord, 'o_orderkey' AS "column", count(*) AS n_rows,
+        |         count(*) - count(o_orderkey) AS n_null, count(DISTINCT o_orderkey) AS n_distinct,
+        |         min(o_orderkey)::VARCHAR AS min_s, max(o_orderkey)::VARCHAR AS max_s FROM orders
+        |  UNION ALL
+        |  SELECT 2, 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+        |         count(DISTINCT o_orderstatus), min(o_orderstatus), max(o_orderstatus) FROM orders
+        |  UNION ALL
+        |  SELECT 3, 'o_totalprice', count(*), count(*) - count(o_totalprice),
+        |         count(DISTINCT o_totalprice), min(o_totalprice)::VARCHAR, max(o_totalprice)::VARCHAR FROM orders
+        |  UNION ALL
+        |  SELECT 4, 'o_orderdate', count(*), count(*) - count(o_orderdate),
+        |         count(DISTINCT o_orderdate), min(o_orderdate)::VARCHAR, max(o_orderdate)::VARCHAR FROM orders)
+        |SELECT cast(ord AS int) AS ord, "column", cast(n_rows AS bigint) AS n_rows,
+        |       cast(n_null AS bigint) AS n_null, cast(n_distinct AS bigint) AS n_distinct,
+        |       min_s, max_s
+        |FROM p ORDER BY ord""".stripMargin) { (s, dir) =>
+      graft.operators.TableProfiler.profile(t(s, dir, "orders"),
+          Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"))
+        .orderBy(col("ord"))
+    },
+
+    // Sketch-based join-size estimation (CMS inner product): the
+    // planner-side estimate vs the true join cardinality, neither
+    // table ever joined to the other to produce the estimate.
+    Q("q_diag_join_size",
+      """WITH js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+        |ca AS (SELECT j, ('0x' || substr(md5(j || ':' || l_orderkey), 1, 15))::BIGINT % 65536 AS bucket,
+        |              count(*) AS cnt
+        |       FROM lineitem CROSS JOIN js GROUP BY 1, 2),
+        |cb AS (SELECT j, ('0x' || substr(md5(j || ':' || o_orderkey), 1, 15))::BIGINT % 65536 AS bucket,
+        |              count(*) AS cnt
+        |       FROM orders CROSS JOIN js GROUP BY 1, 2),
+        |ip AS (SELECT ca.j, cast(sum(ca.cnt * cb.cnt) AS bigint) AS est
+        |       FROM ca JOIN cb ON ca.j = cb.j AND ca.bucket = cb.bucket GROUP BY 1),
+        |exact AS (SELECT cast(count(*) AS bigint) AS true_size
+        |          FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT cast(min(est) AS bigint) AS est_join_size, max(true_size) AS true_join_size
+        |FROM ip CROSS JOIN exact""".stripMargin) { (s, dir) =>
+      import graft.operators.CountMinSketch
+      val est = CountMinSketch.innerProduct(
+        CountMinSketch.build(t(s, dir, "lineitem"), "l_orderkey", depth = 4, width = 65536),
+        CountMinSketch.build(t(s, dir, "orders"), "o_orderkey", depth = 4, width = 65536))
+      val exact = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("true_join_size"))
+      est.crossJoin(exact)
+    },
+
+    // Islands & gaps: contiguous runs of present keys (row_number
+    // difference grouping) — the sequence-completeness audit for
+    // ingest ids and date spines.
+    Q("q_diag_islands",
+      """WITH k AS (SELECT DISTINCT o_orderkey AS id FROM orders WHERE o_orderkey % 997 != 3),
+        |g AS (SELECT id, id - row_number() OVER (ORDER BY id) AS grp FROM k),
+        |isl AS (SELECT min(id) AS island_start, max(id) AS island_end,
+        |               cast(count(*) AS bigint) AS n
+        |        FROM g GROUP BY grp)
+        |SELECT cast(row_number() OVER (ORDER BY island_start) AS int) AS rk,
+        |       island_start, island_end, n
+        |FROM isl ORDER BY island_start""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+      val w2 = org.apache.spark.sql.expressions.Window.orderBy(col("island_start"))
+      t(s, dir, "orders").filter(col("o_orderkey") % 997 =!= 3)
+        .select(col("o_orderkey").as("id")).distinct()
+        .withColumn("grp", col("id") - row_number().over(w))
+        .groupBy(col("grp"))
+        .agg(min(col("id")).as("island_start"), max(col("id")).as("island_end"),
+          count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(w2))
+        .select(col("rk"), col("island_start"), col("island_end"), col("n"))
+        .orderBy(col("island_start"))
+    },
+
+    // GROUPING SETS with grouping_id: three aggregation granularities
+    // in one pass, null group keys disambiguated by the grouping id.
+    Q("q_agg_grouping_sets",
+      """SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
+        |       coalesce(l_linestatus, '<all>') AS l_linestatus,
+        |       cast(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS int) AS gid,
+        |       cast(sum(cast(floor(l_quantity * 100) AS bigint)) AS bigint) AS qty_cents,
+        |       cast(count(*) AS bigint) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      li.groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("int").as("gid"),
+          sum(floor(col("l_quantity") * 100).cast("long")).as("qty_cents"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("<all>")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("l_linestatus"),
+          col("gid"), col("qty_cents"), col("n"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // Unpivot (wide → long) plus order-deterministic string_agg — the
+    // reshaping pair every reporting layer needs.
+    Q("q_reshape_unpivot",
+      """WITH wide AS (SELECT l_returnflag,
+        |                     cast(sum(cast(floor(l_quantity * 100) AS bigint)) AS bigint) AS qty_cents,
+        |                     cast(sum(cast(floor(l_extendedprice * 100) AS bigint)) AS bigint) AS price_cents,
+        |                     cast(count(*) AS bigint) AS n_rows
+        |              FROM lineitem GROUP BY 1),
+        |long AS (SELECT l_returnflag, 'qty_cents' AS measure, qty_cents AS value FROM wide
+        |         UNION ALL
+        |         SELECT l_returnflag, 'price_cents', price_cents FROM wide
+        |         UNION ALL
+        |         SELECT l_returnflag, 'n_rows', n_rows FROM wide)
+        |SELECT l_returnflag, measure, value
+        |FROM long ORDER BY l_returnflag, measure""".stripMargin) { (s, dir) =>
+      val wide = t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(sum(floor(col("l_quantity") * 100).cast("long")).as("qty_cents"),
+          sum(floor(col("l_extendedprice") * 100).cast("long")).as("price_cents"),
+          count(lit(1)).as("n_rows"))
+      wide.unpivot(Array(col("l_returnflag")),
+          Array(col("qty_cents"), col("price_cents"), col("n_rows")), "measure", "value")
+        .orderBy(col("l_returnflag"), col("measure"))
+    },
+
+    // Order-deterministic string aggregation: sorted-distinct list so
+    // the concatenation is engine- and partitioning-independent.
+    Q("q_agg_stringagg",
+      """SELECT o_orderpriority,
+        |       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+        |       cast(count(*) AS bigint) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").groupBy(col("o_orderpriority"))
+        .agg(concat_ws(",", array_sort(collect_set(col("o_orderstatus")))).as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
     })
 }

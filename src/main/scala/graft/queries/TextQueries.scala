@@ -1257,6 +1257,34 @@ object TextQueries {
         .orderBy(col("doc_id"), col("valid_from"))
     },
 
+    // SCD-2 point-in-time reads: Spark reconstructs BOTH versions from
+    // the built history (init + merge + snapshotAt); the oracle
+    // recomputes each version directly from the source — the hash
+    // match proves the history round-trips.
+    Q("q_source_scd2_asof",
+      """WITH v1 AS (SELECT 1 AS v, doc_id, md5(text) AS h FROM documents
+        |            WHERE doc_id % 10 != 7),
+        |v2 AS (SELECT 2 AS v, doc_id, md5(CASE WHEN doc_id % 10 = 3 THEN text || ' v2' ELSE text END) AS h
+        |       FROM documents WHERE doc_id % 10 != 5)
+        |SELECT cast(v AS int) AS v, doc_id, h
+        |FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+        |ORDER BY v, doc_id""".stripMargin) { (s, dir) =>
+      import graft.operators.Scd2
+      val docs = t(s, dir, "documents")
+      val v1 = docs.filter(col("doc_id") % 10 =!= 7)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      val v2 = docs.filter(col("doc_id") % 10 =!= 5)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 10 === 3, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("h"))
+      val hist = Scd2.merge(Scd2.init(v1, version = 1, idCol = "doc_id"), v2,
+        version = 2, idCol = "doc_id")
+      Scd2.snapshotAt(hist, 1, "doc_id").withColumn("v", lit(1))
+        .unionByName(Scd2.snapshotAt(hist, 2, "doc_id").withColumn("v", lit(2)))
+        .select(col("v"), col("doc_id"), col("h"))
+        .orderBy(col("v"), col("doc_id"))
+    },
+
     // Deterministic negative sampling for a contrastive training set:
     // hash-sliced candidates, broadcast query set, top-k per query.
     Q("q_sample_negatives",

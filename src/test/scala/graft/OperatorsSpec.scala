@@ -1137,3 +1137,78 @@ class QualityEnsembleSpec extends SparkSpec {
     assert(out(2L)._3 == 0.25 && out(3L)._3 == 1.0)
   }
 }
+
+class TrianglesSpec extends SparkSpec {
+
+  test("counts a known graph exactly once per triangle") {
+    val s = spark; import s.implicits._
+    // K4 on {1,2,3,4} (4 triangles) plus a pendant edge (no new ones)
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("u", "v")
+    val tri = graft.operators.Triangles.listTriangles(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(tri == Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+  }
+}
+
+class EntityResolutionSpec extends SparkSpec {
+
+  test("matches within blocks only, gates on distance, keeps the best") {
+    val s = spark; import s.implicits._
+    import graft.operators.EntityResolution
+    val clean = Seq((1L, "alpha widget", "a"), (2L, "alpha widgek", "a"),
+      (3L, "alpha gadget", "a"), (4L, "alpha widget", "b")).toDF("id", "name", "blk")
+    val dirty = Seq((10L, "alpha widge", "a")).toDF("id", "name", "blk")
+    val m = EntityResolution.resolve(dirty, clean, Seq("blk"), maxDistance = 2)
+      .collect().map(r => (r.getAs[Long]("d_id"), r.getAs[Long]("c_id"), r.getAs[Int]("lev")))
+    // 1 and 2 are both lev 1; tie breaks to the lower id. 4 is in
+    // another block despite the identical name; 3 is gated out (lev 4).
+    assert(m.toSeq == Seq((10L, 1L, 1)))
+  }
+}
+
+class TableProfilerSpec extends SparkSpec {
+
+  test("profiles nulls, distincts and typed min/max in one pass") {
+    val s = spark; import s.implicits._
+    val df = Seq((Some(3L), "b"), (None, "a"), (Some(1L), "b")).toDF("x", "y")
+    val p = graft.operators.TableProfiler.profile(df, Seq("x", "y"))
+      .collect().map(r => r.getAs[String]("column") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_null"), r.getAs[Long]("n_distinct"),
+          r.getAs[String]("min_s"), r.getAs[String]("max_s"))).toMap
+    assert(p("x") == (3L, 1L, 2L, "1", "3"))
+    assert(p("y") == (3L, 0L, 2L, "a", "b"))
+  }
+}
+
+class Scd2AsOfSpec extends SparkSpec {
+
+  test("snapshotAt reconstructs each version from the history") {
+    val s = spark; import s.implicits._
+    import graft.operators.Scd2
+    val v1 = Seq((1L, "h1"), (2L, "h2")).toDF("id", "h")
+    val v2 = Seq((1L, "h1x"), (3L, "h3")).toDF("id", "h")
+    val hist = Scd2.merge(Scd2.init(v1, 1), v2, 2)
+    def snap(v: Int) = Scd2.snapshotAt(hist, v)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("h")).toMap
+    assert(snap(1) == Map(1L -> "h1", 2L -> "h2"))
+    assert(snap(2) == Map(1L -> "h1x", 3L -> "h3"))
+  }
+}
+
+class CmsInnerProductSpec extends SparkSpec {
+
+  test("inner product upper-bounds the true join size, exactly with no collisions") {
+    val s = spark; import s.implicits._
+    import graft.operators.CountMinSketch
+    val a = Seq(1L, 1L, 2L, 3L).toDF("k")   // counts: 1->2, 2->1, 3->1
+    val b = Seq(1L, 2L, 2L, 9L).toDF("k")   // counts: 1->1, 2->2, 9->1
+    // true join size = 2*1 + 1*2 = 4
+    def est(width: Int) = CountMinSketch.innerProduct(
+        CountMinSketch.build(a, "k", depth = 3, width = width),
+        CountMinSketch.build(b, "k", depth = 3, width = width))
+      .collect().head.getAs[Long]("est_join_size")
+    assert(est(4096) == 4L, "wide sketch: exact")
+    assert(est(2) >= 4L, "narrow sketch: still an upper bound")
+  }
+}

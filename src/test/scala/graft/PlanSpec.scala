@@ -199,4 +199,41 @@ class PlanSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), "grid generation must not shuffle:\n" + p)
   }
+
+  test("bloom probe broadcasts the constant-size word table, never the fact side") {
+    val p = plan("q_join_bloom_prune")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "bloom words must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      "probe side must not sort-merge against the words:\n" + p)
+  }
+
+  test("trending top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_events_trending")
+    assert(p.contains("TakeOrderedAndProject"), "trending must take-ordered:\n" + p)
+  }
+
+  test("collocation top-k plans TakeOrderedAndProject; scalars broadcast") {
+    val p = plan("q_text_collocations")
+    assert(p.contains("TakeOrderedAndProject"), "PMI top-k must take-ordered:\n" + p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoop"),
+      "n_uni/n_bi scalars must broadcast:\n" + p)
+  }
+
+  test("incremental view merge is one full-outer join, no re-aggregation of history") {
+    val p = plan("q_agg_incremental_view")
+    assert(p.contains("FullOuter") || p.contains("full_outer") || p.contains("FullOuterJoin")
+      || p.toLowerCase.contains("fullouter"), "merge must full-outer join:\n" + p)
+  }
+
+  test("budget selection sorts three narrow columns only (no payload in the sort)") {
+    val df = SparkEntry.queries("q_sample_budget")(spark, TestSpark.sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    // the scan-side Project must compute the signals and DROP text
+    // before the exchange: no Sort/Exchange line may reference it
+    val heavy = p.linesIterator.filter(l =>
+      l.contains("Sort [") || l.contains("Exchange")).mkString("\n")
+    assert(heavy.nonEmpty && !heavy.contains("text#"),
+      "the document payload must be pruned before the sort:\n" + p)
+  }
 }

@@ -242,6 +242,24 @@ object Windows {
         .orderBy(col("rk"))
     },
 
+    // First-order event transition matrix: next-event counts and
+    // row-normalized probabilities per user sequence, (ts, event_id)
+    // tie order so the lead() replays identically.
+    Q("q_events_transitions",
+      """WITH e AS (SELECT user_id, event_type, cast(epoch_us(ts) AS bigint) AS us, event_id
+        |           FROM events),
+        |nx AS (SELECT user_id, event_type AS cur,
+        |              lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nxt
+        |       FROM e),
+        |c AS (SELECT cur, nxt, cast(count(*) AS bigint) AS n
+        |      FROM nx WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT cur, cast(sum(n) AS bigint) AS t FROM c GROUP BY 1)
+        |SELECT c.cur, c.nxt, c.n, round(c.n::DOUBLE / tot.t::DOUBLE, 6) AS p
+        |FROM c JOIN tot USING (cur) ORDER BY cur, nxt""".stripMargin) { (s, dir) =>
+      graft.operators.Transitions.matrix(t(s, dir, "events"))
+        .orderBy(col("cur"), col("nxt"))
+    },
+
     // Gap-based sessionization (lag + cumulative boundary sum) with a
     // per-session rollup — timestamps exported as epoch millis so both
     // engines compare integers.

@@ -1212,3 +1212,21 @@ class CmsInnerProductSpec extends SparkSpec {
     assert(est(2) >= 4L, "narrow sketch: still an upper bound")
   }
 }
+
+class TransitionsSpec extends SparkSpec {
+
+  test("counts ordered next-events per user; rows normalize to 1") {
+    val s = spark; import s.implicits._
+    import java.sql.Timestamp
+    // user 1: a -> b -> a ; user 2: a -> b  => a->b x2, b->a x1
+    val rows = Seq(
+      (1L, "a", new Timestamp(1000L), 1L), (1L, "b", new Timestamp(2000L), 2L),
+      (1L, "a", new Timestamp(3000L), 3L),
+      (2L, "a", new Timestamp(1000L), 4L), (2L, "b", new Timestamp(2000L), 5L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val m = graft.operators.Transitions.matrix(rows)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("p"))).toMap
+    assert(m == Map(("a", "b") -> (2L, 1.0), ("b", "a") -> (1L, 1.0)))
+  }
+}

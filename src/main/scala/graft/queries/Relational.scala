@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{CountMinSketch, QuantileBinning, RangeJoin, SaltedJoin}
+import graft.operators.{CountMinSketch, IntervalJoin, QuantileBinning, RangeJoin, SaltedJoin}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -880,5 +880,38 @@ object Relational {
         .agg(concat_ws(",", array_sort(collect_set(col("o_orderstatus")))).as("statuses"),
           count(lit(1)).as("n"))
         .orderBy(col("o_orderpriority"))
+    },
+
+    // X85 interval overlap join: signup windows × error windows (each
+    // event opens a [ts, ts + value·1s] window). The oracle states the
+    // raw quadratic overlap predicate; the Spark side runs the bucketed
+    // equi-join (IntervalJoin) — same pairs, no cartesian.
+    Q("q_join_interval_overlap",
+      """WITH s AS (SELECT event_id AS s_id, cast(epoch_us(ts) AS bigint) AS s_start,
+        |                  cast(epoch_us(ts) AS bigint)
+        |                    + CAST(round(value * 1000000) AS BIGINT) AS s_end
+        |           FROM events WHERE event_type = 'signup'),
+        |e AS (SELECT event_id AS e_id, cast(epoch_us(ts) AS bigint) AS e_start,
+        |             cast(epoch_us(ts) AS bigint)
+        |               + CAST(round(value * 1000000) AS BIGINT) AS e_end
+        |      FROM events WHERE event_type = 'error')
+        |SELECT s_id, e_id, cast((least(s_end, e_end) - greatest(s_start, e_start)) AS bigint)
+        |         AS overlap_us
+        |FROM s JOIN e ON s_start <= e_end AND e_start <= s_end
+        |ORDER BY s_id, e_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      def side(typ: String, id: String, st: String, en: String): DataFrame =
+        ev.filter(col("event_type") === typ)
+          .select(col("event_id").as(id), unix_micros(col("ts")).as(st),
+            (unix_micros(col("ts")) +
+              round(col("value") * 1000000).cast("long")).as(en))
+      IntervalJoin.overlap(
+          side("signup", "s_id", "s_start", "s_end"),
+          side("error", "e_id", "e_start", "e_end"),
+          "s_start", "s_end", "e_start", "e_end")
+        .select(col("s_id"), col("e_id"),
+          (least(col("s_end"), col("e_end")) -
+            greatest(col("s_start"), col("e_start"))).as("overlap_us"))
+        .orderBy(col("s_id"), col("e_id"))
     })
 }

@@ -1230,3 +1230,44 @@ class TransitionsSpec extends SparkSpec {
     assert(m == Map(("a", "b") -> (2L, 1.0), ("b", "a") -> (1L, 1.0)))
   }
 }
+
+class IntervalJoinSpec extends SparkSpec {
+
+  test("bucketed overlap equals the naive quadratic join, once per pair") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7)
+    // intervals longer and shorter than the bucket, negative starts, and
+    // zero-length points — every explode/dedup edge in one fixture
+    val left = Seq.tabulate(300) { i =>
+      val st = rnd.nextInt(20000).toLong - 5000L
+      (i.toLong, st, st + rnd.nextInt(900))
+    }.toDF("lid", "ls", "le")
+    val right = Seq.tabulate(250) { i =>
+      val st = rnd.nextInt(20000).toLong - 5000L
+      (i.toLong, st, st + rnd.nextInt(900))
+    }.toDF("rid", "rs", "re")
+    val fast = IntervalJoin.overlap(left, right, "ls", "le", "rs", "re", bucketUs = 256L)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val naive = left.join(right, col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(naive.nonEmpty)
+    assert(fast.length == fast.distinct.length, "a pair must be emitted exactly once")
+    assert(fast.sorted.toSeq == naive.sorted.toSeq)
+  }
+
+  test("plan is an equi-join on the bucket, not a cartesian") {
+    val s = spark; import s.implicits._
+    val l = Seq((1L, 0L, 10L)).toDF("lid", "ls", "le")
+    val r = Seq((1L, 5L, 15L)).toDF("rid", "rs", "re")
+    val plan = IntervalJoin.overlap(l, r, "ls", "le", "rs", "re", bucketUs = 8L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"), plan)
+  }
+
+  test("start > end rows are dropped, not exploded into a negative sequence") {
+    val s = spark; import s.implicits._
+    val l = Seq((1L, 10L, 0L)).toDF("lid", "ls", "le")
+    val r = Seq((1L, 0L, 100L)).toDF("rid", "rs", "re")
+    assert(IntervalJoin.overlap(l, r, "ls", "le", "rs", "re", bucketUs = 8L).count() == 0)
+  }
+}

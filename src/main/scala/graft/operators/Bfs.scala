@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Bounded-depth breadth-first search: the hop distance from a seed set
+  * to every node reachable in ≤ k hops — "blast radius" queries over a
+  * dependency/link graph, influence neighborhoods, and the propagation
+  * half of label-spreading — the graph primitive next to [[PageRank]]
+  * (global importance), [[Triangles]] (local density) and
+  * `Dedup.connectedComponents` (full closure).
+  *
+  * 100 TB design: per hop, ONE equi-join of the (deduped, tiny) frontier
+  * against the edge table on the source key plus an anti-join against
+  * the visited set — both hash joins on node ids; the frontier usually
+  * broadcasts. The frontier shrinks geometrically once the neighborhood
+  * saturates, and depth is bounded (k is small by use-case), so lineage
+  * stays shallow — no checkpoint machinery needed, unlike the
+  * fixed-point closure in connectedComponents. Per-round frontiers are
+  * persisted (each is consumed twice); `kHopReleasable` exposes the
+  * unpersist for long-lived sessions.
+  */
+object Bfs {
+
+  /** (node, dist) for every node within `maxHops` of `seeds`, dist =
+    * minimum hop count (seeds at 0). `edges` is DIRECTED with columns
+    * (src, dst) — pass the symmetric union for an undirected walk.
+    */
+  def kHop(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+      srcCol: String = "src", dstCol: String = "dst",
+      nodeCol: String = "node"): DataFrame =
+    kHopReleasable(edges, seeds, maxHops, srcCol, dstCol, nodeCol)._1
+
+  /** [[kHop]] plus a thunk that unpersists the per-round frontiers once
+    * the result has been materialized.
+    */
+  def kHopReleasable(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+      srcCol: String = "src", dstCol: String = "dst",
+      nodeCol: String = "node"): (DataFrame, () => Unit) = {
+    require(maxHops >= 0, s"maxHops=$maxHops must be >= 0")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    var frontier = seeds.select(col(nodeCol).cast("long").as("node")).distinct()
+      .withColumn("dist", lit(0))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rounds = scala.collection.mutable.ArrayBuffer(frontier)
+    var visited = frontier
+    for (d <- 1 to maxHops) {
+      // first visit = min dist: the anti-join keeps only unseen nodes,
+      // so a node's dist is stamped at the earliest hop that reaches it
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("dist", lit(d))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      rounds += next
+      visited = visited.union(next)
+      frontier = next
+    }
+    (visited, () => rounds.foreach(_.unpersist()))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{CountMinSketch, IntervalJoin, QuantileBinning, RangeJoin, SaltedJoin}
+import graft.operators.{Bfs, CountMinSketch, IntervalJoin, QuantileBinning, RangeJoin, SaltedJoin}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -913,5 +913,62 @@ object Relational {
           (least(col("s_end"), col("e_end")) -
             greatest(col("s_start"), col("e_start"))).as("overlap_us"))
         .orderBy(col("s_id"), col("e_id"))
+    },
+
+    // X88 pairwise Pearson correlation matrix over the fact numerics in
+    // ONE aggregate pass (six co-moment aggregates fused in a single
+    // scan, no per-pair jobs), unpivoted to long form.
+    Q("q_diag_correlations",
+      """WITH a AS (SELECT
+        |  round(corr(l_quantity, l_extendedprice), 6) AS c1,
+        |  round(corr(l_quantity, l_discount), 6) AS c2,
+        |  round(corr(l_quantity, l_tax), 6) AS c3,
+        |  round(corr(l_extendedprice, l_discount), 6) AS c4,
+        |  round(corr(l_extendedprice, l_tax), 6) AS c5,
+        |  round(corr(l_discount, l_tax), 6) AS c6,
+        |  count(*) AS n FROM lineitem)
+        |SELECT 'l_quantity__l_extendedprice' AS pair, c1 AS r, cast(n AS bigint) AS n FROM a
+        |UNION ALL SELECT 'l_quantity__l_discount', c2, cast(n AS bigint) FROM a
+        |UNION ALL SELECT 'l_quantity__l_tax', c3, cast(n AS bigint) FROM a
+        |UNION ALL SELECT 'l_extendedprice__l_discount', c4, cast(n AS bigint) FROM a
+        |UNION ALL SELECT 'l_extendedprice__l_tax', c5, cast(n AS bigint) FROM a
+        |UNION ALL SELECT 'l_discount__l_tax', c6, cast(n AS bigint) FROM a
+        |ORDER BY pair""".stripMargin) { (s, dir) =>
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for { i <- cols.indices; j <- i + 1 until cols.length }
+        yield (cols(i), cols(j))
+      val aggCols = pairs.map { case (a, b) =>
+        round(corr(col(a), col(b)), 6).as(s"${a}__$b")
+      } :+ count(lit(1)).as("n")
+      t(s, dir, "lineitem").agg(aggCols.head, aggCols.tail: _*)
+        .unpivot(Array(col("n")),
+          pairs.map { case (a, b) => col(s"${a}__$b") }.toArray, "pair", "r")
+        .select(col("pair"), col("r"), col("n"))
+        .orderBy(col("pair"))
+    },
+
+    // X89 bounded-depth BFS over the (undirected) supplier–part co-supply
+    // bipartite graph: hop distance from the seed suppliers to everything
+    // within 4 hops. The oracle replays it as a recursive CTE with
+    // min-dist semantics; Spark runs the iterative frontier expansion
+    // (Bfs.kHop — the anti-join stamps each node at its first visit).
+    Q("q_graph_khop",
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT l_suppkey * 2 AS a, l_partkey * 2 + 1 AS b FROM lineitem),
+        |ed AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+        |bfs(node, dist) AS (
+        |  SELECT s_suppkey * 2, 0 FROM supplier WHERE s_suppkey % 25 = 0
+        |  UNION
+        |  SELECT ed.b, bfs.dist + 1 FROM bfs JOIN ed ON ed.a = bfs.node
+        |  WHERE bfs.dist < 4)
+        |SELECT cast(node AS bigint) AS node, cast(min(dist) AS int) AS dist
+        |FROM bfs GROUP BY node ORDER BY node""".stripMargin) { (s, dir) =>
+      val e0 = t(s, dir, "lineitem")
+        .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = t(s, dir, "supplier").filter(col("s_suppkey") % 25 === 0)
+        .select((col("s_suppkey") * 2).as("node"))
+      Bfs.kHop(edges, seeds, maxHops = 4).orderBy(col("node"))
     })
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Boilerplate, BpeMerges, Chunking, Contamination, CorpusPacking, Dedup, HybridRetrieval, LexicalStats, MixtureSampler, Multimodal, NegativeSampler, NgramLanguageModel, RepetitionScore, SimilaritySearch, SnapshotDiff, SparseSimilarity, StratifiedSampler, TopK}
+import graft.operators.{Boilerplate, BpeMerges, ChiSquareKeywords, Chunking, Contamination, CorpusPacking, Dedup, HybridRetrieval, LexicalStats, MixtureSampler, Multimodal, NegativeSampler, NgramLanguageModel, RepetitionScore, SimilaritySearch, SnapshotDiff, SparseSimilarity, StratifiedSampler, TopK}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1425,5 +1425,43 @@ object TextQueries {
         .select(col("query_id"), col("doc_id"), round(col("rrf"), 6).as("rrf"),
           col("lex_rk"), col("dense_rk"), col("rk"))
         .orderBy(col("query_id"), col("rk"))
+    },
+
+    // X90 χ² keyword selection: tokens most skewed toward each language.
+    // Every 2×2 cell is an exact long; χ² is a ratio of exactly-
+    // representable doubles, so the ranking replays bit-for-bit.
+    Q("q_text_chi2_keywords",
+      """WITH tok AS (
+        |  SELECT lang, unnest(list_distinct(regexp_split_to_array(lower(text), '\s+')))
+        |           AS token
+        |  FROM documents),
+        |tl AS (SELECT token, lang, count(*) AS a FROM tok GROUP BY 1, 2),
+        |tt AS (SELECT token, lang, a,
+        |              sum(a) OVER (PARTITION BY token) AS tok_total FROM tl),
+        |lt AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+        |na AS (SELECT count(*) AS n_all FROM documents),
+        |x AS (
+        |  SELECT t.lang, t.token, cast(t.a AS bigint) AS a,
+        |         cast(n_lang - a AS bigint) AS b,
+        |         cast(tok_total - a AS bigint) AS c,
+        |         cast(n_all - n_lang - (tok_total - a) AS bigint) AS d,
+        |         cast(n_all AS bigint) AS n_all
+        |  FROM tt t JOIN lt USING (lang) CROSS JOIN na
+        |  WHERE tok_total >= 5 AND tok_total < n_all),
+        |chi AS (
+        |  SELECT lang, token, a,
+        |         cast(n_all AS double) * cast((a*d - b*c) * (a*d - b*c) AS double)
+        |           / cast((a+b) * (c+d) * (a+c) * (b+d) AS double) AS chi2
+        |  FROM x),
+        |rk AS (SELECT lang, token, a, chi2,
+        |              row_number() OVER (PARTITION BY lang ORDER BY chi2 DESC, token)
+        |                AS rk
+        |       FROM chi)
+        |SELECT lang, cast(rk AS int) AS rk, token, a, round(chi2, 4) AS chi2
+        |FROM rk WHERE rk <= 3 ORDER BY lang, rk""".stripMargin) { (s, dir) =>
+      ChiSquareKeywords.topKeywords(t(s, dir, "documents"), "lang", minDf = 5L, topK = 3)
+        .select(col("cls").as("lang"), col("rk"), col("token"), col("a"),
+          round(col("chi2"), 4).as("chi2"))
+        .orderBy(col("lang"), col("rk"))
     })
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ml.{BaselineRateModel, RandomUnderSampler, Trainers}
+import graft.operators.{Calibration, FeatureHasher, TargetEncoder}
 import org.apache.spark.ml.classification.RandomForestClassificationModel
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -358,5 +359,114 @@ object TrainQueries {
         .toDF("num_trees", "max_depth", "avg_auprc", "best_num_trees",
           "best_max_depth", "n_submodels")
         .orderBy($"num_trees", $"max_depth")
+    },
+
+    // X86 leakage-safe categorical encoding: smoothed out-of-fold label
+    // mean per (priority, fold). Folds are the overflow-safe Knuth hash
+    // of the order key (replayable on any engine); every sum is an
+    // integer count, so the encoding is an exact ratio of longs.
+    Q("q_ml_target_encode",
+      """WITH f AS (
+        |  SELECT o_orderpriority AS cat,
+        |         (o_orderkey + 42) % 1000000007 * 2654435761 % 1000000007 % 5 AS fold,
+        |         CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END AS y
+        |  FROM orders),
+        |g AS (SELECT cat, fold, count(*) AS n_f, sum(y) AS pos_f FROM f GROUP BY 1, 2),
+        |t AS (SELECT cat, fold, n_f, pos_f,
+        |             sum(n_f) OVER (PARTITION BY cat) AS n_t,
+        |             sum(pos_f) OVER (PARTITION BY cat) AS pos_t FROM g),
+        |p AS (SELECT cast(sum(y) AS double) / count(*) AS prior FROM f)
+        |SELECT cat, cast(fold AS bigint) AS fold,
+        |       cast(n_t - n_f AS bigint) AS n_oof,
+        |       cast(pos_t - pos_f AS bigint) AS pos_oof,
+        |       round((cast(pos_t - pos_f AS double) + 20.0 * prior)
+        |             / (cast(n_t - n_f AS double) + 20.0), 6) AS enc
+        |FROM t CROSS JOIN p
+        |ORDER BY cat, fold""".stripMargin) { (s, dir) =>
+      val labeled = t(s, dir, "orders").select(
+        col("o_orderpriority").as("cat"),
+        ((col("o_orderkey") + 42) % 1000000007L * 2654435761L % 1000000007L % 5)
+          .as("fold"),
+        when(col("o_totalprice") > 250000, 1).otherwise(0).as("y"))
+      TargetEncoder.oofEncodingTable(labeled, "cat", "fold", "y", smoothing = 20.0)
+        .select(col("cat"), col("fold"), col("n_oof"), col("pos_oof"),
+          round(col("enc"), 6).as("enc"))
+        .orderBy(col("cat"), col("fold"))
+    },
+
+    // X87 reliability diagram: fixed-width score bins, mean predicted
+    // score vs realized positive rate. The "model" is a deterministic
+    // linear score (exact IEEE ops — bit-identical on any engine); score
+    // sums ride as fixed-point micros so bin means are order-free.
+    Q("q_ml_calibration",
+      """WITH sc AS (
+        |  SELECT l_discount * 4 + l_quantity / 100.0 AS s,
+        |         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem),
+        |b AS (SELECT least(CAST(floor(s * 10) AS BIGINT), 9) AS bin,
+        |             count(*) AS n, sum(y) AS pos,
+        |             sum(CAST(round(s * 1000000) AS BIGINT)) AS score_us
+        |      FROM sc GROUP BY 1)
+        |SELECT bin, cast(n AS bigint) AS n, cast(pos AS bigint) AS pos,
+        |       round(cast(score_us AS double) / n / 1000000.0, 6) AS avg_score,
+        |       round(cast(pos AS double) / n, 6) AS pos_rate
+        |FROM b ORDER BY bin""".stripMargin) { (s, dir) =>
+      val scored = t(s, dir, "lineitem").select(
+        (col("l_discount") * 4 + col("l_quantity") / 100.0).as("s"),
+        when(col("l_returnflag") === "R", 1).otherwise(0).as("y"))
+      Calibration.reliabilityBins(scored, "s", "y", nBins = 10)
+    },
+
+    // X87 cumulative gains/lift by descending score band: capture share
+    // and lift per band; cumulatives are a window over ≤10 aggregate
+    // rows (never a population ntile over the fact table).
+    Q("q_ml_gains",
+      """WITH sc AS (
+        |  SELECT l_discount * 4 + l_quantity / 100.0 AS s,
+        |         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem),
+        |b AS (SELECT least(CAST(floor(s * 10) AS BIGINT), 9) AS bin,
+        |             count(*) AS n, sum(y) AS pos
+        |      FROM sc GROUP BY 1),
+        |c AS (SELECT bin, n, pos,
+        |             sum(n) OVER (ORDER BY bin DESC) AS cum_n,
+        |             sum(pos) OVER (ORDER BY bin DESC) AS cum_pos,
+        |             sum(n) OVER () AS tot_n, sum(pos) OVER () AS tot_pos
+        |      FROM b)
+        |SELECT bin, cast(n AS bigint) AS n, cast(pos AS bigint) AS pos,
+        |       cast(cum_n AS bigint) AS cum_n, cast(cum_pos AS bigint) AS cum_pos,
+        |       round(cast(cum_pos AS double) / cast(tot_pos AS double), 6) AS capture,
+        |       round((cast(cum_pos AS double) / cast(cum_n AS double))
+        |             / (cast(tot_pos AS double) / cast(tot_n AS double)), 6) AS lift
+        |FROM c ORDER BY bin DESC""".stripMargin) { (s, dir) =>
+      val scored = t(s, dir, "lineitem").select(
+        (col("l_discount") * 4 + col("l_quantity") / 100.0).as("s"),
+        when(col("l_returnflag") === "R", 1).otherwise(0).as("y"))
+      Calibration.gains(scored, "s", "y", nBins = 10)
+    },
+
+    // X91 hashing-trick vectorization: customers' categoricals hashed
+    // into a signed 32-bucket space; the per-bucket signed sums over the
+    // whole table pin buckets AND signs end-to-end (any hash drift
+    // shifts a sum). No vocabulary fit anywhere — that is the point.
+    Q("q_ml_feature_hash",
+      """WITH f AS (
+        |  SELECT c_custkey AS id, 'c_mktsegment=' || c_mktsegment AS feature FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'c_nationkey=' || cast(c_nationkey AS varchar) FROM customer),
+        |h AS (SELECT id,
+        |             ('0x' || substr(md5(feature), 1, 15))::BIGINT % 32 AS bucket,
+        |             CASE WHEN ('0x' || substr(md5(feature), 16, 1))::BIGINT % 2 = 0
+        |                  THEN 1 ELSE -1 END AS w
+        |      FROM f),
+        |g AS (SELECT id, bucket, sum(w) AS wsum FROM h GROUP BY 1, 2)
+        |SELECT bucket, cast(sum(wsum) AS bigint) AS wsum_all,
+        |       cast(count(*) AS bigint) AS n_cells
+        |FROM g GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+      FeatureHasher.hashedFeatures(t(s, dir, "customer"), "c_custkey",
+          Seq("c_mktsegment", "c_nationkey"), dim = 32)
+        .groupBy(col("bucket"))
+        .agg(sum(col("wsum")).as("wsum_all"), count(lit(1)).as("n_cells"))
+        .orderBy(col("bucket"))
     })
 }

@@ -1,7 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated star schema (see /root/repo/TESTDATA.md).
   *
@@ -14,19 +15,29 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (name == "events") {
-      // The events table is written with TIMESTAMP(NANOS) which Spark
-      // has no type for (PARQUET_TYPE_ILLEGAL): read nanos as long and
-      // truncate to microseconds with exact integer division (ns values
-      // exceed 2^53, so floating-point division would corrupt them).
-      // Requires spark.sql.legacy.parquet.nanosAsLong=true, set at
-      // session construction by graft.Sessions (NOT mutated here — round
-      // 1 set it from inside this loader, a side effect the judge
-      // flagged).
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    } else spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Normalize an events `ts` column to session-zoned TimestampType,
+    * whatever physical type the fixture was written with. The generator
+    * has shipped both TIMESTAMP(NANOS) (no Spark type — read as long via
+    * spark.sql.legacy.parquet.nanosAsLong=true, set by graft.Sessions)
+    * and plain TIMESTAMP(MICROS); a loader hard-coded to either breaks
+    * the moment the fixture regenerates (round 10's 22-query outage).
+    * The session runs in UTC, so the NTZ→TZ cast is numerically exact.
+    */
+  def normalizeEventsTs(tsType: DataType): Column = tsType match {
+    case LongType =>
+      // Nanos as long: truncate to micros with exact integer division
+      // (ns values exceed 2^53, so floating-point would corrupt them).
+      timestamp_micros(expr("ts div 1000"))
+    case TimestampNTZType => col("ts").cast(TimestampType)
+    case _                => col("ts")
+  }
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events")
+      raw.withColumn("ts", normalizeEventsTs(raw.schema("ts").dataType))
+    else raw
+  }
 
   /** Register every table as a temp view so `spark.sql` queries work. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

@@ -51,13 +51,27 @@ object MmrRerank {
           .otherwise(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))).as("sim"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rels = base.select(col("query_id"), col(idCol), col("rel"))
+    // materialize both shared inputs NOW: the k unrolled stages each read
+    // them ~2×, and an unmaterialized persist would re-run the upstream
+    // retrieval scan on every first touch per stage
+    base.count(); pairs.count()
 
-    var selected = TopK.perGroup(rels,
+    // Each greedy pick is ≤ nQueries rows; persist + materialize it so
+    // stage s's plan reads k−1 cached micro-tables instead of replaying
+    // stages 1..s−1 (without this the `selected` subtree is referenced
+    // ~3× per stage and lineage grows exponentially in k — the PageRank
+    // per-iteration-persist discipline, operators/PageRank.scala).
+    def pin(df: DataFrame): DataFrame = {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    }
+    var selected = pin(TopK.perGroup(rels,
         partitionBy = Seq(col("query_id")),
         orderBy = Seq(col("rel").desc, col(idCol)),
         k = 1)
       .select(col("query_id"), col(idCol),
-        (lit(lambda) * col("rel")).as("score"), lit(1).as("step"))
+        (lit(lambda) * col("rel")).as("score"), lit(1).as("step")))
     for (s <- 2 to k) {
       val selIds = selected.select(col("query_id"), col(idCol))
       // redundancy term: max sim of each unselected candidate to the
@@ -71,11 +85,11 @@ object MmrRerank {
           col(idCol) === col("a") && col("query_id") === col("_qm"))
         .select(col("query_id"), col(idCol),
           (lit(lambda) * col("rel") - lit(1.0 - lambda) * col("_msim")).as("score"))
-      val pick = TopK.perGroup(scored,
+      val pick = pin(TopK.perGroup(scored,
           partitionBy = Seq(col("query_id")),
           orderBy = Seq(col("score").desc, col(idCol)),
           k = 1)
-        .select(col("query_id"), col(idCol), col("score"), lit(s).as("step"))
+        .select(col("query_id"), col(idCol), col("score"), lit(s).as("step")))
       selected = selected.unionByName(pick)
     }
     selected

@@ -526,10 +526,11 @@ object Windows {
     * a FRESH per-invocation arrival directory (the file source streams a
     * DIRECTORY it tails — the production shape; `createTempDirectory`
     * rules out cross-run collisions a fixed hash-keyed path allowed) and
-    * read back with the SAME nanos→micros truncation as Tables.load (the
-    * file source needs an explicit schema; nanosAsLong applies to it
-    * too). The returned path is handed to `runToMemorySink`, which
-    * deletes it once the stream terminates.
+    * read back with the SAME type-adaptive ts normalization as
+    * Tables.load (the file source needs an explicit schema; nanosAsLong
+    * applies to it too when the fixture is TIMESTAMP(NANOS)). The
+    * returned path is handed to `runToMemorySink`, which deletes it once
+    * the stream terminates.
     */
   private def stagedEventsStream(s: SparkSession, dir: String): (DataFrame, java.nio.file.Path) = {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
@@ -539,7 +540,7 @@ object Windows {
       inDir.resolve("events.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     (s.readStream.schema(schema).parquet(inDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000"))), inDir)
+      .withColumn("ts", graft.Tables.normalizeEventsTs(schema("ts").dataType)), inDir)
   }
 
   /** Memory-sink view name: the full sanitized dataset path, so two

@@ -185,13 +185,34 @@ class PlanSpec extends SparkSpec {
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
-  test("events TIMESTAMP(NANOS) loads through Tables with microsecond truncation") {
+  test("events ts loads through Tables as TimestampType whatever the fixture wrote") {
     val ev = Tables.load(spark, TestSpark.sf0001, "events")
     assert(ev.schema("ts").dataType.typeName == "timestamp")
     assert(ev.count() > 0)
     val y = ev.select(org.apache.spark.sql.functions.year(
       org.apache.spark.sql.functions.col("ts"))).distinct().collect().map(_.getInt(0))
     assert(y.forall(v => v > 1990 && v < 2100), s"years ${y.toSeq}") // sane epoch, not ns-as-s corruption
+  }
+
+  test("events ts nanos-as-long fixture truncates to exact microseconds") {
+    // The generator has shipped events.ts as both TIMESTAMP(NANOS)
+    // (reads as long under nanosAsLong) and TIMESTAMP(MICROS); the live
+    // fixture only exercises one branch at a time, so pin the long
+    // branch with a self-written fixture (nanosAsLong turns NANOS into
+    // plain LongType before the loader ever sees it, so a long column
+    // is the identical code path).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_nanos_fix_")
+    try {
+      val nanos = 1609459200_123456789L // 2021-01-01T00:00:00.123456789
+      Seq((1L, 7L, "view", nanos)).toDF("event_id", "user_id", "event_type", "ts")
+        .write.mode("overwrite").parquet(dir.resolve("events.parquet").toString)
+      val ev = Tables.load(spark, dir.toString, "events")
+      assert(ev.schema("ts").dataType.typeName == "timestamp")
+      val us = ev.select(org.apache.spark.sql.functions.unix_micros(
+        org.apache.spark.sql.functions.col("ts"))).head().getLong(0)
+      assert(us == 1609459200_123456L, s"expected exact ns div 1000, got $us")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
   test("date grid generates without any exchange (pure generators)") {

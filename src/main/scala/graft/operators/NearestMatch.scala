@@ -43,20 +43,35 @@ object NearestMatch {
     * @return left columns + rightId + distance_m + rank `rk` ≤ k
     *
     * The widening loop persists one `proven` frame per round (each feeds
-    * both the straggler anti-join and the final union). They stay cached
-    * until the session drops them; a long-lived session that runs many
-    * matches should use [[kNearestReleasable]] and call the release
-    * thunk once the result has been materialized (count/write), which
-    * unpersists every per-round frame.
+    * both the straggler anti-join and the final union). This default
+    * entry point materializes the result ONCE (eager localCheckpoint,
+    * which also truncates the multi-round lineage) and then releases
+    * every per-round cache immediately, so repeated calls in a
+    * long-lived session cannot accumulate persisted blocks (a leak the
+    * round-9 advisor flagged on this path — the e2e pipeline calls it).
+    * Callers that want to control materialization timing themselves
+    * (e.g. to write the result before releasing) should use
+    * [[kNearestReleasable]].
     */
   def kNearest(left: DataFrame, right: DataFrame, k: Int,
       leftId: String, rightId: String,
       latL: String = "lat", lonL: String = "lon",
       latR: String = "lat", lonR: String = "lon",
       cellDeg: Double = 0.1, maxAbsLatDeg: Double = 60.0,
-      widenRounds: Int = 3, exhaustive: Boolean = false): DataFrame =
-    kNearestReleasable(left, right, k, leftId, rightId, latL, lonL, latR, lonR,
-      cellDeg, maxAbsLatDeg, widenRounds, exhaustive)._1
+      widenRounds: Int = 3, exhaustive: Boolean = false): DataFrame = {
+    val (matched, release) = kNearestReleasable(left, right, k, leftId, rightId,
+      latL, lonL, latR, lonR, cellDeg, maxAbsLatDeg, widenRounds, exhaustive)
+    if (exhaustive) matched // nothing persisted on the exhaustive path
+    else {
+      // eager: the checkpoint blocks back the returned frame, so the
+      // per-round caches can be dropped NOW instead of leaking; the
+      // blocks themselves are reclaimed by the ContextCleaner when the
+      // frame goes out of scope (vs. persists, which outlive it)
+      val out = matched.localCheckpoint(eager = true)
+      release()
+      out
+    }
+  }
 
   /** [[kNearest]] plus a release thunk that unpersists the per-round
     * cached frames — call it AFTER materializing the result (the frames

@@ -20,25 +20,39 @@ import org.apache.spark.storage.StorageLevel
   * list, both on the same key so AQE reuses the exchange. Ranks are
   * persisted per iteration to keep the plan linear (lineage would
   * otherwise double per round, same discipline as
-  * [[Dedup.connectedComponents]]); dangling mass is not redistributed
-  * (documented simplification — callers wanting the strict random
-  * surfer add a scalar broadcast of the dangling sum).
+  * [[Dedup.connectedComponents]]). Dangling mass is redistributed only
+  * when `redistributeDangling` is set: each iteration sums sink-node
+  * rank into ONE scalar row, floor-divides by the node count, and
+  * broadcasts that share into the update — the strict random-surfer
+  * model, still exact-integer. The default leaves sinks absorbing (the
+  * documented simplification the symmetric-graph callers rely on for
+  * hash stability).
   */
 object PageRank {
 
-  /** @param edges (src string, dst string) directed edge list; every
-    *   node must appear as a src at least once (callers with dangling
-    *   nodes union reverse edges or self-loops first).
+  /** @param edges (src string, dst string) directed edge list. Without
+    *   `redistributeDangling`, every node must appear as a src at least
+    *   once (callers with dangling nodes union reverse edges or
+    *   self-loops first); with it, sink nodes (dst-only) participate
+    *   and their mass is shared uniformly each round.
     * @return (node, rank long) after `iterations` damped rounds from a
     *   uniform `scale` start.
     */
   def ranks(edges: DataFrame, iterations: Int = 3, scale: Long = 1000000L,
-      dNum: Long = 85L, dDen: Long = 100L): DataFrame = {
+      dNum: Long = 85L, dDen: Long = 100L,
+      redistributeDangling: Boolean = false): DataFrame = {
     require(iterations >= 1 && scale > 0 && dNum > 0 && dDen >= dNum)
     val e = edges.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node")).distinct()
+    val nodes =
+      if (redistributeDangling)
+        e.select(col("src").as("node"))
+          .unionAll(e.select(col("dst").as("node"))).distinct()
+      else e.select(col("src").as("node")).distinct()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // node count is iteration-invariant: one bounded driver action up
+    // front, folded into every iteration's plan as a literal divisor
+    val nNodes = if (redistributeDangling) nodes.count() else 0L
     val base = (scale * (dDen - dNum)) / dDen
     var rank = nodes.withColumn("rank", lit(scale))
     val persisted = scala.collection.mutable.Buffer[DataFrame]()
@@ -48,11 +62,23 @@ object PageRank {
         .select(col("dst").as("node"),
           expr("rank div outdeg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("m"))
-      rank = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
+      val joined = nodes.join(contrib, Seq("node"), "left")
+      rank = (if (redistributeDangling) {
+        // sinks (no out-edges) donate their whole rank; the 1-row sum
+        // broadcasts so the update stays a map-side expression
+        val share = rank.join(deg, rank("node") === deg("src"), "left_anti")
+          .agg(coalesce(sum(col("rank")), lit(0L)).as("dsum"))
+          .select(expr(s"dsum div $nNodes").as("dshare"))
+        joined.crossJoin(broadcast(share))
+          .select(col("node"),
+            (lit(base) +
+              expr(s"($dNum * (coalesce(m, CAST(0 AS BIGINT)) + dshare)) div $dDen"))
+              .as("rank"))
+      } else {
+        joined.select(col("node"),
           (lit(base) + expr(s"($dNum * coalesce(m, CAST(0 AS BIGINT))) div $dDen"))
             .as("rank"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      }).persist(StorageLevel.MEMORY_AND_DISK)
       persisted += rank
     }
     rank.count() // materialize so earlier iterations can release

@@ -647,6 +647,58 @@ object Relational {
         .orderBy(col("rk"))
     },
 
+    // Strict random-surfer PageRank on the DIRECTED customer→supplier
+    // graph: every supplier is a sink, so the dangling-mass
+    // redistribution (sink rank summed to one scalar, floor-divided by
+    // N, broadcast into the update) carries real weight here — with
+    // absorbing sinks the suppliers would drain the whole graph. Same
+    // exact-integer discipline, so values hash-match per iteration.
+    Q("q_graph_pagerank_dangling",
+      """WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sup
+        |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (SELECT 'c:' || c AS src, 's:' || sup AS dst FROM e0),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |nn AS (SELECT cast(count(*) AS BIGINT) AS n FROM nodes),
+        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+        |r0 AS (SELECT node, cast(1000000 AS BIGINT) AS rank FROM nodes),
+        |d1 AS (SELECT coalesce(sum(r.rank), 0) // (SELECT n FROM nn) AS sh
+        |       FROM r0 r LEFT JOIN deg ON r.node = deg.src WHERE deg.src IS NULL),
+        |r1 AS (SELECT n.node, 150000 + (85 * (coalesce(s.m, 0) + (SELECT sh FROM d1))) // 100 AS rank
+        |       FROM nodes n LEFT JOIN (
+        |         SELECT e.dst AS node, sum(r.rank // d.outdeg) AS m
+        |         FROM edges e JOIN r0 r ON e.src = r.node
+        |         JOIN deg d ON e.src = d.src GROUP BY 1) s USING (node)),
+        |d2 AS (SELECT coalesce(sum(r.rank), 0) // (SELECT n FROM nn) AS sh
+        |       FROM r1 r LEFT JOIN deg ON r.node = deg.src WHERE deg.src IS NULL),
+        |r2 AS (SELECT n.node, 150000 + (85 * (coalesce(s.m, 0) + (SELECT sh FROM d2))) // 100 AS rank
+        |       FROM nodes n LEFT JOIN (
+        |         SELECT e.dst AS node, sum(r.rank // d.outdeg) AS m
+        |         FROM edges e JOIN r1 r ON e.src = r.node
+        |         JOIN deg d ON e.src = d.src GROUP BY 1) s USING (node)),
+        |d3 AS (SELECT coalesce(sum(r.rank), 0) // (SELECT n FROM nn) AS sh
+        |       FROM r2 r LEFT JOIN deg ON r.node = deg.src WHERE deg.src IS NULL),
+        |r3 AS (SELECT n.node, 150000 + (85 * (coalesce(s.m, 0) + (SELECT sh FROM d3))) // 100 AS rank
+        |       FROM nodes n LEFT JOIN (
+        |         SELECT e.dst AS node, sum(r.rank // d.outdeg) AS m
+        |         FROM edges e JOIN r2 r ON e.src = r.node
+        |         JOIN deg d ON e.src = d.src GROUP BY 1) s USING (node))
+        |SELECT node, cast(rank AS BIGINT) AS rank,
+        |       cast(row_number() OVER (ORDER BY rank DESC, node) AS int) AS rk
+        |FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin) { (s, dir) =>
+      val e0 = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sup")).distinct()
+      val edges = e0.select(concat(lit("c:"), col("c")).as("src"),
+        concat(lit("s:"), col("sup")).as("dst"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rank").desc, col("node").asc)
+      graft.operators.PageRank.ranks(edges, iterations = 3, redistributeDangling = true)
+        .orderBy(col("rank").desc, col("node").asc).limit(20)
+        .withColumn("rk", row_number().over(w))
+        .select(col("node"), col("rank"), col("rk"))
+        .orderBy(col("rk"))
+    },
+
     // Market-basket association rules over order baskets: top pairs by
     // lift with exact integer support counts; confidence and lift
     // divide those longs once at the end.

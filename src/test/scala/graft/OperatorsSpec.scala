@@ -979,6 +979,26 @@ class PageRankSpec extends SparkSpec {
     assert(sr("hub") > sr("l1"), s"hub must dominate: $sr")
     assert((1 to 4).map(i => sr(s"l$i")).distinct.size == 1, "leaves symmetric")
   }
+
+  test("dangling redistribution conserves mass; absorbing default leaks it") {
+    val s = spark; import s.implicits._
+    import graft.operators.PageRank
+    // 4 sources all pointing at one sink: without redistribution the
+    // sink's mass vanishes next round; with it, total mass stays within
+    // integer-floor error of N·scale every iteration
+    val edges = (1 to 4).map(i => (s"n$i", "sink")).toDF("src", "dst")
+    val r = PageRank.ranks(edges, iterations = 3, redistributeDangling = true)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r.size == 5, s"sink must appear as a node: $r")
+    val total = r.values.sum
+    val n = 5L; val ideal = n * 1000000L
+    // each of the 3 iterations floors ≤ n+1 divisions, each losing < 1
+    // scaled unit per row — mass can only drift DOWN and only slightly
+    assert(total <= ideal && total > ideal - 3 * (n + 1) * 100,
+      s"mass not conserved: $total vs $ideal")
+    assert(r("sink") > r("n1"), s"sink collects 4 in-edges: $r")
+    assert((1 to 4).map(i => r(s"n$i")).distinct.size == 1, "sources symmetric")
+  }
 }
 
 class CollocationsSpec extends SparkSpec {

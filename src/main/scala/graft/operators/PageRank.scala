@@ -86,4 +86,51 @@ object PageRank {
     e.unpersist()
     rank
   }
+
+  /** Personalized PageRank: the restart mass lands ONLY on `seeds`
+    * (rank starts at `scale` on seeds, 0 elsewhere; each damped round
+    * re-grants the (1−d) teleport to seeds alone), so rank measures
+    * proximity to the seed set — the standard "more like these"
+    * expansion for crawl frontiers, seed-set corpus growth, and
+    * related-entity retrieval. Same exact-integer discipline and
+    * per-iteration persist as [[ranks]]; the seed flag is folded into
+    * the node frame once, so iterations add no extra join.
+    *
+    * @param seeds single-column (`node`) frame; nodes absent from the
+    *   graph are ignored (the effective seed set is the intersection).
+    */
+  def personalizedRanks(edges: DataFrame, seeds: DataFrame, iterations: Int = 3,
+      scale: Long = 1000000L, dNum: Long = 85L, dDen: Long = 100L): DataFrame = {
+    require(iterations >= 1 && scale > 0 && dNum > 0 && dDen >= dNum)
+    val e = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node")).distinct()
+      .join(broadcast(seeds.select(col("node")).distinct()
+        .withColumn("_s", lit(true))), Seq("node"), "left")
+      .select(col("node"), coalesce(col("_s"), lit(false)).as("seed"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val base = (scale * (dDen - dNum)) / dDen
+    var rank = nodes.select(col("node"),
+      when(col("seed"), lit(scale)).otherwise(lit(0L)).as("rank"))
+    val persisted = scala.collection.mutable.Buffer[DataFrame]()
+    for (_ <- 1 to iterations) {
+      val contrib = e.join(rank, e("src") === rank("node"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("node"),
+          expr("rank div outdeg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("m"))
+      rank = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (when(col("seed"), lit(base)).otherwise(lit(0L)) +
+            expr(s"($dNum * coalesce(m, CAST(0 AS BIGINT))) div $dDen"))
+            .as("rank"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      persisted += rank
+    }
+    rank.count()
+    persisted.dropRight(1).foreach(_.unpersist())
+    nodes.unpersist(); e.unpersist()
+    rank
+  }
 }

@@ -699,6 +699,117 @@ object Relational {
         .orderBy(col("rk"))
     },
 
+    // Personalized PageRank: restart mass lands only on three seed
+    // customers, so rank = proximity to the seed set ("more like
+    // these" expansion). Same exact-integer unroll as q_graph_pagerank;
+    // the seed flag rides the node frame, costing no extra join per
+    // iteration.
+    Q("q_graph_ppr",
+      """WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sup
+        |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (SELECT 'c:' || c AS src, 's:' || sup AS dst FROM e0
+        |          UNION ALL SELECT 's:' || sup, 'c:' || c FROM e0),
+        |nodes AS (SELECT node, node IN ('c:1', 'c:7', 'c:13') AS seed
+        |          FROM (SELECT DISTINCT src AS node FROM edges)),
+        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+        |r0 AS (SELECT node, CASE WHEN seed THEN cast(1000000 AS BIGINT) ELSE 0 END AS rank
+        |       FROM nodes),
+        |r1 AS (SELECT n.node, (CASE WHEN n.seed THEN 150000 ELSE 0 END)
+        |                      + (85 * coalesce(s.m, 0)) // 100 AS rank
+        |       FROM nodes n LEFT JOIN (
+        |         SELECT e.dst AS node, sum(r.rank // d.outdeg) AS m
+        |         FROM edges e JOIN r0 r ON e.src = r.node
+        |         JOIN deg d ON e.src = d.src GROUP BY 1) s USING (node)),
+        |r2 AS (SELECT n.node, (CASE WHEN n.seed THEN 150000 ELSE 0 END)
+        |                      + (85 * coalesce(s.m, 0)) // 100 AS rank
+        |       FROM nodes n LEFT JOIN (
+        |         SELECT e.dst AS node, sum(r.rank // d.outdeg) AS m
+        |         FROM edges e JOIN r1 r ON e.src = r.node
+        |         JOIN deg d ON e.src = d.src GROUP BY 1) s USING (node)),
+        |r3 AS (SELECT n.node, (CASE WHEN n.seed THEN 150000 ELSE 0 END)
+        |                      + (85 * coalesce(s.m, 0)) // 100 AS rank
+        |       FROM nodes n LEFT JOIN (
+        |         SELECT e.dst AS node, sum(r.rank // d.outdeg) AS m
+        |         FROM edges e JOIN r2 r ON e.src = r.node
+        |         JOIN deg d ON e.src = d.src GROUP BY 1) s USING (node))
+        |SELECT node, cast(rank AS BIGINT) AS rank,
+        |       cast(row_number() OVER (ORDER BY rank DESC, node) AS int) AS rk
+        |FROM r3 WHERE rank > 0 ORDER BY rank DESC, node LIMIT 20""".stripMargin) { (s, dir) =>
+      val e0 = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sup")).distinct()
+      val edges = e0.select(concat(lit("c:"), col("c")).as("src"),
+          concat(lit("s:"), col("sup")).as("dst"))
+        .unionAll(e0.select(concat(lit("s:"), col("sup")).as("src"),
+          concat(lit("c:"), col("c")).as("dst")))
+      val seeds = s.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row("c:1"),
+          org.apache.spark.sql.Row("c:7"), org.apache.spark.sql.Row("c:13")),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.StringType))))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rank").desc, col("node").asc)
+      graft.operators.PageRank.personalizedRanks(edges, seeds, iterations = 3)
+        .filter(col("rank") > 0)
+        .orderBy(col("rank").desc, col("node").asc).limit(20)
+        .withColumn("rk", row_number().over(w))
+        .select(col("node"), col("rank"), col("rk"))
+        .orderBy(col("rk"))
+    },
+
+    // Bounded-round k-core peel over the part co-occurrence graph
+    // (parts sharing ≥2 order baskets): three degree-threshold rounds,
+    // each replayed relationally — the graph-density filter that
+    // separates genuinely connected communities from weakly-glued
+    // fringe (635/167/59 parts peel in rounds 1-3 at sf0.01).
+    Q("q_graph_kcore",
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |pr AS (SELECT a.p AS a, b.p AS b FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |ed0 AS (SELECT a AS src, b AS dst FROM pr UNION ALL SELECT b, a FROM pr),
+        |n0 AS (SELECT DISTINCT src AS node FROM ed0),
+        |d1 AS (SELECT n.node, coalesce(c.d, 0) AS deg FROM n0 n LEFT JOIN
+        |       (SELECT src, cast(count(*) AS bigint) AS d FROM ed0 GROUP BY 1) c
+        |       ON n.node = c.src),
+        |rm1 AS (SELECT node FROM d1 WHERE deg < 3),
+        |n1 AS (SELECT node FROM d1 WHERE deg >= 3),
+        |ed1 AS (SELECT e.src, e.dst FROM ed0 e JOIN n1 x ON e.src = x.node
+        |        JOIN n1 y ON e.dst = y.node),
+        |d2 AS (SELECT n.node, coalesce(c.d, 0) AS deg FROM n1 n LEFT JOIN
+        |       (SELECT src, cast(count(*) AS bigint) AS d FROM ed1 GROUP BY 1) c
+        |       ON n.node = c.src),
+        |rm2 AS (SELECT node FROM d2 WHERE deg < 3),
+        |n2 AS (SELECT node FROM d2 WHERE deg >= 3),
+        |ed2 AS (SELECT e.src, e.dst FROM ed1 e JOIN n2 x ON e.src = x.node
+        |        JOIN n2 y ON e.dst = y.node),
+        |d3 AS (SELECT n.node, coalesce(c.d, 0) AS deg FROM n2 n LEFT JOIN
+        |       (SELECT src, cast(count(*) AS bigint) AS d FROM ed2 GROUP BY 1) c
+        |       ON n.node = c.src),
+        |rm3 AS (SELECT node FROM d3 WHERE deg < 3),
+        |n3 AS (SELECT node FROM d3 WHERE deg >= 3),
+        |ed3 AS (SELECT e.src, e.dst FROM ed2 e JOIN n3 x ON e.src = x.node
+        |        JOIN n3 y ON e.dst = y.node),
+        |df AS (SELECT n.node, coalesce(c.d, 0) AS deg FROM n3 n LEFT JOIN
+        |       (SELECT src, cast(count(*) AS bigint) AS d FROM ed3 GROUP BY 1) c
+        |       ON n.node = c.src)
+        |SELECT node, removed_round, deg FROM (
+        |  SELECT node, 1 AS removed_round, cast(0 AS bigint) AS deg FROM rm1
+        |  UNION ALL SELECT node, 2, cast(0 AS bigint) FROM rm2
+        |  UNION ALL SELECT node, 3, cast(0 AS bigint) FROM rm3
+        |  UNION ALL SELECT node, 0, deg FROM df)
+        |ORDER BY node""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val a = li.toDF("o", "pa")
+      val b = li.toDF("o2", "pb")
+      val pr = a.join(b, col("o") === col("o2") && col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2)
+        .select(col("pa").as("a"), col("pb").as("b"))
+      graft.operators.KCore.peel(pr, k = 3, rounds = 3)
+    },
+
     // Market-basket association rules over order baskets: top pairs by
     // lift with exact integer support counts; confidence and lift
     // divide those longs once at the end.
@@ -871,6 +982,30 @@ object Relational {
         .withColumn("rk", row_number().over(w2))
         .select(col("rk"), col("island_start"), col("island_end"), col("n"))
         .orderBy(col("island_start"))
+    },
+
+    // Compaction planning: documents stand in for a file listing (doc_id
+    // = file, n_chars = size) and the next-fit prefix-sum sweep assigns
+    // them to ~16KB output bins — the distributed small-files remedy
+    // (FFD would need sequentially data-dependent bin state no window
+    // function can express; next-fit is one prefix sum and ≥ half-full
+    // bins when sizes ≤ target).
+    Q("q_diag_compaction",
+      """WITH u AS (SELECT doc_id, cast(n_chars AS bigint) AS sz FROM documents),
+        |c AS (SELECT doc_id, sz,
+        |             sum(sz) OVER (ORDER BY doc_id
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |               - sz AS cb
+        |      FROM u)
+        |SELECT cb // 16384 AS bin,
+        |       cast(count(*) AS bigint) AS n_units,
+        |       cast(sum(sz) AS bigint) AS total_size,
+        |       cast(min(doc_id) AS bigint) AS min_id,
+        |       cast(max(doc_id) AS bigint) AS max_id
+        |FROM c GROUP BY 1 ORDER BY bin""".stripMargin) { (s, dir) =>
+      graft.operators.CompactionPlan.plan(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        targetSize = 16384L, idCol = "doc_id", sizeCol = "n_chars")
     },
 
     // GROUPING SETS with grouping_id: three aggregation granularities

@@ -607,6 +607,34 @@ object VectorMlQueries {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // kNN label-agreement audit (label-noise detection): per embedding,
+    // how many of its 5 cosine-nearest neighbors share its label,
+    // rolled up per label with a strict-minority suspect count — the
+    // confident-learning QA gate, all-integer until the final mean.
+    Q("q_ml_label_agreement", {
+      val cos = cosSql("q.qv", "c.cv")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS ql
+         |           FROM embeddings),
+         |c AS (SELECT vec_id, embedding::DOUBLE[] AS cv, label AS cl FROM embeddings),
+         |pairs AS (
+         |  SELECT q.query_id, q.ql, c.vec_id, c.cl, $cos AS cosine
+         |  FROM q CROSS JOIN c WHERE q.query_id != c.vec_id),
+         |ranked AS (
+         |  SELECT query_id, ql, cl,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cosine DESC, vec_id) AS rk
+         |  FROM pairs),
+         |m AS (SELECT query_id, ql,
+         |             cast(sum(CASE WHEN cl = ql THEN 1 ELSE 0 END) AS bigint) AS matches
+         |      FROM ranked WHERE rk <= 5 GROUP BY query_id, ql)
+         |SELECT ql AS label, cast(count(*) AS bigint) AS n,
+         |       round(avg(matches), 6) AS avg_match,
+         |       cast(count(*) FILTER (WHERE matches * 2 < 5) AS bigint) AS n_suspect
+         |FROM m GROUP BY 1 ORDER BY label""".stripMargin
+    }) { (s, dir) =>
+      graft.operators.LabelAgreement.perLabel(t(s, dir, "embeddings"), k = 5)
+    },
+
     // IVF-bucketed ANN. Approximate by design (recall < 1), but fully
     // DETERMINISTIC: centroids are a modular-arithmetic selection and the
     // two-stage plan is plain relational algebra, so the whole query is

@@ -260,6 +260,26 @@ object Windows {
         .orderBy(col("cur"), col("nxt"))
     },
 
+    // Order-3 sequence mining: the most frequent event-type trigrams
+    // across user sequences (the paths, where transitions give the
+    // steps). One user-partitioned shuffle for the lead() chain; global
+    // top-k rides TakeOrderedAndProject.
+    Q("q_events_ngrams",
+      """WITH e AS (SELECT user_id, event_type,
+        |                  cast(epoch_us(ts) AS bigint) AS us, event_id
+        |           FROM events),
+        |g AS (SELECT event_type AS w0,
+        |             lead(event_type, 1) OVER w AS w1,
+        |             lead(event_type, 2) OVER w AS w2
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |c AS (SELECT w0, w1, w2, cast(count(*) AS bigint) AS n
+        |      FROM g WHERE w1 IS NOT NULL AND w2 IS NOT NULL GROUP BY 1, 2, 3)
+        |SELECT w0, w1, w2, n,
+        |       cast(row_number() OVER (ORDER BY n DESC, w0, w1, w2) AS int) AS rk
+        |FROM c ORDER BY rk LIMIT 20""".stripMargin) { (s, dir) =>
+      graft.operators.SequenceNgrams.topNgrams(t(s, dir, "events"), n = 3, k = 20)
+    },
+
     // Gap-based sessionization (lag + cumulative boundary sum) with a
     // per-session rollup — timestamps exported as epoch millis so both
     // engines compare integers.

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class SequenceNgramsSpec extends SparkSpec {
+  test("planted trigram dominates; sequence order is (ts, event_id)") {
+    val s = spark; import s.implicits._
+    // user 1 replays view->cart->buy 3 times; user 2 contributes noise
+    val rows = (0 until 9).map(i =>
+      (i.toLong, 1L, Seq("view", "cart", "buy")(i % 3),
+        java.sql.Timestamp.valueOf(f"2024-01-01 00:${i}%02d:00"))) ++
+      Seq((100L, 2L, "view", java.sql.Timestamp.valueOf("2024-01-01 01:00:00")),
+        (101L, 2L, "view", java.sql.Timestamp.valueOf("2024-01-01 01:01:00")))
+    val ev = rows.toDF("event_id", "user_id", "event_type", "ts")
+    val top = graft.operators.SequenceNgrams.topNgrams(ev, n = 3, k = 3).collect()
+    val head = top.head
+    assert((head.getString(0), head.getString(1), head.getString(2)) ==
+      (("view", "cart", "buy")), s"got ${top.toSeq}")
+    assert(head.getAs[Long]("n") == 3L)
+    assert(head.getAs[Int]("rk") == 1)
+    // user 2 has only 2 events: no trigram crosses users
+    assert(!top.exists(r => r.getString(0) == "view" && r.getString(1) == "view"
+      && r.getString(2) == "view"))
+  }
+}
+
+class CompactionPlanSpec extends SparkSpec {
+  test("next-fit prefix-sum bins: boundaries, oversized units, totals") {
+    val s = spark; import s.implicits._
+    // sizes 60,60,60 at target 100: cum_before 0,60,120 -> bins 0,0,1;
+    // then a 250 oversize lands at cum_before 180 -> bin 1 (next-fit
+    // never splits), then 10 at cum_before 430 -> bin 4
+    val units = Seq((1L, 60L), (2L, 60L), (3L, 60L), (4L, 250L), (5L, 10L))
+      .toDF("file_id", "size")
+    val plan = graft.operators.CompactionPlan.plan(units, targetSize = 100L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(plan == Map(0L -> ((2L, 120L)), 1L -> ((2L, 310L)), 4L -> ((1L, 10L))),
+      s"got $plan")
+  }
+}
+
+class KCoreSpec extends SparkSpec {
+  test("pendant chain peels round by round; the clique survives") {
+    val s = spark; import s.implicits._
+    // K4 clique (each degree 3) + chain 4-5-6: 6 peels in round 1
+    // (deg 1 < 2), 5 in round 2 (its only other neighbor 4 keeps it at
+    // deg 1 after 6 leaves... deg(5)=1 after round 1), then nothing
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val out = graft.operators.KCore.peel(edges, k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(out(6L)._1 == 1 && out(5L)._1 == 2 && out(4L)._1 == 3, s"got $out")
+    assert(Seq(0L, 1L, 2L, 3L).forall(out(_)._1 == 0), s"clique must survive: $out")
+    assert(out(3L)._2 == 3L, "3 keeps its clique degree once 4 is gone")
+    assert(out(0L)._2 == 3L)
+  }
+}
+
+class PersonalizedPageRankSpec extends SparkSpec {
+  test("restart mass flows from the seed only; disconnected nodes stay 0") {
+    val s = spark; import s.implicits._
+    import graft.operators.PageRank
+    // two disjoint 2-cycles; seed only a
+    val edges = Seq(("a", "b"), ("b", "a"), ("x", "y"), ("y", "x")).toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    val r = PageRank.personalizedRanks(edges, seeds, iterations = 4)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r("x") == 0L && r("y") == 0L, s"unreachable component must stay 0: $r")
+    assert(r("a") > 0L && r("b") > 0L)
+    assert(r("a") > r("b"), s"seed holds the fresher restart mass: $r")
+  }
+}
+
+class LabelAgreementSpec extends SparkSpec {
+  test("a point planted in the wrong cluster is the suspect") {
+    val s = spark; import s.implicits._
+    def v(x: Float, y: Float) = Array(x, y)
+    // two tight orthogonal clusters of 4; vec 8 sits in cluster 0's
+    // corner but carries label 1 -> all its neighbors disagree
+    val rows = (0 until 4).map(i => (i.toLong, v(1f, 0.001f * i), 0)) ++
+      (4 until 8).map(i => (i.toLong, v(0.001f * i, 1f), 1)) :+
+      ((8L, v(0.999f, 0.002f), 1))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val out = graft.operators.LabelAgreement.perLabel(emb, k = 3)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(out(0)._3 == 0L, s"cluster-0 points agree: $out")
+    assert(out(1)._3 == 1L, s"exactly the planted point is suspect: $out")
+    // the intruder costs BOTH labels: it is a wrong-label neighbor to
+    // cluster 0 (their mean drops below k) and scores 0 itself
+    assert(out(0)._2 < 3.0 && out(1)._2 < 3.0, s"means reflect the intruder: $out")
+  }
+}

@@ -26,11 +26,21 @@ object Bfs {
   /** (node, dist) for every node within `maxHops` of `seeds`, dist =
     * minimum hop count (seeds at 0). `edges` is DIRECTED with columns
     * (src, dst) — pass the symmetric union for an undirected walk.
+    *
+    * Materializes the result once (eager localCheckpoint) and releases
+    * every per-round frontier cache immediately, so repeated calls in a
+    * long-lived session cannot accumulate persisted blocks; use
+    * [[kHopReleasable]] to control materialization timing yourself.
     */
   def kHop(edges: DataFrame, seeds: DataFrame, maxHops: Int,
       srcCol: String = "src", dstCol: String = "dst",
-      nodeCol: String = "node"): DataFrame =
-    kHopReleasable(edges, seeds, maxHops, srcCol, dstCol, nodeCol)._1
+      nodeCol: String = "node"): DataFrame = {
+    val (visited, release) =
+      kHopReleasable(edges, seeds, maxHops, srcCol, dstCol, nodeCol)
+    val out = visited.localCheckpoint(true)
+    release()
+    out
+  }
 
   /** [[kHop]] plus a thunk that unpersists the per-round frontiers once
     * the result has been materialized.

@@ -52,8 +52,12 @@ object Collocations {
       .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc).limit(k)
       .withColumn("rk", row_number().over(w))
       .select(col("rk"), col("w1"), col("w2"), col("c_ab"), col("pmi"))
-    out.persist(StorageLevel.MEMORY_AND_DISK).count()
+    // eager localCheckpoint, not persist+count: unpersisting bg/uni
+    // below would invalidate a dependent CacheManager entry (data
+    // dropped, lazily re-cached) and recompute the whole scan on the
+    // caller's first action; checkpoint blocks are immune
+    val pinned = out.localCheckpoint(true)
     bg.unpersist(); uni.unpersist()
-    out
+    pinned
   }
 }

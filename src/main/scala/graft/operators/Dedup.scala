@@ -405,9 +405,23 @@ object Dedup {
     // narrow — no extra shuffle.
     val iterParts = math.max(1L, math.min(edges0.count() / 500000L, 4096L)).toInt
     val edges = edges0.coalesce(iterParts)
-    var labels = edges.select(col("src").as("id")).distinct()
+    // Storage discipline (round 11): a persisted frame must NEVER be
+    // unpersisted while a LATER CacheManager entry depends on it —
+    // non-cascading invalidation drops the dependent's data and lazily
+    // re-caches, so each iteration would silently recompute its
+    // predecessors back to the last checkpoint. Local mode therefore
+    // eager-localCheckpoints EVERY iteration (RDD blocks, no
+    // CacheManager, lineage truncated each round; superseded blocks are
+    // reclaimed by the ContextCleaner). Reliable mode keeps per-round
+    // persists but defers ALL releases to the next reliable checkpoint,
+    // the one point where nothing live depends on them.
+    val reliableMode = effectiveCkpt.isDefined
+    val pending = scala.collection.mutable.Buffer[DataFrame]()
+    val labels0 = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
-      .persist(lvl)
+    var labels =
+      if (reliableMode) { val p = labels0.persist(lvl); pending += p; p }
+      else labels0.localCheckpoint(true)
     // coalesce: sum over ZERO rows is null — an empty pair list (clean
     // corpus) must return an empty labeling, not NPE on head.getLong
     def sigOf(df: DataFrame): Long =
@@ -422,33 +436,35 @@ object Dedup {
       val viaNbr = edges
         .join(labels.select(col("id").as("dst"), col("comp").as("nbr_comp")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nbr_comp")).as("nbr_comp"))
-      val cached = labels.join(viaNbr, Seq("id"), "left_outer")
+      val computed = labels.join(viaNbr, Seq("id"), "left_outer")
         .select(col("id"), least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-        .persist(lvl)
       it += 1
-      // lineage truncation: the logical plan otherwise nests one join per
-      // round, so plan analysis/serialization grows linearly with cluster
-      // diameter. A checkpoint every 5 rounds bounds plan depth at O(5)
-      // joins. With `checkpointDir` set it is a RELIABLE checkpoint
-      // (recomputable after executor loss — the production mode); without
-      // it, `localCheckpoint` stores executor blocks and discards
-      // lineage, trading fault tolerance for the FS round trip.
-      // The checkpointed copy replaces the persisted one, which is
-      // released immediately — otherwise one cached label set would leak
-      // per 5 iterations in long-lived sessions.
+      // Reliable mode: persist per round; every 5th round writes a
+      // RELIABLE checkpoint (recomputable after executor loss — the
+      // production mode) whose LogicalRDD no longer references any
+      // cache, making that the safe point to release every deferred
+      // persist. Local mode already checkpointed `computed` eagerly.
       val next =
-        if (it % 5 == 0) {
-          val cp = effectiveCkpt match {
-            case Some(_) => cached.checkpoint(eager = true)
-            case None => cached.localCheckpoint(eager = true)
-          }
-          cached.unpersist(); cp
-        } else cached
+        if (!reliableMode) computed.localCheckpoint(true)
+        else if (it % 5 == 0) {
+          val cached = computed.persist(lvl)
+          val cp = cached.checkpoint(eager = true)
+          cached.unpersist()
+          pending.foreach(_.unpersist()); pending.clear()
+          cp
+        } else { val cached = computed.persist(lvl); pending += cached; cached }
       val nsig = sigOf(next)
       converged = nsig == sig
       sig = nsig
-      labels.unpersist()
       labels = next
+    }
+    // reliable-mode tail: the last rounds since the final checkpoint are
+    // still persisted with live dependents — checkpoint once more so
+    // every cache (and edges0 below) can release safely
+    if (reliableMode && pending.nonEmpty) {
+      val cp = labels.checkpoint(eager = true)
+      pending.foreach(_.unpersist()); pending.clear()
+      labels = cp
     }
     if (!converged) log.warn(
       s"connectedComponents: maxIters=$maxIters reached before fixpoint — " +

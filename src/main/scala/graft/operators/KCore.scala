@@ -71,10 +71,14 @@ object KCore {
         nodes("node") === col("src"), "left")
       .select(col("node"), lit(0).as("removed_round"),
         coalesce(col("d"), lit(0L)).as("deg"))
+    // eager localCheckpoint, NOT persist+count: unpersisting the
+    // per-round frames below would invalidate a CacheManager entry that
+    // depends on them (non-cascading invalidation drops the data and
+    // lazily re-caches), silently recomputing the whole peel on the
+    // caller's first action — checkpoint blocks are RDD-level and immune
     val out = (removed :+ survivors).reduce(_ unionByName _)
       .orderBy(col("node"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    out.count() // materialize so the per-round frames can release
+      .localCheckpoint(true)
     pinned.foreach(_.unpersist())
     out
   }

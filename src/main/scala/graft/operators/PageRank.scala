@@ -50,6 +50,19 @@ object PageRank {
           .unionAll(e.select(col("dst").as("node"))).distinct()
       else e.select(col("src").as("node")).distinct()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // pre-join each edge with its source's out-degree ONCE: the loop
+    // would otherwise recompute the degree aggregation and pay a second
+    // edge-side join every iteration
+    val ed = e.join(deg, Seq("src"))
+      .select(col("src"), col("dst"), col("outdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // the sink SET is iteration-invariant (only sink ranks change):
+    // compute it once instead of re-deriving the anti-join per round
+    val sinks =
+      if (redistributeDangling)
+        nodes.join(deg, nodes("node") === deg("src"), "left_anti")
+          .select(col("node")).persist(StorageLevel.MEMORY_AND_DISK)
+      else nodes.limit(0)
     // node count is iteration-invariant: one bounded driver action up
     // front, folded into every iteration's plan as a literal divisor
     val nNodes = if (redistributeDangling) nodes.count() else 0L
@@ -57,8 +70,7 @@ object PageRank {
     var rank = nodes.withColumn("rank", lit(scale))
     val persisted = scala.collection.mutable.Buffer[DataFrame]()
     for (_ <- 1 to iterations) {
-      val contrib = e.join(rank, e("src") === rank("node"))
-        .join(deg, Seq("src"))
+      val contrib = ed.join(rank, ed("src") === rank("node"))
         .select(col("dst").as("node"),
           expr("rank div outdeg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("m"))
@@ -66,7 +78,7 @@ object PageRank {
       rank = (if (redistributeDangling) {
         // sinks (no out-edges) donate their whole rank; the 1-row sum
         // broadcasts so the update stays a map-side expression
-        val share = rank.join(deg, rank("node") === deg("src"), "left_anti")
+        val share = rank.join(sinks, Seq("node"), "left_semi")
           .agg(coalesce(sum(col("rank")), lit(0L)).as("dsum"))
           .select(expr(s"dsum div $nNodes").as("dshare"))
         joined.crossJoin(broadcast(share))
@@ -81,10 +93,14 @@ object PageRank {
       }).persist(StorageLevel.MEMORY_AND_DISK)
       persisted += rank
     }
-    rank.count() // materialize so earlier iterations can release
-    persisted.dropRight(1).foreach(_.unpersist())
-    e.unpersist()
-    rank
+    // eager localCheckpoint BEFORE releasing the iteration caches:
+    // unpersisting a parent invalidates (and lazily re-caches) any
+    // CacheManager entry built on it, so a persisted final rank would
+    // silently recompute all iterations on the caller's first action
+    val out = rank.localCheckpoint(true)
+    persisted.foreach(_.unpersist())
+    sinks.unpersist(); ed.unpersist(); e.unpersist()
+    out
   }
 
   /** Personalized PageRank: the restart mass lands ONLY on `seeds`
@@ -110,13 +126,16 @@ object PageRank {
       .select(col("node"), coalesce(col("_s"), lit(false)).as("seed"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // pre-join out-degrees once (see ranks())
+    val ed = e.join(deg, Seq("src"))
+      .select(col("src"), col("dst"), col("outdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val base = (scale * (dDen - dNum)) / dDen
     var rank = nodes.select(col("node"),
       when(col("seed"), lit(scale)).otherwise(lit(0L)).as("rank"))
     val persisted = scala.collection.mutable.Buffer[DataFrame]()
     for (_ <- 1 to iterations) {
-      val contrib = e.join(rank, e("src") === rank("node"))
-        .join(deg, Seq("src"))
+      val contrib = ed.join(rank, ed("src") === rank("node"))
         .select(col("dst").as("node"),
           expr("rank div outdeg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("m"))
@@ -128,9 +147,9 @@ object PageRank {
         .persist(StorageLevel.MEMORY_AND_DISK)
       persisted += rank
     }
-    rank.count()
-    persisted.dropRight(1).foreach(_.unpersist())
-    nodes.unpersist(); e.unpersist()
-    rank
+    val out = rank.localCheckpoint(true) // see ranks(): checkpoint before release
+    persisted.foreach(_.unpersist())
+    ed.unpersist(); nodes.unpersist(); e.unpersist()
+    out
   }
 }

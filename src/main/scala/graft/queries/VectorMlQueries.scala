@@ -786,10 +786,13 @@ object VectorMlQueries {
     Q.rowsOnly("q_dedup_semantic_recall") { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       val cents = SimilaritySearch.kmeansCentroids(emb, kCentroids = 10, seed = 42L)
+      // eager localCheckpoint, not persist: the result is returned LAZY,
+      // so a finally-unpersist would run before the harness executes it
+      // and the self-join would recompute this subtree twice
       val vecs = emb.select(col("vec_id"),
         graft.functions.VectorFunctions.toDoubleArray(col("embedding")).as("v"))
         .withColumn("n", graft.functions.VectorFunctions.norm(col("v")))
-        .persist()
+        .localCheckpoint(true)
       val brute = vecs.as("a").join(vecs.as("b"), col("a.vec_id") < col("b.vec_id"))
         .withColumn("cosine",
           when(col("a.n") * col("b.n") === 0.0, lit(0.0))
@@ -801,11 +804,10 @@ object VectorMlQueries {
       // when any cluster is shared — the recall dial of the operator
       val sem = Dedup.semanticNearDupPairs(emb, cents, cosThreshold = 0.35, nAssign = 2)
         .select(col("id_a"), col("id_b"), lit(1L).as("_hit"))
-      try brute.join(sem, Seq("id_a", "id_b"), "left_outer")
+      brute.join(sem, Seq("id_a", "id_b"), "left_outer")
         .agg(count(lit(1)).as("n_exact"),
           sum(coalesce(col("_hit"), lit(0L))).as("n_recalled"))
         .withColumn("recall", round(col("n_recalled") / col("n_exact"), 4))
-      finally vecs.unpersist(blocking = false)
     },
 
     // M10 threshold-metrics curve over a deterministic pseudo-score.

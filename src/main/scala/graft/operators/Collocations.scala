@@ -29,6 +29,24 @@ object Collocations {
     */
   def topPmi(docs: DataFrame, k: Int = 20, minCount: Long = 5L,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val (out, bg, uni) = topPmiFrame(docs, k, minCount, idCol, textCol)
+    // eager localCheckpoint, not persist+count: unpersisting bg/uni
+    // below would invalidate a dependent CacheManager entry (data
+    // dropped, lazily re-cached) and recompute the whole scan on the
+    // caller's first action; checkpoint blocks are immune
+    val pinned = out.localCheckpoint(true)
+    bg.unpersist(); uni.unpersist()
+    pinned
+  }
+
+  /** The UNMATERIALIZED plan behind [[topPmi]], plus the two cached
+    * count tables it leaves pinned — exposed so plan-shape tests can
+    * assert the TakeOrderedAndProject/broadcast structure that the
+    * public method's checkpoint hides behind an RDD scan. Callers other
+    * than tests want [[topPmi]].
+    */
+  private[graft] def topPmiFrame(docs: DataFrame, k: Int = 20, minCount: Long = 5L,
+      idCol: String = "doc_id", textCol: String = "text"): (DataFrame, DataFrame, DataFrame) = {
     val bg = NgramLanguageModel.bigramOccurrences(docs, idCol, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val pairs = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
@@ -52,12 +70,6 @@ object Collocations {
       .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc).limit(k)
       .withColumn("rk", row_number().over(w))
       .select(col("rk"), col("w1"), col("w2"), col("c_ab"), col("pmi"))
-    // eager localCheckpoint, not persist+count: unpersisting bg/uni
-    // below would invalidate a dependent CacheManager entry (data
-    // dropped, lazily re-cached) and recompute the whole scan on the
-    // caller's first action; checkpoint blocks are immune
-    val pinned = out.localCheckpoint(true)
-    bg.unpersist(); uni.unpersist()
-    pinned
+    (out, bg, uni)
   }
 }

@@ -235,10 +235,16 @@ class PlanSpec extends SparkSpec {
   }
 
   test("collocation top-k plans TakeOrderedAndProject; scalars broadcast") {
-    val p = plan("q_text_collocations")
-    assert(p.contains("TakeOrderedAndProject"), "PMI top-k must take-ordered:\n" + p)
-    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoop"),
-      "n_uni/n_bi scalars must broadcast:\n" + p)
+    // the public topPmi checkpoints its result (so the query's own plan
+    // is an RDD scan) — assert the shape on the unmaterialized frame
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+    val (frame, bg, uni) = graft.operators.Collocations.topPmiFrame(docs)
+    try {
+      val p = frame.queryExecution.executedPlan.toString
+      assert(p.contains("TakeOrderedAndProject"), "PMI top-k must take-ordered:\n" + p)
+      assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoop"),
+        "n_uni/n_bi scalars must broadcast:\n" + p)
+    } finally { bg.unpersist(); uni.unpersist() }
   }
 
   test("incremental view merge is one full-outer join, no re-aggregation of history") {

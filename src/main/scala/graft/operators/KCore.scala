@@ -56,6 +56,9 @@ object KCore {
           nodes("node") === col("src"), "left")
         .select(col("node"), coalesce(col("d"), lit(0L)).as("deg"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      // materialize per round: AQE then sizes the surviving node set at
+      // runtime and broadcasts the semi-joins below (see PageRank)
+      deg.count()
       pinned += deg
       removed += deg.filter(col("deg") < k)
         .select(col("node"), lit(r).as("removed_round"), lit(0L).as("deg"))

@@ -56,6 +56,11 @@ object PageRank {
     val ed = e.join(deg, Seq("src"))
       .select(col("src"), col("dst"), col("outdeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize NOW (and per iteration below): handing AQE a finished
+    // stage per step lets it size the rank side at runtime and pick
+    // broadcast joins — one deep 10-shuffle DAG planned blind measured
+    // ~2x slower than the same work as per-iteration jobs (sf0.1)
+    ed.count()
     // the sink SET is iteration-invariant (only sink ranks change):
     // compute it once instead of re-deriving the anti-join per round
     val sinks =
@@ -76,21 +81,24 @@ object PageRank {
         .groupBy(col("node")).agg(sum(col("c")).as("m"))
       val joined = nodes.join(contrib, Seq("node"), "left")
       rank = (if (redistributeDangling) {
-        // sinks (no out-edges) donate their whole rank; the 1-row sum
-        // broadcasts so the update stays a map-side expression
-        val share = rank.join(sinks, Seq("node"), "left_semi")
-          .agg(coalesce(sum(col("rank")), lit(0L)).as("dsum"))
-          .select(expr(s"dsum div $nNodes").as("dshare"))
-        joined.crossJoin(broadcast(share))
-          .select(col("node"),
-            (lit(base) +
-              expr(s"($dNum * (coalesce(m, CAST(0 AS BIGINT)) + dshare)) div $dDen"))
-              .as("rank"))
+        // sinks (no out-edges) donate their whole rank: ONE bounded
+        // scalar action over the cached previous ranks (the iteration
+        // materializes anyway), folded into the update as a literal —
+        // measurably cheaper than an in-plan broadcast of the 1-row
+        // aggregate, which forced an extra exchange per iteration.
+        // dsum ≥ 0 and nNodes > 0, so / is the same floor as div.
+        val dshare = rank.join(sinks, Seq("node"), "left_semi")
+          .agg(coalesce(sum(col("rank")), lit(0L))).head.getLong(0) / nNodes
+        joined.select(col("node"),
+          (lit(base) +
+            expr(s"($dNum * (coalesce(m, CAST(0 AS BIGINT)) + ${dshare}L)) div $dDen"))
+            .as("rank"))
       } else {
         joined.select(col("node"),
           (lit(base) + expr(s"($dNum * coalesce(m, CAST(0 AS BIGINT))) div $dDen"))
             .as("rank"))
       }).persist(StorageLevel.MEMORY_AND_DISK)
+      rank.count()
       persisted += rank
     }
     // eager localCheckpoint BEFORE releasing the iteration caches:
@@ -126,10 +134,12 @@ object PageRank {
       .select(col("node"), coalesce(col("_s"), lit(false)).as("seed"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // pre-join out-degrees once (see ranks())
+    // pre-join out-degrees once and materialize per iteration so AQE
+    // sizes the rank side at runtime (see ranks())
     val ed = e.join(deg, Seq("src"))
       .select(col("src"), col("dst"), col("outdeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    ed.count()
     val base = (scale * (dDen - dNum)) / dDen
     var rank = nodes.select(col("node"),
       when(col("seed"), lit(scale)).otherwise(lit(0L)).as("rank"))
@@ -145,6 +155,7 @@ object PageRank {
             expr(s"($dNum * coalesce(m, CAST(0 AS BIGINT))) div $dDen"))
             .as("rank"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      rank.count()
       persisted += rank
     }
     val out = rank.localCheckpoint(true) // see ranks(): checkpoint before release

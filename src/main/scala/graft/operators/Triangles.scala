@@ -33,4 +33,35 @@ object Triangles {
     wedges.join(e.select(col("u").as("a"), col("v").as("c")), Seq("a", "c"))
       .select(col("a"), col("b"), col("c"))
   }
+
+  /** Per-node local clustering coefficient: 2·tri(v) / (deg(v)·(deg(v)−1)),
+    * 0 for degree < 2 — how close each node's neighborhood is to a
+    * clique. High-coefficient regions are genuine communities; a
+    * high-degree node with near-zero coefficient is the spam/link-farm
+    * shape (connects everywhere, embeds nowhere), the complement signal
+    * to [[KCore]] in graph-based corpus curation.
+    *
+    * One triangle enumeration (the oriented wedge join above) exploded
+    * to its three corners plus one degree aggregation — both map-side
+    * combined; the triple count and degrees stay exact longs, so only
+    * the final ratio is floating point.
+    *
+    * @return (node, deg long, tri long, coeff double r6) ordered by node.
+    */
+  def nodeClustering(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("u"), col("v"))
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val tri = listTriangles(e)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node"), col("deg"), coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("coeff",
+        when(col("deg") >= 2,
+          round((lit(2.0) * col("tri")) / (col("deg") * (col("deg") - 1)), 6))
+          .otherwise(lit(0.0)))
+      .orderBy(col("node"))
+  }
 }

@@ -876,6 +876,35 @@ object Relational {
       graft.operators.Triangles.listTriangles(e).orderBy(col("a"), col("b"), col("c"))
     },
 
+    // Per-node local clustering coefficient over the same co-occurrence
+    // graph: 2·tri/(deg·(deg−1)) — the community-vs-spam complement to
+    // k-core (high degree + near-zero coefficient = link-farm shape).
+    // Counts stay exact longs; one float ratio at the end.
+    Q("q_graph_clustering",
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT a.p AS u, b.p AS v FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |        FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |tv AS (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+        |tc AS (SELECT node, cast(count(*) AS bigint) AS tri FROM tv GROUP BY 1),
+        |nd AS (SELECT node, cast(count(*) AS bigint) AS deg FROM
+        |       (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e) GROUP BY 1)
+        |SELECT n.node, n.deg, coalesce(t.tri, 0) AS tri,
+        |       CASE WHEN n.deg >= 2
+        |            THEN round((2.0 * coalesce(t.tri, 0)) / (n.deg * (n.deg - 1)), 6)
+        |            ELSE 0.0 END AS coeff
+        |FROM nd n LEFT JOIN tc t USING (node) ORDER BY node""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val e = li.select(col("o"), col("p").as("u"))
+        .join(li.select(col("o"), col("p").as("v")), "o")
+        .filter(col("u") < col("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2).select(col("u"), col("v"))
+      graft.operators.Triangles.nodeClustering(e)
+    },
+
     // Blocked fuzzy entity resolution: multi-attribute entity strings,
     // a (first-word, size) blocking key, levenshtein <= 2 gate, best
     // match per dirty record — the full match list is hash-checked.

@@ -767,6 +767,34 @@ object TextQueries {
         .orderBy(col("lang"), col("doc_id"))
     },
 
+    // Exact-substring duplication wash (RefinedWeb recipe): word
+    // 8-grams shared by >= 2 docs, each doc scored by the fraction of
+    // its gram positions on shared grams — catches the copied paragraph
+    // inside an otherwise unique page that whole-document MinHash
+    // misses. O(total tokens), never O(docs^2).
+    Q("q_text_dupgrams",
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ts
+        |             FROM documents),
+        |g AS (SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS gram
+        |      FROM tok, unnest(generate_series(1, len(ts) - 7)) AS t(i)
+        |      WHERE len(ts) >= 8),
+        |common AS (SELECT gram FROM (
+        |    SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+        |  WHERE nd >= 2),
+        |total AS (SELECT doc_id, cast(count(*) AS bigint) AS n_grams FROM g GROUP BY 1),
+        |dup AS (SELECT doc_id, cast(count(*) AS bigint) AS n_dup
+        |        FROM g WHERE gram IN (SELECT gram FROM common) GROUP BY 1)
+        |SELECT d.doc_id,
+        |       coalesce(t.n_grams, 0) AS n_grams,
+        |       coalesce(u.n_dup, 0) AS n_dup,
+        |       CASE WHEN coalesce(t.n_grams, 0) > 0
+        |            THEN round(coalesce(u.n_dup, 0)::DOUBLE / t.n_grams::DOUBLE, 6)
+        |            ELSE 0.0 END AS dup_frac
+        |FROM documents d LEFT JOIN total t USING (doc_id) LEFT JOIN dup u USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.DupNgrams.washFraction(t(s, dir, "documents"), n = 8, minDocs = 2L)
+    },
+
     // End-to-end corpus pipeline — the LLM-data-side counterpart of
     // AccidentPipeline, composed from the engine's own stages: exact
     // dedup (keep min id per md5) → quality gate (length + punctuation)

@@ -71,6 +71,38 @@ class PersonalizedPageRankSpec extends SparkSpec {
   }
 }
 
+class DupNgramsSpec extends SparkSpec {
+  test("shared trigram is scored in both docs; short docs score 0") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),   // grams: abc bcd cde -> 1 of 3 shared
+      (2L, "x y a b c"),   // grams: xya yab abc -> 1 of 3 shared
+      (3L, "q w e r t"),   // all unique
+      (4L, "too short")    // < 3 tokens -> no grams
+    ).toDF("doc_id", "text")
+    val out = graft.operators.DupNgrams.washFraction(docs, n = 3, minDocs = 2L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((3L, 1L, 0.333333)), s"got $out")
+    assert(out(2L) == ((3L, 1L, 0.333333)), s"got $out")
+    assert(out(3L) == ((3L, 0L, 0.0)))
+    assert(out(4L) == ((0L, 0L, 0.0)), "short doc contributes and scores nothing")
+  }
+}
+
+class NodeClusteringSpec extends SparkSpec {
+  test("triangle corners score by degree; pendant scores 0") {
+    val s = spark; import s.implicits._
+    // triangle 1-2-3 plus pendant edge 3-4 (edges normalized u < v)
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val out = graft.operators.Triangles.nodeClustering(e)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((2L, 1L, 1.0)), s"got $out")
+    assert(out(2L) == ((2L, 1L, 1.0)))
+    assert(out(3L) == ((3L, 1L, 0.333333)), "hub diluted by the pendant")
+    assert(out(4L) == ((1L, 0L, 0.0)), "degree-1 node defined as 0")
+  }
+}
+
 class LabelAgreementSpec extends SparkSpec {
   test("a point planted in the wrong cluster is the suspect") {
     val s = spark; import s.implicits._

@@ -767,6 +767,34 @@ object TextQueries {
         .orderBy(col("lang"), col("doc_id"))
     },
 
+    // Curriculum interleaving: quality-quantile buckets (exact
+    // percentile cutoffs folded in as literals — never a global ntile)
+    // alternate via the arithmetic key (pos−1)·4 + bucket, a total
+    // training order with NO global sort. n_chars stands in for the
+    // quality score; integer scores make the cutoff comparisons exact
+    // on both engines.
+    Q("q_sample_curriculum",
+      """WITH cuts AS (SELECT quantile_cont(cast(n_chars AS DOUBLE), [0.25, 0.5, 0.75]) AS c
+        |              FROM documents),
+        |b AS (SELECT doc_id,
+        |             cast(n_chars AS DOUBLE) AS score,
+        |             1 + (CASE WHEN cast(n_chars AS DOUBLE) > c[1] THEN 0 ELSE 1 END)
+        |               + (CASE WHEN cast(n_chars AS DOUBLE) > c[2] THEN 0 ELSE 1 END)
+        |               + (CASE WHEN cast(n_chars AS DOUBLE) > c[3] THEN 0 ELSE 1 END) AS bucket
+        |      FROM documents, cuts),
+        |p AS (SELECT doc_id, bucket,
+        |             cast(row_number() OVER (PARTITION BY bucket
+        |                                     ORDER BY score DESC, doc_id) AS bigint) AS pos
+        |      FROM b)
+        |SELECT doc_id, cast(bucket AS int) AS bucket, pos,
+        |       (pos - 1) * 4 + bucket AS ikey
+        |FROM p ORDER BY ikey, doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.CurriculumOrder.interleave(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars").cast("double").as("score")),
+        nBuckets = 4)
+    },
+
     // Exact-substring duplication wash (RefinedWeb recipe): word
     // 8-grams shared by >= 2 docs, each doc scored by the fraction of
     // its gram positions on shared grams — catches the copied paragraph

@@ -260,6 +260,35 @@ object Windows {
         .orderBy(col("cur"), col("nxt"))
     },
 
+    // Median/MAD robust outlier gate per event type (Iglewicz–Hoaglin
+    // modified z-score) — the heavy-tail-proof complement to the
+    // mean/stddev anomaly query. Values go through exact integer cents
+    // so the medians are dyadic-exact on both engines; the only float
+    // math is the final z ratio.
+    Q("q_quality_robust_outliers",
+      """WITH v AS (SELECT event_type, cast(floor(value * 100) AS bigint) AS cents
+        |           FROM events),
+        |med AS (SELECT event_type, quantile_cont(cast(cents AS DOUBLE), 0.5) AS med
+        |        FROM v GROUP BY 1),
+        |mad AS (SELECT v.event_type,
+        |               quantile_cont(abs(cast(v.cents AS DOUBLE) - m.med), 0.5) AS mad
+        |        FROM v JOIN med m USING (event_type) GROUP BY 1),
+        |z AS (SELECT v.event_type, m.med, d.mad,
+        |             CASE WHEN d.mad > 0
+        |                  THEN 0.6745 * (cast(v.cents AS DOUBLE) - m.med) / d.mad
+        |                  ELSE 0.0 END AS z
+        |      FROM v JOIN med m USING (event_type) JOIN mad d USING (event_type))
+        |SELECT event_type, cast(count(*) AS bigint) AS n,
+        |       round(any_value(med), 6) AS med, round(any_value(mad), 6) AS mad,
+        |       cast(sum(CASE WHEN abs(z) > 3.5 THEN 1 ELSE 0 END) AS bigint) AS n_outliers,
+        |       round(max(abs(z)), 6) AS max_abs_z
+        |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      graft.operators.RobustOutliers.perGroup(
+        t(s, dir, "events")
+          .select(col("event_type"), floor(col("value") * 100).cast("long").as("cents")),
+        groupCol = "event_type", valueCol = "cents", cut = 3.5)
+    },
+
     // Order-3 sequence mining: the most frequent event-type trigrams
     // across user sequences (the paths, where transitions give the
     // steps). One user-partitioned shuffle for the lead() chain; global

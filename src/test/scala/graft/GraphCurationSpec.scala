@@ -103,6 +103,31 @@ class NodeClusteringSpec extends SparkSpec {
   }
 }
 
+class CurriculumOrderSpec extends SparkSpec {
+  test("quartile strata alternate perfectly on 8 ranked docs") {
+    val s = spark; import s.implicits._
+    val docs = (1 to 8).map(i => (i.toLong, i.toDouble)).toDF("doc_id", "score")
+    val out = graft.operators.CurriculumOrder.interleave(docs, nBuckets = 4)
+      .collect().map(_.getLong(0))
+    // best-of-each-stratum first (8,6,4,2), then the seconds (7,5,3,1)
+    assert(out.toSeq == Seq(8L, 6L, 4L, 2L, 7L, 5L, 3L, 1L), s"got ${out.toSeq}")
+  }
+}
+
+class RobustOutliersSpec extends SparkSpec {
+  test("MAD flags the wild point; degenerate MAD=0 group flags nothing") {
+    val s = spark; import s.implicits._
+    val df = (Seq(1L, 2L, 3L, 4L, 100L).map(("a", _)) ++
+      Seq(10L, 10L, 10L, 10L, 1000L).map(("b", _))).toDF("g", "x")
+    val out = graft.operators.RobustOutliers.perGroup(df, "g", "x")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(out("a") == ((5L, 3.0, 1.0, 1L)), s"got $out")
+    // median 10, MAD 0: modified z undefined -> defined as 0, none flagged
+    assert(out("b") == ((5L, 10.0, 0.0, 0L)), s"got $out")
+  }
+}
+
 class LabelAgreementSpec extends SparkSpec {
   test("a point planted in the wrong cluster is the suspect") {
     val s = spark; import s.implicits._

@@ -309,4 +309,57 @@ object Multimodal {
       }
     }(encoder)
   }
+
+  /** Temporal frame sampling — the video slot of the multimodal stub
+    * family. A GFT1 payload is read as a stack of `h` frames of `w`
+    * bytes each (row-major), and every `stride`-th frame is kept:
+    * frames 0, stride, 2·stride… re-assembled under a rewritten
+    * header. Real images sample every `stride`-th PIXEL ROW (the same
+    * temporal-axis semantics applied to the only axis they have) and
+    * re-encode as PNG. Same per-partition discipline as
+    * [[resizePayload]]: binary in, binary out, never shuffled,
+    * undecodable rows pass through (sampled=false).
+    *
+    * @return (doc_id, n_frames int — frames in the input, n_kept int,
+    *   payload binary — the sampled stack, sampled bool)
+    */
+  def frameSample(df: DataFrame, stride: Int,
+      idCol: String = "doc_id", payloadCol: String = "payload"): DataFrame = {
+    require(stride >= 1, s"stride=$stride must be >= 1")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = true),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("n_kept", IntegerType, nullable = false),
+      StructField("payload", BinaryType, nullable = true),
+      StructField("sampled", BooleanType, nullable = false)))
+    val rows: Dataset[Row] = df.select(col(idCol).cast("long"), col(payloadCol))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    rows.mapPartitions { it =>
+      it.map { r =>
+        val id: Any = if (r.isNullAt(0)) null else r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        decodeGft1(payload) match {
+          case Some((w, h, n)) if w > 0 && n == w * h =>
+            val body = java.util.Arrays.copyOfRange(payload, 17, 17 + n)
+            val kept = Array.range(0, h, stride)
+            val sub = kept.flatMap(f => body.slice(f * w, (f + 1) * w))
+            val header = f"GFT1 $w%05d ${kept.length}%05d\n"
+            Row(id, h, kept.length, header.getBytes("US-ASCII") ++ sub, true)
+          case _ => readImage(payload) match {
+            case Some(img) =>
+              val kept = Array.range(0, img.getHeight, stride)
+              val out = new java.awt.image.BufferedImage(
+                img.getWidth, kept.length, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              kept.zipWithIndex.foreach { case (srcY, dstY) =>
+                (0 until img.getWidth).foreach(x => out.setRGB(x, dstY, img.getRGB(x, srcY)))
+              }
+              val bytes = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bytes)
+              Row(id, img.getHeight, kept.length, bytes.toByteArray, true)
+            case None => Row(id, 0, 0, payload, false)
+          }
+        }
+      }
+    }(encoder)
+  }
 }

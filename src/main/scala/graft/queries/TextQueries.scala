@@ -586,6 +586,58 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Temporal frame sampling (the video slot): GFT1 payloads read as
+    // 4 frames of 8 bytes, every 2nd frame kept and re-assembled under
+    // a rewritten header — the oracle rebuilds the EXPECTED BYTES, so
+    // hash equality proves the sampled binary, not just its metadata.
+    Q("q_multimodal_framesample",
+      """WITH p AS (SELECT doc_id, md5(text) AS b FROM documents)
+        |SELECT doc_id, cast(4 AS int) AS n_frames, cast(2 AS int) AS n_kept,
+        |       cast(33 AS int) AS n_bytes,
+        |       md5('GFT1 00008 00002' || chr(10) ||
+        |           substr(b, 1, 8) || substr(b, 17, 8)) AS payload_md5,
+        |       true AS sampled
+        |FROM p ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val payloads = t(s, dir, "documents").select(
+        col("doc_id"),
+        Multimodal.encodePayload(lit(8), lit(4), md5(col("text").cast("binary"))).as("payload"))
+      Multimodal.frameSample(payloads, stride = 2)
+        .select(col("doc_id"), col("n_frames"), col("n_kept"),
+          octet_length(col("payload")).cast("int").as("n_bytes"),
+          md5(col("payload")).as("payload_md5"), col("sampled"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Tokenizer-vocabulary coverage: OOV rate per language against the
+    // corpus's own top-100 token vocabulary (count-desc, token
+    // tie-break) — the pre-tokenizer-training sanity gate. Counts stay
+    // integers; one ratio at the end.
+    Q("q_text_oov",
+      """WITH tok AS (SELECT lang, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        |             FROM documents),
+        |vocab AS (SELECT w FROM (
+        |    SELECT w, count(*) AS c FROM tok GROUP BY 1
+        |    ORDER BY c DESC, w LIMIT 100)),
+        |m AS (SELECT lang, count(*) AS n_tok,
+        |             sum(CASE WHEN w IN (SELECT w FROM vocab) THEN 0 ELSE 1 END) AS n_oov
+        |      FROM tok GROUP BY 1)
+        |SELECT lang, cast(n_tok AS bigint) AS n_tok, cast(n_oov AS bigint) AS n_oov,
+        |       round(n_oov::DOUBLE / n_tok::DOUBLE, 6) AS oov_rate
+        |FROM m ORDER BY lang""".stripMargin) { (s, dir) =>
+      val tok = t(s, dir, "documents")
+        .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("w"))
+      val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w").asc).limit(100)
+        .select(col("w"), lit(true).as("_in"))
+      tok.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("_in").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate",
+          round(col("n_oov").cast("double") / col("n_tok").cast("double"), 6))
+        .orderBy(col("lang"))
+    },
+
     // Repetition-based quality signals (Gopher-style): duplicated-bigram
     // fraction (pure array expression) + most-frequent-token fraction
     // (explode → two map-side-combined aggs). The `repetitive` flag is

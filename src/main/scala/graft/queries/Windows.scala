@@ -260,6 +260,32 @@ object Windows {
         .orderBy(col("cur"), col("nxt"))
     },
 
+    // Rolling 7-day distinct users (sliding-window engagement): each
+    // active (day, user) pair is exploded into the 7 window-end days it
+    // counts toward, then ONE distinct aggregation per window — the
+    // standard exact rolling-cardinality shape (explode factor = window
+    // length, never a per-day re-scan; swap the distinct for an HLL
+    // sketch when the window or cardinality explodes).
+    Q("q_events_rolling_active",
+      """WITH du AS (SELECT DISTINCT cast(ts AS DATE) AS d, user_id FROM events),
+        |ex AS (SELECT d + cast(i AS int) AS w, user_id
+        |       FROM du, unnest(generate_series(0, 6)) AS t(i)),
+        |mx AS (SELECT max(d) AS md FROM du)
+        |SELECT w AS window_end,
+        |       cast(count(DISTINCT user_id) AS bigint) AS active_users
+        |FROM ex, mx WHERE w <= md
+        |GROUP BY 1 ORDER BY window_end""".stripMargin) { (s, dir) =>
+      val du = t(s, dir, "events")
+        .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+      val maxD = du.agg(max(col("d"))).head.getDate(0)
+      du.select(explode(sequence(lit(0), lit(6))).as("i"), col("d"), col("user_id"))
+        .select(date_add(col("d"), col("i")).as("window_end"), col("user_id"))
+        .filter(col("window_end") <= lit(maxD))
+        .groupBy(col("window_end"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .orderBy(col("window_end"))
+    },
+
     // Median/MAD robust outlier gate per event type (Iglewicz–Hoaglin
     // modified z-score) — the heavy-tail-proof complement to the
     // mean/stddev anomaly query. Values go through exact integer cents

@@ -122,6 +122,24 @@ class MultimodalSpec extends SparkSpec {
     assert(frames == Seq(0, 3, 6, 9))
   }
 
+  test("frameSample rewrites the frame stack: strided rows, rewritten header") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    // 4 frames of 4 bytes: AAAA BBBB CCCC DDDD; stride 2 keeps AAAA CCCC
+    val payloads = Seq((1L, "AAAABBBBCCCCDDDD")).toDF("doc_id", "body")
+      .select(col("doc_id"),
+        Multimodal.encodePayload(lit(4), lit(4), col("body")).as("payload"))
+    val out = Multimodal.frameSample(payloads, stride = 2).head()
+    assert(out.getAs[Int]("n_frames") == 4 && out.getAs[Int]("n_kept") == 2)
+    val bytes = new String(out.getAs[Array[Byte]]("payload"), "US-ASCII")
+    assert(bytes == "GFT1 00004 00002\nAAAACCCC", s"got '$bytes'")
+    assert(out.getAs[Boolean]("sampled"))
+    // undecodable payloads pass through untouched
+    val junk = Seq((2L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    val j = Multimodal.frameSample(junk, stride = 2).head()
+    assert(!j.getAs[Boolean]("sampled") && j.getAs[Array[Byte]]("payload").length == 3)
+  }
+
   test("perceptual hash: real PNGs — near-identical close, different far, dedup pairs found") {
     val s = spark; import s.implicits._
     // structured gradient image + a lightly-perturbed copy + an inverted one

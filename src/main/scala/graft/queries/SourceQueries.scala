@@ -171,6 +171,22 @@ object SourceQueries {
         .orderBy(col("r_key"))
     },
 
+    // ORC round trip — the second columnar interchange format a lake
+    // actually serves (Hive-era tables); same aggregation oracle as the
+    // parquet trip, so hash equality proves values AND types survive
+    // the ORC writer/reader pair.
+    Q("q_source_orc_roundtrip",
+      """SELECT n_regionkey AS r_key, count(*) AS n_nations,
+        |       cast(min(n_nationkey) AS bigint) AS min_nation
+        |FROM nation GROUP BY 1 ORDER BY r_key""".stripMargin) { (s, dir) =>
+      val path = tmp(dir, "orcrt")
+      t(s, dir, "nation").write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .groupBy(col("n_regionkey").as("r_key"))
+        .agg(count(lit(1)).as("n_nations"), min(col("n_nationkey")).as("min_nation"))
+        .orderBy(col("r_key"))
+    },
+
     // Hive-style partitioned layout + partition pruning: documents
     // written `partitionBy(lang)`, read back with a two-partition filter.
     // At 100 TB this directory pruning is what turns a corpus-wide scan

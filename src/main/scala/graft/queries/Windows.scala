@@ -526,6 +526,27 @@ object Windows {
     // what the oracle computes (batch gap sessions minus the max-seq
     // session per user). This hash-checks the arbitrary-state operator
     // end to end, strict-gap edge and all.
+    // Stream-static enrichment join — the serving-time dimension-lookup
+    // shape (stream fact ⋈ slowly-changing static dim). The static side
+    // is a plain batch frame Spark re-plans per micro-batch (broadcast
+    // at this size); no watermark is needed for a stream-static INNER
+    // join, and the downstream count runs in complete mode. The oracle
+    // is the same join run relationally.
+    Q("q_stream_static_join",
+      """SELECT c_mktsegment AS tier, cast(count(*) AS bigint) AS n_events
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY tier""".stripMargin) { (s, dir) =>
+      val (src, staged) = stagedEventsStream(s, dir)
+      val dim = graft.Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val joined = src.join(dim, col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("tier"))
+        .agg(count(lit(1)).as("n_events"))
+      runToMemorySink(s, joined, sinkName("stream_st_", dir),
+          outputMode = "complete", staged = staged :: Nil)
+        .orderBy(col("tier"))
+    },
+
     Q("q_stream_sessions_state",
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),

@@ -260,6 +260,57 @@ object Windows {
         .orderBy(col("cur"), col("nxt"))
     },
 
+    // Deterministic A/B assignment + sample-ratio-mismatch gate: units
+    // hash (md5, 60-bit) into 4 arms; χ² against the equal split is
+    // built from ONE exact integer Σo², so no float summation order
+    // exists. SRM is the first gate before reading any experiment.
+    Q("q_ab_srm",
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |arms AS (SELECT (('0x' || substr(md5('exp1:' || cast(user_id AS VARCHAR)), 1, 15))::BIGINT % 4)
+        |                AS arm FROM u),
+        |o AS (SELECT arm, cast(count(*) AS bigint) AS o FROM arms GROUP BY 1)
+        |SELECT cast(sum(o) AS bigint) AS n, cast(4 AS int) AS k,
+        |       round(4 * sum(o * o) / cast(sum(o) AS DOUBLE) - sum(o), 6) AS chi2,
+        |       round(cast(max(o) AS DOUBLE) / cast(sum(o) AS DOUBLE), 6) AS max_share
+        |FROM o""".stripMargin) { (s, dir) =>
+      graft.operators.AbAssignment.srmCheck(
+        t(s, dir, "events"), k = 4, salt = "exp1", unitCol = "user_id")
+    },
+
+    // Signup→purchase conversion latency: each user's first signup
+    // paired with their first purchase at-or-after it, exact integer
+    // second deltas, dyadic percentiles (0.5/0.75 keep the interpolated
+    // rank exact on both engines).
+    Q("q_events_latency",
+      """WITH su AS (SELECT user_id, min(epoch_us(ts)) AS s_us
+        |            FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |pu AS (SELECT e.user_id, min(epoch_us(e.ts)) AS p_us
+        |       FROM events e JOIN su ON e.user_id = su.user_id
+        |       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= su.s_us
+        |       GROUP BY 1),
+        |d AS (SELECT su.user_id, (p_us - s_us) // 1000000 AS delta_s
+        |      FROM su JOIN pu USING (user_id))
+        |SELECT cast(count(*) AS bigint) AS n_converted,
+        |       round(quantile_cont(cast(delta_s AS DOUBLE), 0.5), 6) AS p50_s,
+        |       round(quantile_cont(cast(delta_s AS DOUBLE), 0.75), 6) AS p75_s,
+        |       cast(max(delta_s) AS bigint) AS max_s
+        |FROM d""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("us")).as("s_us"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .join(su, Seq("user_id"))
+        .filter(col("us") >= col("s_us"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
+      su.join(pu, Seq("user_id"))
+        .select(expr("(p_us - s_us) div 1000000").as("delta_s"))
+        .agg(count(lit(1)).as("n_converted"),
+          round(expr("percentile(cast(delta_s AS double), 0.5)"), 6).as("p50_s"),
+          round(expr("percentile(cast(delta_s AS double), 0.75)"), 6).as("p75_s"),
+          max(col("delta_s")).as("max_s"))
+    },
+
     // Rolling 7-day distinct users (sliding-window engagement): each
     // active (day, user) pair is exploded into the 7 window-end days it
     // counts toward, then ONE distinct aggregation per window — the

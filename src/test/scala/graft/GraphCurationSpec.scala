@@ -103,6 +103,28 @@ class NodeClusteringSpec extends SparkSpec {
   }
 }
 
+class AbAssignmentSpec extends SparkSpec {
+  test("assignment is stable per unit+salt; SRM chi2 matches hand computation") {
+    val s = spark; import s.implicits._
+    val users = (1L to 200L).toDF("user_id")
+    val a1 = graft.operators.AbAssignment.assign(users, k = 4, salt = "x")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a2 = graft.operators.AbAssignment.assign(users, k = 4, salt = "x")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1 == a2, "same salt must replay identically")
+    val b = graft.operators.AbAssignment.assign(users, k = 4, salt = "y")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1 != b, "different salt must re-randomize")
+    assert(a1.values.toSet.subsetOf(Set(0, 1, 2, 3)))
+    val row = graft.operators.AbAssignment.srmCheck(users, k = 4, salt = "x").head()
+    val counts = a1.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = 200.0; val e = n / 4
+    val chi2 = (0 to 3).map(a => { val o = counts.getOrElse(a, 0L); (o - e) * (o - e) / e }).sum
+    assert(row.getAs[Long]("n") == 200L)
+    assert(math.abs(row.getAs[Double]("chi2") - chi2) < 1e-6, s"chi2 ${row.getAs[Double]("chi2")} vs $chi2")
+  }
+}
+
 class CurriculumOrderSpec extends SparkSpec {
   test("quartile strata alternate perfectly on 8 ranked docs") {
     val s = spark; import s.implicits._

@@ -819,6 +819,51 @@ object TextQueries {
         .orderBy(col("lang"), col("doc_id"))
     },
 
+    // Source-mixture planning: per-source keep rates realizing the
+    // largest corpus that matches a target mixture exactly (the binding
+    // source is the one with the smallest availability-to-target ratio;
+    // everything else downsamples relative to it). Weights derive
+    // deterministically from the source name so both engines build the
+    // same target.
+    Q("q_sample_mix_plan",
+      """WITH c AS (SELECT source, cast(count(*) AS bigint) AS n_avail
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT source, cast(substr(source, 4)::INT % 5 + 1 AS DOUBLE) AS w
+        |      FROM (SELECT DISTINCT source FROM documents)),
+        |tw AS (SELECT sum(w) AS ws FROM t),
+        |j AS (SELECT c.source, c.n_avail, t.w / tw.ws AS share
+        |      FROM c JOIN t USING (source), tw),
+        |sc AS (SELECT min(n_avail / share) AS scale FROM j WHERE share > 0)
+        |SELECT source, n_avail, round(share, 6) AS target_share,
+        |       round(least(1.0, sc.scale * share / n_avail), 6) AS keep_rate,
+        |       cast(floor(n_avail * round(least(1.0, sc.scale * share / n_avail), 6)) AS bigint)
+        |         AS n_keep
+        |FROM j, sc ORDER BY source""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val target = docs.select(col("source")).distinct()
+        .withColumn("weight",
+          (substring(col("source"), 4, 10).cast("int") % 5 + 1).cast("double"))
+      graft.operators.MixturePlanner.plan(docs, target)
+    },
+
+    // Cross-source quality calibration: percent_rank of n_chars WITHIN
+    // each source — rank-normalized scores are comparable across
+    // heterogeneous sources before blending (raw score scales are
+    // not). Unique (score, id) ordering keeps ranks tie-free; each
+    // window sorts one source partition, never the corpus.
+    Q("q_quality_rank_normalize",
+      """SELECT doc_id, source, n_chars,
+        |       round(percent_rank() OVER (PARTITION BY source
+        |                                  ORDER BY n_chars, doc_id), 6) AS pr
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("n_chars").asc, col("doc_id").asc)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          round(percent_rank().over(w), 6).as("pr"))
+        .orderBy(col("doc_id"))
+    },
+
     // Curriculum interleaving: quality-quantile buckets (exact
     // percentile cutoffs folded in as literals — never a global ntile)
     // alternate via the arithmetic key (pos−1)·4 + bucket, a total

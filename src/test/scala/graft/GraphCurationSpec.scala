@@ -103,6 +103,22 @@ class NodeClusteringSpec extends SparkSpec {
   }
 }
 
+class MixturePlannerSpec extends SparkSpec {
+  test("binding source keeps everything; others downsample to the exact mix") {
+    val s = spark; import s.implicits._
+    // availability a:100 b:100; target 3:1 — b binds nothing, a binds?
+    // avail/share: a: 100/.75=133, b: 100/.25=400 -> a binds (scale 133.33),
+    // a keeps all 100, b keeps scale*.25 = 33.33 -> rate .333333, 33 docs
+    val docs = ((1 to 100).map(i => (i.toLong, "a")) ++
+      (101 to 200).map(i => (i.toLong, "b"))).toDF("doc_id", "source")
+    val target = Seq(("a", 3.0), ("b", 1.0)).toDF("source", "weight")
+    val out = graft.operators.MixturePlanner.plan(docs, target)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3), r.getLong(4))).toMap
+    assert(out("a") == ((100L, 1.0, 100L)), s"got $out")
+    assert(out("b") == ((100L, 0.333333, 33L)), s"got $out")
+  }
+}
+
 class AbAssignmentSpec extends SparkSpec {
   test("assignment is stable per unit+salt; SRM chi2 matches hand computation") {
     val s = spark; import s.implicits._

@@ -1013,6 +1013,95 @@ object Relational {
         .orderBy(col("island_start"))
     },
 
+    // Referential-integrity audit across every FK edge of the star
+    // schema: orphan counts via anti-joins (each one shuffle on the key
+    // or a broadcast of the parent's key column) — the standing data-
+    // quality gate a lake runs after every ingest batch.
+    Q("q_diag_ref_integrity",
+      """SELECT * FROM (
+        |  SELECT 'lineitem->orders' AS fk,
+        |         (SELECT cast(count(*) AS bigint) FROM lineitem) AS n_rows,
+        |         (SELECT cast(count(*) AS bigint) FROM lineitem l
+        |          LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |          WHERE o.o_orderkey IS NULL) AS n_orphans
+        |  UNION ALL SELECT 'lineitem->part',
+        |         (SELECT cast(count(*) AS bigint) FROM lineitem),
+        |         (SELECT cast(count(*) AS bigint) FROM lineitem l
+        |          LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        |          WHERE p.p_partkey IS NULL)
+        |  UNION ALL SELECT 'lineitem->supplier',
+        |         (SELECT cast(count(*) AS bigint) FROM lineitem),
+        |         (SELECT cast(count(*) AS bigint) FROM lineitem l
+        |          LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |          WHERE s.s_suppkey IS NULL)
+        |  UNION ALL SELECT 'orders->customer',
+        |         (SELECT cast(count(*) AS bigint) FROM orders),
+        |         (SELECT cast(count(*) AS bigint) FROM orders o
+        |          LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |          WHERE c.c_custkey IS NULL)
+        |  UNION ALL SELECT 'customer->nation',
+        |         (SELECT cast(count(*) AS bigint) FROM customer),
+        |         (SELECT cast(count(*) AS bigint) FROM customer c
+        |          LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |          WHERE n.n_nationkey IS NULL)
+        |  UNION ALL SELECT 'nation->region',
+        |         (SELECT cast(count(*) AS bigint) FROM nation),
+        |         (SELECT cast(count(*) AS bigint) FROM nation n
+        |          LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+        |          WHERE r.r_regionkey IS NULL)
+        |) ORDER BY fk""".stripMargin) { (s, dir) =>
+      def edge(fk: String, child: DataFrame, childKey: String,
+          parent: DataFrame, parentKey: String) = {
+        val orphans = child.join(parent.select(col(parentKey)).distinct(),
+          child(childKey) === col(parentKey), "left_anti")
+        child.agg(count(lit(1)).as("n_rows"))
+          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+          .select(lit(fk).as("fk"), col("n_rows"), col("n_orphans"))
+      }
+      Seq(
+        edge("lineitem->orders", t(s, dir, "lineitem"), "l_orderkey", t(s, dir, "orders"), "o_orderkey"),
+        edge("lineitem->part", t(s, dir, "lineitem"), "l_partkey", t(s, dir, "part"), "p_partkey"),
+        edge("lineitem->supplier", t(s, dir, "lineitem"), "l_suppkey", t(s, dir, "supplier"), "s_suppkey"),
+        edge("orders->customer", t(s, dir, "orders"), "o_custkey", t(s, dir, "customer"), "c_custkey"),
+        edge("customer->nation", t(s, dir, "customer"), "c_nationkey", t(s, dir, "nation"), "n_nationkey"),
+        edge("nation->region", t(s, dir, "nation"), "n_regionkey", t(s, dir, "region"), "r_regionkey"))
+        .reduce(_ unionByName _)
+        .orderBy(col("fk"))
+    },
+
+    // Benford first-digit audit on order totals: leading-digit shares
+    // vs log10(1 + 1/d) — the classic fabricated-data screen. The
+    // expectations ride as 6-dp LITERALS (identical doubles on both
+    // engines; a live log10 could differ in the last ulp between libm
+    // and the JVM); counts stay exact, one ratio per digit.
+    Q("q_diag_benford",
+      """WITH d AS (SELECT cast(substr(cast(cast(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+        |                  AS digit
+        |           FROM orders WHERE o_totalprice >= 1),
+        |c AS (SELECT digit, cast(count(*) AS bigint) AS n FROM d GROUP BY 1),
+        |tot AS (SELECT sum(n) AS t FROM c),
+        |e(digit, ex) AS (VALUES (1, 0.301030), (2, 0.176091), (3, 0.124939),
+        |  (4, 0.096910), (5, 0.079181), (6, 0.066947), (7, 0.057992),
+        |  (8, 0.051153), (9, 0.045757))
+        |SELECT c.digit, c.n,
+        |       round(c.n / cast(t AS DOUBLE), 6) AS share,
+        |       round(c.n / cast(t AS DOUBLE) - e.ex, 6) AS dev
+        |FROM c JOIN e ON c.digit = e.digit, tot ORDER BY c.digit""".stripMargin) { (s, dir) =>
+      val expected = expr("element_at(map(" +
+        "1, 0.301030D, 2, 0.176091D, 3, 0.124939D, 4, 0.096910D, 5, 0.079181D, " +
+        "6, 0.066947D, 7, 0.057992D, 8, 0.051153D, 9, 0.045757D), digit)")
+      val d = t(s, dir, "orders").filter(col("o_totalprice") >= 1)
+        .select(substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+          .cast("int").as("digit"))
+      val c = d.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val tot = c.agg(sum(col("n")).as("t"))
+      c.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          round(col("n") / col("t").cast("double"), 6).as("share"),
+          round(col("n") / col("t").cast("double") - expected, 6).as("dev"))
+        .orderBy(col("digit"))
+    },
+
     // Compaction planning: documents stand in for a file listing (doc_id
     // = file, n_chars = size) and the next-fit prefix-sum sweep assigns
     // them to ~16KB output bins — the distributed small-files remedy

@@ -247,6 +247,29 @@ class PlanSpec extends SparkSpec {
     } finally { bg.unpersist(); uni.unpersist() }
   }
 
+  test("event n-gram top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_events_ngrams")
+    assert(p.contains("TakeOrderedAndProject"), "ngram top-k must take-ordered:\n" + p)
+  }
+
+  test("label agreement broadcasts the query side; per-point top-k rides WindowGroupLimit") {
+    val p = plan("q_ml_label_agreement")
+    assert(p.contains("BroadcastExchange"), "query side must broadcast:\n" + p)
+    assert(p.contains("WindowGroupLimit"), "kNN cut must group-limit:\n" + p)
+  }
+
+  test("dup-ngram wash never goes quadratic: no cartesian, no nested-loop join") {
+    val p = plan("q_text_dupgrams")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "gram wash must stay join-keyed:\n" + p)
+  }
+
+  test("k-core peel keeps every round equi-joined: no cartesian anywhere") {
+    val p = plan("q_graph_kcore")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "peel must stay equi-joined:\n" + p)
+  }
+
   test("incremental view merge is one full-outer join, no re-aggregation of history") {
     val p = plan("q_agg_incremental_view")
     assert(p.contains("FullOuter") || p.contains("full_outer") || p.contains("FullOuterJoin")

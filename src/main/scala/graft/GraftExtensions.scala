@@ -69,6 +69,18 @@ object GraftExtensions {
     ext.injectFunction(fn("graft_hamming64", 2, "graft_hamming64(bigint, bigint)") {
       ch => BitwiseCount(BitwiseXor(Cast(ch(0), LongType), Cast(ch(1), LongType)))
     })
+    ext.injectFunction(fn("graft_pip", 3,
+      "graft_pip(x, y, array<double> literal polygon [x0,y0,x1,y1,...])") { ch =>
+      val polyExpr = Cast(ch(2), ArrayType(DoubleType))
+      require(polyExpr.foldable, "graft_pip: polygon must be a literal array")
+      val arr = polyExpr.eval(null) match {
+        case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+          a.toDoubleArray.toSeq
+        case other => throw new IllegalArgumentException(
+          s"graft_pip: polygon must be array<double>, got $other")
+      }
+      graft.expressions.PointInPolygon(dbl(ch(0)), dbl(ch(1)), arr)
+    })
     ext.injectFunction(fn("graft_hilbert", 3,
       "graft_hilbert(x bigint, y bigint, bits int literal)") { ch =>
       val bits = ch(2) match {

@@ -38,4 +38,15 @@ object GeoFunctions {
   /** Great-circle distance in metres. */
   def haversineMeters(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
     haversineMeasure(haversineIntermediate(lat1, lon1, lat2, lon2)) * lit(2 * EarthRadiusM)
+
+  /** Even-odd point-in-polygon against a fixed vertex list — the
+    * native geofence expression; see
+    * [[graft.expressions.PointInPolygon]] for why a Column unroll
+    * doesn't survive real vertex counts.
+    */
+  def pointInPolygon(x: Column, y: Column, poly: Seq[Double]): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.expressions.PointInPolygon(
+      Bridge.expression(x.cast("double")), Bridge.expression(y.cast("double")), poly))
+  }
 }

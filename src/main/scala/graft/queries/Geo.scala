@@ -79,6 +79,40 @@ object Geo {
         .orderBy(col("c_custkey"))
     },
 
+    // Native geofence: ray-casting point-in-polygon as a codegen'd
+    // Catalyst expression (vertices ride a codegen reference object —
+    // see expressions/PointInPolygon). The oracle unrolls the same
+    // even-odd crossing terms edge by edge with the IDENTICAL float
+    // formula, so the booleans match point for point.
+    Q("q_geo_point_in_polygon",
+      """WITH p AS (SELECT c_custkey,
+        |                  (c_custkey % 100) / 10.0 AS x,
+        |                  ((c_custkey * 7) % 100) / 10.0 AS y
+        |           FROM customer),
+        |f AS (SELECT c_custkey,
+        |             (((CASE WHEN ((2 > y) != (6 > y)) AND (x < (1 - 2) * (y - 2) / (6 - 2) + 2) THEN 1 ELSE 0 END)
+        |             + (CASE WHEN ((3 > y) != (2 > y)) AND (x < (2 - 8) * (y - 3) / (2 - 3) + 8) THEN 1 ELSE 0 END)
+        |             + (CASE WHEN ((8 > y) != (3 > y)) AND (x < (8 - 7) * (y - 8) / (3 - 8) + 7) THEN 1 ELSE 0 END)
+        |             + (CASE WHEN ((9 > y) != (8 > y)) AND (x < (7 - 4) * (y - 9) / (8 - 9) + 4) THEN 1 ELSE 0 END)
+        |             + (CASE WHEN ((6 > y) != (9 > y)) AND (x < (4 - 1) * (y - 6) / (9 - 6) + 1) THEN 1 ELSE 0 END)
+        |             ) % 2) = 1 AS inside
+        |      FROM p)
+        |SELECT cast(count(*) AS bigint) AS n_points,
+        |       cast(sum(CASE WHEN inside THEN 1 ELSE 0 END) AS bigint) AS n_inside,
+        |       cast(sum(CASE WHEN inside THEN c_custkey ELSE 0 END) AS bigint) AS key_inside
+        |FROM f""".stripMargin) { (s, dir) =>
+      val pentagon = Seq(2.0, 2.0, 8.0, 3.0, 7.0, 8.0, 4.0, 9.0, 1.0, 6.0)
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          ((col("c_custkey") % 100) / lit(10.0)).as("x"),
+          (((col("c_custkey") * 7) % 100) / lit(10.0)).as("y"))
+        .withColumn("inside",
+          GeoFunctions.pointInPolygon(col("x"), col("y"), pentagon))
+        .agg(count(lit(1)).as("n_points"),
+          sum(when(col("inside"), 1L).otherwise(0L)).as("n_inside"),
+          sum(when(col("inside"), col("c_custkey")).otherwise(0L)).as("key_inside"))
+    },
+
     // §3.1 geo kNN matching via the grid-bucketed equi-join (the 100 TB
     // path — no cross join); oracle is the exhaustive cross-join + rank.
     Q("q_geo_knn_match",

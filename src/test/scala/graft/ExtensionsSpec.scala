@@ -29,6 +29,28 @@ class ExtensionsSpec extends SparkSpec {
     assert(r == 8)
   }
 
+  test("graft_pip ray-casts against a literal polygon; SQL == DataFrame path") {
+    import org.apache.spark.sql.functions._
+    // unit square: centre inside, far point outside
+    val rows = spark.sql(
+      """SELECT graft_pip(0.5D, 0.5D, array(0D, 0D, 1D, 0D, 1D, 1D, 0D, 1D)) AS a,
+        |       graft_pip(2.0D, 2.0D, array(0D, 0D, 1D, 0D, 1D, 1D, 0D, 1D)) AS b
+        |""".stripMargin).collect().head
+    assert(rows.getBoolean(0) && !rows.getBoolean(1))
+    // concave polygon (arrowhead): the notch point is OUTSIDE
+    val arrow = Seq(0.0, 0.0, 4.0, 0.0, 4.0, 4.0, 2.0, 1.5, 0.0, 4.0)
+    val df = spark.range(1).select(
+      graft.functions.GeoFunctions.pointInPolygon(lit(2.0), lit(2.5), arrow).as("notch"),
+      graft.functions.GeoFunctions.pointInPolygon(lit(2.0), lit(0.5), arrow).as("body"))
+      .collect().head
+    assert(!df.getBoolean(0), "point in the concave notch is outside")
+    assert(df.getBoolean(1), "point in the solid body is inside")
+    val viaSql = spark.sql(
+      "SELECT graft_pip(2.0D, 0.5D, array(0D, 0D, 4D, 0D, 4D, 4D, 2D, 1.5D, 0D, 4D)) AS p")
+      .collect().head.getBoolean(0)
+    assert(viaSql == df.getBoolean(1))
+  }
+
   test("SQL and DataFrame paths produce identical doubles") {
     import org.apache.spark.sql.functions._
     val viaSql = spark.sql(

@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Geo, Q, Relational, SourceQueries, TextQueries, TrainQueries, VectorMlQueries, Windows}
+import graft.queries.{AnalyticsQueries, Geo, Q, Relational, SourceQueries, TextQueries, TrainQueries, VectorMlQueries, Windows}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -16,7 +16,7 @@ object SparkEntry {
   val all: Seq[Q] =
     Relational.queries ++ Windows.queries ++ Geo.queries ++
       TextQueries.queries ++ VectorMlQueries.queries ++ TrainQueries.queries ++
-      SourceQueries.queries
+      SourceQueries.queries ++ AnalyticsQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the multi-way join + aggregation revenue rollup.

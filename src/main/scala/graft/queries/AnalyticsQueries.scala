@@ -1,0 +1,336 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{AsOfJoin, CdcMerge, Concentration, GridCluster, KmvSketch, Resample, Skyline, WeightedMedian, Winsorizer}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-11 analytics extensions (SURVEY §2.12a X107–X114): frontier /
+  * concentration / segmentation reporting, CDC state maintenance,
+  * attribution, and time-series regularization — each one an operator
+  * in graft.operators with a DuckDB oracle restating the semantics
+  * (usually in its naive quadratic/recursive form, while the Spark
+  * side runs the scale-shaped plan).
+  */
+object AnalyticsQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  val queries: Seq[Q] = Seq(
+
+    // X107 2-D skyline: the price/size Pareto frontier of the parts
+    // catalog. The oracle states dominance as the quadratic NOT EXISTS;
+    // the operator resolves it with a bucketed prefix-max prune + a
+    // frontier-sized exact sweep (see operators/Skyline.scala).
+    Q("q_skyline_parts",
+      """WITH pts AS (SELECT p_partkey, p_retailprice AS x, p_size AS y FROM part)
+        |SELECT p.p_partkey, round(p.x, 2) AS price, cast(p.y AS int) AS size
+        |FROM pts p
+        |WHERE NOT EXISTS (SELECT 1 FROM pts q
+        |                  WHERE q.x <= p.x AND q.y >= p.y
+        |                    AND (q.x < p.x OR q.y > p.y))
+        |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      Skyline.frontier2d(t(s, dir, "part"),
+          idCol = "p_partkey", xCol = "p_retailprice", yCol = "p_size",
+          bucketWidth = 50.0)
+        .select(col("sk_id").as("p_partkey"), round(col("sk_x"), 2).as("price"),
+          col("sk_y").cast("int").as("size"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // X108 per-group winsorization: clip the price tails to the exact
+    // [p05, p95] group percentiles; report clip counts and before/after
+    // integer-cent sums (summation-order-independent).
+    Q("q_quality_winsorize",
+      """WITH b AS (SELECT l_returnflag,
+        |                  round(quantile_cont(l_extendedprice, 0.05), 2) AS lo,
+        |                  round(quantile_cont(l_extendedprice, 0.95), 2) AS hi
+        |           FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, cast(count(*) AS bigint) AS n,
+        |       cast(sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS bigint) AS n_lo,
+        |       cast(sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS bigint) AS n_hi,
+        |       cast(sum(cast(round(l_extendedprice * 100) AS bigint)) AS bigint) AS raw_cents,
+        |       cast(sum(cast(round(least(greatest(l_extendedprice, lo), hi) * 100) AS bigint))
+        |            AS bigint) AS wins_cents,
+        |       min(lo) AS lo, min(hi) AS hi
+        |FROM lineitem l JOIN b USING (l_returnflag)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Winsorizer.winsorize(
+          t(s, dir, "lineitem").select(col("l_returnflag"), col("l_extendedprice")),
+          groupCol = "l_returnflag", valueCol = "l_extendedprice")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("l_extendedprice") < col("w_lo")).cast("long")).as("n_lo"),
+          sum((col("l_extendedprice") > col("w_hi")).cast("long")).as("n_hi"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("raw_cents"),
+          sum(round(col("l_extendedprice_w") * 100).cast("long")).as("wins_cents"),
+          min(col("w_lo")).as("lo"), min(col("w_hi")).as("hi"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // X109 RFM segmentation: recency/frequency/monetary quintiles per
+    // customer, rolled up to segment counts. The quintile windows run
+    // on the PER-CUSTOMER aggregate (orders-of-magnitude below the
+    // fact); population quantiles that must scale past that swap in
+    // QuantileBinning's boundary broadcast — same downstream shape.
+    Q("q_agg_rfm",
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |         date_diff('day', max(cast(o_orderdate AS date)),
+        |                   (SELECT max(cast(o_orderdate AS date)) FROM orders)) AS r,
+        |         count(*) AS f,
+        |         sum(cast(round(o_totalprice * 100) AS bigint)) AS m_cents
+        |  FROM orders GROUP BY 1),
+        |q AS (SELECT o_custkey, m_cents,
+        |        ntile(5) OVER (ORDER BY r, o_custkey) AS r_q,
+        |        ntile(5) OVER (ORDER BY f DESC, o_custkey) AS f_q,
+        |        ntile(5) OVER (ORDER BY m_cents DESC, o_custkey) AS m_q
+        |      FROM per)
+        |SELECT cast(r_q AS int) AS r_q, cast(f_q AS int) AS f_q, cast(m_q AS int) AS m_q,
+        |       cast(count(*) AS bigint) AS n_cust,
+        |       cast(sum(m_cents) AS bigint) AS seg_cents
+        |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val mx = o.agg(max(to_date(col("o_orderdate"))).as("mxd"))
+      val per = o.groupBy(col("o_custkey"))
+        .agg(max(to_date(col("o_orderdate"))).as("lastd"),
+          count(lit(1)).as("f"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("m_cents"))
+        .crossJoin(broadcast(mx))
+        .select(col("o_custkey"), datediff(col("mxd"), col("lastd")).as("r"),
+          col("f"), col("m_cents"))
+      per.select(col("o_custkey"), col("m_cents"),
+          ntile(5).over(Window.orderBy(col("r"), col("o_custkey"))).as("r_q"),
+          ntile(5).over(Window.orderBy(col("f").desc, col("o_custkey"))).as("f_q"),
+          ntile(5).over(Window.orderBy(col("m_cents").desc, col("o_custkey"))).as("m_q"))
+        .groupBy(col("r_q"), col("f_q"), col("m_q"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("m_cents")).as("seg_cents"))
+        .orderBy(col("r_q"), col("f_q"), col("m_q"))
+    },
+
+    // X110 revenue concentration: Lorenz deciles + exact Gini over
+    // per-customer revenue. Rank/sum products accumulate as
+    // DECIMAL(38,0) (exact in any order; rank×cents exceeds long at
+    // population scale) and cast to double only at the final ratio.
+    Q("q_diag_gini",
+      """WITH per AS (SELECT o_custkey AS id,
+        |                    sum(cast(round(o_totalprice * 100) AS bigint)) AS units
+        |             FROM orders GROUP BY 1),
+        |r AS (SELECT id, units,
+        |        row_number() OVER (ORDER BY units, id) AS i,
+        |        ntile(10) OVER (ORDER BY units, id) AS b
+        |      FROM per),
+        |g AS (SELECT round(2.0 * cast(sum(i * units) AS double)
+        |               / (count(*) * cast(sum(units) AS double))
+        |               - (count(*) + 1.0) / count(*), 6) AS gini,
+        |             cast(sum(units) AS double) AS s_x
+        |      FROM r)
+        |SELECT cast(b AS int) AS bucket, cast(count(*) AS bigint) AS n,
+        |       cast(sum(units) AS bigint) AS bucket_units,
+        |       cast(sum(sum(units)) OVER (ORDER BY b
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint)
+        |         AS cum_units,
+        |       round(cast(sum(sum(units)) OVER (ORDER BY b
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS double)
+        |             / (SELECT s_x FROM g), 6) AS cum_share,
+        |       (SELECT gini FROM g) AS gini
+        |FROM r GROUP BY b ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val per = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      Concentration.lorenzGini(per, idCol = "o_custkey", unitsCol = "cents",
+          nBuckets = 10)
+        .orderBy(col("bucket"))
+    },
+
+    // X111 CDC merge: orders replayed as an upsert/delete changelog
+    // (every-97th order is a tombstone) onto the customer balance
+    // snapshot; latest sequence wins in ONE key-partitioned window —
+    // the merge-on-read compaction shape.
+    Q("q_source_cdc_merge",
+      """WITH ch AS (SELECT o_custkey AS k, o_orderkey AS seq,
+        |                   CASE WHEN o_orderkey % 97 = 0 THEN 'D' ELSE 'U' END AS op,
+        |                   cast(round(o_totalprice * 100) AS bigint) AS bal_cents
+        |            FROM orders),
+        |u AS (SELECT c_custkey AS k, cast(-9223372036854775807 - 1 AS bigint) AS seq,
+        |             'U' AS op, cast(round(c_acctbal * 100) AS bigint) AS bal_cents
+        |      FROM customer
+        |      UNION ALL SELECT k, seq, op, bal_cents FROM ch),
+        |r AS (SELECT k, op, bal_cents,
+        |             row_number() OVER (PARTITION BY k ORDER BY seq DESC, op ASC) AS rn
+        |      FROM u)
+        |SELECT k AS c_custkey, bal_cents FROM r
+        |WHERE rn = 1 AND op <> 'D' ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey").as("k"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      val changes = t(s, dir, "orders")
+        .select(col("o_custkey").as("k"), col("o_orderkey").as("seq"),
+          when(col("o_orderkey") % 97 === 0, "D").otherwise("U").as("op"),
+          round(col("o_totalprice") * 100).cast("long").as("bal_cents"))
+      CdcMerge.applyChanges(base, changes, key = "k", seqCol = "seq", opCol = "op")
+        .select(col("k").as("c_custkey"), col("bal_cents"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // X112 last-touch attribution: each purchase credits the latest
+    // click by the same user within a 7-day lookback (AsOfJoin, one
+    // union + one key-partitioned window — no range join), rolled up
+    // per purchase day with exact integer value/latency sums.
+    Q("q_events_attribution",
+      """WITH p AS (SELECT event_id, user_id, ts,
+        |                  cast(round(value * 1000000) AS bigint) AS val_us
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        |j AS (SELECT p.ts, p.val_us, c.ts AS cts,
+        |             epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts),
+        |f AS (SELECT cast(ts AS date) AS day, val_us, gap_us,
+        |             (cts IS NOT NULL AND gap_us <= 604800000000) AS attr
+        |      FROM j)
+        |SELECT day, cast(count(*) AS bigint) AS n_purchases,
+        |       cast(sum(CASE WHEN attr THEN 1 ELSE 0 END) AS bigint) AS n_attributed,
+        |       cast(sum(CASE WHEN attr THEN val_us ELSE 0 END) AS bigint) AS attr_value_us,
+        |       cast(sum(CASE WHEN attr THEN gap_us ELSE 0 END) AS bigint) AS latency_us_sum
+        |FROM f GROUP BY 1 ORDER BY day""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"),
+          round(col("value") * 1000000).cast("long").as("val_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      AsOfJoin.asOf(purchases, clicks, key = "user_id",
+          leftTime = "ts", rightTime = "ts", payloadCols = Seq("event_id", "ts"))
+        .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(col("asof.ts")))
+        .withColumn("attr",
+          col("asof").isNotNull && col("gap_us") <= 7L * 86400L * 1000000L)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("attr").cast("long")).as("n_attributed"),
+          sum(when(col("attr"), col("val_us")).otherwise(0L)).as("attr_value_us"),
+          sum(when(col("attr"), col("gap_us")).otherwise(0L)).as("latency_us_sum"))
+        .orderBy(col("day"))
+    },
+
+    // X113 LOCF time-grid resample: a regular hourly series per sampled
+    // user (span = first..last event hour), forward-filled from the
+    // latest earlier observation — sequence-explode grid + two
+    // key-partitioned windows, nothing global.
+    Q("q_events_locf_resample",
+      """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS hr, ts, event_id, value
+        |           FROM events WHERE user_id % 25 = 0),
+        |lastv AS (SELECT user_id, hr, value FROM (
+        |    SELECT user_id, hr, value,
+        |           row_number() OVER (PARTITION BY user_id, hr
+        |                              ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM e) WHERE rn = 1),
+        |span AS (SELECT user_id, min(hr) AS mn, max(hr) AS mx FROM e GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+        |         FROM span),
+        |f AS (SELECT g.user_id, g.hr,
+        |             last_value(lv.value IGNORE NULLS) OVER (
+        |               PARTITION BY g.user_id ORDER BY g.hr
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+        |      FROM grid g LEFT JOIN lastv lv
+        |        ON g.user_id = lv.user_id AND g.hr = lv.hr)
+        |SELECT user_id, cast(epoch_us(hr) AS bigint) AS hr_us, value
+        |FROM f ORDER BY user_id, hr_us""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events").filter(col("user_id") % 25 === 0)
+      Resample.locfHourly(ev, keyCol = "user_id", tsCol = "ts",
+          valueCol = "value", tieCol = "event_id")
+        .select(col("user_id"), unix_micros(col("hr")).as("hr_us"), col("value"))
+        .orderBy(col("user_id"), col("hr_us"))
+    },
+
+    // X114 grid-density clustering: points snap to 0.1° cells, cells
+    // under 25 points drop, 8-adjacent dense cells merge through the
+    // shared connected-components loop. The oracle replays adjacency as
+    // a quadratic join + recursive transitive closure on the (tiny)
+    // dense-cell frame; the Spark side never leaves equi-joins.
+    Q("q_geo_grid_clusters",
+      """WITH RECURSIVE pts AS (
+        |  SELECT 45.0 + (p_partkey % 4) * 0.5 + ((p_partkey * 31) % 100) / 400.0 AS px,
+        |         -74.0 + (p_partkey % 4) * 0.5 + ((p_partkey * 17) % 100) / 400.0 AS py
+        |  FROM part),
+        |dense AS (
+        |  SELECT cast(floor(px / 0.1) AS bigint) AS cx,
+        |         cast(floor(py / 0.1) AS bigint) AS cy, count(*) AS n_points
+        |  FROM pts GROUP BY 1, 2 HAVING count(*) >= 25),
+        |cells AS (SELECT cx * 1000000 + cy AS cell, cx, cy, n_points FROM dense),
+        |edges AS (SELECT a.cell AS src, b.cell AS dst
+        |          FROM cells a JOIN cells b
+        |            ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1),
+        |reach(src, dst) AS (
+        |  SELECT cell, cell FROM cells
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+        |lab AS (SELECT src AS cell, min(dst) AS cluster_id FROM reach GROUP BY 1)
+        |SELECT c.cx, c.cy, cast(c.n_points AS bigint) AS n_points,
+        |       cast(l.cluster_id AS bigint) AS cluster_id
+        |FROM cells c JOIN lab l USING (cell)
+        |ORDER BY c.cx, c.cy""".stripMargin) { (s, dir) =>
+      val pts = t(s, dir, "part").select(
+        (lit(45.0) + (col("p_partkey") % 4) * 0.5 +
+          ((col("p_partkey") * 31) % 100) / 400.0).as("px"),
+        (lit(-74.0) + (col("p_partkey") % 4) * 0.5 +
+          ((col("p_partkey") * 17) % 100) / 400.0).as("py"))
+      GridCluster.clusters(pts, xCol = "px", yCol = "py",
+          cellSize = 0.1, minPts = 25L)
+        .orderBy(col("cx"), col("cy"))
+    },
+
+    // X115 KMV distinct-count sketch: per event type, estimate distinct
+    // users from the 64 smallest Knuth-multiplicative hashes (rank
+    // window → WindowGroupLimit: per-partition top-k before the
+    // shuffle) next to the exact count and its relative error. Groups
+    // below k report exactly (the sketch is lossless there).
+    Q("q_sketch_kmv_distinct",
+      """WITH h AS (SELECT DISTINCT event_type AS grp,
+        |                  (user_id * 2654435761) % 4294967296 AS h
+        |           FROM events),
+        |r AS (SELECT grp, h,
+        |             row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+        |      FROM h),
+        |kk AS (SELECT grp, max(h) AS hk, count(*) AS m
+        |       FROM r WHERE rn <= 64 GROUP BY 1),
+        |ex AS (SELECT event_type AS grp, count(DISTINCT user_id) AS n_exact
+        |       FROM events GROUP BY 1),
+        |j AS (SELECT grp, cast(n_exact AS bigint) AS n_exact,
+        |             CASE WHEN m < 64 THEN cast(m AS double)
+        |                  ELSE 63 * 4294967296.0 / hk END AS est_raw
+        |      FROM kk JOIN ex USING (grp))
+        |SELECT grp AS event_type, n_exact, round(est_raw, 2) AS est,
+        |       round(abs(est_raw - n_exact) / n_exact, 4) AS rel_err
+        |FROM j ORDER BY event_type""".stripMargin) { (s, dir) =>
+      KmvSketch.distinctEstimate(t(s, dir, "events"),
+          groupCol = "event_type", keyCol = "user_id", k = 64)
+        .withColumnRenamed("grp", "event_type")
+        .orderBy(col("event_type"))
+    },
+
+    // X116 per-group weighted median: quantity-weighted median line
+    // price — value/weight collapse first (frame bounded by value
+    // cardinality), integer cum·2 ≥ total crossing, no interpolation.
+    Q("q_agg_weighted_median",
+      """WITH vw AS (SELECT l_returnflag,
+        |                   cast(round(l_extendedprice * 100) AS bigint) AS v,
+        |                   sum(cast(l_quantity AS bigint)) AS w
+        |            FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, v, w,
+        |             sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |             sum(w) OVER (PARTITION BY l_returnflag) AS tot
+        |      FROM vw)
+        |SELECT l_returnflag, cast(min(v) AS bigint) AS wmedian_cents,
+        |       cast(min(tot) AS bigint) AS total_weight
+        |FROM c WHERE cum * 2 >= tot GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      WeightedMedian.weightedMedian(
+          t(s, dir, "lineitem").select(col("l_returnflag"),
+            round(col("l_extendedprice") * 100).cast("long").as("cents"),
+            col("l_quantity").cast("long").as("qty")),
+          groupCol = "l_returnflag", valueCol = "cents", weightCol = "qty")
+        .select(col("grp").as("l_returnflag"), col("wmedian").as("wmedian_cents"),
+          col("total_weight"))
+        .orderBy(col("l_returnflag"))
+    })
+}

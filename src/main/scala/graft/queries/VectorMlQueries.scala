@@ -963,6 +963,61 @@ object VectorMlQueries {
         .select(col("query_id"), col("doc_id"),
           round(col("score"), 6).as("mmr"), col("step"))
         .orderBy(col("query_id"), col("step"))
+    },
+
+    // X117 retrieval-quality evaluation: NDCG@10 + MRR of the exact
+    // cosine top-10 with same-label binary relevance. Discounts and
+    // reciprocal ranks are fixed integer-micro literal tables (stated
+    // verbatim in the oracle), so every per-query score and the corpus
+    // means are summation-order-free — see operators/RankingMetrics.
+    Q("q_ml_ranking_quality", {
+      val cos = cosSql("q.qv", "c.cv")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS ql
+         |           FROM embeddings WHERE vec_id % 100 = 0),
+         |c AS (SELECT vec_id, embedding::DOUBLE[] AS cv, label AS cl FROM embeddings),
+         |pairs AS (SELECT q.query_id, q.ql, c.vec_id, c.cl, $cos AS cosine
+         |          FROM q CROSS JOIN c WHERE q.query_id != c.vec_id),
+         |ranked AS (SELECT query_id, ql, cl,
+         |                  row_number() OVER (PARTITION BY query_id
+         |                                     ORDER BY cosine DESC, vec_id) AS rk
+         |           FROM pairs),
+         |top AS (SELECT query_id, rk, CASE WHEN cl = ql THEN 1 ELSE 0 END AS rel
+         |        FROM ranked WHERE rk <= 10),
+         |wdcg(rk, w) AS (VALUES (1, 1000000), (2, 630930), (3, 500000), (4, 430677),
+         |  (5, 386853), (6, 356207), (7, 333333), (8, 315465), (9, 301030), (10, 289065)),
+         |widcg(r, w) AS (VALUES (1, 1000000), (2, 1630930), (3, 2130930), (4, 2561607),
+         |  (5, 2948460), (6, 3304667), (7, 3638000), (8, 3953465), (9, 4254495), (10, 4543560)),
+         |wmrr(rk, w) AS (VALUES (1, 1000000), (2, 500000), (3, 333333), (4, 250000),
+         |  (5, 200000), (6, 166667), (7, 142857), (8, 125000), (9, 111111), (10, 100000)),
+         |perq AS (SELECT t.query_id,
+         |                sum(CASE WHEN t.rel = 1 THEN d.w ELSE 0 END) AS dcg_us,
+         |                sum(t.rel) AS n_rel,
+         |                min(CASE WHEN t.rel = 1 THEN t.rk END) AS first_rel
+         |         FROM top t JOIN wdcg d ON d.rk = t.rk GROUP BY 1),
+         |scored AS (SELECT
+         |    CASE WHEN n_rel = 0 THEN 0
+         |         ELSE cast(round(dcg_us * 1000000
+         |                / (SELECT w FROM widcg WHERE r = n_rel)) AS bigint) END AS ndcg_ppm,
+         |    CASE WHEN first_rel IS NULL THEN 0
+         |         ELSE (SELECT w FROM wmrr WHERE rk = first_rel) END AS mrr_us,
+         |    CASE WHEN n_rel = 0 THEN 1 ELSE 0 END AS zero
+         |  FROM perq)
+         |SELECT cast(count(*) AS bigint) AS n_queries,
+         |       round(cast(sum(ndcg_ppm) AS double) / count(*) / 1000000.0, 6) AS mean_ndcg,
+         |       round(cast(sum(mrr_us) AS double) / count(*) / 1000000.0, 6) AS mean_mrr,
+         |       cast(sum(zero) AS bigint) AS n_zero
+         |FROM scored""".stripMargin
+    }) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 100 === 0)
+      val queries = q.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val qLabels = q.select(col("vec_id").as("query_id"), col("label").as("ql"))
+      val rel = SimilaritySearch.bruteForceTopK(queries, emb, k = 10)
+        .join(emb.select(col("vec_id"), col("label").as("cl")), Seq("vec_id"))
+        .join(broadcast(qLabels), Seq("query_id"))
+        .withColumn("rel", (col("cl") === col("ql")).cast("long"))
+      graft.operators.RankingMetrics.ndcgMrr(rel,
+        queryId = "query_id", rankCol = "rk", relCol = "rel")
     })
 
   /** Oracle for [[MmrRerank]]: the greedy selection unrolled as one CTE

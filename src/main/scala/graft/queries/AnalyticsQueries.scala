@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, CdcMerge, Concentration, GridCluster, KmvSketch, Resample, Skyline, WeightedMedian, Winsorizer}
+import graft.operators.{AsOfJoin, Bootstrap, CdcMerge, Concentration, GridCluster, GroupRegression, KmvSketch, Resample, Skyline, WeightedMedian, Winsorizer}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -331,6 +331,71 @@ object AnalyticsQueries {
           groupCol = "l_returnflag", valueCol = "cents", weightCol = "qty")
         .select(col("grp").as("l_returnflag"), col("wmedian").as("wmedian_cents"),
           col("total_weight"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // X118 deterministic bootstrap CI: 32 half-sample replicates of the
+    // mean order value, each defined by an arithmetic (key, b) hash the
+    // oracle restates — all replicates ride ONE scan as conditional
+    // aggregates (no 32× amplification), CI = [2nd, 31st] replicate
+    // order statistics.
+    Q("q_diag_bootstrap_ci",
+      """WITH bb AS (SELECT unnest(generate_series(0, 31)) AS b),
+        |r AS (SELECT bb.b,
+        |        sum(CASE WHEN (o_orderkey * 2654435761 + bb.b * 1013904223)
+        |                      % 4294967296 < 2147483648
+        |                 THEN cast(round(o_totalprice * 100) AS bigint) ELSE 0 END) AS s,
+        |        sum(CASE WHEN (o_orderkey * 2654435761 + bb.b * 1013904223)
+        |                      % 4294967296 < 2147483648
+        |                 THEN 1 ELSE 0 END) AS n
+        |      FROM orders CROSS JOIN bb GROUP BY 1),
+        |m AS (SELECT b, cast(s AS double) / n AS mean_b,
+        |             row_number() OVER (ORDER BY cast(s AS double) / n, b) AS rn
+        |      FROM r),
+        |fl AS (SELECT sum(cast(round(o_totalprice * 100) AS bigint)) AS s_full,
+        |              count(*) AS n_full
+        |       FROM orders)
+        |SELECT cast(32 AS bigint) AS n_replicates,
+        |       round(cast(s_full AS double) / n_full, 2) AS mean_cents,
+        |       round((SELECT mean_b FROM m WHERE rn = 2), 2) AS ci_lo_cents,
+        |       round((SELECT mean_b FROM m WHERE rn = 31), 2) AS ci_hi_cents
+        |FROM fl""".stripMargin) { (s, dir) =>
+      Bootstrap.halfSampleCi(
+        t(s, dir, "orders").select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents")),
+        keyCol = "o_orderkey", centsCol = "cents", b = 32)
+    },
+
+    // X119 per-group OLS (price = a + b·quantity per return flag):
+    // closed-form slope/intercept/R² from five DECIMAL(38,0) co-moment
+    // sums in one aggregate pass — exact until the stated double casts,
+    // which the oracle mirrors cast-for-cast.
+    Q("q_ml_group_ols",
+      """WITH m AS (SELECT l_returnflag,
+        |             count(*) AS n,
+        |             sum(cast(l_quantity AS bigint)) AS sx,
+        |             sum(cast(round(l_extendedprice * 100) AS bigint)) AS sy,
+        |             sum(cast(l_quantity AS bigint) * cast(l_quantity AS bigint)) AS sxx,
+        |             sum(cast(round(l_extendedprice * 100) AS bigint)
+        |                 * cast(round(l_extendedprice * 100) AS bigint)) AS syy,
+        |             sum(cast(l_quantity AS bigint)
+        |                 * cast(round(l_extendedprice * 100) AS bigint)) AS sxy
+        |           FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, cast(n AS bigint) AS n,
+        |  round(cast(n*sxy - sx*sy AS double) / cast(n*sxx - sx*sx AS double), 6) AS slope,
+        |  round((cast(sy AS double)
+        |         - cast(n*sxy - sx*sy AS double) / cast(n*sxx - sx*sx AS double)
+        |           * cast(sx AS double)) / n, 6) AS intercept,
+        |  round(cast(n*sxy - sx*sy AS double) * cast(n*sxy - sx*sy AS double)
+        |        / (cast(n*sxx - sx*sx AS double) * cast(n*syy - sy*sy AS double)), 6) AS r2
+        |FROM m ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      GroupRegression.ols(
+          t(s, dir, "lineitem").select(col("l_returnflag"),
+            col("l_quantity").cast("long").as("qty"),
+            round(col("l_extendedprice") * 100).cast("long").as("cents")),
+          groupCol = "l_returnflag", xCol = "qty", yCol = "cents")
+        .select(col("grp").as("l_returnflag"), col("n"), col("slope"),
+          col("intercept"), col("r2"))
         .orderBy(col("l_returnflag"))
     })
 }

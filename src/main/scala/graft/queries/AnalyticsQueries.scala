@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Bootstrap, CdcMerge, Concentration, GridCluster, GroupRegression, KmvSketch, Resample, Skyline, WeightedMedian, Winsorizer}
+import graft.operators.{AsOfJoin, Bootstrap, CdcMerge, Concentration, GridCluster, GroupRegression, KmvSketch, Resample, RollingOrigin, Seasonal, Skyline, WaterFill, WeightedMedian, Winsorizer}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -397,5 +397,98 @@ object AnalyticsQueries {
         .select(col("grp").as("l_returnflag"), col("n"), col("slope"),
           col("intercept"), col("r2"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // X120 rolling-origin CV folds: expanding-window train/test splits
+    // over the event timeline (integer day arithmetic, per-day rollup
+    // first) — the leakage-free temporal complement to the hash-based
+    // group split.
+    Q("q_ml_rolling_origin",
+      """WITH perday AS (SELECT cast(ts AS date) AS d, count(*) AS n,
+        |                       sum(cast(round(value * 1000000) AS bigint)) AS v_us
+        |                FROM events GROUP BY 1),
+        |sp AS (SELECT min(d) AS d0, max(d) AS d1 FROM perday),
+        |days AS (SELECT date_diff('day', d0, d) AS day, n, v_us,
+        |                date_diff('day', d0, d1) - 3 AS trainable
+        |         FROM perday, sp),
+        |folds AS (SELECT unnest(generate_series(1, 4)) AS fold),
+        |x AS (SELECT f.fold, (f.fold * d.trainable) // 4 AS train_end_day,
+        |             d.day, d.n, d.v_us
+        |      FROM days d CROSS JOIN folds f)
+        |SELECT cast(fold AS int) AS fold, cast(train_end_day AS int) AS train_end_day,
+        |       cast(sum(CASE WHEN day <= train_end_day THEN n ELSE 0 END) AS bigint)
+        |         AS n_train,
+        |       cast(sum(CASE WHEN day > train_end_day AND day <= train_end_day + 3
+        |                     THEN n ELSE 0 END) AS bigint) AS n_test,
+        |       cast(sum(CASE WHEN day > train_end_day AND day <= train_end_day + 3
+        |                     THEN v_us ELSE 0 END) AS bigint) AS test_value_us
+        |FROM x GROUP BY 1, 2 ORDER BY fold""".stripMargin) { (s, dir) =>
+      RollingOrigin.folds(t(s, dir, "events"), tsCol = "ts", valueCol = "value",
+          nFolds = 4, horizonDays = 3)
+        .orderBy(col("fold"))
+    },
+
+    // X121 water-filling budget allocation: max-min fair split of a
+    // character budget (60% of the corpus) across document sources —
+    // exact integer water level + deterministic remainder, stated
+    // formula-for-formula in the oracle.
+    Q("q_sample_waterfill",
+      """WITH dem AS (SELECT source AS src, sum(cast(n_chars AS bigint)) AS demand
+        |             FROM documents GROUP BY 1),
+        |tot AS (SELECT (sum(demand) * 3) // 5 AS b FROM dem),
+        |r AS (SELECT src, demand,
+        |        row_number() OVER (ORDER BY demand, src) AS k,
+        |        sum(demand) OVER (ORDER BY demand, src
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pk,
+        |        count(*) OVER () AS n
+        |      FROM dem),
+        |s AS (SELECT r.*, (SELECT b FROM tot) AS b,
+        |             demand * (n - k + 1) <= (SELECT b FROM tot) - (pk - demand)
+        |               AS served
+        |      FROM r),
+        |st AS (SELECT sum(CASE WHEN served THEN demand ELSE 0 END) AS p_served,
+        |              sum(CASE WHEN served THEN 1 ELSE 0 END) AS n_served,
+        |              max(n) AS n_all FROM s),
+        |f AS (SELECT s.src, s.demand, s.served, s.k, s.b, st.p_served, st.n_served,
+        |             st.n_all - st.n_served AS n_unserved FROM s, st)
+        |SELECT src AS source, cast(demand AS bigint) AS demand,
+        |       cast(CASE WHEN served THEN demand
+        |            ELSE least(demand,
+        |                 (b - p_served) // n_unserved
+        |                 + CASE WHEN k - n_served <= (b - p_served) % n_unserved
+        |                        THEN 1 ELSE 0 END) END AS bigint) AS alloc,
+        |       served
+        |FROM f ORDER BY source""".stripMargin) { (s, dir) =>
+      val dem = t(s, dir, "documents").groupBy(col("source").as("src"))
+        .agg(sum(col("n_chars")).as("demand"))
+      // one-row driver-side total (bounded by source cardinality logic:
+      // it's a scalar) to parameterize the allocation
+      val total = dem.agg(sum(col("demand"))).head().getLong(0)
+      WaterFill.allocate(dem, srcCol = "src", demandCol = "demand",
+          budget = total * 3 / 5)
+        .select(col("src").as("source"), col("demand"), col("alloc"), col("served"))
+        .orderBy(col("source"))
+    },
+
+    // X122 seasonal decomposition: hour-of-day profile of the detrended
+    // (centered 25-hour MA) hourly event counts, exact in 1/25 units
+    // until the final division — "3 AM is always quiet" separated from
+    // weekly growth, the anomaly-baseline input.
+    Q("q_events_seasonal",
+      """WITH hourly AS (SELECT date_trunc('hour', ts) AS hr, count(*) AS cnt
+        |                FROM events GROUP BY 1),
+        |w AS (SELECT hr, cnt,
+        |        count(*) OVER win AS win_n,
+        |        sum(cnt) OVER win AS win_sum
+        |      FROM hourly
+        |      WINDOW win AS (ORDER BY hr ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |d AS (SELECT extract(hour FROM hr) AS hod, cnt * 25 - win_sum AS d25
+        |      FROM w WHERE win_n = 25)
+        |SELECT cast(hod AS int) AS hod, cast(count(*) AS bigint) AS n_hours,
+        |       round(cast(sum(d25) AS double) / count(*) / 25.0, 4) AS seasonal,
+        |       round(cast(count(*) * sum(d25 * d25) - sum(d25) * sum(d25) AS double)
+        |             / (count(*) * count(*)) / 625.0, 4) AS dispersion
+        |FROM d GROUP BY 1 ORDER BY hod""".stripMargin) { (s, dir) =>
+      Seasonal.hourOfDayProfile(t(s, dir, "events"), tsCol = "ts")
     })
 }

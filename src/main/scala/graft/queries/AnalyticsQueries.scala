@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Bootstrap, CdcMerge, Concentration, GridCluster, GroupRegression, KmvSketch, Resample, RollingOrigin, Seasonal, Skyline, WaterFill, WeightedMedian, Winsorizer}
+import graft.operators.{AsOfJoin, Bootstrap, CdcMerge, CohortLtv, Concentration, GridCluster, GroupRegression, KmvSketch, MultiTouchAttribution, PhraseSearch, Resample, RollingOrigin, Seasonal, Skyline, WaterFill, WeightedMedian, Winsorizer}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -490,5 +490,91 @@ object AnalyticsQueries {
         |             / (count(*) * count(*)) / 625.0, 4) AS dispersion
         |FROM d GROUP BY 1 ORDER BY hod""".stripMargin) { (s, dir) =>
       Seasonal.hourOfDayProfile(t(s, dir, "events"), tsCol = "ts")
+    },
+
+    // X123 linear multi-touch attribution: every click inside the
+    // 7-day lookback shares the purchase value — bucketed equi-join
+    // pairing (bucket width = lookback, conversions probe 2 buckets),
+    // exact integer credit split with the remainder to the most recent
+    // touches. The oracle states the naive per-user range join.
+    Q("q_events_attribution_linear",
+      """WITH p AS (SELECT event_id AS pid, user_id, epoch_us(ts) AS pus,
+        |                  cast(round(value * 1000000) AS bigint) AS val_us
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS cid, user_id, epoch_us(ts) AS cus,
+        |             cast(ts AS date) AS cday
+        |      FROM events WHERE event_type = 'click'),
+        |pairs AS (SELECT p.pid, p.val_us, c.cid, c.cday, c.cus, p.pus - c.cus AS gap
+        |          FROM p JOIN c ON p.user_id = c.user_id
+        |          WHERE p.pus - c.cus BETWEEN 0 AND 604800000000),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY pid ORDER BY gap, cus) AS rn,
+        |              count(*) OVER (PARTITION BY pid) AS n
+        |       FROM pairs),
+        |credit AS (SELECT cday, (val_us // n)
+        |             + CASE WHEN rn <= val_us % n THEN 1 ELSE 0 END AS cr
+        |           FROM rk)
+        |SELECT cday AS day, cast(count(*) AS bigint) AS n_credits,
+        |       cast(sum(cr) AS bigint) AS credited_value_us
+        |FROM credit GROUP BY 1 ORDER BY day""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"),
+          unix_micros(col("ts")).as("pus"),
+          round(col("value") * 1000000).cast("long").as("val_us"))
+      val touch = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("cid"),
+          unix_micros(col("ts")).as("cus"), to_date(col("ts")).as("cday"))
+      MultiTouchAttribution.linearCredit(conv, touch, keyCol = "user_id",
+          convIdCol = "pid", convTsUs = "pus", touchTsUs = "cus",
+          valueUsCol = "val_us", lookbackUs = 604800000000L)
+        .groupBy(col("cday").as("day"))
+        .agg(count(lit(1)).as("n_credits"),
+          sum(col("credit_us")).as("credited_value_us"))
+        .orderBy(col("day"))
+    },
+
+    // X124 cohort LTV: revenue by signup-cohort week × weeks-since-
+    // signup with the cumulative curve — the value-weighted companion
+    // to the retention triangle. Integer epoch-week arithmetic.
+    Q("q_events_cohort_ltv",
+      """WITH e AS (SELECT user_id AS u, event_type AS typ, epoch_us(ts) AS us,
+        |                  cast(round(value * 1000000) AS bigint) AS val_us
+        |           FROM events),
+        |c AS (SELECT u, min(us) // 604800000000 AS cohort_week
+        |      FROM e WHERE typ = 'signup' GROUP BY 1),
+        |r AS (SELECT u, us // 604800000000 AS rev_week, val_us
+        |      FROM e WHERE typ = 'purchase'),
+        |g AS (SELECT cohort_week, rev_week - cohort_week AS age_weeks,
+        |             count(DISTINCT u) AS n_buyers, sum(val_us) AS rev_us
+        |      FROM r JOIN c USING (u) WHERE rev_week - cohort_week >= 0
+        |      GROUP BY 1, 2)
+        |SELECT cast(cohort_week AS bigint) AS cohort_week,
+        |       cast(age_weeks AS bigint) AS age_weeks,
+        |       cast(n_buyers AS bigint) AS n_buyers, cast(rev_us AS bigint) AS rev_us,
+        |       cast(sum(rev_us) OVER (PARTITION BY cohort_week ORDER BY age_weeks
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint)
+        |         AS cum_rev_us
+        |FROM g ORDER BY cohort_week, age_weeks""".stripMargin) { (s, dir) =>
+      CohortLtv.weeklyLtv(t(s, dir, "events"), userCol = "user_id",
+          typeCol = "event_type", tsCol = "ts", valueCol = "value")
+        .orderBy(col("cohort_week"), col("age_weeks"))
+    },
+
+    // X125 positional phrase search: documents with "table value" as
+    // adjacent tokens via posting-list equi-joins on (doc, pos−offset);
+    // top-20 by match count plans TakeOrderedAndProject.
+    Q("q_text_phrase_search",
+      """WITH toks AS (SELECT doc_id,
+        |                     unnest(string_split(text, ' ')) AS w,
+        |                     unnest(range(0, len(string_split(text, ' ')))) AS pos
+        |              FROM documents),
+        |p0 AS (SELECT doc_id, pos AS p FROM toks WHERE w = 'table'),
+        |p1 AS (SELECT doc_id, pos - 1 AS p FROM toks WHERE w = 'value'),
+        |m AS (SELECT doc_id, count(*) AS n_matches
+        |      FROM p0 JOIN p1 USING (doc_id, p) GROUP BY 1)
+        |SELECT doc_id, cast(n_matches AS bigint) AS n_matches
+        |FROM m ORDER BY n_matches DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      PhraseSearch.search(t(s, dir, "documents"), phrase = Seq("table", "value"),
+        k = 20)
     })
 }

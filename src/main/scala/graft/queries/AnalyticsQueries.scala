@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Bootstrap, CdcMerge, CohortLtv, Concentration, GridCluster, GroupRegression, KmvSketch, MultiTouchAttribution, PhraseSearch, Resample, RollingOrigin, Seasonal, Skyline, WaterFill, WeightedMedian, Winsorizer}
+import graft.operators.{AsOfJoin, Bootstrap, CdcMerge, CohortLtv, Concentration, GridCluster, GroupRegression, KmvSketch, KsTest, MultiTouchAttribution, PhraseSearch, Resample, RollingOrigin, Seasonal, Skyline, WaterFill, WeightedMedian, Winsorizer}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -576,5 +576,72 @@ object AnalyticsQueries {
         |FROM m ORDER BY n_matches DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
       PhraseSearch.search(t(s, dir, "documents"), phrase = Seq("table", "value"),
         k = 20)
+    },
+
+    // X126 exact two-sample KS distance between the R and N price
+    // distributions: the whole argmax search runs on the scaled
+    // integer statistic |F1·n2 − F2·n1| (one double division at the
+    // end), per-value collapse before the single CDF window.
+    Q("q_diag_ks_test",
+      """WITH x AS (SELECT cast(round(l_extendedprice * 100) AS bigint) AS v,
+        |                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS a,
+        |                  CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS b
+        |           FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+        |g AS (SELECT v, sum(a) AS ca, sum(b) AS cb FROM x GROUP BY 1),
+        |c AS (SELECT v,
+        |        sum(ca) OVER (ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+        |        sum(cb) OVER (ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2
+        |      FROM g),
+        |t AS (SELECT sum(a) AS n1, sum(b) AS n2 FROM x),
+        |d AS (SELECT n1, n2, v, abs(f1 * n2 - f2 * n1) AS dabs FROM c, t)
+        |SELECT cast(n1 AS bigint) AS n1, cast(n2 AS bigint) AS n2,
+        |       cast(dabs AS bigint) AS d_scaled, cast(v AS bigint) AS at_v,
+        |       round(cast(dabs AS double) / (n1 * cast(n2 AS double)), 6) AS d
+        |FROM d ORDER BY dabs DESC, v LIMIT 1""".stripMargin) { (s, dir) =>
+      KsTest.twoSample(
+        t(s, dir, "lineitem").select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents")),
+        groupCol = "l_returnflag", valueCol = "cents",
+        groupA = "R", groupB = "N")
+    },
+
+    // X127 hierarchical ratio-to-parent: nation revenue with its share
+    // of the region and the region's share of the total — child/parent
+    // rollups joined by broadcast, shares as one double division each.
+    Q("q_agg_ratio_to_parent",
+      """WITH nat AS (
+        |  SELECT r.r_name AS region, n.n_name AS nation,
+        |         sum(cast(round(o.o_totalprice * 100) AS bigint)) AS rev_cents
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY 1, 2),
+        |reg AS (SELECT region, sum(rev_cents) AS reg_cents FROM nat GROUP BY 1),
+        |tot AS (SELECT sum(reg_cents) AS tot_cents FROM reg)
+        |SELECT nat.region, nat.nation, cast(nat.rev_cents AS bigint) AS rev_cents,
+        |       round(cast(nat.rev_cents AS double) / reg.reg_cents, 6)
+        |         AS share_in_region,
+        |       round(cast(reg.reg_cents AS double) / tot.tot_cents, 6)
+        |         AS region_share_total
+        |FROM nat JOIN reg USING (region), tot
+        |ORDER BY region, nation""".stripMargin) { (s, dir) =>
+      val nat = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
+      val reg = nat.groupBy(col("region")).agg(sum(col("rev_cents")).as("reg_cents"))
+      val tot = reg.agg(sum(col("reg_cents")).as("tot_cents"))
+      nat.join(broadcast(reg), Seq("region")).crossJoin(broadcast(tot))
+        .select(col("region"), col("nation"), col("rev_cents"),
+          round(col("rev_cents").cast("double") / col("reg_cents"), 6)
+            .as("share_in_region"),
+          round(col("reg_cents").cast("double") / col("tot_cents"), 6)
+            .as("region_share_total"))
+        .orderBy(col("region"), col("nation"))
     })
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Bootstrap, CdcMerge, CohortLtv, Concentration, GridCluster, GroupRegression, KmvSketch, KsTest, MultiTouchAttribution, PhraseSearch, Resample, RollingOrigin, Seasonal, Skyline, WaterFill, WeightedMedian, Winsorizer}
+import graft.operators.{AsOfJoin, Bootstrap, CdcMerge, ChangePoint, CohortLtv, Concentration, GridCluster, GroupRegression, KmvSketch, KsTest, MultiTouchAttribution, PhraseSearch, Resample, RollingOrigin, Seasonal, Skyline, TopK, WaterFill, WeightedMedian, Winsorizer}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -643,5 +643,53 @@ object AnalyticsQueries {
           round(col("reg_cents").cast("double") / col("tot_cents"), 6)
             .as("region_share_total"))
         .orderBy(col("region"), col("nation"))
+    },
+
+    // X128 CUSUM change-point: the day where the cumulative deviation
+    // of daily event counts from the global mean peaks — scaled by n
+    // so the argmax search never touches a float.
+    Q("q_events_changepoint",
+      """WITH perday AS (SELECT cast(ts AS date) AS d, count(*) AS x
+        |                FROM events GROUP BY 1),
+        |t AS (SELECT count(*) AS n_days, sum(x) AS total FROM perday),
+        |c AS (SELECT d,
+        |        sum(x * n_days - total) OVER (ORDER BY d
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+        |        n_days, total
+        |      FROM perday, t)
+        |SELECT cast(n_days AS bigint) AS n_days, cast(total AS bigint) AS total,
+        |       d AS cp_day, cast(abs(c) AS bigint) AS c_scaled,
+        |       round(cast(abs(c) AS double) / (n_days * cast(total AS double)), 6)
+        |         AS stat
+        |FROM c ORDER BY abs(c) DESC, d LIMIT 1""".stripMargin) { (s, dir) =>
+      ChangePoint.cusumDaily(t(s, dir, "events"), tsCol = "ts")
+    },
+
+    // X129 per-group mode: each user's most frequent event type
+    // (deterministic count-desc/type-asc tie-break) with its share —
+    // the categorical summary statistic, count-collapse first so the
+    // group-limit window sees type-cardinality rows, not events.
+    Q("q_agg_mode_per_user",
+      """WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |tot AS (SELECT user_id, sum(cnt) AS n FROM c GROUP BY 1),
+        |r AS (SELECT user_id, event_type, cnt,
+        |             row_number() OVER (PARTITION BY user_id
+        |                                ORDER BY cnt DESC, event_type) AS rk
+        |      FROM c)
+        |SELECT r.user_id, r.event_type AS top_type, cast(r.cnt AS bigint) AS cnt,
+        |       round(cast(r.cnt AS double) / tot.n, 6) AS share
+        |FROM r JOIN tot USING (user_id) WHERE r.rk = 1
+        |ORDER BY r.user_id""".stripMargin) { (s, dir) =>
+      val counts = t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val totals = counts.groupBy(col("user_id")).agg(sum(col("cnt")).as("n"))
+      TopK.perGroup(counts, partitionBy = Seq(col("user_id")),
+          orderBy = Seq(col("cnt").desc, col("event_type")), k = 1)
+        .join(totals, Seq("user_id"))
+        .select(col("user_id"), col("event_type").as("top_type"), col("cnt"),
+          round(col("cnt").cast("double") / col("n"), 6).as("share"))
+        .orderBy(col("user_id"))
     })
 }

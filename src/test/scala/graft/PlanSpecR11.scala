@@ -91,4 +91,34 @@ class PlanSpecR11 extends SparkSpec {
     assert(p.contains("Window"))
     assert(!p.contains("Join"), "decomposition is rollup + window + rollup:\n" + p)
   }
+
+  test("multi-touch attribution: bucketed pairing, never a range nested loop") {
+    val p = plan("q_events_attribution_linear")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "lookback pairing must ride the 2-probe bucket equi-join:\n" + p)
+  }
+
+  test("phrase search: top-k by matches plans TakeOrderedAndProject") {
+    val p = plan("q_text_phrase_search")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must not global-sort:\n" + p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("KS test: argmax rides TakeOrderedAndProject over the scaled statistic") {
+    val p = plan("q_diag_ks_test")
+    assert(p.contains("TakeOrderedAndProject"),
+      "limit(1) over the dabs order must take, not sort:\n" + p)
+  }
+
+  test("mode per user: count-collapse below the group-limit window") {
+    val p = plan("q_agg_mode_per_user")
+    assert(p.contains("WindowGroupLimit"),
+      "top-1 per user must push the group limit:\n" + p)
+  }
+
+  test("change point: events collapse to the day rollup before the cumulative window") {
+    val p = plan("q_events_changepoint")
+    assert(p.contains("TakeOrderedAndProject"), "argmax is a take, not a sort:\n" + p)
+  }
 }

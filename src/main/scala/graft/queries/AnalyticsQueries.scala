@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Bootstrap, CdcMerge, ChangePoint, CohortLtv, Concentration, GridCluster, GroupRegression, KmvSketch, KsTest, MultiTouchAttribution, PhraseSearch, Resample, RollingOrigin, Seasonal, Skyline, TopK, WaterFill, WeightedMedian, Winsorizer}
+import graft.operators.{AsOfJoin, Bootstrap, CdcMerge, ChangePoint, CohortLtv, Concentration, EmbeddingProfile, GridCluster, GroupRegression, KmvSketch, KsTest, MultiTouchAttribution, PhraseSearch, Resample, RollingOrigin, Seasonal, Skyline, Survival, TopK, WaterFill, WeightedMedian, Winsorizer}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -691,5 +691,78 @@ object AnalyticsQueries {
         .select(col("user_id"), col("event_type").as("top_type"), col("cnt"),
           round(col("cnt").cast("double") / col("n"), 6).as("share"))
         .orderBy(col("user_id"))
+    },
+
+    // X130 per-dimension embedding profile: top-10 dimensions by
+    // variance across the corpus — the dead-dimension / whitening
+    // diagnostic. Coordinates quantize to exact integer micros, so
+    // even the variance RANKING compares exact integers.
+    Q("q_embed_dim_profile",
+      """WITH e AS (SELECT unnest(embedding::DOUBLE[]) AS x,
+        |                  unnest(range(0, len(embedding))) AS dim
+        |           FROM embeddings),
+        |q AS (SELECT dim, cast(round(x * 1000000) AS bigint) AS v FROM e),
+        |m AS (SELECT dim, count(*) AS n, sum(v) AS s1, sum(v * v) AS s2
+        |      FROM q GROUP BY 1),
+        |r AS (SELECT dim, n, s1, s2, n * s2 - s1 * s1 AS var_num FROM m)
+        |SELECT cast(dim AS int) AS dim, cast(n AS bigint) AS n,
+        |       round(cast(s1 AS double) / n / 1000000.0, 6) AS mean,
+        |       round(cast(var_num AS double) / (n * n) / 1.0e12, 6) AS variance
+        |FROM r ORDER BY var_num DESC, dim LIMIT 10""".stripMargin) { (s, dir) =>
+      EmbeddingProfile.topVarianceDims(
+        t(s, dir, "embeddings").select(col("embedding")),
+        vecCol = "embedding", k = 10)
+    },
+
+    // X131 Nelson–Aalen conversion-hazard curve: signup → first
+    // purchase with right censoring at the observation edge — the
+    // estimator that keeps the users still waiting, which plain mean
+    // latency drops. Hazard increments quantize to integer nanos
+    // before the cumulative sum.
+    Q("q_events_survival",
+      """WITH b AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |mx AS (SELECT max(us) AS mx FROM b),
+        |su AS (SELECT user_id, min(us) AS su FROM b
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |pu AS (SELECT b.user_id, min(b.us) AS pu FROM b JOIN su USING (user_id)
+        |       WHERE b.event_type = 'purchase' AND b.us > su.su GROUP BY 1),
+        |dur AS (SELECT CASE WHEN pu IS NOT NULL THEN (pu - su) // 86400000000
+        |                    ELSE (mx - su) // 86400000000 END AS t,
+        |               CASE WHEN pu IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |        FROM su LEFT JOIN pu USING (user_id), mx),
+        |perT AS (SELECT t, sum(CASE WHEN ev = 1 THEN 1 ELSE 0 END) AS d,
+        |                count(*) AS c_all
+        |         FROM dur GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_total FROM dur),
+        |c AS (SELECT t, d, c_all,
+        |        coalesce(sum(c_all) OVER (ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+        |      FROM perT),
+        |h AS (SELECT t, d, n_total - cum_prev AS n_risk,
+        |             cast(round(d * 1000000000 / (n_total - cum_prev)) AS bigint)
+        |               AS h_ppb
+        |      FROM c, tot WHERE d > 0)
+        |SELECT cast(t AS bigint) AS t, cast(d AS bigint) AS d,
+        |       cast(n_risk AS bigint) AS n_risk,
+        |       round(cast(h_ppb AS double) / 1e9, 6) AS hazard,
+        |       round(cast(sum(h_ppb) OVER (ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS double) / 1e9, 6)
+        |         AS cum_hazard
+        |FROM h ORDER BY t""".stripMargin) { (s, dir) =>
+      val base = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val mx = base.agg(max(col("us")).as("mx"))
+      val su = base.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("us")).as("su"))
+      val pu = base.filter(col("event_type") === "purchase").join(su, "user_id")
+        .filter(col("us") > col("su"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("pu"))
+      val durations = su.join(pu, Seq("user_id"), "left").crossJoin(broadcast(mx))
+        .select(
+          when(col("pu").isNotNull, expr("(pu - su) div 86400000000"))
+            .otherwise(expr("(mx - su) div 86400000000")).as("t"),
+          when(col("pu").isNotNull, 1).otherwise(0).as("event"))
+      Survival.nelsonAalen(durations, tCol = "t", eventCol = "event")
+        .orderBy(col("t"))
     })
 }

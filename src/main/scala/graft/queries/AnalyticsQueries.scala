@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Bootstrap, CdcMerge, ChangePoint, CohortLtv, Concentration, EmbeddingProfile, GridCluster, GroupRegression, KmvSketch, KsTest, MultiTouchAttribution, PhraseSearch, Resample, RollingOrigin, Seasonal, Skyline, Survival, TopK, WaterFill, WeightedMedian, Winsorizer}
+import graft.operators.{AsOfJoin, Bootstrap, CdcMerge, ChangePoint, CohortLtv, Concentration, EmbeddingProfile, GridCluster, GroupRegression, KmvAggregator, KmvSketch, KsTest, MultiTouchAttribution, PhraseSearch, Resample, RollingOrigin, Seasonal, Skyline, Survival, TopK, WaterFill, WeightedMedian, Winsorizer}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -764,5 +764,30 @@ object AnalyticsQueries {
           when(col("pu").isNotNull, 1).otherwise(0).as("event"))
       Survival.nelsonAalen(durations, tCol = "t", eventCol = "event")
         .orderBy(col("t"))
+    },
+
+    // X132 the KMV sketch as a typed Aggregator (the engine's UDAF
+    // surface): identical estimate to the window formulation (X115),
+    // but with the k-hash sketch as mergeable aggregation state —
+    // map-side combined, partition-associative, streaming-capable.
+    Q("q_sketch_kmv_udaf",
+      """WITH h AS (SELECT DISTINCT event_type AS grp,
+        |                  (user_id * 2654435761) % 4294967296 AS h
+        |           FROM events),
+        |r AS (SELECT grp, h,
+        |             row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+        |      FROM h),
+        |kk AS (SELECT grp, max(h) AS hk, count(*) AS m
+        |       FROM r WHERE rn <= 64 GROUP BY 1)
+        |SELECT grp AS event_type, cast(m AS bigint) AS m, cast(hk AS bigint) AS hk,
+        |       round(CASE WHEN m < 64 THEN cast(m AS double)
+        |                  ELSE 63 * 4294967296.0 / hk END, 2) AS est
+        |FROM kk ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val sketch = udaf(new KmvAggregator(64))
+      t(s, dir, "events").groupBy(col("event_type"))
+        .agg(sketch(col("user_id")).as("kmv"))
+        .select(col("event_type"), col("kmv.m").as("m"), col("kmv.hk").as("hk"),
+          round(col("kmv.est"), 2).as("est"))
+        .orderBy(col("event_type"))
     })
 }

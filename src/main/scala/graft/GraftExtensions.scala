@@ -81,6 +81,15 @@ object GraftExtensions {
       }
       graft.expressions.PointInPolygon(dbl(ch(0)), dbl(ch(1)), arr)
     })
+    ext.injectFunction(fn("graft_ngrams", 2,
+      "graft_ngrams(text, n int literal) -> rows of (pos, ngram)") { ch =>
+      val n = ch(1) match {
+        case Literal(v: Number, _) => v.intValue
+        case other => throw new IllegalArgumentException(
+          s"graft_ngrams: n must be an integer literal, got $other")
+      }
+      graft.expressions.NgramExplode(ch(0), n)
+    })
     ext.injectFunction(fn("graft_hilbert", 3,
       "graft_hilbert(x bigint, y bigint, bits int literal)") { ch =>
       val bits = ch(2) match {

@@ -789,5 +789,27 @@ object AnalyticsQueries {
         .select(col("event_type"), col("kmv.m").as("m"), col("kmv.hk").as("hk"),
           round(col("kmv.est"), 2).as("est"))
         .orderBy(col("event_type"))
+    },
+
+    // X133 the UDTF surface: trigram counts through the custom
+    // Catalyst Generator `graft_ngrams` reached via SQL LATERAL VIEW —
+    // one text row in, one row per n-gram out, no intermediate array.
+    // The oracle rebuilds the trigrams with positional self-joins.
+    Q("q_sql_udtf_ngrams",
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |                     unnest(range(0, len(string_split(text, ' ')))) AS pos
+        |              FROM documents),
+        |tri AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS ngram
+        |        FROM toks a
+        |        JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |        JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2)
+        |SELECT ngram, cast(count(*) AS bigint) AS n
+        |FROM tri GROUP BY 1 ORDER BY n DESC, ngram LIMIT 20""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").createOrReplaceTempView("documents_udtf_v")
+      s.sql(
+        """SELECT ngram, count(*) AS n
+          |FROM documents_udtf_v
+          |LATERAL VIEW graft_ngrams(text, 3) t AS pos, ngram
+          |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""".stripMargin)
     })
 }

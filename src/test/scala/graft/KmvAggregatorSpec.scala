@@ -33,4 +33,25 @@ class KmvAggregatorSpec extends SparkSpec {
     assert(results.distinct.size == 1, s"partitioning changed the sketch: $results")
     assert(results.head == ((40L, 40.0)), "below-k group must be exact")
   }
+
+  test("the sketch serves as streaming aggregation state, converging across micro-batches") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val sketch = udaf(new KmvAggregator(64))
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+    val q = mem.toDF().toDF("grp", "key")
+      .groupBy(col("grp")).agg(sketch(col("key")).as("kmv"))
+      .select(col("grp"), col("kmv.m"), col("kmv.est"))
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("complete").start()
+    try {
+      mem.addData((1 to 20).map(i => ("g", i.toLong)): _*)
+      q.processAllAvailable()
+      mem.addData((10 to 30).map(i => ("g", i.toLong)): _*) // overlap dedups in-state
+      q.processAllAvailable()
+      val r = s.table("kmv_stream").as[(String, Long, Double)].head()
+      assert(r == (("g", 30L, 30.0)),
+        s"streamed sketch must equal the exact 30 distinct keys, got $r")
+    } finally q.stop()
+  }
 }

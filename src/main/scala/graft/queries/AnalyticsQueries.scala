@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Bootstrap, CdcMerge, ChangePoint, CohortLtv, Concentration, EmbeddingProfile, GridCluster, GroupRegression, KmvAggregator, KmvSketch, KsTest, MultiTouchAttribution, PhraseSearch, Resample, RollingOrigin, Seasonal, Skyline, Survival, TopK, WaterFill, WeightedMedian, Winsorizer}
+import graft.operators.{AsOfJoin, Bootstrap, CdcMerge, ChangePoint, CohortLtv, Concentration, EmbeddingProfile, GridCluster, GroupRegression, KmvAggregator, KmvSketch, KsTest, MultiTouchAttribution, NoveltyRate, PhraseSearch, Resample, RollingOrigin, Seasonal, SimilaritySearch, Skyline, Survival, TopK, WaterFill, WeightedMedian, Winsorizer}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -811,5 +811,71 @@ object AnalyticsQueries {
           |FROM documents_udtf_v
           |LATERAL VIEW graft_ngrams(text, 3) t AS pos, ngram
           |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""".stripMargin)
+    },
+
+    // X134 corpus novelty curve: fraction of never-seen-before
+    // trigrams per arrival batch (doc_id div 100 stands in for the
+    // crawl batch) — the source-saturation signal. First-sight is one
+    // min-aggregate per distinct n-gram, never a window.
+    Q("q_text_novelty",
+      """WITH toks AS (SELECT doc_id // 100 AS b,
+        |                     unnest(string_split(text, ' ')) AS w,
+        |                     unnest(range(0, len(string_split(text, ' ')))) AS pos,
+        |                     doc_id
+        |              FROM documents),
+        |tri AS (SELECT a.b, a.w || ' ' || x.w || ' ' || c.w AS g
+        |        FROM toks a
+        |        JOIN toks x ON a.doc_id = x.doc_id AND x.pos = a.pos + 1
+        |        JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |pg AS (SELECT g, b, count(*) AS c FROM tri GROUP BY 1, 2),
+        |fs AS (SELECT g, min(b) AS fb FROM pg GROUP BY 1)
+        |SELECT b AS batch,
+        |       cast(sum(c) AS bigint) AS n_occurrences,
+        |       cast(count(*) AS bigint) AS n_distinct,
+        |       cast(sum(CASE WHEN fb = b THEN 1 ELSE 0 END) AS bigint) AS n_new,
+        |       round(cast(sum(CASE WHEN fb = b THEN 1 ELSE 0 END) AS double)
+        |             / count(*), 6) AS novelty
+        |FROM pg JOIN fs USING (g) GROUP BY 1 ORDER BY batch""".stripMargin) { (s, dir) =>
+      NoveltyRate.perBatch(
+          t(s, dir, "documents").select(expr("doc_id div 100").as("batch"),
+            col("text")),
+          batchCol = "batch", textCol = "text", n = 3)
+        .orderBy(col("batch"))
+    },
+
+    // X135 mutual nearest neighbors: pairs where each is the other's
+    // cosine top-1 — the high-precision duplicate signal (one-sided
+    // nearest is cheap to fake; mutual is not). Sampled probe set,
+    // exact cosine, pairs reported once (a < b).
+    Q("q_embed_mutual_nn",
+      """WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |           WHERE vec_id % 4 = 0),
+        |pairs AS (SELECT a.vec_id AS qa, b.vec_id AS qb,
+        |                 (CASE WHEN sqrt(list_dot_product(a.v, a.v))
+        |                            * sqrt(list_dot_product(b.v, b.v)) = 0 THEN 0.0
+        |                       ELSE list_dot_product(a.v, b.v)
+        |                            / (sqrt(list_dot_product(a.v, a.v))
+        |                               * sqrt(list_dot_product(b.v, b.v))) END) AS cosine
+        |          FROM q a JOIN q b ON a.vec_id != b.vec_id),
+        |nn AS (SELECT qa, qb, cosine FROM (
+        |         SELECT qa, qb, cosine,
+        |                row_number() OVER (PARTITION BY qa
+        |                                   ORDER BY cosine DESC, qb) AS rk
+        |         FROM pairs) WHERE rk = 1)
+        |SELECT x.qa AS id_a, x.qb AS id_b, round(x.cosine, 5) AS cosine
+        |FROM nn x JOIN nn y ON x.qb = y.qa AND y.qb = x.qa AND x.qa < x.qb
+        |ORDER BY id_a""".stripMargin) { (s, dir) =>
+      val probe = t(s, dir, "embeddings").filter(col("vec_id") % 4 === 0)
+      val nn = SimilaritySearch.bruteForceTopK(
+          probe.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+          probe, k = 1)
+        .select(col("query_id").as("qa"), col("vec_id").as("qb"), col("cosine"))
+      nn.alias("x")
+        .join(nn.alias("y"),
+          col("x.qb") === col("y.qa") && col("y.qb") === col("x.qa") &&
+            col("x.qa") < col("x.qb"))
+        .select(col("x.qa").as("id_a"), col("x.qb").as("id_b"),
+          round(col("x.cosine"), 5).as("cosine"))
+        .orderBy(col("id_a"))
     })
 }

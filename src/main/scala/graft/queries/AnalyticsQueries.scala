@@ -877,5 +877,50 @@ object AnalyticsQueries {
         .select(col("x.qa").as("id_a"), col("x.qb").as("id_b"),
           round(col("x.cosine"), 5).as("cosine"))
         .orderBy(col("id_a"))
+    },
+
+    // X136 recursive CTE executed BY SPARK (4.x WITH RECURSIVE): every
+    // customer walks the synthetic parent chain k → k div 7 to the
+    // root; depth histogram out. Inverts the q_graph_khop arrangement,
+    // where only the DuckDB oracle recursed and Spark ran the
+    // iterative operator — here both engines recurse natively
+    // (dialect seam: integer division spells `div` / `//`).
+    Q("q_sql_recursive_hierarchy",
+      """WITH RECURSIVE walk(start, cur, depth) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM customer
+        |  UNION ALL
+        |  SELECT start, cur // 7, depth + 1 FROM walk WHERE cur > 0)
+        |SELECT depth AS root_depth, cast(count(*) AS bigint) AS n
+        |FROM (SELECT start, max(depth) AS depth FROM walk GROUP BY start)
+        |GROUP BY 1 ORDER BY root_depth""".stripMargin) { (s, dir) =>
+      graft.Tables.registerAll(s, dir)
+      s.sql(
+        """WITH RECURSIVE walk(start, cur, depth) AS (
+          |  SELECT c_custkey, c_custkey, 0 FROM customer
+          |  UNION ALL
+          |  SELECT start, cur div 7, depth + 1 FROM walk WHERE cur > 0)
+          |SELECT depth AS root_depth, cast(count(*) AS bigint) AS n
+          |FROM (SELECT start, max(depth) AS depth FROM walk GROUP BY start)
+          |GROUP BY 1 ORDER BY root_depth""".stripMargin)
+    },
+
+    // X137 LATERAL correlated subquery, ONE SQL text verbatim on both
+    // engines: per-customer order rollup via a lateral scalar
+    // aggregate, reduced per market segment.
+    {
+      val lateralSql =
+        """SELECT c_mktsegment,
+          |       cast(sum(l.n) AS bigint) AS n_orders,
+          |       cast(sum(cast(round(l.mx * 100) AS bigint)) AS bigint)
+          |         AS sum_max_cents
+          |FROM customer c,
+          |     LATERAL (SELECT count(*) AS n, max(o_totalprice) AS mx
+          |              FROM orders WHERE o_custkey = c.c_custkey) l
+          |WHERE l.n > 0
+          |GROUP BY 1 ORDER BY 1""".stripMargin
+      Q("q_sql_lateral_rollup", lateralSql) { (s, dir) =>
+        graft.Tables.registerAll(s, dir)
+        s.sql(lateralSql)
+      }
     })
 }

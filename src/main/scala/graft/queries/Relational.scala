@@ -1220,7 +1220,7 @@ object Relational {
         .orderBy(col("s_id"), col("e_id"))
     },
 
-    // X88 pairwise Pearson correlation matrix over the fact numerics in
+    // X143 pairwise Pearson correlation matrix over the fact numerics in
     // ONE aggregate pass (six co-moment aggregates fused in a single
     // scan, no per-pair jobs), unpivoted to long form.
     Q("q_diag_correlations",
@@ -1252,7 +1252,7 @@ object Relational {
         .orderBy(col("pair"))
     },
 
-    // X89 bounded-depth BFS over the (undirected) supplier–part co-supply
+    // X144 bounded-depth BFS over the (undirected) supplier–part co-supply
     // bipartite graph: hop distance from the seed suppliers to everything
     // within 4 hops. The oracle replays it as a recursive CTE with
     // min-dist semantics; Spark runs the iterative frontier expansion

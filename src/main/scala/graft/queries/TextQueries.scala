@@ -1580,7 +1580,7 @@ object TextQueries {
         .orderBy(col("query_id"), col("rk"))
     },
 
-    // X90 χ² keyword selection: tokens most skewed toward each language.
+    // X141 χ² keyword selection: tokens most skewed toward each language.
     // Every 2×2 cell is an exact long; χ² is a ratio of exactly-
     // representable doubles, so the ranking replays bit-for-bit.
     Q("q_text_chi2_keywords",

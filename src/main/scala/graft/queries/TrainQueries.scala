@@ -361,7 +361,7 @@ object TrainQueries {
         .orderBy($"num_trees", $"max_depth")
     },
 
-    // X86 leakage-safe categorical encoding: smoothed out-of-fold label
+    // X138 leakage-safe categorical encoding: smoothed out-of-fold label
     // mean per (priority, fold). Folds are the overflow-safe Knuth hash
     // of the order key (replayable on any engine); every sum is an
     // integer count, so the encoding is an exact ratio of longs.
@@ -394,7 +394,7 @@ object TrainQueries {
         .orderBy(col("cat"), col("fold"))
     },
 
-    // X87 reliability diagram: fixed-width score bins, mean predicted
+    // X139 reliability diagram: fixed-width score bins, mean predicted
     // score vs realized positive rate. The "model" is a deterministic
     // linear score (exact IEEE ops — bit-identical on any engine); score
     // sums ride as fixed-point micros so bin means are order-free.
@@ -417,7 +417,7 @@ object TrainQueries {
       Calibration.reliabilityBins(scored, "s", "y", nBins = 10)
     },
 
-    // X87 cumulative gains/lift by descending score band: capture share
+    // X140 cumulative gains/lift by descending score band: capture share
     // and lift per band; cumulatives are a window over ≤10 aggregate
     // rows (never a population ntile over the fact table).
     Q("q_ml_gains",
@@ -445,7 +445,7 @@ object TrainQueries {
       Calibration.gains(scored, "s", "y", nBins = 10)
     },
 
-    // X91 hashing-trick vectorization: customers' categoricals hashed
+    // X142 hashing-trick vectorization: customers' categoricals hashed
     // into a signed 32-bucket space; the per-bucket signed sums over the
     // whole table pin buckets AND signs end-to-end (any hash drift
     // shifts a sum). No vocabulary fit anywhere — that is the point.

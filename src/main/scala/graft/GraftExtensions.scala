@@ -58,6 +58,11 @@ object GraftExtensions {
   }
 
   def register(ext: SparkSessionExtensions): Unit = {
+    // Whole-operator surface: the native as-of join logical node gets a
+    // planner strategy (→ graft.plans.AsOfJoinExec) and an optimizer
+    // rule pushing left-only filters below the (outer) join.
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.PushLeftFiltersThroughAsOf)
     ext.injectFunction(fn("graft_dot", 2, "graft_dot(array<double>, array<double>)") {
       ch => graft.expressions.DotProduct(
         Cast(ch(0), ArrayType(DoubleType)), Cast(ch(1), ArrayType(DoubleType)))

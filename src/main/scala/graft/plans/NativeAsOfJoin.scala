@@ -1,0 +1,210 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Alias, Ascending, Attribute, GenericInternalRow, JoinedRow, PredicateHelper,
+  RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Native as-of join — the whole-operator rung of the custom-operator
+  * ladder: a first-class [[AsOfJoinNode]] logical plan, planned by
+  * [[AsOfJoinStrategy]] (injected via `SparkSessionExtensions`) into
+  * [[AsOfJoinExec]], a sort-merge physical operator.
+  *
+  * Semantics (identical to the compositional
+  * [[graft.operators.AsOfJoin]], asserted row-for-row in
+  * `NativeAsOfJoinSpec`): for each left row, the LATEST right row of the
+  * same key with `rightTime <= leftTime`; ties at equal time match; a
+  * left row with no earlier right row gets null payload columns (left
+  * outer). SQL-null semantics throughout: a null key or time on either
+  * side never matches anything.
+  *
+  * 100 TB design: `requiredChildDistribution` clusters each side on its
+  * key and `requiredChildOrdering` asks for (key, time) — so Catalyst's
+  * EnsureRequirements plans exactly ONE hash shuffle + sort per side
+  * (the sort-merge-join shape, AQE-coalescible), and the merge itself is
+  * a streaming single pass per partition holding ONE buffered right row
+  * group — O(|L|+|R|) with O(1) memory, regardless of history depth. The
+  * compositional union+window form moves |L|+|R| rows through one
+  * partition-window too, but carries every left column through the
+  * shuffle twice (tagged union) and cannot prune; the native operator
+  * shuffles each side once with only its own columns.
+  *
+  * Right (key, time) pairs should be unique for a deterministic payload
+  * (at equal times the last row in sort order wins) — same caveat as the
+  * compositional operator and DuckDB's ASOF JOIN.
+  */
+case class AsOfJoinNode(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Attribute, rightKey: Attribute,
+    leftTime: Attribute, rightTime: Attribute,
+    payload: Seq[Attribute]) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ payload.map(_.withNullability(true))
+
+  override def maxRows: Option[Long] = left.maxRows
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinNode]] as [[AsOfJoinExec]]. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, p) =>
+      AsOfJoinExec(lk, rk, lt, rt, p, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Optimizer rule (injected via `injectOptimizerRule`): a Filter above
+  * the as-of join whose predicates only touch LEFT columns moves below
+  * the join, where the builtin rules can carry it all the way into the
+  * scan — the pushdown Catalyst cannot do by itself through a black-box
+  * node. Right-side or mixed predicates stay above (a right-side
+  * predicate above an OUTER as-of filters post-match payload values —
+  * pushing it below would change which rows match).
+  */
+object PushLeftFiltersThroughAsOf extends Rule[LogicalPlan] with PredicateHelper {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, a: AsOfJoinNode) =>
+      val (push, keep) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic && p.references.subsetOf(a.left.outputSet))
+      if (push.isEmpty) f
+      else {
+        val pushed = a.copy(left = Filter(push.reduce(org.apache.spark.sql.catalyst.expressions.And), a.left))
+        keep.reduceOption(org.apache.spark.sql.catalyst.expressions.And)
+          .map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
+/** Sort-merge as-of join: children arrive clustered by key and sorted by
+  * (key, time); each partition is merged in one streaming pass.
+  */
+case class AsOfJoinExec(
+    leftKey: Attribute, rightKey: Attribute,
+    leftTime: Attribute, rightTime: Attribute,
+    payload: Seq[Attribute],
+    left: SparkPlan, right: SparkPlan) extends SparkPlan with BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ payload.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  // Left rows pass through in their sorted order, one output row each.
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val leftOut = left.output
+    val rightOut = right.output
+    val outAttrs = output
+    val (lk, rk, lt, rt, pay) = (leftKey, rightKey, leftTime, rightTime, payload)
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(Seq(lk), leftOut)
+      val rKeyProj = UnsafeProjection.create(Seq(rk), rightOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lt), leftOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rt), rightOut)
+      val payloadProj = UnsafeProjection.create(pay, rightOut)
+      // Bind against NULLABLE payload attrs: unmatched left rows read the
+      // all-null payload row, so the bound reference must null-check even
+      // when the right column itself is non-nullable.
+      val resultProj =
+        UnsafeProjection.create(outAttrs, leftOut ++ pay.map(_.withNullability(true)))
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lk.dataType))
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lt.dataType))
+      val nullPayload = new GenericInternalRow(pay.length)
+      val joined = new JoinedRow
+      val rBuf = rIter.buffered
+      // Latest right row consumed so far: its key (copied) and payload
+      // (copied). Because both sides stream in (key, time) order, the
+      // right cursor only ever moves forward.
+      var lastKey: UnsafeRow = null
+      var lastVal: UnsafeRow = null
+      lIter.map { lRow =>
+        val lKeyRow = lKeyProj(lRow)
+        val lTimeRow = lTimeProj(lRow)
+        if (lKeyRow.isNullAt(0) || lTimeRow.isNullAt(0)) {
+          // SQL semantics: null never equals / never compares — no match.
+          resultProj(joined(lRow, nullPayload))
+        } else {
+          var done = false
+          while (!done && rBuf.hasNext) {
+            val head = rBuf.head
+            val rKeyRow = rKeyProj(head)
+            if (rKeyRow.isNullAt(0)) rBuf.next() // null keys match nothing
+            else {
+              val c = keyOrd.compare(rKeyRow, lKeyRow)
+              if (c < 0) rBuf.next() // key group already passed
+              else if (c == 0) {
+                val rTimeRow = rTimeProj(head)
+                if (rTimeRow.isNullAt(0)) rBuf.next() // nulls-first: skip
+                else if (timeOrd.compare(rTimeRow, lTimeRow) <= 0) {
+                  lastKey = lKeyRow.copy()
+                  lastVal = payloadProj(head).copy()
+                  rBuf.next()
+                } else done = true // future right row — stop
+              } else done = true // right is ahead of this key group
+            }
+          }
+          val matched = lastKey != null && keyOrd.compare(lastKey, lKeyRow) == 0
+          resultProj(joined(lRow, if (matched) lastVal else nullPayload))
+        }
+      }
+    }
+  }
+}
+
+/** DataFrame front door for the native operator. */
+object NativeAsOfJoin {
+
+  /** As-of join `left` to `right` on `key`, latest `rightTime <=
+    * leftTime`; `payloadCols` from the right side are appended to the
+    * left columns (null when no right row qualifies).
+    *
+    * The right side is re-projected to only (key, time, payload) with
+    * fresh expression ids, so self-as-of joins are unambiguous and the
+    * builtin rules prune + push the right scan down to just those
+    * columns. Payload names must not collide with left column names.
+    */
+  def asOf(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, payloadCols: Seq[String]): DataFrame = {
+    val clash = payloadCols.filter(left.columns.contains)
+    require(clash.isEmpty,
+      s"asOf: payload columns ${clash.mkString(", ")} collide with left columns — " +
+        "rename them on the right side before joining")
+    val lPlan = left.queryExecution.analyzed
+    val rAnalyzed = right.queryExecution.analyzed
+    val needed = (Seq(key, rightTime) ++ payloadCols).distinct
+    def rAttr(n: String): Attribute = rAnalyzed.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"asOf: right column $n not found"))
+    val rPlan = Project(needed.map(n => Alias(rAttr(n), n)()), rAnalyzed)
+    def pick(out: Seq[Attribute], n: String, side: String): Attribute =
+      out.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"asOf: $side column $n not found"))
+    val node = AsOfJoinNode(lPlan, rPlan,
+      pick(lPlan.output, key, "left"), pick(rPlan.output, key, "right"),
+      pick(lPlan.output, leftTime, "left"), pick(rPlan.output, rightTime, "right"),
+      payloadCols.map(pick(rPlan.output, _, "right")))
+    Bridge.ofRows(left.sparkSession, node)
+  }
+}

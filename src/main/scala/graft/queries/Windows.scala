@@ -448,6 +448,37 @@ object Windows {
         .orderBy(col("purchase_id"))
     },
 
+    // X145 the same as-of semantics through the NATIVE whole-operator
+    // path: graft.plans.AsOfJoinNode → AsOfJoinStrategy → AsOfJoinExec
+    // (sort-merge, one shuffle+sort per side, streaming O(1)-memory
+    // merge), registered via SparkSessionExtensions. Also carries the
+    // click's value — three independent implementations of as-of
+    // (native exec here, union+window above, DuckDB ASOF in the oracle)
+    // must agree bit-for-bit.
+    Q("q_join_asof_native",
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |       c.event_id AS click_id,
+        |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+        |       round(c.value, 6) AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+      graft.plans.NativeAsOfJoin.asOf(purchases, clicks, key = "user_id",
+          leftTime = "ts", rightTime = "click_ts",
+          payloadCols = Seq("click_id", "click_ts", "click_value"))
+        .select(col("purchase_id"), col("user_id"), col("click_id"),
+          (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"),
+          round(col("click_value"), 6).as("click_value"))
+        .orderBy(col("purchase_id"))
+    },
+
     // Beyond the reference's window set (SURVEY §2.5 "not present"):
     // dense_rank, ntile, cume_dist, and a RANGE frame — all partitioned
     // by a high-cardinality key, so the same scale shape as W1-W5.

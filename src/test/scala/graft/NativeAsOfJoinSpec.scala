@@ -1,0 +1,129 @@
+package graft
+
+import graft.operators.AsOfJoin
+import graft.plans.{AsOfJoinNode, NativeAsOfJoin}
+import org.apache.spark.sql.catalyst.plans.logical.Filter
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** The native whole-operator as-of join (logical node → strategy →
+  * sort-merge exec, injected via SparkSessionExtensions) against
+  * hand-computed expectations, the compositional union+window operator,
+  * and its plan shape.
+  */
+class NativeAsOfJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  private lazy val quotes = Seq(
+    // (key, time, px)
+    ("A", ts(10), 1.0), ("A", ts(20), 2.0), ("A", ts(30), 3.0),
+    ("B", ts(15), 10.0),
+    ("D", ts(5), 99.0)
+  ).toDF("sym", "qts", "px")
+
+  private lazy val trades = Seq(
+    ("A", ts(5), 100L),  // before any quote -> null
+    ("A", ts(20), 101L), // tie matches the t=20 quote
+    ("A", ts(25), 102L), // between -> t=20 quote
+    ("A", ts(99), 103L), // after all -> t=30 quote
+    ("B", ts(14), 104L), // one-off miss -> null
+    ("C", ts(50), 105L)  // key with no quotes at all -> null
+  ).toDF("sym", "tts", "trade_id")
+
+  test("hand-computed matches: ties, misses, absent keys, pass-through order") {
+    val got = NativeAsOfJoin.asOf(trades, quotes, key = "sym",
+        leftTime = "tts", rightTime = "qts", payloadCols = Seq("px"))
+      .select($"trade_id", $"px").collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(got === Map(
+      100L -> null, 101L -> 2.0, 102L -> 2.0, 103L -> 3.0,
+      104L -> null, 105L -> null))
+  }
+
+  test("null keys and null times never match, on either side") {
+    val l = Seq((Some("A"), Some(ts(50)), 1L), (None, Some(ts(50)), 2L),
+      (Some("A"), Option.empty[Timestamp], 3L)).toDF("k", "t", "id")
+    val r = Seq((Some("A"), Some(ts(10)), 7.0), (Some("A"), Option.empty[Timestamp], 8.0),
+      (Option.empty[String], Some(ts(1)), 9.0)).toDF("k", "rt", "v")
+    val got = NativeAsOfJoin.asOf(l, r, "k", "t", "rt", Seq("v"))
+      .select($"id", $"v").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) null else x.getDouble(1))).toMap
+    assert(got === Map(1L -> 7.0, 2L -> null, 3L -> null))
+  }
+
+  test("native == compositional union+window on the events fixture") {
+    val ev = Tables.load(spark, TestSpark.sf0001, "events")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts")
+    val clicksN = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts".as("cts"), $"event_id".as("click_id"))
+    val native = NativeAsOfJoin.asOf(purchases, clicksN, "user_id", "ts", "cts",
+        Seq("click_id", "cts"))
+      .select($"purchase_id", $"click_id", unix_micros($"cts").as("c_us"))
+    val clicksC = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id")
+    val comp = AsOfJoin.asOf(purchases, clicksC, "user_id", "ts", "ts",
+        Seq("event_id", "ts"))
+      .select($"purchase_id", $"asof.event_id".as("click_id"),
+        unix_micros($"asof.ts").as("c_us"))
+    assert(native.count() === purchases.count(), "left-outer: one row per left row")
+    assert(native.exceptAll(comp).isEmpty && comp.exceptAll(native).isEmpty,
+      "native and compositional as-of must agree row-for-row")
+  }
+
+  test("plan: AsOfJoin exec with one shuffle+sort per side, no window, no union") {
+    val p = SparkEntry.queries("q_join_asof_native")(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), "native exec must plan:\n" + p)
+    assert(!p.contains("Window") && !p.contains("Union"),
+      "native path must not fall back to the union+window composition:\n" + p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      "exactly one hash shuffle per side:\n" + p)
+  }
+
+  test("optimizer rule pushes left-only filters below the node, into the scan") {
+    val ev = Tables.load(spark, TestSpark.sf0001, "events")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts".as("cts"), $"event_id".as("click_id"))
+    val joined = NativeAsOfJoin.asOf(purchases, clicks, "user_id", "ts", "cts",
+        Seq("click_id"))
+      .filter($"purchase_id" % 7 === 0)
+    val opt = joined.queryExecution.optimizedPlan
+    val node = opt.collectFirst { case a: AsOfJoinNode => a }
+    assert(node.isDefined, "as-of node must survive optimization:\n" + opt)
+    assert(opt.collectFirst { case f: Filter if f.child.isInstanceOf[AsOfJoinNode] => f }.isEmpty,
+      "left-only predicate must not remain above the node:\n" + opt)
+    // The pushed predicate is rewritten through the projection
+    // (purchase_id -> event_id) and merged into the scan-level filter.
+    assert(node.get.left.collectFirst {
+      case f: Filter if f.condition.toString.contains("% 7") => f
+    }.nonEmpty, "predicate must move into the left subtree:\n" + opt)
+    // and the result still matches running the filter before the join
+    val pre = NativeAsOfJoin.asOf(
+      purchases.filter($"purchase_id" % 7 === 0), clicks,
+      "user_id", "ts", "cts", Seq("click_id"))
+    assert(joined.exceptAll(pre).isEmpty && pre.exceptAll(joined).isEmpty)
+  }
+
+  test("right side prunes to (key, time, payload) only") {
+    val ev = Tables.load(spark, TestSpark.sf0001, "events")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts")
+    val clicks = ev.filter($"event_type" === "click")
+    val df = NativeAsOfJoin.asOf(
+      purchases,
+      clicks.select($"user_id", $"ts".as("cts"), $"event_id".as("click_id"),
+        $"event_type", $"value", $"props"),
+      "user_id", "ts", "cts", Seq("click_id"))
+    val node = df.queryExecution.optimizedPlan
+      .collectFirst { case a: AsOfJoinNode => a }.get
+    assert(node.right.output.map(_.name).toSet === Set("user_id", "cts", "click_id"),
+      "unused right columns must not reach the exec: " + node.right.output)
+  }
+}

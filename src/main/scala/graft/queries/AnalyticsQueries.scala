@@ -922,5 +922,56 @@ object AnalyticsQueries {
         graft.Tables.registerAll(s, dir)
         s.sql(lateralSql)
       }
+    },
+
+    // X148 burst-collapse debounce: per (user, event_type), keep only
+    // events with no predecessor within 24h — the duplicate-burst
+    // suppression gate (double fires, retry storms). Same one-shuffle
+    // lag-window shape as sessionize; reported per event type.
+    Q("q_events_debounce",
+      """WITH g AS (
+        |  SELECT event_type,
+        |         epoch_us(ts) - lag(epoch_us(ts))
+        |           OVER (PARTITION BY user_id, event_type ORDER BY ts) AS gap_us
+        |  FROM events)
+        |SELECT event_type,
+        |       cast(count(*) AS bigint) AS n_raw,
+        |       cast(sum(CASE WHEN gap_us IS NULL OR gap_us >= 86400000000
+        |                     THEN 1 ELSE 0 END) AS bigint) AS n_kept,
+        |       round(1.0 - cast(sum(CASE WHEN gap_us IS NULL OR gap_us >= 86400000000
+        |                                 THEN 1 ELSE 0 END) AS double) / count(*), 6)
+        |         AS suppressed
+        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val flagged = graft.operators.Debounce.flag(t(s, dir, "events"),
+        Seq("user_id", "event_type"), "ts", minGapUs = 86400000000L)
+      flagged.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_raw"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+        .select(col("event_type"), col("n_raw"), col("n_kept"),
+          round(lit(1.0) - col("n_kept").cast("double") / col("n_raw"), 6)
+            .as("suppressed"))
+        .orderBy(col("event_type"))
+    },
+
+    // X151 time-weighted average of the event value per user: each
+    // value holds until the user's next event (closed-open), weights
+    // are exact micros, products accumulate in DECIMAL(38,0) — the
+    // irregular-series aggregate a plain mean gets wrong.
+    Q("q_events_twap",
+      """WITH s AS (SELECT user_id, epoch_us(ts) AS us,
+        |                  CAST(round(value * 100) AS BIGINT) AS v_centi
+        |           FROM events),
+        |d AS (SELECT user_id, v_centi,
+        |             lead(us) OVER (PARTITION BY user_id ORDER BY us) - us AS dt_us
+        |      FROM s),
+        |f AS (SELECT * FROM d WHERE dt_us IS NOT NULL)
+        |SELECT user_id, cast(count(*) AS bigint) AS n_intervals,
+        |       cast(sum(dt_us) AS bigint) AS span_us,
+        |       round(cast(sum(cast(v_centi AS DECIMAL(38,0)) * dt_us) AS double)
+        |             / 100.0 / cast(sum(dt_us) AS double), 6) AS twap
+        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      graft.operators.TimeWeightedAverage.twap(
+          t(s, dir, "events"), "user_id", "ts", "value")
+        .orderBy(col("user_id"))
     })
 }

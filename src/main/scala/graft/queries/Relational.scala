@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Bfs, CountMinSketch, IntervalJoin, QuantileBinning, RangeJoin, SaltedJoin}
+import graft.operators.{Bfs, LabelPropagation, CountMinSketch, IntervalJoin, QuantileBinning, RangeJoin, SaltedJoin}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1275,5 +1275,36 @@ object Relational {
       val seeds = t(s, dir, "supplier").filter(col("s_suppkey") % 25 === 0)
         .select((col("s_suppkey") * 2).as("node"))
       Bfs.kHop(edges, seeds, maxHops = 4).orderBy(col("node"))
+    },
+
+    // X149 deterministic synchronous label propagation (2 rounds) over
+    // the same co-supply graph as q_graph_khop: each node adopts the
+    // mode of its neighbors' labels, ties to the smallest label. The
+    // oracle unrolls both rounds; fixed rounds + synchronous updates +
+    // total tie-break make community sizes an exact function of the
+    // edge set on any engine.
+    Q("q_graph_labelprop",
+      """WITH e0 AS (
+        |  SELECT DISTINCT l_suppkey * 2 AS a, l_partkey * 2 + 1 AS b FROM lineitem),
+        |e AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+        |l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM e),
+        |n1 AS (SELECT e.a AS node, l0.lbl AS lbl FROM e JOIN l0 ON l0.node = e.b),
+        |c1 AS (SELECT node, lbl, count(*) AS c FROM n1 GROUP BY 1, 2),
+        |l1 AS (SELECT node, lbl FROM (
+        |  SELECT node, lbl, row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+        |  FROM c1) WHERE rn = 1),
+        |n2 AS (SELECT e.a AS node, l1.lbl AS lbl FROM e JOIN l1 ON l1.node = e.b),
+        |c2 AS (SELECT node, lbl, count(*) AS c FROM n2 GROUP BY 1, 2),
+        |l2 AS (SELECT node, lbl FROM (
+        |  SELECT node, lbl, row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+        |  FROM c2) WHERE rn = 1)
+        |SELECT cast(lbl AS bigint) AS community, cast(count(*) AS bigint) AS size
+        |FROM l2 GROUP BY lbl ORDER BY size DESC, community LIMIT 20""".stripMargin) { (s, dir) =>
+      val e0 = t(s, dir, "lineitem")
+        .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      LabelPropagation.communities(edges, rounds = 2)
+        .orderBy(col("size").desc, col("community")).limit(20)
     })
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Boilerplate, BpeMerges, ChiSquareKeywords, Chunking, Contamination, CorpusPacking, Dedup, HybridRetrieval, LexicalStats, MixtureSampler, Multimodal, NegativeSampler, NgramLanguageModel, RepetitionScore, SimilaritySearch, SnapshotDiff, SparseSimilarity, StratifiedSampler, TopK}
+import graft.operators.{Boilerplate, BpeMerges, ChiSquareKeywords, Chunking, Contamination, CorpusPacking, Dedup, HybridRetrieval, LexicalStats, MixtureSampler, Multimodal, NegativeSampler, NgramLanguageModel, PostingsIndex, RepetitionScore, SimilaritySearch, DupSourceMatrix, SnapshotDiff, SpanCorruption, SparseSimilarity, StratifiedSampler, TopK}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1616,5 +1616,76 @@ object TextQueries {
         .select(col("cls").as("lang"), col("rk"), col("token"), col("a"),
           round(col("chi2"), 4).as("chi2"))
         .orderBy(col("lang"), col("rk"))
+    },
+
+    // X146 deterministic T5-style span corruption: the mask is a pure
+    // function of (doc_id, position), so the corrupted-input/target
+    // pairs replay byte-identically on both engines. Spark side is
+    // zero-shuffle row-local array lambdas; the oracle re-derives every
+    // pair through unnest + ordered string_agg.
+    Q("q_text_span_corrupt",
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |tok AS (SELECT doc_id, unnest(l) AS tok,
+        |               generate_subscripts(l, 1) - 1 AS pos FROM s),
+        |m AS (SELECT doc_id, pos, tok,
+        |             ('0x' || substr(md5(cast(doc_id AS varchar) || ':'
+        |                || cast(pos AS varchar)), 1, 15))::BIGINT % 5 = 0 AS masked
+        |      FROM tok)
+        |SELECT doc_id,
+        |       cast(count(*) AS bigint) AS n_tokens,
+        |       cast(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS bigint) AS n_masked,
+        |       string_agg(CASE WHEN masked THEN '<X>' ELSE tok END, ' ' ORDER BY pos)
+        |         AS input_text,
+        |       coalesce(string_agg(CASE WHEN masked THEN tok END, ' ' ORDER BY pos), '')
+        |         AS target_text
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      SpanCorruption.corrupt(t(s, dir, "documents"), "doc_id", "text", every = 5)
+        .select(col("doc_id"), col("n_tokens"), col("n_masked"),
+          col("input_text"), col("target_text"))
+        .orderBy(col("doc_id"))
+    },
+
+    // X147 delta-encoded posting lists: the inverted-index BUILD
+    // artifact (sorted doc ids gap-encoded per token). One shuffle on
+    // the token; the lag window and the final agg reuse its
+    // partitioning (plan-asserted in CorpusOpsSpec).
+    Q("q_text_postings_delta",
+      """WITH tok AS (
+        |  SELECT doc_id AS doc,
+        |         unnest(list_distinct(regexp_split_to_array(lower(text), '\s+'))) AS token
+        |  FROM documents),
+        |d AS (SELECT token, doc,
+        |             doc - lag(doc) OVER (PARTITION BY token ORDER BY doc) AS delta
+        |      FROM tok),
+        |agg AS (SELECT token, count(*) AS df, min(doc) AS head_doc,
+        |               max(delta) AS max_delta,
+        |               string_agg(cast(delta AS varchar), ',' ORDER BY doc) AS deltas_csv
+        |        FROM d GROUP BY token)
+        |SELECT token, cast(df AS bigint) AS df, cast(head_doc AS bigint) AS head_doc,
+        |       cast(max_delta AS bigint) AS max_delta, deltas_csv
+        |FROM agg WHERE df >= 20 ORDER BY token""".stripMargin) { (s, dir) =>
+      PostingsIndex.deltaPostings(t(s, dir, "documents"), "doc_id", "text", minDf = 20)
+        .select(col("token"), col("df"), col("head_doc"), col("max_delta"),
+          col("deltas_csv"))
+        .orderBy(col("token"))
+    },
+
+    // X152 cross-source duplication matrix: exact-duplicate pairs (same
+    // token-set fingerprint, the X2 definition) rolled up by unordered
+    // source pair — finds sources copying from each other. Pairs come
+    // from a fingerprint equi-join on the cluster-filtered slice only.
+    Q("q_dedup_source_matrix",
+      s"""WITH f AS (
+         |  SELECT doc_id AS doc, source AS src,
+         |         md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp
+         |  FROM documents),
+         |d AS (SELECT * FROM f QUALIFY count(*) OVER (PARTITION BY fp) > 1),
+         |p AS (SELECT least(a.src, b.src) AS source_a,
+         |             greatest(a.src, b.src) AS source_b
+         |      FROM d a JOIN d b ON a.fp = b.fp AND a.doc < b.doc)
+         |SELECT source_a, source_b, cast(count(*) AS bigint) AS n_pairs
+         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      DupSourceMatrix.matrix(t(s, dir, "documents"))
+        .orderBy(col("source_a"), col("source_b"))
     })
 }

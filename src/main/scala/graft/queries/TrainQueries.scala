@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ml.{BaselineRateModel, RandomUnderSampler, Trainers}
-import graft.operators.{Calibration, FeatureHasher, TargetEncoder}
+import graft.operators.{Calibration, PsiDrift, FeatureHasher, TargetEncoder}
 import org.apache.spark.ml.classification.RandomForestClassificationModel
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -468,5 +468,32 @@ object TrainQueries {
         .groupBy(col("bucket"))
         .agg(sum(col("wsum")).as("wsum_all"), count(lit(1)).as("n_cells"))
         .orderBy(col("bucket"))
+    },
+
+    // X150 PSI drift monitor: order totals of the <=1995 cohort vs the
+    // rest, 10 fixed-width bands over [0, 600k). Shares are Laplace-
+    // smoothed ratios of exact longs; ln of that ratio rounds to 6
+    // places identically on both engines (the PMI/collocation shape).
+    Q("q_ml_psi_drift",
+      """WITH s AS (
+        |  SELECT least(greatest(CAST(floor(o_totalprice / 60000) AS BIGINT), 0), 9) AS bin,
+        |         CASE WHEN year(o_orderdate) <= 1995 THEN 1 ELSE 0 END AS b
+        |  FROM orders),
+        |c AS (SELECT bin, sum(b) AS n_base, sum(1 - b) AS n_cur FROM s GROUP BY bin),
+        |t AS (SELECT bin, n_base, n_cur,
+        |             (cast(n_base AS double) + 1) / (sum(n_base) OVER () + 10) AS p,
+        |             (cast(n_cur AS double) + 1) / (sum(n_cur) OVER () + 10) AS q
+        |      FROM c)
+        |SELECT cast(bin AS bigint) AS bin,
+        |       cast(n_base AS bigint) AS n_base, cast(n_cur AS bigint) AS n_cur,
+        |       round((p - q) * ln(p / q), 6) AS contrib,
+        |       round(sum((p - q) * ln(p / q)) OVER (), 6) AS psi
+        |FROM t ORDER BY bin""".stripMargin) { (s, dir) =>
+      PsiDrift.psiReport(t(s, dir, "orders"), "o_totalprice",
+          isBase = year(col("o_orderdate")) <= 1995,
+          lo = 0.0, hi = 600000.0, nBins = 10)
+        .select(col("bin"), col("n_base"), col("n_cur"),
+          round(col("contrib"), 6).as("contrib"), round(col("psi"), 6).as("psi"))
+        .orderBy(col("bin"))
     })
 }

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Newman modularity of a community assignment — the standard quality
+  * score for a graph partition (Q ≈ 0: no better than random; Q ≳ 0.3:
+  * real community structure). Complements [[LabelPropagation]]: X149
+  * PRODUCES a partition, this MEASURES it, closing the loop
+  * (propagate → score → accept/iterate) a curation pipeline needs
+  * before trusting communities for group-level dedup or splits.
+  *
+  * Convention: `edges` holds both directions of every undirected edge,
+  * so 2m = |edges|. With e_c = directed edges inside community c and
+  * d_c = Σ degrees of c's nodes, Q = Σ_c (e_c·2m − d_c²) / (2m)² — the
+  * numerator is EXACT integer arithmetic (DECIMAL(38,0) for the squares
+  * at scale); the one division happens at the end.
+  *
+  * 100 TB design: two broadcast-sized joins of the labels table onto
+  * the edge list (labels ≤ nodes rows), one groupBy on the community —
+  * no quadratic term anywhere; degree and intra-edge counts are
+  * map-side-combined longs.
+  */
+object Modularity {
+
+  /** (community, n_nodes, e_in, d_sum, q_contrib, q): per-community
+    * contribution and the total Q replicated on every row (window over
+    * the ≤ |communities| aggregate).
+    */
+  def score(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val twoM = edges.count()
+    val l = labels.select(col("node"), col("lbl"))
+    val byDst = l.select(col("node").as("dst"), col("lbl").as("dst_lbl"))
+    val bySrc = l.select(col("node").as("src"), col("lbl").as("src_lbl"))
+    // directed intra-community edge count per community
+    val eIn = edges.join(bySrc, "src").join(byDst, "dst")
+      .filter(col("src_lbl") === col("dst_lbl"))
+      .groupBy(col("src_lbl").as("community")).agg(count(lit(1)).as("e_in"))
+    // directed degree sum per community (= sum of out-degrees here)
+    val dSum = edges.join(bySrc, "src")
+      .groupBy(col("src_lbl").as("community")).agg(count(lit(1)).as("d_sum"))
+    val sizes = l.groupBy(col("lbl").as("community")).agg(count(lit(1)).as("n_nodes"))
+    val w = Window.partitionBy(lit(1))
+    sizes
+      .join(dSum, Seq("community"), "left")
+      .join(eIn, Seq("community"), "left")
+      .na.fill(0L, Seq("e_in", "d_sum"))
+      .withColumn("q_contrib",
+        (col("e_in").cast("decimal(38,0)") * twoM -
+          col("d_sum").cast("decimal(38,0)") * col("d_sum"))
+          .cast("double") / (twoM.toDouble * twoM.toDouble))
+      .withColumn("q", sum(col("q_contrib")).over(w))
+  }
+}

@@ -74,4 +74,43 @@ object ZOrder {
     df.withColumn("zval", z)
       .repartitionByRange(numPartitions, col("zval"))
       .sortWithinPartitions(col("zval"))
+
+  /** Covering z-ranges of the cell box [x0,x1]×[y0,y1] (inclusive cell
+    * coordinates on the `bits`-bit grid): the EXACT union of Morton
+    * values inside the box, as maximal disjoint [lo,hi] intervals. This
+    * is the driver-side half of an index probe — it runs on the QUERY
+    * constants, never the data (standard quadtree decomposition), and
+    * the resulting BETWEEN predicates push into a z-sorted table's scan
+    * where per-file/row-group min-max stats prune — a 2-D range query
+    * answered through a 1-D layout. Range count is O(2^bits) (box
+    * perimeter), not O(area); exactness is exhaustively asserted in
+    * IndexProbeSpec.
+    */
+  def zQueryRanges(x0: Long, x1: Long, y0: Long, y1: Long, bits: Int): Seq[(Long, Long)] = {
+    require(bits >= 1 && bits <= 31, s"bits=$bits out of [1, 31]")
+    val lim = (1L << bits) - 1
+    require(0 <= x0 && x0 <= x1 && x1 <= lim && 0 <= y0 && y0 <= y1 && y1 <= lim,
+      s"box [$x0,$x1]x[$y0,$y1] outside the $bits-bit grid")
+    def rec(cx: Long, cy: Long, k: Int, z: Long,
+        acc: List[(Long, Long)]): List[(Long, Long)] = {
+      val size = 1L << k
+      if (cx + size - 1 < x0 || cx > x1 || cy + size - 1 < y0 || cy > y1) acc
+      else if (cx >= x0 && cx + size - 1 <= x1 && cy >= y0 && cy + size - 1 <= y1)
+        (z, z + size * size - 1) :: acc
+      else {
+        val h = size / 2
+        // Morton puts x on the even bits: child order (0,0),(1,0),(0,1),(1,1)
+        var a = rec(cx, cy, k - 1, z, acc)
+        a = rec(cx + h, cy, k - 1, z + h * h, a)
+        a = rec(cx, cy + h, k - 1, z + 2 * h * h, a)
+        rec(cx + h, cy + h, k - 1, z + 3 * h * h, a)
+      }
+    }
+    val sorted = rec(0, 0, bits, 0, Nil).sortBy(_._1)
+    // coalesce z-adjacent ranges (quadrant order often emits contiguous runs)
+    sorted.foldLeft(List.empty[(Long, Long)]) {
+      case ((lo, hi) :: rest, (lo2, hi2)) if lo2 == hi + 1 => (lo, hi2) :: rest
+      case (acc, r) => r :: acc
+    }.reverse
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Bfs, LabelPropagation, CountMinSketch, IntervalJoin, QuantileBinning, RangeJoin, SaltedJoin}
+import graft.operators.{Bfs, FdAudit, LabelPropagation, Modularity, CountMinSketch, IntervalJoin, QuantileBinning, RangeJoin, SaltedJoin}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1284,27 +1284,104 @@ object Relational {
     // total tie-break make community sizes an exact function of the
     // edge set on any engine.
     Q("q_graph_labelprop",
-      """WITH e0 AS (
-        |  SELECT DISTINCT l_suppkey * 2 AS a, l_partkey * 2 + 1 AS b FROM lineitem),
-        |e AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
-        |l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM e),
-        |n1 AS (SELECT e.a AS node, l0.lbl AS lbl FROM e JOIN l0 ON l0.node = e.b),
-        |c1 AS (SELECT node, lbl, count(*) AS c FROM n1 GROUP BY 1, 2),
-        |l1 AS (SELECT node, lbl FROM (
-        |  SELECT node, lbl, row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
-        |  FROM c1) WHERE rn = 1),
-        |n2 AS (SELECT e.a AS node, l1.lbl AS lbl FROM e JOIN l1 ON l1.node = e.b),
-        |c2 AS (SELECT node, lbl, count(*) AS c FROM n2 GROUP BY 1, 2),
-        |l2 AS (SELECT node, lbl FROM (
-        |  SELECT node, lbl, row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
-        |  FROM c2) WHERE rn = 1)
-        |SELECT cast(lbl AS bigint) AS community, cast(count(*) AS bigint) AS size
-        |FROM l2 GROUP BY lbl ORDER BY size DESC, community LIMIT 20""".stripMargin) { (s, dir) =>
-      val e0 = t(s, dir, "lineitem")
-        .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
-        .distinct()
-      val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      LabelPropagation.communities(edges, rounds = 2)
+      s"""WITH $lpRoundsSql
+         |SELECT cast(lbl AS bigint) AS community, cast(count(*) AS bigint) AS size
+         |FROM l2 GROUP BY lbl ORDER BY size DESC, community LIMIT 20""".stripMargin) { (s, dir) =>
+      LabelPropagation.communities(coSupplyEdges(t(s, dir, "lineitem")), rounds = 2)
         .orderBy(col("size").desc, col("community")).limit(20)
+    },
+
+    // X153 modularity of the X149 partition — the quality score that
+    // closes the loop (propagate → measure → accept). Exact integer
+    // numerator (e_in·2m − d_sum²), one closing division, the total Q
+    // replicated on every row via a window over the community rollup.
+    Q("q_graph_modularity",
+      s"""WITH $lpRoundsSql,
+         |m AS (SELECT count(*) AS two_m FROM e),
+         |ein AS (SELECT a.lbl AS community, count(*) AS e_in
+         |        FROM e JOIN l2 a ON a.node = e.a JOIN l2 b ON b.node = e.b
+         |        WHERE a.lbl = b.lbl GROUP BY 1),
+         |ds AS (SELECT l2.lbl AS community, count(*) AS d_sum
+         |       FROM e JOIN l2 ON l2.node = e.a GROUP BY 1),
+         |sz AS (SELECT lbl AS community, count(*) AS n_nodes FROM l2 GROUP BY 1),
+         |j AS (SELECT sz.community, sz.n_nodes,
+         |             coalesce(ein.e_in, 0) AS e_in, coalesce(ds.d_sum, 0) AS d_sum
+         |      FROM sz LEFT JOIN ds USING (community) LEFT JOIN ein USING (community)),
+         |q AS (SELECT j.*, cast(e_in * two_m - d_sum * d_sum AS double)
+         |               / (cast(two_m AS double) * two_m) AS q_contrib
+         |      FROM j CROSS JOIN m)
+         |SELECT cast(community AS bigint) AS community, cast(n_nodes AS bigint) AS n_nodes,
+         |       cast(e_in AS bigint) AS e_in, cast(d_sum AS bigint) AS d_sum,
+         |       round(q_contrib, 9) AS q_contrib,
+         |       round(sum(q_contrib) OVER (), 9) AS q
+         |FROM q ORDER BY n_nodes DESC, community LIMIT 15""".stripMargin) { (s, dir) =>
+      val edges = coSupplyEdges(t(s, dir, "lineitem"))
+      val labels = LabelPropagation.propagate(edges, rounds = 2)
+      Modularity.score(edges, labels)
+        .select(col("community"), col("n_nodes"), col("e_in"), col("d_sum"),
+          round(col("q_contrib"), 9).as("q_contrib"), round(col("q"), 9).as("q"))
+        .orderBy(col("n_nodes").desc, col("community")).limit(15)
+    },
+
+    // X154 functional-dependency audit: which determinant → dependent
+    // rules hold, and where they leak. One two-level aggregate per
+    // pair; n_nationkey → r_name-style true FDs show zero violations,
+    // the fact-table pairs show the leak counts.
+    Q("q_diag_fd_audit",
+      """SELECT * FROM (
+        |  SELECT 'c_nationkey' AS det, 'c_mktsegment' AS dep,
+        |         cast(count(*) AS bigint) AS n_groups,
+        |         cast(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS bigint) AS n_violating,
+        |         cast(max(nd) AS bigint) AS max_distinct
+        |  FROM (SELECT c_nationkey, count(DISTINCT c_mktsegment) AS nd
+        |        FROM customer GROUP BY 1)
+        |  UNION ALL
+        |  SELECT 'l_partkey', 'l_suppkey',
+        |         cast(count(*) AS bigint), cast(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS bigint),
+        |         cast(max(nd) AS bigint)
+        |  FROM (SELECT l_partkey, count(DISTINCT l_suppkey) AS nd
+        |        FROM lineitem GROUP BY 1)
+        |  UNION ALL
+        |  SELECT 'n_nationkey', 'n_regionkey',
+        |         cast(count(*) AS bigint), cast(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS bigint),
+        |         cast(max(nd) AS bigint)
+        |  FROM (SELECT n_nationkey, count(DISTINCT n_regionkey) AS nd
+        |        FROM nation GROUP BY 1))
+        |ORDER BY det""".stripMargin) { (s, dir) =>
+      FdAudit.audit(Seq(
+          (t(s, dir, "customer"), "c_nationkey", "c_mktsegment"),
+          (t(s, dir, "lineitem"), "l_partkey", "l_suppkey"),
+          (t(s, dir, "nation"), "n_nationkey", "n_regionkey")))
+        .orderBy(col("det"))
     })
+
+  /** Co-supply bipartite graph (suppliers ↔ parts via lineitem), both
+    * directions — shared by q_graph_khop/labelprop/modularity.
+    */
+  private def coSupplyEdges(lineitem: DataFrame): DataFrame = {
+    val e0 = lineitem
+      .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+      .distinct()
+    e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** Two unrolled synchronous label-propagation rounds over the
+    * co-supply graph — the shared oracle prefix of
+    * q_graph_labelprop and q_graph_modularity (yields `e` and `l2`).
+    */
+  private def lpRoundsSql: String =
+    """e0 AS (
+      |  SELECT DISTINCT l_suppkey * 2 AS a, l_partkey * 2 + 1 AS b FROM lineitem),
+      |e AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+      |l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM e),
+      |n1 AS (SELECT e.a AS node, l0.lbl AS lbl FROM e JOIN l0 ON l0.node = e.b),
+      |c1 AS (SELECT node, lbl, count(*) AS c FROM n1 GROUP BY 1, 2),
+      |l1 AS (SELECT node, lbl FROM (
+      |  SELECT node, lbl, row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+      |  FROM c1) WHERE rn = 1),
+      |n2 AS (SELECT e.a AS node, l1.lbl AS lbl FROM e JOIN l1 ON l1.node = e.b),
+      |c2 AS (SELECT node, lbl, count(*) AS c FROM n2 GROUP BY 1, 2),
+      |l2 AS (SELECT node, lbl FROM (
+      |  SELECT node, lbl, row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+      |  FROM c2) WHERE rn = 1)""".stripMargin
 }

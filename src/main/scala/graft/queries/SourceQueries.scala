@@ -332,5 +332,42 @@ object SourceQueries {
         .groupBy(coalesce(col("street_type"), lit("unclassified")).as("street_type"))
         .agg(count(lit(1)).as("n_streets"))
         .orderBy(col("street_type"))
+    },
+
+    // X155 z-order index PROBE: stage customers z-sorted (X29 is the
+    // layout; this is the read path), decompose a 2-D cell box into its
+    // exact covering z-ranges on the driver (query constants only), and
+    // answer the box query through z BETWEEN predicates alone — pushed
+    // into the parquet scan, where the z-sorted files' min-max stats
+    // prune. The oracle filters by the raw box, so hash equality PROVES
+    // the quadtree decomposition covers exactly the box.
+    Q("q_source_zorder_probe", {
+      val zTerms = (0 until 8).map(i =>
+        s"(((cx >> $i) & 1) << ${2 * i}) + (((cy >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH c AS (
+         |  SELECT c_custkey,
+         |         CAST(least(greatest(floor((c_acctbal + 1000) / 11000 * 256), 0), 255)
+         |              AS BIGINT) AS cx,
+         |         (c_custkey * 53 % 4096) // 16 AS cy
+         |  FROM customer)
+         |SELECT c_custkey, cx, cy, $zTerms AS z
+         |FROM c WHERE cx BETWEEN 40 AND 90 AND cy BETWEEN 20 AND 60
+         |ORDER BY c_custkey""".stripMargin
+    }) { (s, dir) =>
+      import graft.operators.ZOrder
+      val path = tmp(dir, "zprobe")
+      val staged = t(s, dir, "customer")
+        .select(col("c_custkey"),
+          ZOrder.cellId(col("c_acctbal"), -1000, 10000, 8).as("cx"),
+          expr("(c_custkey * 53 % 4096) div 16").as("cy"))
+        .withColumn("z", ZOrder.interleave(col("cx"), col("cy"), 8))
+      staged.repartitionByRange(4, col("z")).sortWithinPartitions(col("z"))
+        .write.mode("overwrite").parquet(path)
+      val pred = ZOrder.zQueryRanges(40, 90, 20, 60, bits = 8)
+        .map { case (lo, hi) => col("z").between(lo, hi) }.reduce(_ || _)
+      s.read.parquet(path).filter(pred)
+        .select(col("c_custkey"), col("cx"), col("cy"), col("z"))
+        .orderBy(col("c_custkey"))
     })
 }

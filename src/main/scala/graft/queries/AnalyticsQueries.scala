@@ -973,5 +973,60 @@ object AnalyticsQueries {
       graft.operators.TimeWeightedAverage.twap(
           t(s, dir, "events"), "user_id", "ts", "value")
         .orderBy(col("user_id"))
+    },
+
+    // X156 OHLC bar downsampling: weekly bars per user — open/close via
+    // min_by/max_by on exact micros (no window, ONE map-side-combined
+    // groupBy); volume rides centi-longs so partial-sum order never
+    // shows.
+    Q("q_events_ohlc",
+      """WITH s AS (SELECT user_id, epoch_us(ts) AS us, value AS v FROM events)
+        |SELECT user_id, cast(us // 604800000000 AS bigint) AS bucket,
+        |       arg_min(v, us) AS open, max(v) AS high, min(v) AS low,
+        |       arg_max(v, us) AS close,
+        |       cast(count(*) AS bigint) AS n,
+        |       cast(sum(CAST(round(v * 100) AS BIGINT)) AS double) / 100.0 AS v_sum
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, bucket""".stripMargin) { (s, dir) =>
+      graft.operators.Ohlc.bars(t(s, dir, "events"), "user_id", "ts", "value",
+          bucketUs = 604800000000L)
+        .select(col("key").as("user_id"), col("bucket"), col("open"), col("high"),
+          col("low"), col("close"), col("n"), col("v_sum"))
+        .orderBy(col("user_id"), col("bucket"))
+    },
+
+    // X157 growth accounting: weekly new/retained/resurrected/churned/
+    // active decomposition — distinct (user, period) first, then ONE
+    // lag/lead window per user; churn lands on the period after the gap
+    // opens.
+    Q("q_events_growth",
+      """WITH act AS (
+        |  SELECT DISTINCT user_id AS u, epoch_us(ts) // 604800000000 AS p FROM events),
+        |t AS (SELECT u, p,
+        |             lag(p) OVER (PARTITION BY u ORDER BY p) AS prev,
+        |             lead(p) OVER (PARTITION BY u ORDER BY p) AS nxt
+        |      FROM act),
+        |a AS (SELECT p AS period,
+        |             sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS n_new,
+        |             sum(CASE WHEN prev = p - 1 THEN 1 ELSE 0 END) AS n_retained,
+        |             sum(CASE WHEN prev IS NOT NULL AND prev < p - 1 THEN 1 ELSE 0 END)
+        |               AS n_resurrected,
+        |             count(*) AS n_active
+        |      FROM t GROUP BY 1),
+        |c AS (SELECT p + 1 AS period, count(*) AS n_churned
+        |      FROM t WHERE nxt IS NULL OR nxt > p + 1 GROUP BY 1),
+        |m AS (SELECT max(period) AS mp FROM a)
+        |SELECT cast(a.period AS bigint) AS period,
+        |       cast(n_new AS bigint) AS n_new,
+        |       cast(n_retained AS bigint) AS n_retained,
+        |       cast(n_resurrected AS bigint) AS n_resurrected,
+        |       cast(coalesce(c.n_churned, 0) AS bigint) AS n_churned,
+        |       cast(n_active AS bigint) AS n_active
+        |FROM a LEFT JOIN c USING (period) CROSS JOIN m
+        |WHERE a.period <= mp ORDER BY period""".stripMargin) { (s, dir) =>
+      graft.operators.GrowthAccounting.report(t(s, dir, "events"), "user_id", "ts",
+          periodUs = 604800000000L)
+        .select(col("period"), col("n_new"), col("n_retained"),
+          col("n_resurrected"), col("n_churned"), col("n_active"))
+        .orderBy(col("period"))
     })
 }

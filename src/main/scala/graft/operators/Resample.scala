@@ -50,4 +50,52 @@ object Resample {
       .select(col("rs_key").as(keyCol), col("rs_hr").as("hr"),
         col("rs_fill").as("value"))
   }
+
+  /** Hourly LINEAR-interpolation grid — [[locfHourly]]'s step-function
+    * fill replaced by the straight line between the surrounding
+    * observations (clamped to the nearest value outside the observed
+    * range), the resampling a continuously-varying signal wants.
+    * Values ride as centi-longs and instants as exact micros, so the
+    * one interpolation expression is the only float arithmetic and
+    * replays identically on any engine.
+    *
+    * Scale shape: two key shuffles — the per-key grid rollup, then the
+    * carry windows over grid ∪ observations; the forward and backward
+    * windows share one partitioning (opposite sort, no third exchange)
+    * to attach the surrounding (t, v) pairs, and the lerp is row-local.
+    */
+  def lerpHourly(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val e = events.select(col(keyCol).as("rs_key"),
+      unix_micros(col(tsCol)).as("rs_us"),
+      round(col(valueCol) * 100).cast("long").as("rs_vc"),
+      lit(0).as("rs_tag"))
+    val grid = events.groupBy(col(keyCol).as("rs_key"))
+      .agg(unix_micros(date_trunc("hour", min(col(tsCol)))).as("rs_mn"),
+        unix_micros(date_trunc("hour", max(col(tsCol)))).as("rs_mx"))
+      .select(col("rs_key"),
+        explode(sequence(col("rs_mn"), col("rs_mx"), lit(3600000000L))).as("rs_us"))
+      .withColumn("rs_vc", lit(null).cast("long"))
+      .withColumn("rs_tag", lit(1))
+    val obs = when(col("rs_tag") === 0, struct(col("rs_us"), col("rs_vc")))
+    val wF = Window.partitionBy(col("rs_key"))
+      .orderBy(col("rs_us"), col("rs_tag"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wB = Window.partitionBy(col("rs_key"))
+      .orderBy(col("rs_us").desc, col("rs_tag"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val t0 = col("rs_p.rs_us"); val v0 = col("rs_p.rs_vc")
+    val t1 = col("rs_n.rs_us"); val v1 = col("rs_n.rs_vc")
+    val lerpC = when(v0.isNull, v1.cast("double"))
+      .when(v1.isNull, v0.cast("double"))
+      .when(t1 === t0, v0.cast("double"))
+      .otherwise(v0.cast("double") + (v1 - v0).cast("double") *
+        ((col("rs_us") - t0).cast("double") / (t1 - t0).cast("double")))
+    e.unionByName(grid)
+      .withColumn("rs_p", last(obs, ignoreNulls = true).over(wF))
+      .withColumn("rs_n", last(obs, ignoreNulls = true).over(wB))
+      .filter(col("rs_tag") === 1)
+      .select(col("rs_key").as(keyCol), col("rs_us").as("hr_us"),
+        round(lerpC / 100.0, 6).as("value"))
+  }
 }

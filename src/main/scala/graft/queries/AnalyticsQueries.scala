@@ -1028,5 +1028,33 @@ object AnalyticsQueries {
         .select(col("period"), col("n_new"), col("n_retained"),
           col("n_resurrected"), col("n_churned"), col("n_active"))
         .orderBy(col("period"))
+    },
+
+    // X159 hourly linear-interpolation resample (X113 LOCF's
+    // continuous-signal sibling): grid ∪ observations, one forward +
+    // one backward carry window on the same key shuffle, row-local lerp
+    // over exact centi-longs/micros. Oracle = two DuckDB ASOF joins
+    // (prev ≤ grid ≤ next) + the identical float expression.
+    Q("q_events_lerp_resample",
+      """WITH ev AS (SELECT user_id AS u, epoch_us(ts) AS us,
+        |                   CAST(round(value * 100) AS BIGINT) AS vc
+        |            FROM events),
+        |b AS (SELECT u, min(us // 3600000000 * 3600000000) AS mn,
+        |             max(us // 3600000000 * 3600000000) AS mx FROM ev GROUP BY u),
+        |g AS (SELECT u, unnest(generate_series(mn, mx, 3600000000)) AS gus FROM b),
+        |p AS (SELECT g.u, g.gus, pe.us AS t0, pe.vc AS v0
+        |      FROM g ASOF LEFT JOIN ev pe ON g.u = pe.u AND pe.us <= g.gus),
+        |pn AS (SELECT p.u, p.gus, p.t0, p.v0, ne.us AS t1, ne.vc AS v1
+        |       FROM p ASOF LEFT JOIN ev ne ON p.u = ne.u AND ne.us >= p.gus)
+        |SELECT u AS user_id, cast(gus AS bigint) AS hr_us,
+        |       round(CASE WHEN v0 IS NULL THEN cast(v1 AS double)
+        |                  WHEN v1 IS NULL THEN cast(v0 AS double)
+        |                  WHEN t1 = t0 THEN cast(v0 AS double)
+        |                  ELSE cast(v0 AS double) + cast(v1 - v0 AS double)
+        |                       * (cast(gus - t0 AS double) / cast(t1 - t0 AS double))
+        |             END / 100.0, 6) AS value
+        |FROM pn ORDER BY user_id, hr_us""".stripMargin) { (s, dir) =>
+      graft.operators.Resample.lerpHourly(t(s, dir, "events"), "user_id", "ts", "value")
+        .orderBy(col("user_id"), col("hr_us"))
     })
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ml.{BaselineRateModel, RandomUnderSampler, Trainers}
-import graft.operators.{Calibration, PsiDrift, FeatureHasher, TargetEncoder}
+import graft.operators.{Calibration, Conformal, PsiDrift, FeatureHasher, TargetEncoder}
 import org.apache.spark.ml.classification.RandomForestClassificationModel
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -495,5 +495,37 @@ object TrainQueries {
         .select(col("bin"), col("n_base"), col("n_cur"),
           round(col("contrib"), 6).as("contrib"), round(col("psi"), 6).as("psi"))
         .orderBy(col("bin"))
+    },
+
+    // X158 split conformal prediction: the ⌈(n+1)(1−α)⌉-th smallest
+    // calibration residual (an exact order statistic, fetched as min of
+    // the top-α(n+1) LARGEST — TakeOrdered, never a global rank) plus
+    // realized held-out coverage. Deterministic surrogate predictor =
+    // exact IEEE linear score, so residuals replay bit-for-bit.
+    Q("q_ml_conformal",
+      """WITH sc AS (
+        |  SELECT abs(l_extendedprice - l_quantity * 1000) AS s,
+        |         l_orderkey % 4 = 0 AS cal
+        |  FROM lineitem),
+        |c AS (SELECT s FROM sc WHERE cal),
+        |n AS (SELECT count(*) AS n_cal FROM c),
+        |q AS (SELECT alpha, n_cal,
+        |             CAST(ceil((n_cal + 1) * (1 - alpha)) AS BIGINT) AS k
+        |      FROM (VALUES (0.1), (0.2)) a(alpha) CROSS JOIN n),
+        |r AS (SELECT s, row_number() OVER (ORDER BY s) AS rn FROM c),
+        |qh AS (SELECT q.alpha, q.n_cal, q.k, r.s AS qhat FROM q JOIN r ON r.rn = q.k),
+        |e AS (SELECT s FROM sc WHERE NOT cal),
+        |ne AS (SELECT count(*) AS n_eval FROM e)
+        |SELECT qh.alpha, cast(qh.n_cal AS bigint) AS n_cal, qh.k,
+        |       round(qh.qhat, 6) AS qhat, cast(ne.n_eval AS bigint) AS n_eval,
+        |       round(cast((SELECT count(*) FROM e WHERE e.s <= qh.qhat) AS double)
+        |             / ne.n_eval, 6) AS coverage
+        |FROM qh CROSS JOIN ne ORDER BY alpha""".stripMargin) { (s, dir) =>
+      Conformal.report(
+        t(s, dir, "lineitem").select(
+          col("l_extendedprice").as("y"),
+          (col("l_quantity") * 1000).as("yhat"),
+          (col("l_orderkey") % 4 === 0).as("cal")),
+        "y", "yhat", isCal = col("cal"), alphas = Seq(0.1, 0.2))
     })
 }

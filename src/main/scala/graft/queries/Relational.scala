@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Bfs, FdAudit, LabelPropagation, Modularity, CountMinSketch, IntervalJoin, QuantileBinning, RangeJoin, SaltedJoin}
+import graft.operators.{Bfs, FdAudit, KAnonymity, LabelPropagation, Modularity, CountMinSketch, IntervalJoin, QuantileBinning, RangeJoin, SaltedJoin}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1353,6 +1353,30 @@ object Relational {
           (t(s, dir, "lineitem"), "l_partkey", "l_suppkey"),
           (t(s, dir, "nation"), "n_nationkey", "n_regionkey")))
         .orderBy(col("det"))
+    },
+
+    // X160 k-anonymity / l-diversity audit: equivalence classes over
+    // the (nation, segment) quasi-identifiers with acctbal sign as the
+    // sensitive attribute — the class-size histogram + diversity floor
+    // that screens a table for re-identification risk before release.
+    Q("q_diag_k_anonymity",
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        |         count(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END)
+        |           AS ndiv
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT cast(n AS bigint) AS class_size,
+        |       cast(count(*) AS bigint) AS n_classes,
+        |       cast(sum(n) AS bigint) AS n_rows,
+        |       cast(min(ndiv) AS bigint) AS min_diversity,
+        |       n < 5 AS at_risk
+        |FROM cls GROUP BY n ORDER BY class_size""".stripMargin) { (s, dir) =>
+      KAnonymity.audit(
+          t(s, dir, "customer")
+            .withColumn("bal_sign", when(col("c_acctbal") < 0, "neg").otherwise("pos")),
+          quasiIdCols = Seq("c_nationkey", "c_mktsegment"),
+          sensitiveCol = "bal_sign", k = 5)
+        .orderBy(col("class_size"))
     })
 
   /** Co-supply bipartite graph (suppliers ↔ parts via lineitem), both

@@ -68,6 +68,21 @@ class IndexProbeSpec extends SparkSpec {
     assert(df.count() > 0, "probe box must be non-empty at sf0.001")
   }
 
+  test("k-anonymity: class sizes, diversity floor, and the at-risk flag") {
+    val df = Seq(
+      ("a", 1, "x"), ("a", 1, "y"), ("a", 1, "x"), // class (a,1): size 3, div 2
+      ("b", 2, "x"), ("b", 2, "x"),                // class (b,2): size 2, div 1
+      ("c", 3, "z")                                // class (c,3): size 1, div 1
+    ).toDF("qi1", "qi2", "sens")
+    val out = graft.operators.KAnonymity.audit(df, Seq("qi1", "qi2"), "sens", k = 2)
+      .collect().map(r => r.getAs[Long]("class_size") ->
+        ((r.getAs[Long]("n_classes"), r.getAs[Long]("n_rows"),
+          r.getAs[Long]("min_diversity"), r.getAs[Boolean]("at_risk")))).toMap
+    assert(out(3L) === ((1L, 3L, 2L, false)))
+    assert(out(2L) === ((1L, 2L, 1L, false)))
+    assert(out(1L) === ((1L, 1L, 1L, true)), "singleton class is re-identifiable")
+  }
+
   test("labelprop + modularity compose: the fixture partition scores positive Q") {
     val li = Tables.load(spark, TestSpark.sf0001, "lineitem")
     val e0 = li.select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))

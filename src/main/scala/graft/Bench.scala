@@ -63,6 +63,7 @@ object Bench {
     // the judge reads BENCH_r{N}. Purely advisory stderr output; the
     // refresh itself still lands (the committed file is the provenance).
     val baselinePath = Paths.get(outPath)
+    var regressions: Seq[(String, Double, Double)] = Nil
     if (Files.exists(baselinePath)) {
       val prev = Files.readString(baselinePath)
       // the "queries" map is flat {"name":sec,...}: extract with a regex
@@ -82,7 +83,15 @@ object Bench {
       }
       if (regressed.isEmpty)
         System.err.println("[bench-guard] no query regressed >20% vs committed baseline")
+      regressions = regressed
     }
+    // >2x regressions ride IN the JSON (not just stderr), so a slow
+    // query names itself in BENCH_r{N} without round-over-round diffing
+    val regressionsJson = regressions
+      .filter { case (_, old, v) => v > old * 2 }
+      .map { case (name, old, v) =>
+        s"""{"q":"$name","base":${math.rint(old * 1000) / 1000},"now":${math.rint(v * 1000) / 1000}}"""
+      }.mkString("[", ",", "]")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // -1.0 failure sentinels must not deflate the total (round-10 ADVICE:
@@ -94,7 +103,7 @@ object Bench {
     val runsJson = runs.map(r =>
       r.map { case (k, v) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }
         .mkString("{", ",", "}")).mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_failed":$nFailed,"queries":$qs,"sf":"$sfDir","agg":"min_of_2","runs":$runsJson}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_failed":$nFailed,"regressions":$regressionsJson,"queries":$qs,"sf":"$sfDir","agg":"min_of_2","runs":$runsJson}"""
     Files.writeString(Paths.get(outPath), json + "\n")
     println(json)
 

@@ -49,6 +49,32 @@ object SolarFeatures {
       lit(1.0)), lit(-1.0))))
   }
 
+  /** The reference's exact Montréal UTC-offset rule
+    * (`src/solar_features.py:47-79`): −4 h between the 02:00 DST
+    * switch instants of each year 2012–2018, −5 h otherwise. The
+    * comparisons replicate the reference's date-vs-datetime promotion
+    * byte-for-byte: a DATE compares as its midnight, so the
+    * spring-forward day itself is still −5 (midnight < 02:00) and the
+    * fall-back day is still −4 — the off-by-one-day semantics the
+    * trained models actually saw. Outside 2012–2018 the rule returns
+    * −5 like the reference (its `otherwise` branch).
+    */
+  def montrealUtcOffset(date: Column): Column = {
+    val dst = Seq(
+      ("2012-03-11 02:00:00", "2012-11-04 02:00:00"),
+      ("2013-03-10 02:00:00", "2013-11-03 02:00:00"),
+      ("2014-03-09 02:00:00", "2014-11-02 02:00:00"),
+      ("2015-03-08 02:00:00", "2015-11-01 02:00:00"),
+      ("2016-03-13 02:00:00", "2016-11-06 02:00:00"),
+      ("2017-03-12 02:00:00", "2017-11-05 02:00:00"),
+      ("2018-03-11 02:00:00", "2018-11-04 02:00:00"))
+    val ts = date.cast("timestamp")
+    val inDst = dst.map { case (a, b) =>
+      ts > to_timestamp(lit(a)) && ts < to_timestamp(lit(b))
+    }.reduce(_ || _)
+    when(inDst, lit(-4)).otherwise(lit(-5))
+  }
+
   /** Adds `solar_elevation` for rows with date, hour, lat, lon columns. */
   def addSolarFeatures(df: DataFrame, dateCol: String, hourCol: String,
       latCol: String, lonCol: String, utcOffsetHours: Column): DataFrame =

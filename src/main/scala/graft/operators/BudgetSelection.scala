@@ -13,13 +13,19 @@ import org.apache.spark.sql.functions._
   * ordering — and therefore the selected set — replays bit-identically
   * on any engine.
   *
-  * Scale shape (100 TB): scoring is embarrassingly parallel; the
-  * ordered prefix needs a global sort ONLY over (ratio, id, cost) —
-  * three narrow columns, never the payload — and the running total is
-  * a cumulative window over that sort. At extreme scale swap the exact
-  * sort for range-partitioned bucketing on the ratio (sample
-  * quantiles, then only the boundary bucket needs the exact scan);
-  * the exact form here is the audit path.
+  * Scale shape (100 TB): the running total is computed WITHOUT a
+  * global sort of the candidates. Rows are range-bucketed on sampled
+  * ratio quantiles (equal ratios always share a bucket, so buckets
+  * strictly respect the ratio-desc global order); one map-side-combined
+  * aggregate yields per-bucket cost totals (≤ a few dozen rows), a
+  * window over that TINY frame turns them into exclusive prefix
+  * offsets, and each bucket then computes its internal running sum in
+  * parallel under `partitionBy(bucket)` — cum_cost = bucket offset +
+  * within-bucket prefix, exactly the global prefix sum because bucket
+  * order is total. Buckets whose offset already exceeds the budget are
+  * pruned before their window runs: only the selected prefix and the
+  * single boundary bucket do any window work. The [[Skyline]] pass-1
+  * pattern, applied to prefix sums.
   */
 object BudgetSelection {
 
@@ -29,13 +35,32 @@ object BudgetSelection {
     */
   def greedyPrefix(df: DataFrame, idCol: String, costCol: String,
       valueCol: String, budget: Long): DataFrame = {
-    val w = Window.orderBy(col("ratio").desc, col(idCol).asc)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    df.select(col(idCol), col(costCol).cast("long").as("cost"),
+    val base = df.select(col(idCol), col(costCol).cast("long").as("cost"),
         col(valueCol).cast("long").as("value"))
       .filter(col("cost") > 0)
       .withColumn("ratio", col("value").cast("double") / col("cost").cast("double"))
-      .withColumn("cum_cost", sum(col("cost")).over(w))
+    // Bucket boundaries from a quantile sketch; any boundary set is
+    // CORRECT (it only tunes balance) because equal ratios share a
+    // bucket and cum_cost composes from exact per-bucket sums.
+    val nBuckets = 64
+    val bounds = base.stat
+      .approxQuantile("ratio", (1 until nBuckets).map(_.toDouble / nBuckets).toArray, 0.01)
+      .distinct.sorted
+    val bucket = if (bounds.isEmpty) lit(0)
+      else size(filter(array(bounds.map(lit(_)): _*), b => b >= col("ratio")))
+    val bucketed = base.withColumn("_bk", bucket)
+    val totals = bucketed.groupBy(col("_bk")).agg(sum(col("cost")).as("_bt"))
+    // exclusive prefix offsets over ≤ nBuckets rows — metadata-scale window
+    val wOff = Window.orderBy(col("_bk")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("_off", coalesce(sum(col("_bt")).over(wOff), lit(0L)))
+      .select(col("_bk"), col("_off"))
+    val wIn = Window.partitionBy(col("_bk"))
+      .orderBy(col("ratio").desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bucketed.join(broadcast(offsets), "_bk")
+      .filter(col("_off") <= budget) // prune whole buckets past the boundary
+      .withColumn("cum_cost", col("_off") + sum(col("cost")).over(wIn))
       .filter(col("cum_cost") <= budget)
       .select(col(idCol), col("cost"), col("value"),
         round(col("ratio"), 6).as("ratio"), col("cum_cost"))

@@ -11,12 +11,19 @@ import org.apache.spark.sql.functions._
   * on the held-out slice — the modern ML-eval artifact next to
   * [[Calibration]]'s reliability diagram.
   *
-  * 100 TB design: the k-th smallest residual is fetched as the MIN of
-  * the top-(n+1−k) LARGEST residuals — one TakeOrdered of ~α·n rows
-  * (small for the small α one actually calibrates at), never a global
-  * sort or single-partition rank window; all alphas share ONE
-  * TakeOrdered sized by the largest α. Coverage is one conditional
-  * aggregate over the eval slice for all alphas together.
+  * 100 TB design: the k-th order statistic is found DISTRIBUTIVELY —
+  * one `approx_quantile` pass brackets each target rank to a value
+  * range guaranteed (by the sketch's rank-error bound) to contain the
+  * exact k-th value, one exact count aggregate locates the rank inside
+  * each bracket, and only the bracket slice (≈ rank-error·n rows, NOT
+  * α·n) is touched by the final TakeOrdered. Nothing proportional to
+  * the calibration-set size ever reaches the driver. Coverage is one
+  * conditional aggregate over the eval slice for all alphas together.
+  *
+  * Degenerate regimes follow the standard definition: α < 1/(n_cal+1)
+  * means ⌈(n+1)(1−α)⌉ > n_cal and qhat = +∞ (the guarantee is
+  * unachievable at finite n — every eval point is covered); an empty
+  * eval slice reports null coverage rather than NaN.
   */
 object Conformal {
 
@@ -34,12 +41,11 @@ object Conformal {
     val nCal = cal.count()
     require(nCal > 0, "empty calibration slice")
     val ks = alphas.map(a => a -> math.ceil((nCal + 1) * (1 - a)).toLong).toMap
-    val mMax = alphas.map(a => (nCal + 1 - ks(a)).toInt).max
-    // descending top-mMax: TakeOrderedAndProject, α·(n+1) rows to the driver
-    val top = cal.orderBy(col("s").desc).limit(mMax).collect().map(_.getDouble(0))
+    // k > nCal (alpha below 1/(n+1)): qhat = +inf by definition
+    val finiteKs = ks.values.filter(_ <= nCal).toSeq.distinct.sorted
+    val kth = orderStatistics(cal, "s", nCal, finiteKs)
     val qhat = alphas.map { a =>
-      val m = (nCal + 1 - ks(a)).toInt // min of top-m largest = k-th smallest
-      a -> top(m - 1)
+      a -> (if (ks(a) <= nCal) kth(ks(a)) else Double.PositiveInfinity)
     }.toMap
     val eval = scored.filter(!isCal).select(s.as("s"))
     val covAggs = count(lit(1)).as("n_eval") +:
@@ -50,9 +56,46 @@ object Conformal {
     val nEval = covRow.getLong(0)
     import spark.implicits._
     alphas.zipWithIndex.map { case (a, i) =>
-      (a, nCal, ks(a), math.rint(qhat(a) * 1e6) / 1e6, nEval,
-        math.rint(covRow.getLong(i + 1).toDouble / nEval * 1e6) / 1e6)
+      val coverage = if (nEval == 0) None
+        else Some(math.rint(covRow.getLong(i + 1).toDouble / nEval * 1e6) / 1e6)
+      (a, nCal, ks(a), math.rint(qhat(a) * 1e6) / 1e6, nEval, coverage)
     }.toDF("alpha", "n_cal", "k", "qhat", "n_eval", "coverage")
       .orderBy(col("alpha"))
+  }
+
+  /** EXACT k-th smallest values of `c` (1-based ranks over `n` rows),
+    * found without moving O(n) rows anywhere: approx-quantile bracket
+    * (rank error ε·n each side) → exact rank-of-bracket-floor count →
+    * TakeOrdered over only the bracket slice. One sketch pass + one
+    * count aggregate + one bracket fetch per distinct rank.
+    */
+  private def orderStatistics(vals: DataFrame, c: String, n: Long,
+      ranks: Seq[Long]): Map[Long, Double] = {
+    if (ranks.isEmpty) return Map.empty
+    val eps = 1e-4
+    val probs = ranks.flatMap { k =>
+      val p = k.toDouble / n
+      Seq(math.max(0.0, p - 3 * eps), math.min(1.0, p + 3 * eps))
+    }
+    val qs = vals.stat.approxQuantile(c, probs.toArray, eps)
+    val brackets = ranks.zipWithIndex.map { case (k, i) =>
+      k -> (qs(2 * i), qs(2 * i + 1))
+    }
+    // one exact aggregate: rows strictly below each bracket floor
+    val belowAggs = brackets.zipWithIndex.map { case ((_, (lo, _)), i) =>
+      sum(when(col(c) < lo, 1L).otherwise(0L)).as(s"b$i")
+    }
+    val belowRow = vals.agg(belowAggs.head, belowAggs.tail: _*).head()
+    brackets.zipWithIndex.map { case ((k, (lo, hi)), i) =>
+      if (lo == hi) k -> lo // the whole ±3ε rank window is one tied value
+      else {
+        val nBelow = belowRow.getLong(i)
+        val r = (k - nBelow).toInt // rank of the target inside the bracket
+        require(r >= 1, s"order statistic bracket miss for rank $k (below=$nBelow)")
+        val v = vals.filter(col(c) >= lo && col(c) <= hi)
+          .orderBy(col(c).asc).limit(r).agg(max(col(c))).head().getDouble(0)
+        k -> v
+      }
+    }.toMap
   }
 }

@@ -51,8 +51,11 @@ object GrowthAccounting {
       .groupBy((col("period") + 1).as("period"))
       .agg(count(lit(1)).as("n_churned"))
     val maxPeriod = active.agg(max(col("period"))).head().getLong(0)
-    active.join(churn, Seq("period"), "left")
-      .na.fill(0L, Seq("n_churned"))
+    // FULL outer: a period with zero activity (a total gap) still owns
+    // the churn of everyone whose gap opened into it — a left join from
+    // `active` would silently drop that row
+    active.join(churn, Seq("period"), "full_outer")
+      .na.fill(0L, Seq("n_new", "n_retained", "n_resurrected", "n_churned", "n_active"))
       // the period after the horizon would be all-churn noise; and the
       // last observed period's own churn IS defined (users whose next
       // activity never comes) — but only below the horizon

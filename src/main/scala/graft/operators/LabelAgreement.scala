@@ -15,29 +15,51 @@ import org.apache.spark.sql.functions._
   * label); the only division is the final per-label mean of longs, so
   * the whole audit hash-replays on an external engine.
   *
-  * Scale shape (100 TB): the neighbor search is pluggable — this
-  * baseline calls [[SimilaritySearch.bruteForceTopK]] (exact, corpus ×
-  * queries); at corpus scale run the same audit over
-  * [[SimilaritySearch.ivfTopK]] output instead (the join and rollup
-  * are identical). The rollup is two map-side-combined aggregations,
-  * bounded by |points| then |labels|.
+  * Scale shape (100 TB): the neighbor search IS pluggable —
+  * [[perLabelFrom]] takes any pre-computed (query_id, neighbor id)
+  * frame, so the corpus-scale path feeds it
+  * [[SimilaritySearch.ivfTopK]] (or a stored-index probe) output and
+  * never materializes an all-pairs stage; [[perLabel]] wires in
+  * [[SimilaritySearch.bruteForceTopK]] as the EXACT baseline the
+  * oracle replays (and the recall monitor diffs against). The rollup
+  * is two map-side-combined aggregations, bounded by |points| then
+  * |labels|.
   */
 object LabelAgreement {
 
-  /** @return (label, n long points, avg_match double r6 — mean same-
+  /** Exact-baseline audit: brute-force cosine kNN (corpus × corpus —
+    * oracle/audit scale only; use [[perLabelFrom]] with an ANN frame at
+    * corpus scale).
+    *
+    * @return (label, n long points, avg_match double r6 — mean same-
     *   label neighbors out of k, n_suspect long — points with strict-
     *   minority agreement, matches·2 < k) ordered by label.
     */
   def perLabel(emb: DataFrame, k: Int = 5, idCol: String = "vec_id",
       vecCol: String = "embedding", labelCol: String = "label"): DataFrame = {
-    require(k >= 1, s"k=$k must be >= 1")
     val queries = emb.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val nn = SimilaritySearch.bruteForceTopK(queries, emb, k,
       corpusId = idCol, corpusVec = vecCol)
+    perLabelFrom(nn, emb, k, idCol, labelCol)
+  }
+
+  /** The audit over a PRE-COMPUTED neighbor frame — the pluggable-
+    * backend entry: `neighbors` must carry (`query_id`, `idCol`) rows,
+    * one per retrieved neighbor (any extra columns ignored), from
+    * whatever search backend fits the scale (brute force, IVF,
+    * stored-index probe). Same output contract as [[perLabel]].
+    */
+  def perLabelFrom(neighbors: DataFrame, emb: DataFrame, k: Int,
+      idCol: String = "vec_id", labelCol: String = "label"): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
     val qLabel = emb.select(col(idCol).as("query_id"), col(labelCol).as("_ql"))
     val nLabel = emb.select(col(idCol), col(labelCol).as("_nl"))
-    nn.join(nLabel, idCol)
-      .join(broadcast(qLabel), "query_id")
+    // no broadcast hint: the label frames are corpus-sized (narrow but
+    // |points| rows) — AQE broadcasts them when they fit, shuffles when
+    // they don't
+    neighbors.select(col("query_id"), col(idCol))
+      .join(nLabel, idCol)
+      .join(qLabel, "query_id")
       .groupBy(col("query_id"), col("_ql"))
       .agg(sum(when(col("_nl") === col("_ql"), 1L).otherwise(0L)).as("matches"))
       .groupBy(col("_ql").as("label"))

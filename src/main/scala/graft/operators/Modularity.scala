@@ -31,6 +31,18 @@ object Modularity {
   def score(edges: DataFrame, labels: DataFrame): DataFrame = {
     val twoM = edges.count()
     val l = labels.select(col("node"), col("lbl"))
+    // Contract: labels must cover every edge endpoint — e_in and d_sum
+    // inner-join the label table while 2m counts ALL edges, so an
+    // unlabeled endpoint would silently deflate the numerators only.
+    // True by construction for LabelPropagation output (it labels every
+    // node of the edge list); enforced here for arbitrary callers with
+    // one cheap early-out anti-join probe per endpoint column.
+    val endpoints = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+    val uncovered = endpoints.join(l, Seq("node"), "left_anti").limit(1).collect()
+    require(uncovered.isEmpty,
+      s"Modularity.score: edge endpoint '${uncovered.headOption.map(_.get(0)).orNull}' " +
+        "has no label — labels must cover every edge endpoint (2m counts all edges)")
     val byDst = l.select(col("node").as("dst"), col("lbl").as("dst_lbl"))
     val bySrc = l.select(col("node").as("src"), col("lbl").as("src_lbl"))
     // directed intra-community edge count per community

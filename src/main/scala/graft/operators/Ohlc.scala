@@ -9,15 +9,16 @@ import org.apache.spark.sql.functions._
   * bar per interval, preserving what charts and range queries need).
   *
   * 100 TB design: a single map-side-combined groupBy; open/close
-  * resolve with `min_by`/`max_by` on the exact micro timestamp (no
-  * window, no sort, no second shuffle). Ties on the boundary timestamp
-  * are broken by the tie column to stay deterministic on any engine.
+  * resolve with `min_by`/`max_by` on the exact (micro timestamp,
+  * value) struct — duplicate boundary timestamps deterministically
+  * take the smallest value as open and the largest as close, so the
+  * bars replay on any engine even when (key, ts) is not unique.
   */
 object Ohlc {
 
   /** (key, bucket, open, high, low, close, n, v_sum): `bucketUs`-wide
-    * bars. Assumes (key, ts) unique (true of the events fixture);
-    * otherwise pre-aggregate ties.
+    * bars. (key, ts) need not be unique: boundary-timestamp ties break
+    * on the value itself (min for open, max for close).
     */
   def bars(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
       bucketUs: Long): DataFrame = {
@@ -26,10 +27,10 @@ object Ohlc {
     df.select(col(keyCol).as("key"), us.as("us"), col(valueCol).as("v"))
       .groupBy(col("key"), expr(s"us div $bucketUs").as("bucket"))
       .agg(
-        min_by(col("v"), col("us")).as("open"),
+        min_by(col("v"), struct(col("us"), col("v"))).as("open"),
         max(col("v")).as("high"),
         min(col("v")).as("low"),
-        max_by(col("v"), col("us")).as("close"),
+        max_by(col("v"), struct(col("us"), col("v"))).as("close"),
         count(lit(1)).as("n"),
         // exact fixed-point volume: double partial-sum order never leaks
         sum(round(col("v") * 100).cast("long")).as("v_centi"))

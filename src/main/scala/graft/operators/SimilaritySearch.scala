@@ -121,9 +121,11 @@ object SimilaritySearch {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       centroidStep: Int, nProbe: Int,
       queryId: String = "query_id", corpusId: String = "vec_id",
-      queryVec: String = "qv", corpusVec: String = "embedding"): DataFrame =
+      queryVec: String = "qv", corpusVec: String = "embedding",
+      broadcastProbes: Boolean = true): DataFrame =
     ivfTopKFrom(modularCentroids(corpus, centroidStep, corpusId, corpusVec),
-      queries, corpus, k, nProbe, queryId, corpusId, queryVec, corpusVec)
+      queries, corpus, k, nProbe, queryId, corpusId, queryVec, corpusVec,
+      broadcastProbes)
 
   /** Deterministic "centroids": every centroidStep-th corpus vector —
     * the oracle-expressible stand-in for a k-means fit (same plan shape
@@ -163,9 +165,10 @@ object SimilaritySearch {
   def ivfTopKFrom(centroids: DataFrame, queries: DataFrame, corpus: DataFrame,
       k: Int, nProbe: Int,
       queryId: String = "query_id", corpusId: String = "vec_id",
-      queryVec: String = "qv", corpusVec: String = "embedding"): DataFrame =
+      queryVec: String = "qv", corpusVec: String = "embedding",
+      broadcastProbes: Boolean = true): DataFrame =
     probeIvfIndex(buildIvfIndex(centroids, corpus, corpusId, corpusVec),
-      centroids, queries, k, nProbe, queryId, corpusId, queryVec)
+      centroids, queries, k, nProbe, queryId, corpusId, queryVec, broadcastProbes)
 
   /** The BUILD half of a stored IVF index: every corpus vector assigned
     * to its single nearest centroid via max_by aggregation — partial
@@ -211,12 +214,19 @@ object SimilaritySearch {
       .select(col(queryId), col("_qv"), col("_qn"), col("cent_id"))
   }
 
+  /** `broadcastProbes = true` is the serving shape (a query batch is
+    * small — ship it to the index partitions). Pass false when the
+    * query set is corpus-sized (e.g. an all-points self-audit): the
+    * probe frame then carries every corpus vector, and AQE must pick
+    * the join strategy instead of a hardwired broadcast.
+    */
   def probeIvfIndex(index: DataFrame, centroids: DataFrame, queries: DataFrame,
       k: Int, nProbe: Int,
       queryId: String = "query_id", corpusId: String = "vec_id",
-      queryVec: String = "qv"): DataFrame = {
-    val probes = centroidProbes(queries, centroids, nProbe, queryId, queryVec)
-    val scored = index.join(broadcast(probes), "cent_id")
+      queryVec: String = "qv", broadcastProbes: Boolean = true): DataFrame = {
+    val probes0 = centroidProbes(queries, centroids, nProbe, queryId, queryVec)
+    val probes = if (broadcastProbes) broadcast(probes0) else probes0
+    val scored = index.join(probes, "cent_id")
       .filter(col(queryId) =!= col(corpusId))
       .withColumn("cosine", cosineFromNorms(col("_qv"), col("_cv"), col("_qn"), col("_cn")))
     TopK.perGroup(scored,

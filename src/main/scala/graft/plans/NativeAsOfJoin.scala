@@ -201,9 +201,20 @@ object NativeAsOfJoin {
     def pick(out: Seq[Attribute], n: String, side: String): Attribute =
       out.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"asOf: $side column $n not found"))
+    val (lKeyAttr, rKeyAttr) = (pick(lPlan.output, key, "left"), pick(rPlan.output, key, "right"))
+    val (lTimeAttr, rTimeAttr) =
+      (pick(lPlan.output, leftTime, "left"), pick(rPlan.output, rightTime, "right"))
+    // The exec partitions each side on its own key and compares raw
+    // bytes with orderings built from the LEFT types — an int-vs-bigint
+    // mismatch would mispartition and miscompare SILENTLY. Fail fast.
+    require(lKeyAttr.dataType == rKeyAttr.dataType,
+      s"asOf: key dtype mismatch — left $key is ${lKeyAttr.dataType.sql}, " +
+        s"right $key is ${rKeyAttr.dataType.sql}; cast one side before joining")
+    require(lTimeAttr.dataType == rTimeAttr.dataType,
+      s"asOf: time dtype mismatch — left $leftTime is ${lTimeAttr.dataType.sql}, " +
+        s"right $rightTime is ${rTimeAttr.dataType.sql}; cast one side before joining")
     val node = AsOfJoinNode(lPlan, rPlan,
-      pick(lPlan.output, key, "left"), pick(rPlan.output, key, "right"),
-      pick(lPlan.output, leftTime, "left"), pick(rPlan.output, rightTime, "right"),
+      lKeyAttr, rKeyAttr, lTimeAttr, rTimeAttr,
       payloadCols.map(pick(rPlan.output, _, "right")))
     Bridge.ofRows(left.sparkSession, node)
   }

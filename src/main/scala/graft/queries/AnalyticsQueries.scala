@@ -1015,14 +1015,14 @@ object AnalyticsQueries {
         |c AS (SELECT p + 1 AS period, count(*) AS n_churned
         |      FROM t WHERE nxt IS NULL OR nxt > p + 1 GROUP BY 1),
         |m AS (SELECT max(period) AS mp FROM a)
-        |SELECT cast(a.period AS bigint) AS period,
-        |       cast(n_new AS bigint) AS n_new,
-        |       cast(n_retained AS bigint) AS n_retained,
-        |       cast(n_resurrected AS bigint) AS n_resurrected,
+        |SELECT cast(period AS bigint) AS period,
+        |       cast(coalesce(n_new, 0) AS bigint) AS n_new,
+        |       cast(coalesce(n_retained, 0) AS bigint) AS n_retained,
+        |       cast(coalesce(n_resurrected, 0) AS bigint) AS n_resurrected,
         |       cast(coalesce(c.n_churned, 0) AS bigint) AS n_churned,
-        |       cast(n_active AS bigint) AS n_active
-        |FROM a LEFT JOIN c USING (period) CROSS JOIN m
-        |WHERE a.period <= mp ORDER BY period""".stripMargin) { (s, dir) =>
+        |       cast(coalesce(n_active, 0) AS bigint) AS n_active
+        |FROM a FULL JOIN c USING (period) CROSS JOIN m
+        |WHERE period <= mp ORDER BY period""".stripMargin) { (s, dir) =>
       graft.operators.GrowthAccounting.report(t(s, dir, "events"), "user_id", "ts",
           periodUs = 604800000000L)
         .select(col("period"), col("n_new"), col("n_retained"),

@@ -361,6 +361,75 @@ object TrainQueries {
         .orderBy($"num_trees", $"max_depth")
     },
 
+    // The DETERMINISTIC SLICE of the tuning queries, hash-checked: the
+    // param grid exactly as ParamGridBuilder constructs it (read back
+    // from the TVS estimator, not re-typed) crossed with the exact
+    // composition of the ~1/11 tuning sample both q_ml_tvs_best and
+    // q_ml_cv_best fit on — count, positives, and order-independent id
+    // fingerprints (sum + xor), so a single added/dropped/relabeled row
+    // breaks the hash. The forest metrics themselves stay rows-only
+    // (seeded MLlib fits aren't SQL-replayable; CV fold assignment is
+    // MLUtils.kFold randomness) — this pins everything upstream of them.
+    Q("q_ml_grid_sample",
+      """WITH li AS (SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY 1),
+        |f AS (SELECT o_orderkey AS id, CASE WHEN sum_qty > 120 THEN 1 ELSE 0 END AS y
+        |      FROM orders JOIN li ON o_orderkey = l_orderkey),
+        |sam AS (SELECT id, y FROM f WHERE id % 5 != 0 AND id % 11 = 1),
+        |st AS (SELECT cast(count(*) AS bigint) AS n_sample,
+        |              cast(sum(y) AS bigint) AS n_pos,
+        |              cast(sum(id) AS bigint) AS id_sum,
+        |              cast(bit_xor(id) AS bigint) AS id_xor FROM sam),
+        |g(num_trees, max_depth) AS (VALUES (5, 3), (5, 5), (10, 3), (10, 5))
+        |SELECT cast(num_trees AS int) AS num_trees,
+        |       cast(max_depth AS int) AS max_depth,
+        |       n_sample, n_pos, id_sum, id_xor
+        |FROM g CROSS JOIN st ORDER BY num_trees, max_depth""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val (train, _) = split(orderFeatures(s, dir))
+      val sample = train.filter(pmod(col("id"), lit(11)) === 1)
+      val stats = sample.agg(
+        count(lit(1)).as("n_sample"),
+        sum(col("label")).cast("long").as("n_pos"),
+        sum(col("id")).as("id_sum"),
+        expr("bit_xor(id)").as("id_xor"))
+      val grid = Trainers.tvs(featureCols, seed = 42L,
+          numTreesGrid = Seq(5, 10), maxDepthGrid = Seq(3, 5))
+        .getEstimatorParamMaps.toSeq
+        .map { pm =>
+          (pm.toSeq.find(_.param.name == "numTrees").get.value.toString.toInt,
+            pm.toSeq.find(_.param.name == "maxDepth").get.value.toString.toInt)
+        }
+        .toDF("num_trees", "max_depth")
+      grid.crossJoin(broadcast(stats))
+        .orderBy(col("num_trees"), col("max_depth"))
+    },
+
+    // Same discipline for the train-metrics family: the 80/20 split the
+    // forest/GBT/importances queries consume, fingerprinted per slice.
+    // Hash-green here means the rows-only metric queries fit on exactly
+    // the data the oracle can see.
+    Q("q_ml_split_audit",
+      """WITH li AS (SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY 1),
+        |f AS (SELECT o_orderkey AS id, CASE WHEN sum_qty > 120 THEN 1 ELSE 0 END AS y
+        |      FROM orders JOIN li ON o_orderkey = l_orderkey),
+        |s AS (SELECT CASE WHEN id % 5 != 0 THEN 'train' ELSE 'test' END AS slice, id, y FROM f)
+        |SELECT slice, cast(count(*) AS bigint) AS n,
+        |       cast(sum(y) AS bigint) AS n_pos,
+        |       cast(sum(id) AS bigint) AS id_sum,
+        |       cast(bit_xor(id) AS bigint) AS id_xor
+        |FROM s GROUP BY slice ORDER BY slice""".stripMargin) { (s, dir) =>
+      orderFeatures(s, dir)
+        .select(
+          when(pmod(col("id"), lit(5)) =!= 0, "train").otherwise("test").as("slice"),
+          col("id"), col("label"))
+        .groupBy(col("slice"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("label")).cast("long").as("n_pos"),
+          sum(col("id")).as("id_sum"),
+          expr("bit_xor(id)").as("id_xor"))
+        .orderBy(col("slice"))
+    },
+
     // X138 leakage-safe categorical encoding: smoothed out-of-fold label
     // mean per (priority, fold). Folds are the overflow-safe Knuth hash
     // of the order key (replayable on any engine); every sum is an

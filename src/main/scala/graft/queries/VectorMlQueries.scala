@@ -635,6 +635,61 @@ object VectorMlQueries {
       graft.operators.LabelAgreement.perLabel(t(s, dir, "embeddings"), k = 5)
     },
 
+    // The SAME audit over the IVF backend (perLabelFrom — the corpus-
+    // scale plug): deterministic modular centroids, 4-probe search, so
+    // the approximate neighbor set — and therefore the whole agreement
+    // rollup — replays exactly in the oracle. Probes are NOT broadcast
+    // here (queries = the corpus); diffing avg_match against
+    // q_ml_label_agreement is the built-in agreement-delta monitor.
+    Q("q_ml_label_agreement_ivf", {
+      val cosAssign = cosSql("c.cv", "cent.cent_v")
+      val cosProbe = cosSql("q.qv", "cent.cent_v")
+      val cosScore = cosSql("p.qv", "a.cv")
+      s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS ql
+         |      FROM embeddings),
+         |cent AS (SELECT vec_id AS cent_id, cv AS cent_v FROM c WHERE vec_id % 31 = 0),
+         |assigned AS (
+         |  SELECT vec_id, cv, cent_id FROM (
+         |    SELECT c.vec_id, c.cv, cent.cent_id,
+         |           row_number() OVER (PARTITION BY c.vec_id
+         |             ORDER BY $cosAssign DESC, cent.cent_id) AS rn
+         |    FROM c CROSS JOIN cent)
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT query_id, qv, ql, cent_id FROM (
+         |    SELECT q.query_id, q.qv, q.ql, cent.cent_id,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY $cosProbe DESC, cent.cent_id) AS rn
+         |    FROM q CROSS JOIN cent)
+         |  WHERE rn <= 4),
+         |scored AS (
+         |  SELECT p.query_id, p.ql, a.vec_id, $cosScore AS cosine
+         |  FROM assigned a JOIN probes p ON a.cent_id = p.cent_id
+         |  WHERE p.query_id != a.vec_id),
+         |ivf AS (
+         |  SELECT query_id, ql, vec_id FROM (
+         |    SELECT query_id, ql, vec_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY cosine DESC, vec_id) AS rk
+         |    FROM scored)
+         |  WHERE rk <= 5),
+         |nl AS (SELECT vec_id, label AS nlbl FROM embeddings),
+         |m AS (SELECT i.query_id, i.ql,
+         |             cast(sum(CASE WHEN nl.nlbl = i.ql THEN 1 ELSE 0 END) AS bigint) AS matches
+         |      FROM ivf i JOIN nl ON i.vec_id = nl.vec_id GROUP BY 1, 2)
+         |SELECT ql AS label, cast(count(*) AS bigint) AS n,
+         |       round(avg(matches), 6) AS avg_match,
+         |       cast(count(*) FILTER (WHERE matches * 2 < 5) AS bigint) AS n_suspect
+         |FROM m GROUP BY 1 ORDER BY label""".stripMargin
+    }) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val nn = SimilaritySearch.ivfTopK(queries, emb, k = 5,
+        centroidStep = 31, nProbe = 4, broadcastProbes = false)
+      graft.operators.LabelAgreement.perLabelFrom(nn, emb, k = 5)
+    },
+
     // IVF-bucketed ANN. Approximate by design (recall < 1), but fully
     // DETERMINISTIC: centroids are a modular-arithmetic selection and the
     // two-stage plan is plain relational algebra, so the whole query is

@@ -34,6 +34,43 @@ class ConformalLerpSpec extends SparkSpec {
     }
   }
 
+  test("conformal: bracket search matches a brute-force sort on fixture residuals") {
+    val df = Tables.load(spark, TestSpark.sf0001, "lineitem").select(
+      col("l_extendedprice").as("y"), (col("l_quantity") * 1000).as("yhat"),
+      (col("l_orderkey") % 4 === 0).as("cal"))
+    val resid = df.filter(col("cal"))
+      .select(abs(col("y") - col("yhat")).as("s"))
+      .orderBy(col("s")).collect().map(_.getDouble(0))
+    val n = resid.length
+    val alphas = Seq(0.05, 0.1, 0.3, 0.5)
+    val got = Conformal.report(df, "y", "yhat", col("cal"), alphas)
+      .collect().map(r => r.getAs[Double]("alpha") -> r.getAs[Double]("qhat")).toMap
+    alphas.foreach { a =>
+      val k = math.ceil((n + 1) * (1 - a)).toInt
+      val expect = math.rint(resid(k - 1) * 1e6) / 1e6
+      assert(got(a) === expect, s"alpha=$a: exact order statistic")
+    }
+  }
+
+  test("conformal: alpha below 1/(n+1) yields +inf qhat and full coverage") {
+    // n_cal = 4: alpha = 0.1 < 1/5 -> k = ceil(5*0.9) = 5 > 4 -> qhat = +inf
+    val cal = (1 to 4).map(i => (i.toDouble, 0.0, true))
+    val ev = Seq((100.0, 0.0, false))
+    val r = Conformal.report((cal ++ ev).toDF("y", "yhat", "cal"),
+      "y", "yhat", col("cal"), Seq(0.1)).collect()(0)
+    assert(r.getAs[Long]("k") === 5L)
+    assert(r.getAs[Double]("qhat").isPosInfinity)
+    assert(r.getAs[Double]("coverage") === 1.0, "everything falls inside an infinite interval")
+  }
+
+  test("conformal: all-tied residuals and an empty eval slice are handled") {
+    val cal = (1 to 8).map(_ => (5.0, 0.0, true))
+    val r = Conformal.report(cal.toDF("y", "yhat", "cal"),
+      "y", "yhat", col("cal"), Seq(0.2)).collect()(0)
+    assert(r.getAs[Double]("qhat") === 5.0, "tied bracket collapses to the tied value")
+    assert(r.isNullAt(r.fieldIndex("coverage")), "no eval rows -> null coverage, not NaN")
+  }
+
   test("lerp resample: interpolates on the line, clamps at the edges") {
     def ts(s: Long) = new Timestamp(s * 1000L)
     // events at t=3600s (v=10) and t=10800s (v=30); grid hours 1,2,3

@@ -67,6 +67,42 @@ class DateSolarSpec extends SparkSpec {
     assert(elev.forall(e => e >= -90 && e <= 90))
     assert(elev(12) > elev(0) + 30)
   }
+
+  test("montrealUtcOffset replays the reference DST table, boundary days included") {
+    val s = spark; import s.implicits._
+    // the reference compares DATE (= its midnight) against the 02:00
+    // switch instants, so the switch day itself keeps the OLD offset
+    val cases = Seq(
+      "2017-03-11" -> -5, "2017-03-12" -> -5, "2017-03-13" -> -4,
+      "2017-11-04" -> -4, "2017-11-05" -> -4, "2017-11-06" -> -5,
+      "2012-03-11" -> -5, "2012-03-12" -> -4,
+      "2018-11-04" -> -4, "2018-11-05" -> -5,
+      "2019-07-01" -> -5) // outside the 2012-2018 table: reference's otherwise
+    val got = cases.map(_._1).toDF("d")
+      .select(SolarFeatures.montrealUtcOffset(to_date(col("d"))))
+      .collect().map(_.getInt(0))
+    assert(got.toSeq == cases.map(_._2))
+  }
+
+  test("golden: noon elevation at the 2017 Montréal DST boundaries") {
+    val s = spark; import s.implicits._
+    // independently hand-computed from the published formulas (NOT via
+    // the Column implementation): Montréal 45.5017, -73.5673, hour 12,
+    // offset from the DST rule on each side of both 2017 switches
+    val golden = Seq(
+      ("2017-03-12", 71, 40.04268570400758), // spring-forward day: still -5
+      ("2017-03-13", 72, 40.213846327608664), // first -4 day
+      ("2017-11-05", 309, 27.996473517833298), // fall-back day: still -4
+      ("2017-11-06", 310, 26.642190323673155)) // back to -5
+    val got = golden.map(_._1).toDF("d")
+      .select(SolarFeatures.solarElevation(
+        dayofyear(to_date(col("d"))), lit(12), lit(45.5017), lit(-73.5673),
+        SolarFeatures.montrealUtcOffset(to_date(col("d")))))
+      .collect().map(_.getDouble(0))
+    golden.zip(got).foreach { case ((_, _, expect), actual) =>
+      assert(math.abs(actual - expect) < 1e-9, s"expected $expect, got $actual")
+    }
+  }
 }
 
 class TextFunctionsSpec extends SparkSpec {

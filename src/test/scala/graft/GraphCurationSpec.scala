@@ -184,4 +184,37 @@ class LabelAgreementSpec extends SparkSpec {
     // cluster 0 (their mean drops below k) and scores 0 itself
     assert(out(0)._2 < 3.0 && out(1)._2 < 3.0, s"means reflect the intruder: $out")
   }
+
+  test("perLabelFrom audits any pre-computed neighbor frame (the ANN plug)") {
+    val s = spark; import s.implicits._
+    val emb = Seq((1L, Array(1f, 0f), 0), (2L, Array(0f, 1f), 0), (3L, Array(1f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    // hand-built neighbor lists: 1->{2,3}, 2->{1}, 3->{1,2}
+    val nn = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L), (3L, 2L))
+      .toDF("query_id", "vec_id")
+    val out = graft.operators.LabelAgreement.perLabelFrom(nn, emb, k = 2)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    // label 0: q1 matches {2}=1, q2 matches {1}=1 -> avg 1.0, both 2*1<2 false -> 0 suspects
+    assert(out(0) === ((2L, 1.0, 0L)), s"got $out")
+    // label 1: q3 matches none of {1,2} -> avg 0, suspect
+    assert(out(1) === ((1L, 0.0, 1L)), s"got $out")
+  }
+
+  test("IVF-backed audit agrees with the exact audit on clustered data") {
+    val s = spark; import s.implicits._
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val queries = emb.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val nn = graft.operators.SimilaritySearch.ivfTopK(queries, emb, k = 5,
+      centroidStep = 31, nProbe = 4, broadcastProbes = false)
+    val ivf = graft.operators.LabelAgreement.perLabelFrom(nn, emb, k = 5)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    val exact = graft.operators.LabelAgreement.perLabel(emb, k = 5)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(ivf.keySet === exact.keySet, "every label audited through the IVF plug")
+    // the agreement-delta monitor: approximate neighbors may shift the
+    // mean, but not by more than 1 of k=5 on average per label
+    ivf.foreach { case (l, m) =>
+      assert(math.abs(m - exact(l)) <= 1.0, s"label $l drifted: ivf=$m exact=${exact(l)}")
+    }
+  }
 }

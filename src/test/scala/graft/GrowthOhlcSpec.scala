@@ -27,6 +27,20 @@ class GrowthOhlcSpec extends SparkSpec {
     assert(bars((2L, 0L)) === ((3.0, 3.0, 3.0, 3.0, 1L, 3.0)))
   }
 
+  test("OHLC: duplicate boundary timestamps break ties deterministically") {
+    // two rows at the opening instant and two at the closing instant:
+    // open takes the SMALLEST value, close the LARGEST, on any engine
+    val ev = Seq(
+      (1L, ts(10), 7.0), (1L, ts(10), 3.0), (1L, ts(20), 5.0),
+      (1L, ts(30), 2.0), (1L, ts(30), 9.0)
+    ).toDF("user_id", "ts", "value")
+    val bar = Ohlc.bars(ev, "user_id", "ts", "value", bucketUs = 100L * 1000000L)
+      .collect().head
+    assert(bar.getAs[Double]("open") === 3.0, "open tie -> min value")
+    assert(bar.getAs[Double]("close") === 9.0, "close tie -> max value")
+    assert(bar.getAs[Long]("n") === 5L)
+  }
+
   test("OHLC plans as one aggregate over one shuffle — no window, no join") {
     val p = Ohlc.bars(Tables.load(spark, TestSpark.sf0001, "events"),
         "user_id", "ts", "value", bucketUs = 604800000000L)
@@ -57,5 +71,23 @@ class GrowthOhlcSpec extends SparkSpec {
     assert(got(1L) === ((1L, 1L, 0L, 2L, 2L)))
     assert(got(2L) === ((0L, 1L, 1L, 1L, 2L)))
     assert(got.size === 3, "no phantom post-horizon periods")
+  }
+
+  test("growth accounting: a fully-inactive period still reports its churn") {
+    val week = 100L
+    def at(w: Long) = ts(w * week + 1)
+    // both users active in w0 only/with a gap: w1 has ZERO activity but
+    // owns two churn events — a left join from `active` would drop it
+    val ev = Seq((1L, at(0)), (2L, at(0)), (2L, at(3))).toDF("user_id", "ts")
+    val got = GrowthAccounting.report(ev.withColumn("v", lit(0)), "user_id", "ts",
+        periodUs = week * 1000000L)
+      .collect().map(r => r.getAs[Long]("period") ->
+        ((r.getAs[Long]("n_new"), r.getAs[Long]("n_retained"),
+          r.getAs[Long]("n_resurrected"), r.getAs[Long]("n_churned"),
+          r.getAs[Long]("n_active")))).toMap
+    assert(got(1L) === ((0L, 0L, 0L, 2L, 0L)), s"gap period keeps its churn row: $got")
+    assert(got(0L) === ((2L, 0L, 0L, 0L, 2L)))
+    assert(got(3L) === ((0L, 0L, 1L, 0L, 1L)))
+    assert(!got.contains(2L), "periods with neither activity nor churn stay absent")
   }
 }

@@ -27,6 +27,15 @@ class IndexProbeSpec extends SparkSpec {
     assert(math.abs(q0 - (1.0 - 1.0)) < 1e-12 || math.abs(q0) < 1e-12)
   }
 
+  test("modularity: an unlabeled edge endpoint fails fast instead of skewing Q") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val partial = Seq((1L, 1L), (2L, 1L)).toDF("node", "lbl") // node 3 unlabeled
+    val e = intercept[IllegalArgumentException] {
+      Modularity.score(edges, partial).collect()
+    }
+    assert(e.getMessage.contains("no label"), e.getMessage)
+  }
+
   test("FD audit: a held dependency shows zero violations, a broken one counts") {
     val df = Seq((1, "a", "x"), (1, "a", "y"), (2, "b", "x"), (3, "a", "x"))
       .toDF("k", "v", "w")

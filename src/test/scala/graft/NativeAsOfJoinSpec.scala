@@ -44,6 +44,22 @@ class NativeAsOfJoinSpec extends SparkSpec {
       104L -> null, 105L -> null))
   }
 
+  test("mismatched key or time dtypes fail fast instead of silently miscomparing") {
+    val l = Seq((1, ts(10), 1L)).toDF("k", "t", "id") // int key
+    val r = Seq((1L, ts(5), 7.0)).toDF("k", "t", "px") // bigint key
+    val eKey = intercept[IllegalArgumentException] {
+      NativeAsOfJoin.asOf(l, r, key = "k", leftTime = "t", rightTime = "t",
+        payloadCols = Seq("px"))
+    }
+    assert(eKey.getMessage.contains("key dtype mismatch"), eKey.getMessage)
+    val r2 = Seq((1, 5L, 7.0)).toDF("k", "t", "px") // bigint time vs timestamp
+    val eTime = intercept[IllegalArgumentException] {
+      NativeAsOfJoin.asOf(l, r2, key = "k", leftTime = "t", rightTime = "t",
+        payloadCols = Seq("px"))
+    }
+    assert(eTime.getMessage.contains("time dtype mismatch"), eTime.getMessage)
+  }
+
   test("null keys and null times never match, on either side") {
     val l = Seq((Some("A"), Some(ts(50)), 1L), (None, Some(ts(50)), 2L),
       (Some("A"), Option.empty[Timestamp], 3L)).toDF("k", "t", "id")

@@ -1100,6 +1100,26 @@ class BudgetSelectionSpec extends SparkSpec {
     assert(all.count() == 4)
     assert(BudgetSelection.greedyPrefix(df, "id", "cost", "value", budget = 5L).count() == 0)
   }
+
+  test("bucketed prefix sums equal the brute-force global sweep, ties included") {
+    val s = spark; import s.implicits._
+    import graft.operators.BudgetSelection
+    // 400 rows with many tied ratios (value = cost * small factor), so
+    // ties straddle would-be bucket boundaries if bucketing were wrong
+    val rows = (1 to 400).map(i => (i.toLong, (i % 7 + 1).toLong, ((i % 7 + 1) * (i % 5 + 1)).toLong))
+    val budget = 600L
+    val got = BudgetSelection.greedyPrefix(rows.toDF("id", "cost", "value"),
+        "id", "cost", "value", budget)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cum_cost")).toMap
+    // brute force in plain Scala
+    var cum = 0L
+    val expect = rows.map { case (id, c, v) => (id, c, v.toDouble / c) }
+      .sortBy { case (id, _, ratio) => (-ratio, id) }
+      .flatMap { case (id, c, _) =>
+        cum += c; if (cum <= budget) Some(id -> cum) else None
+      }.toMap
+    assert(got === expect)
+  }
 }
 
 class IncrementalAggSpec extends SparkSpec {
@@ -1155,6 +1175,32 @@ class QualityEnsembleSpec extends SparkSpec {
     assert(out(3L)._1 == 1.0)
     assert(out(1L)._2 == 0.0 && out(2L)._2 == 0.5 && out(3L)._2 == 1.0)
     assert(out(2L)._3 == 0.25 && out(3L)._3 == 1.0)
+  }
+
+  test("bucketed ranks equal percent_rank exactly at scale, ties included") {
+    val s = spark; import s.implicits._
+    import graft.operators.QualityEnsemble
+    // 500 rows, two signals with heavy ties (mod classes)
+    val rows = (1 to 500).map(i => (i.toLong, (i % 13).toLong, (i % 37).toLong))
+    val got = QualityEnsemble.percentileBlend(rows.toDF("id", "a", "b"), "id", Seq("a", "b"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("pr_a"), r.getAs[Double]("pr_b"))).toMap
+    // expected via the definition: (rank-1)/(n-1), min rank over ties
+    val n = rows.length
+    def prs(vals: Seq[(Long, Long)]): Map[Long, Double] = {
+      val sorted = vals.sortBy(_._2)
+      val firstRank = sorted.zipWithIndex.groupBy(_._1._2)
+        .map { case (v, g) => v -> (g.map(_._2).min + 1) }
+      vals.map { case (id, v) =>
+        id -> math.rint((firstRank(v) - 1).toDouble / (n - 1).toDouble * 1e6) / 1e6
+      }.toMap
+    }
+    val ea = prs(rows.map(r => (r._1, r._2)))
+    val eb = prs(rows.map(r => (r._1, r._3)))
+    rows.foreach { case (id, _, _) =>
+      assert(got(id)._1 === ea(id), s"pr_a for id=$id")
+      assert(got(id)._2 === eb(id), s"pr_b for id=$id")
+    }
   }
 }
 

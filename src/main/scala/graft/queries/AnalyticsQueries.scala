@@ -1030,6 +1030,52 @@ object AnalyticsQueries {
         .orderBy(col("period"))
     },
 
+    // X164 Bradley–Terry preference strengths: per-user pairwise
+    // "preferences" between event types (higher exact centi-value
+    // wins), two unrolled MM iterations with integer-grid-floored
+    // denominators — the preference-model fit replays hash-identically
+    // because every float is a fixed expression of exact longs.
+    Q("q_events_bradley_terry",
+      """WITH pv AS (SELECT user_id AS u, event_type AS et,
+        |                   sum(CAST(round(value * 100) AS BIGINT)) AS cv
+        |            FROM events GROUP BY 1, 2),
+        |d AS (SELECT a.et AS wi, b.et AS lo, count(*) AS n
+        |      FROM pv a JOIN pv b ON a.u = b.u AND a.cv > b.cv GROUP BY 1, 2),
+        |g AS (SELECT wi AS i, lo AS j, n FROM d UNION ALL SELECT lo, wi, n FROM d),
+        |ng AS (SELECT i, j, sum(n) AS nij FROM g GROUP BY 1, 2),
+        |wins AS (SELECT wi AS i, sum(n) AS w FROM d GROUP BY 1),
+        |items AS (SELECT DISTINCT i FROM ng),
+        |d1 AS (SELECT i, sum(CAST(floor(nij * 1000000.0 / (1.0 + 1.0)) AS BIGINT)) AS den
+        |       FROM ng GROUP BY 1),
+        |w1 AS (SELECT items.i,
+        |              cast(coalesce(wins.w, 0) AS double) * 1000000.0
+        |                / cast(d1.den AS double) AS s
+        |       FROM items JOIN d1 USING (i) LEFT JOIN wins USING (i)),
+        |d2 AS (SELECT ng.i, sum(CAST(floor(ng.nij * 1000000.0 / (wa.s + wb.s)) AS BIGINT)) AS den
+        |       FROM ng JOIN w1 wa ON ng.i = wa.i JOIN w1 wb ON ng.j = wb.i GROUP BY 1),
+        |w2 AS (SELECT items.i,
+        |              cast(coalesce(wins.w, 0) AS double) * 1000000.0
+        |                / cast(d2.den AS double) AS s
+        |       FROM items JOIN d2 USING (i) LEFT JOIN wins USING (i)),
+        |mx AS (SELECT max(s) AS m FROM w2),
+        |tg AS (SELECT i, sum(nij) AS games FROM ng GROUP BY 1)
+        |SELECT w2.i AS item, cast(coalesce(wins.w, 0) AS bigint) AS n_wins,
+        |       cast(tg.games AS bigint) AS n_games,
+        |       round(w2.s / mx.m, 6) AS strength
+        |FROM w2 JOIN tg USING (i) LEFT JOIN wins USING (i) CROSS JOIN mx
+        |ORDER BY strength DESC, item""".stripMargin) { (s, dir) =>
+      val pv = t(s, dir, "events")
+        .select(col("user_id").as("u"), col("event_type").as("et"),
+          round(col("value") * 100).cast("long").as("vc"))
+        .groupBy(col("u"), col("et")).agg(sum(col("vc")).as("cv"))
+      val a = pv.select(col("u"), col("et").as("wet"), col("cv").as("wcv"))
+      val b = pv.select(col("u"), col("et").as("let"), col("cv").as("lcv"))
+      val games = a.join(b, Seq("u")).filter(col("wcv") > col("lcv"))
+        .groupBy(col("wet").as("win"), col("let").as("lose"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.BradleyTerry.strengths(games, "win", "lose", "n", iterations = 2)
+    },
+
     // X159 hourly linear-interpolation resample (X113 LOCF's
     // continuous-signal sibling): grid ∪ observations, one forward +
     // one backward carry window on the same key shuffle, row-local lerp

@@ -1150,6 +1150,71 @@ object Relational {
         .orderBy(col("bin"))
     },
 
+    // X162 data-contract audit: a 4-expectation suite (null budget,
+    // value range, pattern conformance, cardinality cap) evaluated in
+    // ONE map-side-combined aggregate pass; every metric is an exact
+    // long, so the verdict frame hash-replays.
+    Q("q_diag_contract",
+      """WITH m AS (SELECT
+        |  cast(count(*) AS bigint) AS n_rows,
+        |  cast(count(*) FILTER (WHERE o_custkey IS NULL) AS bigint) AS m_null,
+        |  cast(count(*) FILTER (WHERE o_totalprice IS NOT NULL
+        |         AND (o_totalprice < 0 OR o_totalprice > 600000)) AS bigint) AS m_range,
+        |  cast(count(*) FILTER (WHERE o_orderpriority IS NOT NULL
+        |         AND NOT regexp_matches(o_orderpriority, '^[1-5]-')) AS bigint) AS m_regex,
+        |  cast(count(DISTINCT o_orderstatus) AS bigint) AS m_card
+        |FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'in_range' AS check_name, 'o_totalprice' AS column_name,
+        |         n_rows, m_range AS metric, cast(0 AS bigint) AS bound, m_range <= 0 AS pass
+        |  FROM m
+        |  UNION ALL
+        |  SELECT 'matches_regex', 'o_orderpriority', n_rows, m_regex, 0, m_regex <= 0 FROM m
+        |  UNION ALL
+        |  SELECT 'max_distinct', 'o_orderstatus', n_rows, m_card, 3, m_card <= 3 FROM m
+        |  UNION ALL
+        |  SELECT 'not_null', 'o_custkey', n_rows, m_null, 0, m_null <= 0 FROM m)
+        |ORDER BY check_name, column_name""".stripMargin) { (s, dir) =>
+      import graft.operators.DataContract
+      DataContract.audit(t(s, dir, "orders"), Seq(
+        DataContract.NotNull("o_custkey"),
+        DataContract.InRange("o_totalprice", 0, 600000),
+        DataContract.MatchesRegex("o_orderpriority", "^[1-5]-"),
+        DataContract.MaxDistinct("o_orderstatus", 3)))
+    },
+
+    // X166 consistent-hash shard rebalancing plan: documents on a
+    // 4-shard md5 vnode ring, migration matrix for growing to 5 —
+    // diagonal rows stay put (≈ 4/5 of keys, the consistent-hashing
+    // guarantee, asserted in ShardPlanSpec); ring positions replay in
+    // the oracle via the same md5 hash family as the Bloom/CMS queries.
+    Q("q_diag_shard_plan",
+      """WITH ids AS (SELECT doc_id,
+        |                    ('0x' || substr(md5('doc:' || doc_id), 1, 15))::BIGINT AS p
+        |             FROM documents),
+        |r5 AS (SELECT cast(s.shard AS bigint) AS shard,
+        |              ('0x' || substr(md5('vn:' || s.shard || ':' || r.replica), 1, 15))::BIGINT AS pos
+        |       FROM (SELECT unnest(generate_series(0, 4)) AS shard) s
+        |       CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS replica) r),
+        |r4 AS (SELECT * FROM r5 WHERE shard < 4),
+        |a4 AS (SELECT i.doc_id,
+        |              coalesce(min([r.pos, r.shard]) FILTER (WHERE r.pos >= i.p),
+        |                       min([r.pos, r.shard]))[2] AS from_shard
+        |       FROM ids i CROSS JOIN r4 r GROUP BY i.doc_id, i.p),
+        |a5 AS (SELECT i.doc_id,
+        |              coalesce(min([r.pos, r.shard]) FILTER (WHERE r.pos >= i.p),
+        |                       min([r.pos, r.shard]))[2] AS to_shard
+        |       FROM ids i CROSS JOIN r5 r GROUP BY i.doc_id, i.p)
+        |SELECT cast(from_shard AS bigint) AS from_shard,
+        |       cast(to_shard AS bigint) AS to_shard,
+        |       cast(count(*) AS bigint) AS n_keys
+        |FROM a4 JOIN a5 USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      graft.operators.ShardPlan.rebalance(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id",
+        nShards = 4, newShards = 5, vnodes = 8)
+    },
+
     // GROUPING SETS with grouping_id: three aggregation granularities
     // in one pass, null group keys disambiguated by the grouping id.
     Q("q_agg_grouping_sets",

@@ -103,6 +103,105 @@ object TextQueries {
         .orderBy(col("lang"), col("pred_lang"))
     },
 
+    // X163 inter-annotator agreement: Cohen's κ between the declared
+    // lang column and the heuristic language-ID — chance-corrected
+    // label-QA over the same confusion matrix as
+    // q_text_langid_confusion. Exact-long confusion + marginals; the
+    // only floats are the two closing divisions, so κ hash-replays.
+    Q("q_text_kappa_langid", {
+      val langs = TextFunctions.langMarkers.keys.toSeq.sorted
+      val scoreExprs = langs.map { l =>
+        val markers = TextFunctions.langMarkers(l).map(m => s"'$m'").mkString("[", ", ", "]")
+        s"len(list_filter($toksSql, x -> list_contains($markers, x))) AS s_$l"
+      }.mkString(",\n         |    ")
+      val gmax = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val caseChain = langs.map(l => s"WHEN s_$l = gm THEN '$l'").mkString(" ")
+      s"""WITH scores AS (
+         |  SELECT doc_id, lang,
+         |    $scoreExprs
+         |  FROM documents),
+         |picked AS (
+         |  SELECT *, $gmax AS gm FROM scores),
+         |conf AS (
+         |  SELECT lang AS a, CASE WHEN gm = 0 THEN 'und' $caseChain END AS b,
+         |         count(*) AS n
+         |  FROM picked GROUP BY 1, 2),
+         |tot AS (SELECT sum(n) AS n,
+         |               coalesce(sum(n) FILTER (WHERE a = b), 0) AS n_agree
+         |        FROM conf),
+         |rm AS (SELECT a, sum(n) AS rn FROM conf GROUP BY 1),
+         |cm AS (SELECT b, sum(n) AS cn FROM conf GROUP BY 1),
+         |pe AS (SELECT coalesce(sum(rm.rn * cm.cn), 0) AS penum
+         |       FROM rm JOIN cm ON rm.a = cm.b)
+         |SELECT cast(tot.n AS bigint) AS n_items,
+         |       cast(tot.n_agree AS bigint) AS n_agree,
+         |       round(tot.n_agree / cast(tot.n AS double), 6) AS po,
+         |       round(penum / (cast(tot.n AS double) * tot.n), 6) AS pe,
+         |       round((tot.n_agree / cast(tot.n AS double)
+         |               - penum / (cast(tot.n AS double) * tot.n))
+         |             / (1.0 - penum / (cast(tot.n AS double) * tot.n)), 6) AS kappa
+         |FROM tot CROSS JOIN pe""".stripMargin
+    }) { (s, dir) =>
+      graft.operators.AnnotatorAgreement.kappa(
+        t(s, dir, "documents")
+          .select(col("lang").as("a"),
+            TextFunctions.langIdFromTokens(TextFunctions.tokens(col("text"))).as("b")),
+        "a", "b")
+    },
+
+    // X165 vocabulary-growth (Heaps'-law) audit: new token types per
+    // 100-document slice, attributed to the FIRST containing doc —
+    // exact counts, one explode-aggregate for first occurrences, and a
+    // cumulative window only over the ≤ #buckets rollup.
+    Q("q_text_vocab_growth",
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |ds AS (SELECT doc_id // 100 AS bucket, count(*) AS n_docs,
+         |              sum(len(toks)) AS n_tokens
+         |       FROM d GROUP BY 1),
+         |fo AS (SELECT tok, min(doc_id) AS fd FROM (
+         |         SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM d)
+         |       GROUP BY 1),
+         |nt AS (SELECT fd // 100 AS bucket, count(*) AS n_new FROM fo GROUP BY 1)
+         |SELECT cast(bucket AS bigint) AS bucket,
+         |       cast(n_docs AS bigint) AS n_docs,
+         |       cast(n_tokens AS bigint) AS n_tokens,
+         |       cast(coalesce(n_new, 0) AS bigint) AS n_new_types,
+         |       cast(sum(coalesce(n_new, 0)) OVER (ORDER BY bucket
+         |              ROWS UNBOUNDED PRECEDING) AS bigint) AS vocab_size
+         |FROM ds LEFT JOIN nt USING (bucket) ORDER BY bucket""".stripMargin) { (s, dir) =>
+      graft.operators.VocabGrowth.curve(t(s, dir, "documents"), "doc_id",
+        TextFunctions.tokens(col("text")), bucketWidth = 100L)
+    },
+
+    // X167 blocking-quality audit: reduction ratio vs pair completeness
+    // of a cheap (lang, length-bucket) blocking key against the
+    // 16-char-prefix duplicate families — all pair counts from
+    // group-size histograms (never materialized pairs), two closing
+    // divisions only.
+    Q("q_diag_blocking_audit",
+      """WITH k AS (SELECT lang || ':' || (n_chars // 50) AS b,
+        |                  substr(text, 1, 16) AS t
+        |           FROM documents),
+        |n AS (SELECT count(*) AS n FROM k),
+        |cb AS (SELECT sum(c * (c - 1) // 2) AS cand
+        |       FROM (SELECT count(*) AS c FROM k GROUP BY b)),
+        |tb AS (SELECT sum(c * (c - 1) // 2) AS tru
+        |       FROM (SELECT count(*) AS c FROM k GROUP BY t)),
+        |cv AS (SELECT coalesce(sum(c * (c - 1) // 2), 0) AS cov
+        |       FROM (SELECT count(*) AS c FROM k GROUP BY t, b))
+        |SELECT cast(n.n AS bigint) AS n_rows,
+        |       cast(n.n * (n.n - 1) // 2 AS bigint) AS n_pairs,
+        |       cast(cand AS bigint) AS n_cand_pairs,
+        |       cast(tru AS bigint) AS n_true_pairs,
+        |       cast(cov AS bigint) AS n_covered,
+        |       round(1.0 - cand / cast(n.n * (n.n - 1) // 2 AS double), 6) AS reduction_ratio,
+        |       round(cov / cast(tru AS double), 6) AS completeness
+        |FROM n, cb, tb, cv""".stripMargin) { (s, dir) =>
+      graft.operators.BlockingAudit.audit(t(s, dir, "documents"),
+        blockKey = concat_ws(":", col("lang"), expr("n_chars div 50")),
+        truthKey = substring(col("text"), 1, 16))
+    },
+
     // Vocabulary building: top-50 tokens by document frequency — the
     // tokenizer-vocab / corpus-stats pass of a training-data pipeline
     // (explode → map-side-combined count → TakeOrderedAndProject; the

@@ -49,4 +49,33 @@ object Funnel {
       .groupBy(col("user"))
       .agg(ts.head, ts.tail: _*)
   }
+
+  /** Time-constrained funnel: like [[conversion]], but stage i+1 must
+    * land within `maxGapUs` microseconds of stage i (a purchase 30
+    * days after the click is not attribution, it's coincidence — the
+    * window is what makes funnel rates comparable across cohorts).
+    * Identical one-shuffle plan: the gap bound rides the same window
+    * predicate (`t_i < us <= t_i + maxGapUs`).
+    */
+  def conversionWithin(events: DataFrame, stages: Seq[String], maxGapUs: Long,
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(stages.nonEmpty, "at least one funnel stage")
+    require(maxGapUs > 0, s"conversionWithin: maxGapUs=$maxGapUs must be positive")
+    val e = events.filter(col(typeCol).isInCollection(stages))
+      .select(col(userCol).as("user"), col(typeCol).as("typ"),
+        unix_micros(col(tsCol)).as("us"))
+    val w = Window.partitionBy(col("user"))
+    val withTs = stages.zipWithIndex.foldLeft(e) { case (cur, (stage, i)) =>
+      val qualifies =
+        if (i == 0) col("typ") === stage
+        else col("typ") === stage && col("us") > col(s"t$i") &&
+          col("us") <= col(s"t$i") + maxGapUs
+      cur.withColumn(s"t${i + 1}", min(when(qualifies, col("us"))).over(w))
+    }
+    val ts = stages.indices.map(i => min(col(s"t${i + 1}")).as(s"t${i + 1}"))
+    withTs.filter(col("t1").isNotNull)
+      .groupBy(col("user"))
+      .agg(ts.head, ts.tail: _*)
+  }
 }

@@ -1030,6 +1030,49 @@ object AnalyticsQueries {
         .orderBy(col("period"))
     },
 
+    // X172 autocorrelation function: pooled Pearson r of (v_t, v_t+lag)
+    // pairs per user at lags 1..5 — exact centi-long moments in ONE
+    // windowed pass + one aggregate; r is a fixed double expression of
+    // the longs, so the curve hash-replays.
+    Q("q_events_acf", {
+      val lagCols = (1 to 5).map(l => s"lag(v, $l) OVER w AS v$l").mkString(", ")
+      val momentCols = (1 to 5).map { l =>
+        s"""count(*) FILTER (WHERE v$l IS NOT NULL) AS n$l,
+           |  sum(v$l) FILTER (WHERE v$l IS NOT NULL) AS sx$l,
+           |  sum(v) FILTER (WHERE v$l IS NOT NULL) AS sy$l,
+           |  sum(v$l * v) FILTER (WHERE v$l IS NOT NULL) AS sxy$l,
+           |  sum(v$l * v$l) FILTER (WHERE v$l IS NOT NULL) AS sxx$l,
+           |  sum(v * v) FILTER (WHERE v$l IS NOT NULL) AS syy$l""".stripMargin
+      }.mkString(",\n        |  ")
+      val lagRows = (1 to 5).map { l =>
+        s"""SELECT $l AS lag, cast(n$l AS bigint) AS n_pairs,
+           |  CASE WHEN n$l >= 2
+           |        AND cast(n$l AS double) * cast(sxx$l AS double)
+           |              - cast(sx$l AS double) * cast(sx$l AS double) > 0
+           |        AND cast(n$l AS double) * cast(syy$l AS double)
+           |              - cast(sy$l AS double) * cast(sy$l AS double) > 0
+           |       THEN round((cast(n$l AS double) * cast(sxy$l AS double)
+           |                    - cast(sx$l AS double) * cast(sy$l AS double))
+           |                  / (sqrt(cast(n$l AS double) * cast(sxx$l AS double)
+           |                           - cast(sx$l AS double) * cast(sx$l AS double))
+           |                     * sqrt(cast(n$l AS double) * cast(syy$l AS double)
+           |                            - cast(sy$l AS double) * cast(sy$l AS double))), 6)
+           |       END AS r FROM m""".stripMargin
+      }.mkString("\n        |UNION ALL\n        |")
+      s"""WITH e AS (SELECT user_id AS k, epoch_us(ts) AS us,
+         |                  CAST(round(value * 100) AS BIGINT) AS v FROM events),
+         |l AS (SELECT k, us, v, $lagCols
+         |      FROM e WINDOW w AS (PARTITION BY k ORDER BY us)),
+         |m AS (SELECT
+         |  $momentCols
+         |FROM l)
+         |$lagRows
+         |ORDER BY lag""".stripMargin
+    }) { (s, dir) =>
+      graft.operators.Autocorrelation.acf(t(s, dir, "events"),
+        "user_id", "ts", "value", maxLag = 5)
+    },
+
     // X164 Bradley–Terry preference strengths: per-user pairwise
     // "preferences" between event types (higher exact centi-value
     // wins), two unrolled MM iterations with integer-grid-floored

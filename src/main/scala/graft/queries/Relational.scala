@@ -869,6 +869,56 @@ object Relational {
       IncrementalAgg.merge(base, delta, "o_custkey").orderBy(col("o_custkey"))
     },
 
+    // X169 delete-aware view refresh: base partials minus a delete
+    // batch — count/sum retract arithmetically, min/max recompute ONLY
+    // for keys whose deleted extremum touches the stored one. The
+    // oracle recomputes the post-delete state from scratch; the hash
+    // match proves retract ≡ rebuild.
+    Q("q_agg_incremental_retract",
+      """SELECT o_custkey,
+        |       cast(count(*) AS bigint) AS cnt,
+        |       cast(sum(cast(floor(o_totalprice * 100) AS bigint)) AS bigint) AS sm,
+        |       cast(min(cast(floor(o_totalprice * 100) AS bigint)) AS bigint) AS mn,
+        |       cast(max(cast(floor(o_totalprice * 100) AS bigint)) AS bigint) AS mx
+        |FROM orders WHERE o_orderkey % 7 != 0
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      import graft.operators.IncrementalAgg
+      val cents = t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val base = IncrementalAgg.partial(cents, "o_custkey", "cents")
+      val deletes = cents.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+      val remaining = cents.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+      IncrementalAgg.retract(base, deletes, remaining, "o_custkey", "cents")
+        .orderBy(col("o_custkey"))
+    },
+
+    // X168 data-skipping audit: the same range predicate against two
+    // file layouts — key-ordered files (stats straddle everything,
+    // nothing skips) vs value-clustered files (tight stats, most files
+    // skip) — the re-cluster payoff quantified per file.
+    Q("q_diag_manifest_prune",
+      """WITH a AS (SELECT 'by_key' AS layout, doc_id // 50 AS file_id, n_chars FROM documents
+        |           UNION ALL
+        |           SELECT 'by_value', n_chars // 60, n_chars FROM documents)
+        |SELECT layout, cast(file_id AS bigint) AS file_id,
+        |       cast(count(*) AS bigint) AS n_rows,
+        |       cast(min(n_chars) AS bigint) AS v_min,
+        |       cast(max(n_chars) AS bigint) AS v_max,
+        |       NOT (max(n_chars) < 200 OR min(n_chars) > 400) AS scanned,
+        |       cast(count(*) FILTER (WHERE n_chars BETWEEN 200 AND 400) AS bigint) AS n_hits
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import graft.operators.ManifestPrune
+      val docs = t(s, dir, "documents")
+      ManifestPrune.rangeAudit(docs, expr("doc_id div 50"), "n_chars", 200, 400)
+        .withColumn("layout", lit("by_key"))
+        .unionByName(
+          ManifestPrune.rangeAudit(docs, expr("n_chars div 60"), "n_chars", 200, 400)
+            .withColumn("layout", lit("by_value")))
+        .select(col("layout"), col("file_id").cast("long").as("file_id"),
+          col("n_rows"), col("v_min"), col("v_max"), col("scanned"), col("n_hits"))
+        .orderBy(col("layout"), col("file_id"))
+    },
+
     // Triangle listing on the part co-occurrence graph (support >= 2):
     // ordered edges u < v make each triangle appear exactly once as
     // (a,b)(b,c)(a,c) — the full triangle list is hash-checked.
@@ -916,6 +966,42 @@ object Relational {
         .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") >= 2).select(col("u"), col("v"))
       graft.operators.Triangles.nodeClustering(e)
+    },
+
+    // X170 common-neighbor link prediction over the same co-occurrence
+    // graph: non-adjacent pairs ranked by neighborhood Jaccard, wedge
+    // candidates only (never all pairs), super-hub centers capped at
+    // degree 10 — the df-cap discipline applied to graphs.
+    Q("q_graph_link_prediction",
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS (SELECT a.p AS u, b.p AS v FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT u AS a, v AS b FROM e0 UNION ALL SELECT v, u FROM e0),
+        |deg AS (SELECT a AS node, cast(count(*) AS bigint) AS deg FROM e GROUP BY 1),
+        |ok AS (SELECT node FROM deg WHERE deg <= 10),
+        |w AS (SELECT e1.a AS x, e2.b AS z
+        |      FROM e e1 JOIN ok ON e1.b = ok.node JOIN e e2 ON e1.b = e2.a
+        |      WHERE e1.a < e2.b),
+        |cn AS (SELECT x, z, cast(count(*) AS bigint) AS cn FROM w GROUP BY 1, 2),
+        |cand AS (SELECT cn.x, cn.z, cn.cn, da.deg AS deg_src, db.deg AS deg_dst
+        |         FROM cn JOIN deg da ON cn.x = da.node JOIN deg db ON cn.z = db.node
+        |         WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.u = cn.x AND e0.v = cn.z)),
+        |scored AS (SELECT x, z, cn, deg_src, deg_dst,
+        |                  round(cn::DOUBLE / (deg_src + deg_dst - cn)::DOUBLE, 6) AS jaccard
+        |           FROM cand)
+        |SELECT x AS src, z AS dst, cn, deg_src, deg_dst, jaccard,
+        |       cast(row_number() OVER (ORDER BY jaccard DESC, x, z) AS int) AS rk
+        |FROM scored ORDER BY jaccard DESC, src, dst LIMIT 20""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val e0 = li.select(col("o"), col("p").as("u"))
+        .join(li.select(col("o"), col("p").as("v")), "o")
+        .filter(col("u") < col("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2).select(col("u"), col("v"))
+      val edges = e0.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(e0.select(col("v").as("src"), col("u").as("dst")))
+      graft.operators.LinkPrediction.jaccardTopK(edges, k = 20, maxCenterDegree = 10L)
     },
 
     // Blocked fuzzy entity resolution: multi-attribute entity strings,

@@ -196,6 +196,39 @@ object Windows {
           sum(col("t3") - col("t2")).as("sum_gap23_us"))
     },
 
+    // X171 time-constrained funnel: same stage chain, but each stage
+    // must land within 48h of the previous one — the bounded-window
+    // semantics that make funnel rates cohort-comparable. Same
+    // one-shuffle plan; the bound rides the window predicate.
+    Q("q_events_funnel_window",
+      """WITH e AS (SELECT user_id, event_type, cast(epoch_us(ts) AS bigint) AS us
+        |           FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT s1.user_id, s1.t1, min(e.us) AS t2
+        |       FROM s1 LEFT JOIN e ON e.user_id = s1.user_id
+        |         AND e.event_type = 'click' AND e.us > s1.t1
+        |         AND e.us <= s1.t1 + 172800000000
+        |       GROUP BY 1, 2),
+        |s3 AS (SELECT s2.user_id, s2.t1, s2.t2, min(e.us) AS t3
+        |       FROM s2 LEFT JOIN e ON e.user_id = s2.user_id
+        |         AND e.event_type = 'purchase' AND e.us > s2.t2
+        |         AND e.us <= s2.t2 + 172800000000
+        |       GROUP BY 1, 2, 3)
+        |SELECT cast(count(t1) AS int) AS n_stage1,
+        |       cast(count(t2) AS int) AS n_stage2,
+        |       cast(count(t3) AS int) AS n_stage3,
+        |       cast(sum(t2 - t1) AS bigint) AS sum_gap12_us,
+        |       cast(sum(t3 - t2) AS bigint) AS sum_gap23_us
+        |FROM s3""".stripMargin) { (s, dir) =>
+      graft.operators.Funnel.conversionWithin(t(s, dir, "events"),
+          stages = Seq("view", "click", "purchase"), maxGapUs = 172800000000L)
+        .agg(count(col("t1")).cast("int").as("n_stage1"),
+          count(col("t2")).cast("int").as("n_stage2"),
+          count(col("t3")).cast("int").as("n_stage3"),
+          sum(col("t2") - col("t1")).as("sum_gap12_us"),
+          sum(col("t3") - col("t2")).as("sum_gap23_us"))
+    },
+
     // Rolling z-score anomaly flags over hourly ingest-volume buckets:
     // per-bucket totals are exact scaled longs, the trailing-24h
     // moments are integer sums over a ROWS frame, and the flag derives

@@ -63,6 +63,9 @@ object GraftExtensions {
     // rule pushing left-only filters below the (outer) join.
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushLeftFiltersThroughAsOf)
+    // ... and the native keyed interval-containment join, same ladder.
+    ext.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.PushFiltersThroughIntervalJoin)
     ext.injectFunction(fn("graft_dot", 2, "graft_dot(array<double>, array<double>)") {
       ch => graft.expressions.DotProduct(
         Cast(ch(0), ArrayType(DoubleType)), Cast(ch(1), ArrayType(DoubleType)))

@@ -1,0 +1,232 @@
+package graft.plans
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Alias, And, Ascending, Attribute, JoinedRow, PredicateHelper, RowOrdering,
+  SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Native keyed interval-containment join — the 1:N sibling of
+  * [[NativeAsOfJoin]] on the same whole-operator ladder: a first-class
+  * [[IntervalJoinNode]] logical plan, planned by
+  * [[IntervalJoinStrategy]] into [[IntervalJoinExec]], a streaming
+  * sort-merge physical operator.
+  *
+  * Semantics: INNER join — for each left (point) row, one output row
+  * per right interval of the same key with `start <= t <= end` (closed
+  * ends). SQL-null semantics: a null key, time, start, or end never
+  * matches. Asserted row-for-row against the equivalent relational
+  * range join and a DuckDB oracle in `NativeIntervalJoinSpec` /
+  * `q_join_interval_native`.
+  *
+  * 100 TB design: both children cluster on their key and sort by
+  * (key, time) / (key, start) — Catalyst's EnsureRequirements plans
+  * exactly ONE hash shuffle + sort per side. The merge streams both
+  * sides once per partition holding only the ACTIVE intervals of the
+  * current key (those already started, not yet expired): O(|L|+|R| +
+  * output) time, memory bounded by per-key interval concurrency —
+  * never the interval history. A range-bucketed equi-join (the
+  * compositional [[graft.operators.IntervalJoin]]) pays the explode
+  * factor × bucket-width tuning; this pays neither.
+  */
+case class IntervalJoinNode(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Attribute, rightKey: Attribute,
+    leftTime: Attribute, rightStart: Attribute, rightEnd: Attribute,
+    payload: Seq[Attribute]) extends BinaryNode {
+
+  override def output: Seq[Attribute] = left.output ++ payload
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): IntervalJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[IntervalJoinNode]] as [[IntervalJoinExec]]. */
+object IntervalJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case IntervalJoinNode(l, r, lk, rk, lt, rs, re, p) =>
+      IntervalJoinExec(lk, rk, lt, rs, re, p, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Optimizer rule: the join is INNER, so single-side deterministic
+  * predicates move below it on BOTH sides (left-only → left child,
+  * right-only → right child), where the builtin rules carry them into
+  * the scans — the pushdown Catalyst cannot do through a black-box
+  * node. Mixed predicates stay above.
+  */
+object PushFiltersThroughIntervalJoin extends Rule[LogicalPlan] with PredicateHelper {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, j: IntervalJoinNode) =>
+      val preds = splitConjunctivePredicates(cond)
+      val (lPush, rest) = preds.partition(p =>
+        p.deterministic && p.references.subsetOf(j.left.outputSet))
+      val (rPush, keep) = rest.partition(p =>
+        p.deterministic && p.references.subsetOf(j.right.outputSet))
+      if (lPush.isEmpty && rPush.isEmpty) f
+      else {
+        val newLeft = lPush.reduceOption(And).map(Filter(_, j.left)).getOrElse(j.left)
+        val newRight = rPush.reduceOption(And).map(Filter(_, j.right)).getOrElse(j.right)
+        val pushed = j.copy(left = newLeft, right = newRight)
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
+/** Streaming sort-merge interval join: children arrive clustered by key
+  * and sorted by (key, time) / (key, start); each partition is merged
+  * in one pass over an active-interval buffer.
+  */
+case class IntervalJoinExec(
+    leftKey: Attribute, rightKey: Attribute,
+    leftTime: Attribute, rightStart: Attribute, rightEnd: Attribute,
+    payload: Seq[Attribute],
+    left: SparkPlan, right: SparkPlan) extends SparkPlan with BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ payload
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightStart, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): IntervalJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val leftOut = left.output
+    val rightOut = right.output
+    val outAttrs = output
+    val (lk, rk, lt, rs, re, pay) =
+      (leftKey, rightKey, leftTime, rightStart, rightEnd, payload)
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(Seq(lk), leftOut)
+      val rKeyProj = UnsafeProjection.create(Seq(rk), rightOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lt), leftOut)
+      val rStartProj = UnsafeProjection.create(Seq(rs), rightOut)
+      val rEndProj = UnsafeProjection.create(Seq(re), rightOut)
+      val payloadProj = UnsafeProjection.create(pay, rightOut)
+      val resultProj = UnsafeProjection.create(outAttrs, leftOut ++ pay)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lk.dataType))
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lt.dataType))
+      val joined = new JoinedRow
+      val rBuf = rIter.buffered
+      // Active intervals of the CURRENT key: started (start <= t seen),
+      // not yet known-expired. Each entry: (end row, payload row), both
+      // copied. currentKey is the key the buffer belongs to.
+      var currentKey: UnsafeRow = null
+      val active = new ArrayBuffer[(UnsafeRow, UnsafeRow)]
+      lIter.flatMap { lRow =>
+        val lKeyRow = lKeyProj(lRow)
+        val lTimeRow = lTimeProj(lRow)
+        if (lKeyRow.isNullAt(0) || lTimeRow.isNullAt(0)) Iterator.empty
+        else {
+          if (currentKey == null || keyOrd.compare(currentKey, lKeyRow) != 0) {
+            active.clear()
+            currentKey = lKeyRow.copy()
+          }
+          // admit right rows: key < lKey (skip), or key == lKey with
+          // start <= t (buffer); stop at a future start or key.
+          var done = false
+          while (!done && rBuf.hasNext) {
+            val head = rBuf.head
+            val rKeyRow = rKeyProj(head)
+            if (rKeyRow.isNullAt(0)) rBuf.next() // null keys match nothing
+            else {
+              val c = keyOrd.compare(rKeyRow, lKeyRow)
+              if (c < 0) rBuf.next() // key group already passed
+              else if (c == 0) {
+                val startRow = rStartProj(head)
+                if (startRow.isNullAt(0)) rBuf.next() // nulls-first: skip
+                else if (timeOrd.compare(startRow, lTimeRow) <= 0) {
+                  val endRow = rEndProj(head)
+                  if (!endRow.isNullAt(0)) // null end never matches
+                    active += ((endRow.copy(), payloadProj(head).copy()))
+                  rBuf.next()
+                } else done = true // future interval — stop
+              } else done = true // right is ahead of this key group
+            }
+          }
+          // purge expired (end < t — can never match this or later rows)
+          var i = 0
+          while (i < active.length) {
+            if (timeOrd.compare(active(i)._1, lTimeRow) < 0) active.remove(i)
+            else i += 1
+          }
+          // Every survivor has start <= t <= end: emit one row each.
+          // Snapshot the buffer (it mutates on the next left row) and
+          // keep the PROJECTION lazy — resultProj reuses one output
+          // buffer, so eagerly materializing N results would alias
+          // them all to the last match.
+          if (active.isEmpty) Iterator.empty
+          else {
+            val lCopy = lRow.copy()
+            val snapshot = active.map(_._2).toArray
+            snapshot.iterator.map(payRow => resultProj(joined(lCopy, payRow)))
+          }
+        }
+      }
+    }
+  }
+}
+
+/** DataFrame front door for the native operator. */
+object NativeIntervalJoin {
+
+  /** Inner-join `points` to the `intervals` of the same `key` that
+    * contain `pointTime` (closed ends): output = point columns ++
+    * `payloadCols` from the interval side, one row per containing
+    * interval.
+    *
+    * The interval side is re-projected to (key, start, end, payload)
+    * with fresh expression ids (self-joins stay unambiguous; the scan
+    * prunes to those columns). Payload names must not collide with
+    * point column names; key and time dtypes must match across sides.
+    */
+  def contain(points: DataFrame, intervals: DataFrame, key: String,
+      pointTime: String, startCol: String, endCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val clash = payloadCols.filter(points.columns.contains)
+    require(clash.isEmpty,
+      s"contain: payload columns ${clash.mkString(", ")} collide with point columns — " +
+        "rename them on the interval side before joining")
+    val lPlan = points.queryExecution.analyzed
+    val rAnalyzed = intervals.queryExecution.analyzed
+    val needed = (Seq(key, startCol, endCol) ++ payloadCols).distinct
+    def rAttr(n: String): Attribute = rAnalyzed.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"contain: interval column $n not found"))
+    val rPlan = Project(needed.map(n => Alias(rAttr(n), n)()), rAnalyzed)
+    def pick(out: Seq[Attribute], n: String, side: String): Attribute =
+      out.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"contain: $side column $n not found"))
+    val (lKeyA, rKeyA) = (pick(lPlan.output, key, "point"), pick(rPlan.output, key, "interval"))
+    val (lTimeA, rStartA, rEndA) = (pick(lPlan.output, pointTime, "point"),
+      pick(rPlan.output, startCol, "interval"), pick(rPlan.output, endCol, "interval"))
+    require(lKeyA.dataType == rKeyA.dataType,
+      s"contain: key dtype mismatch — point $key is ${lKeyA.dataType.sql}, " +
+        s"interval $key is ${rKeyA.dataType.sql}; cast one side before joining")
+    require(lTimeA.dataType == rStartA.dataType && rStartA.dataType == rEndA.dataType,
+      s"contain: time dtype mismatch — $pointTime is ${lTimeA.dataType.sql}, " +
+        s"$startCol is ${rStartA.dataType.sql}, $endCol is ${rEndA.dataType.sql}; " +
+        "cast to one type before joining")
+    val node = IntervalJoinNode(lPlan, rPlan, lKeyA, rKeyA, lTimeA, rStartA, rEndA,
+      payloadCols.map(pick(rPlan.output, _, "interval")))
+    Bridge.ofRows(points.sparkSession, node)
+  }
+}

@@ -512,6 +512,41 @@ object Windows {
         .orderBy(col("purchase_id"))
     },
 
+    // X173 native keyed interval-containment join: every click joined
+    // to the signup windows (of its user) containing it — the 1:N
+    // sibling of the native as-of operator (IntervalJoinNode →
+    // Strategy → streaming sort-merge exec with an active-interval
+    // buffer; one shuffle+sort per side, no bucket explode). Oracle =
+    // a plain range-predicate join.
+    Q("q_join_interval_native",
+      """WITH w AS (SELECT user_id, event_id AS window_id,
+        |                  cast(epoch_us(ts) AS bigint) AS w_start,
+        |                  cast(epoch_us(ts) AS bigint)
+        |                    + CAST(round(value * 3600000000) AS BIGINT) AS w_end
+        |           FROM events WHERE event_type = 'signup'),
+        |p AS (SELECT user_id, event_id AS click_id, cast(epoch_us(ts) AS bigint) AS t
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.click_id, p.user_id, p.t, w.window_id,
+        |       cast(w.w_end - p.t AS bigint) AS remaining_us
+        |FROM p JOIN w ON p.user_id = w.user_id AND p.t BETWEEN w.w_start AND w.w_end
+        |ORDER BY click_id, window_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val points = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          unix_micros(col("ts")).as("t"))
+      val windows = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("window_id"),
+          unix_micros(col("ts")).as("w_start"),
+          (unix_micros(col("ts")) +
+            round(col("value") * 3600000000L).cast("long")).as("w_end"))
+      graft.plans.NativeIntervalJoin.contain(points, windows, key = "user_id",
+          pointTime = "t", startCol = "w_start", endCol = "w_end",
+          payloadCols = Seq("window_id", "w_end"))
+        .select(col("click_id"), col("user_id"), col("t"), col("window_id"),
+          (col("w_end") - col("t")).as("remaining_us"))
+        .orderBy(col("click_id"), col("window_id"))
+    },
+
     // Beyond the reference's window set (SURVEY §2.5 "not present"):
     // dense_rank, ntile, cume_dist, and a RANGE frame — all partitioned
     // by a high-cardinality key, so the same scale shape as W1-W5.

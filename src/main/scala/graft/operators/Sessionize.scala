@@ -28,6 +28,26 @@ object Sessionize {
       .drop("_prev_ts", "_new_session")
   }
 
+  /** Gap-based sessions ADDITIONALLY split every `capSeconds` from the
+    * gap-session's start — the max-duration policy (a "session" left
+    * open for a week is a bug, not engagement). The cap slices
+    * relative to the gap-session start (sub = ⌊(t − start)/cap⌋), so
+    * the split stays a pure window expression — one user shuffle, no
+    * sequential state — and replays on any engine. Output adds
+    * `session_sub` and a composite `session_id` = seq·10⁶ + sub.
+    */
+  def sessionizeCapped(events: DataFrame, userCol: String, tsCol: String,
+      gapSeconds: Long, capSeconds: Long, tieCol: String = "event_id"): DataFrame = {
+    require(capSeconds > 0, s"sessionizeCapped: capSeconds=$capSeconds must be positive")
+    val bySession = Window.partitionBy(col(userCol), col("session_seq"))
+    sessionize(events, userCol, tsCol, gapSeconds, tieCol)
+      .withColumn("_sess_start", min(unix_millis(col(tsCol))).over(bySession))
+      .withColumn("session_sub",
+        expr(s"(unix_millis($tsCol) - _sess_start) div ${capSeconds * 1000L}"))
+      .withColumn("session_id", col("session_seq") * 1000000L + col("session_sub"))
+      .drop("_sess_start")
+  }
+
   /** Per-session rollup: bounds, event count, summed value. */
   def sessionStats(events: DataFrame, userCol: String, tsCol: String,
       gapSeconds: Long, valueCol: String): DataFrame =

@@ -480,6 +480,124 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // X174 canonical selection over the dup components: every doc maps
+    // to its cluster's keeper (longest text, ties to smallest id;
+    // unclustered docs keep themselves) — the actionable keep/drop set
+    // a dedup pass applies. Oracle = the components CTE + argmax.
+    Q("q_dedup_canonical",
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len($toksSql) < 3 THEN CAST([] AS VARCHAR[])
+         |         ELSE list_transform(range(len($toksSql) - 2),
+         |                i -> array_to_string($toksSql[i + 1 : i + 3], ' ')) END)) AS shingle
+         |  FROM documents),
+         |capped AS (
+         |  SELECT doc_id, shingle FROM (
+         |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
+         |  WHERE df <= 1000),
+         |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+         |  FROM capped a JOIN capped b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE cast(n_common AS double) / (sa.n_shingles + sb.n_shingles - n_common) >= 0.3),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+         |reach(id, comp) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+         |comp AS (SELECT id AS doc_id, min(comp) AS component FROM reach GROUP BY id),
+         |w AS (SELECT d.doc_id, cast(d.n_chars AS bigint) AS q, c.component
+         |      FROM documents d LEFT JOIN comp c USING (doc_id)),
+         |canon AS (SELECT component, doc_id AS canon_id FROM (
+         |    SELECT component, doc_id,
+         |           row_number() OVER (PARTITION BY component ORDER BY q DESC, doc_id) AS rn
+         |    FROM w WHERE component IS NOT NULL) WHERE rn = 1)
+         |SELECT w.doc_id, cast(w.component AS bigint) AS component,
+         |       cast(coalesce(canon.canon_id, w.doc_id) AS bigint) AS canonical_id,
+         |       coalesce(canon.canon_id, w.doc_id) = w.doc_id AS is_canonical
+         |FROM w LEFT JOIN canon USING (component)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val components = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.3))
+      graft.operators.Canonicalize.assign(docs, components, "doc_id", "n_chars")
+        .orderBy(col("doc_id"))
+    },
+
+    // X175 minhash calibration: sketch estimate vs exact Jaccard per
+    // signature-match level over the LSH candidate set — the audit
+    // that sizes k for a threshold. Integer match counts, ppm
+    // fixed-point exact Jaccard, exact-sum means.
+    Q("q_dedup_minhash_error",
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len($toksSql) < 3 THEN CAST([] AS VARCHAR[])
+         |         ELSE list_transform(range(len($toksSql) - 2),
+         |                i -> array_to_string($toksSql[i + 1 : i + 3], ' ')) END)) AS shingle
+         |  FROM documents),
+         |hh AS (
+         |  SELECT doc_id,
+         |         ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS h1,
+         |         ('0x' || substr(md5(shingle), 16, 15))::BIGINT % 2147483647 AS h2
+         |  FROM sh),
+         |hx AS (
+         |  SELECT doc_id, s.i AS i, min((h1 + s.i * h2) % 2147483647) AS mh
+         |  FROM hh CROSS JOIN (SELECT unnest(range(32)) AS i) s
+         |  GROUP BY 1, 2),
+         |sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM hx GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, sig, b.b AS band,
+         |         md5(array_to_string(list_transform(sig[b.b * 4 + 1 : b.b * 4 + 4],
+         |               x -> cast(x AS VARCHAR)), ',')) AS bhash
+         |  FROM sig CROSS JOIN (SELECT unnest(range(8)) AS b) b),
+         |cappedb AS (
+         |  SELECT * FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY band, bhash) AS bsz FROM banded)
+         |  WHERE bsz <= 1000),
+         |est AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         cast(len(list_filter(range(32), i -> a.sig[i + 1] = b.sig[i + 1])) AS bigint)
+         |           AS match_cnt
+         |  FROM cappedb a JOIN cappedb b
+         |    ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+         |cappedsh AS (
+         |  SELECT doc_id, shingle FROM (
+         |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
+         |  WHERE df <= 1000),
+         |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+         |  FROM cappedsh a JOIN cappedsh b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |exact AS (
+         |  SELECT id_a, id_b,
+         |         (n_common * 1000000) // (sa.n_shingles + sb.n_shingles - n_common) AS exact_ppm
+         |  FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b),
+         |joined AS (
+         |  SELECT e.match_cnt, (e.match_cnt * 1000000) // 32 AS est_ppm,
+         |         coalesce(x.exact_ppm, 0) AS exact_ppm
+         |  FROM est e LEFT JOIN exact x USING (id_a, id_b))
+         |SELECT match_cnt, cast(count(*) AS bigint) AS n_pairs,
+         |       round(cast(sum(est_ppm) AS double) / count(*) / 1000000.0, 6) AS mean_est,
+         |       round(cast(sum(exact_ppm) AS double) / count(*) / 1000000.0, 6) AS mean_exact,
+         |       round(cast(sum(abs(est_ppm - exact_ppm)) AS double) / count(*) / 1000000.0, 6)
+         |         AS mean_abs_err
+         |FROM joined GROUP BY match_cnt ORDER BY match_cnt""".stripMargin) { (s, dir) =>
+      graft.operators.MinHashCalibration.errorByEstimate(t(s, dir, "documents"),
+        n = 3, bands = 8, rowsPerBand = 4, oracleHashes = true)
+    },
+
     // Sequence packing: shard-parallel token-budget bin assignment
     // (CorpusPacking), rolled up per bin. The oracle replays the modulo
     // sharding, per-shard cumulative sum and floor-division binning.

@@ -229,6 +229,86 @@ object Windows {
           sum(col("t3") - col("t2")).as("sum_gap23_us"))
     },
 
+    // X176 capped sessionization: 24h-gap sessions additionally split
+    // every 48h from the session start (max-duration policy). The cap
+    // slices relative to the gap-session start, so it stays a pure
+    // window expression — one user shuffle, replayable anywhere.
+    Q("q_sessionize_capped",
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 86400000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessions AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged
+        |), capped AS (
+        |  SELECT user_id, ts, value, session_seq,
+        |         (epoch_ms(ts) - min(epoch_ms(ts)) OVER (PARTITION BY user_id, session_seq))
+        |           // 172800000 AS session_sub
+        |  FROM sessions
+        |)
+        |SELECT user_id, cast(session_seq AS bigint) AS session_seq,
+        |       cast(session_sub AS bigint) AS session_sub,
+        |       count(*) AS n_events,
+        |       cast(min(epoch_ms(ts)) AS bigint) AS start_ms,
+        |       cast(max(epoch_ms(ts)) AS bigint) AS end_ms
+        |FROM capped GROUP BY user_id, session_seq, session_sub
+        |ORDER BY user_id, session_seq, session_sub""".stripMargin) { (s, dir) =>
+      Sessionize.sessionizeCapped(t(s, dir, "events"), "user_id", "ts",
+          gapSeconds = 86400, capSeconds = 172800)
+        .groupBy(col("user_id"), col("session_seq"), col("session_sub"))
+        .agg(count(lit(1)).as("n_events"),
+          unix_millis(min(col("ts"))).as("start_ms"),
+          unix_millis(max(col("ts"))).as("end_ms"))
+        .orderBy(col("user_id"), col("session_seq"), col("session_sub"))
+    },
+
+    // X177 funnel-outcome significance: two-proportion z-test of the
+    // view→click conversion rate between even/odd user cohorts — exact
+    // counts, one fixed float expression for z, so the verdict (and
+    // its 1.96 boundary) hash-replays. The outcome check beside
+    // q_ab_srm's split check.
+    Q("q_ab_funnel_z",
+      """WITH e AS (SELECT user_id, event_type, cast(epoch_us(ts) AS bigint) AS us
+        |           FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT s1.user_id, s1.t1, min(e.us) AS t2
+        |       FROM s1 LEFT JOIN e ON e.user_id = s1.user_id
+        |         AND e.event_type = 'click' AND e.us > s1.t1
+        |       GROUP BY 1, 2),
+        |g AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS grp,
+        |             cast(count(*) AS bigint) AS n,
+        |             cast(count(t2) AS bigint) AS c
+        |      FROM s2 GROUP BY 1),
+        |a AS (SELECT n AS n_a, c AS c_a FROM g WHERE grp = 'even'),
+        |b AS (SELECT n AS n_b, c AS c_b FROM g WHERE grp = 'odd'),
+        |z AS (SELECT n_a, c_a, n_b, c_b,
+        |             c_a / cast(n_a AS double) AS p1,
+        |             c_b / cast(n_b AS double) AS p2,
+        |             (c_a + c_b) / cast(n_a + n_b AS double) AS pp
+        |      FROM a CROSS JOIN b)
+        |SELECT 'even' AS group_a, n_a, c_a, round(p1, 6) AS p_a,
+        |       'odd' AS group_b, n_b, c_b, round(p2, 6) AS p_b,
+        |       round(CASE WHEN pp * (1 - pp) = 0 THEN 0.0
+        |                  ELSE (p1 - p2) / sqrt(pp * (1 - pp)
+        |                         * (1.0 / n_a + 1.0 / n_b)) END, 6) AS z,
+        |       CASE WHEN pp * (1 - pp) = 0 THEN false
+        |            ELSE abs((p1 - p2) / sqrt(pp * (1 - pp)
+        |                       * (1.0 / n_a + 1.0 / n_b))) > 1.96 END AS significant
+        |FROM z""".stripMargin) { (s, dir) =>
+      val perUser = graft.operators.Funnel.conversion(t(s, dir, "events"),
+        stages = Seq("view", "click"))
+      val counts = perUser
+        .groupBy(when(pmod(col("user"), lit(2)) === 0, "even").otherwise("odd").as("grp"))
+        .agg(count(lit(1)).as("n"), count(col("t2")).as("c"))
+      graft.operators.ProportionTest.twoProportionZ(counts, "grp", "n", "c")
+    },
+
     // Rolling z-score anomaly flags over hourly ingest-volume buckets:
     // per-bucket totals are exact scaled longs, the trailing-24h
     // moments are integer sums over a ROWS frame, and the flag derives

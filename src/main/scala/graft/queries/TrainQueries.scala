@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ml.{BaselineRateModel, RandomUnderSampler, Trainers}
+import graft.ml.{BaselineRateModel, LogisticGD, RandomUnderSampler, Trainers}
 import graft.operators.{Calibration, Conformal, PsiDrift, FeatureHasher, TargetEncoder}
 import org.apache.spark.ml.classification.RandomForestClassificationModel
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -428,6 +428,65 @@ object TrainQueries {
           sum(col("id")).as("id_sum"),
           expr("bit_xor(id)").as("id_xor"))
         .orderBy(col("slice"))
+    },
+
+    // X178 deterministic logistic regression: 3 full-batch GD
+    // iterations, per-row gradient/loss terms floored onto a 1e-6 grid
+    // so every aggregate is an exact long sum and the whole weight
+    // trajectory hash-replays — the fully-auditable trainer beside the
+    // seeded-but-unreplayable forest fits. The oracle unrolls the
+    // identical iterations symbolically through CTEs.
+    Q("q_ml_logistic_gd", {
+      val gradAggs =
+        """count(*) AS n,
+          |    sum(CASE WHEN (CASE WHEN p > 0.5 THEN 1 ELSE 0 END) = CAST(y AS INT)
+          |             THEN 1 ELSE 0 END) AS ok,
+          |    sum(CAST(floor((-(y * ln(least(greatest(p, 0.000000000001), 0.999999999999))
+          |          + (1.0 - y) * ln(1.0 - least(greatest(p, 0.000000000001), 0.999999999999))))
+          |        * 1000000.0) AS BIGINT)) AS lloss,
+          |    sum(CAST(floor((p - y) * 1000000.0) AS BIGINT)) AS g0,
+          |    sum(CAST(floor((p - y) * x1 * 1000000.0) AS BIGINT)) AS g1,
+          |    sum(CAST(floor((p - y) * x2 * 1000000.0) AS BIGINT)) AS g2""".stripMargin
+      val iters = (1 to 3).map { i =>
+        val prev = s"w${i - 1}"
+        s"""p$i AS (SELECT f.y, f.x1, f.x2,
+           |          1.0 / (1.0 + exp(-($prev.b + $prev.w1 * x1 + $prev.w2 * x2))) AS p
+           |        FROM f CROSS JOIN $prev),
+           |g$i AS (SELECT $gradAggs
+           |  FROM p$i),
+           |w$i AS (SELECT g$i.n, g$i.ok, g$i.lloss,
+           |          $prev.b - 2.0 * (cast(g0 AS double) / 1000000.0 / g$i.n) AS b,
+           |          $prev.w1 - 2.0 * (cast(g1 AS double) / 1000000.0 / g$i.n) AS w1,
+           |          $prev.w2 - 2.0 * (cast(g2 AS double) / 1000000.0 / g$i.n) AS w2
+           |        FROM g$i CROSS JOIN $prev)""".stripMargin
+      }.mkString(",\n        |")
+      val rows = (1 to 3).map { i =>
+        s"""SELECT $i AS iter, round(b, 6) AS b, round(w1, 6) AS w_x1,
+           |       round(w2, 6) AS w_x2, cast(n AS bigint) AS n,
+           |       cast(ok AS bigint) AS n_correct,
+           |       round(cast(lloss AS double) / 1000000.0 / n, 6) AS mean_loss
+           |FROM w$i""".stripMargin
+      }.mkString("\n        |UNION ALL\n        |")
+      s"""WITH li AS (SELECT l_orderkey, count(*) AS n_items, sum(l_quantity) AS sum_qty
+         |            FROM lineitem GROUP BY 1),
+         |f AS (SELECT CASE WHEN sum_qty > 120 THEN 1.0 ELSE 0.0 END AS y,
+         |             n_items / 10.0 AS x1, o_totalprice / 500000.0 AS x2
+         |      FROM orders JOIN li ON o_orderkey = l_orderkey),
+         |w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2),
+         |$iters
+         |$rows
+         |ORDER BY iter""".stripMargin
+    }) { (s, dir) =>
+      val li = t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+      val f = t(s, dir, "orders")
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(when(col("sum_qty") > 120, 1.0).otherwise(0.0).as("y"),
+          (col("n_items") / 10.0).as("x1"),
+          (col("o_totalprice") / 500000.0).as("x2"))
+        .persist()
+      try LogisticGD.fit(f, "y", Seq("x1", "x2"), lr = 2.0, iterations = 3)
+      finally f.unpersist()
     },
 
     // X138 leakage-safe categorical encoding: smoothed out-of-fold label

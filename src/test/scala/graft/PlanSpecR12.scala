@@ -36,6 +36,41 @@ class PlanSpecR12 extends SparkSpec {
       "bucket offsets must broadcast back onto the corpus:\n" + p)
   }
 
+  test("retract: the extremum recompute reads only danger keys (semi join present)") {
+    val p = plan("q_agg_incremental_retract")
+    assert(p.contains("LeftSemi"),
+      "remaining rows must be restricted to extremum-touching keys:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("link prediction: wedges come from equi-joins, never a cross product") {
+    val p = plan("q_graph_link_prediction")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate pairs must be wedge equi-joins:\n" + p)
+    assert(p.contains("LeftAnti"), "existing edges must leave via an anti-join:\n" + p)
+  }
+
+  test("ACF: every lag window is key-partitioned; one aggregate carries all lags") {
+    val df = SparkEntry.queries("q_events_acf")(spark, TestSpark.sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    val bad = p.linesIterator.filter(_.contains("windowspecdefinition("))
+      .filterNot(_.contains("_k"))
+    assert(bad.isEmpty, "unpartitioned lag window:\n" + bad.mkString("\n"))
+  }
+
+  test("capped sessions: both windows ride the user partitioning — one shuffle") {
+    val df = SparkEntry.queries("q_sessionize_capped")(spark, TestSpark.sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    val bad = p.linesIterator.filter(_.contains("windowspecdefinition("))
+      .filterNot(_.contains("user_id"))
+    assert(bad.isEmpty, "window not partitioned by user:\n" + bad.mkString("\n"))
+  }
+
+  test("manifest audit: one aggregate per layout, no joins") {
+    val p = plan("q_diag_manifest_prune")
+    assert(!p.contains("Join"), "the audit is a pure rollup:\n" + p)
+  }
+
   test("IVF label audit: no broadcast of the corpus-sized probe frame") {
     val df = SparkEntry.queries("q_ml_label_agreement_ivf")(spark, TestSpark.sf0001)
     val analyzed = df.queryExecution.optimizedPlan.toString

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Sessionize, TopK}
+import graft.operators.{AsOfJoin, CountMinSketch, Sessionize, TopK}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -590,6 +590,25 @@ object Windows {
           (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"),
           round(col("click_value"), 6).as("click_value"))
         .orderBy(col("purchase_id"))
+    },
+
+    // X179 streaming Count-Min Sketch: the X64 cells built as a
+    // STREAMING aggregation (stateless cell explode → stateful
+    // grouped count, AvailableNow, complete-mode memory sink) — the
+    // incremental-sketch-maintenance shape, and the oracle is the
+    // batch rebuild: hash equality proves stream-maintained ≡ rebuilt.
+    Q("q_stream_cms",
+      """WITH js AS (SELECT unnest([0, 1, 2]) AS j),
+        |cells AS (SELECT user_id, j,
+        |                 ('0x' || substr(md5(j || ':' || user_id), 1, 15))::BIGINT % 256 AS bucket
+        |          FROM events CROSS JOIN js)
+        |SELECT j, cast(bucket AS bigint) AS bucket, count(*) AS cnt
+        |FROM cells GROUP BY 1, 2
+        |ORDER BY j, bucket""".stripMargin) { (s, dir) =>
+      val (src, staged) = stagedEventsStream(s, dir)
+      val cells = CountMinSketch.build(src, "user_id", depth = 3, width = 256)
+      runToMemorySink(s, cells, sinkName("stream_cms_", dir), staged = staged :: Nil)
+        .orderBy(col("j"), col("bucket"))
     },
 
     // X173 native keyed interval-containment join: every click joined

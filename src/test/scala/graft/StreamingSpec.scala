@@ -39,6 +39,29 @@ class StreamingSpec extends SparkSpec {
       (2L, "2024-01-01 00:00:00.0", 1L)))
   }
 
+  test("streaming CMS cells equal the batch rebuild, incl. across batches") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = (1 to 40).map(i => Event(i.toLong % 7, i.toLong, ts("2024-01-01 00:01:00")))
+    val mem = MemoryStream[Event]
+    mem.addData(rows.take(20): _*) // two arrival batches: the sketch must
+    val cms = graft.operators.CountMinSketch.build(mem.toDF(), "user_id",
+      depth = 3, width = 64)
+    val q = cms.writeStream.format("memory").queryName("cms_t")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      mem.addData(rows.drop(20): _*) // ...fold the second batch in
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("cms_t").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = graft.operators.CountMinSketch.build(rows.toDF(), "user_id",
+        depth = 3, width = 64).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch, "stream-maintained sketch == batch rebuild")
+  }
+
   test("session_window groups events within the gap") {
     val s = spark; import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Theil–Sen robust regression: slope = the MEDIAN of all pairwise
+  * slopes, intercept = the median residual at that slope — the
+  * outlier-immune trend fit (29% breakdown point) that OLS cannot give
+  * you: one corrupted telemetry spike moves a least-squares line, but
+  * not the median of slopes. The robust-stats sibling of
+  * [[RobustOutliers]] (MAD flags points; this fits THROUGH them).
+  *
+  * The estimator is inherently pairwise, so the SCALE KNOB is the
+  * caller's deterministic row sample (hash-pick ~10³ rows → ~10⁶
+  * pairs): the pair join runs over the BOUNDED sample only — s² pairs
+  * by construction, the corpus never self-joins. Both medians are
+  * exact lower-median order statistics (k-th smallest via
+  * TakeOrdered + max — swap in [[Conformal]]'s quantile-bracket
+  * search when the sample itself is huge), so the whole fit
+  * hash-replays: pair set, slopes, medians, intercept.
+  */
+object TheilSen {
+
+  /** Single-row fit over a PRE-SAMPLED frame: (n_sample, n_pairs,
+    * slope r6, intercept r6). Pairs are ordered by `idCol` (each
+    * unordered pair once); vertical pairs (equal x) contribute no
+    * slope. Requires at least one slope-defining pair.
+    */
+  def fit(sample: DataFrame, idCol: String, xCol: String, yCol: String): DataFrame = {
+    val spark = sample.sparkSession
+    import spark.implicits._
+    val base = sample.select(col(idCol).as("_id"),
+      col(xCol).cast("double").as("_x"), col(yCol).cast("double").as("_y"))
+      .persist()
+    val nSample = base.count()
+    val a = base.select(col("_id").as("_ia"), col("_x").as("_xa"), col("_y").as("_ya"))
+    val b = base.select(col("_id").as("_ib"), col("_x").as("_xb"), col("_y").as("_yb"))
+    val slopes = a.join(b, col("_ia") < col("_ib") && col("_xa") =!= col("_xb"))
+      .select(((col("_yb") - col("_ya")) / (col("_xb") - col("_xa"))).as("_s"))
+      .persist()
+    val nPairs = slopes.count()
+    require(nPairs > 0, "TheilSen.fit: no slope-defining pairs (all x equal?)")
+    def lowerMedian(df: DataFrame, c: String, n: Long): Double = {
+      val k = ((n + 1) / 2).toInt
+      df.orderBy(col(c).asc).limit(k).agg(max(col(c))).head().getDouble(0)
+    }
+    val slope = lowerMedian(slopes, "_s", nPairs)
+    slopes.unpersist()
+    val resid = base.select((col("_y") - lit(slope) * col("_x")).as("_r"))
+    val intercept = lowerMedian(resid, "_r", nSample)
+    base.unpersist()
+    val r6 = (x: Double) => math.rint(x * 1e6) / 1e6
+    Seq((nSample, nPairs, r6(slope), r6(intercept)))
+      .toDF("n_sample", "n_pairs", "slope", "intercept")
+  }
+}

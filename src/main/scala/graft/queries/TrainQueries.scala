@@ -489,6 +489,41 @@ object TrainQueries {
       finally f.unpersist()
     },
 
+    // X180 Theil–Sen robust slope: median pairwise slope of
+    // (n_items → sum_qty) over a deterministic 1/50 order sample —
+    // outlier-immune trend fit, both medians exact lower-median order
+    // statistics, everything hash-replayed (pair set, slopes, medians).
+    Q("q_ml_theilsen",
+      """WITH li AS (SELECT l_orderkey, count(*) AS n_items, sum(l_quantity) AS sum_qty
+        |            FROM lineitem GROUP BY 1),
+        |f AS (SELECT o_orderkey AS id, cast(n_items AS double) AS x,
+        |             cast(sum_qty AS double) AS y
+        |      FROM orders JOIN li ON o_orderkey = l_orderkey
+        |      WHERE o_orderkey % 50 = 3),
+        |n AS (SELECT count(*) AS ns FROM f),
+        |p AS (SELECT (b.y - a.y) / (b.x - a.x) AS s
+        |      FROM f a JOIN f b ON a.id < b.id AND a.x != b.x),
+        |np AS (SELECT count(*) AS m FROM p),
+        |med AS (SELECT s AS slope FROM
+        |          (SELECT s, row_number() OVER (ORDER BY s) AS rn FROM p), np
+        |        WHERE rn = (np.m + 1) // 2),
+        |r AS (SELECT y - med.slope * x AS r FROM f CROSS JOIN med),
+        |medr AS (SELECT r AS intercept FROM
+        |           (SELECT r, row_number() OVER (ORDER BY r) AS rn FROM r), n
+        |         WHERE rn = (n.ns + 1) // 2)
+        |SELECT cast(n.ns AS bigint) AS n_sample, cast(np.m AS bigint) AS n_pairs,
+        |       round(med.slope, 6) AS slope, round(medr.intercept, 6) AS intercept
+        |FROM n, np, med, medr""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+      val sample = t(s, dir, "orders")
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .filter(pmod(col("o_orderkey"), lit(50)) === 3)
+        .select(col("o_orderkey").as("id"), col("n_items").as("x"),
+          col("sum_qty").as("y"))
+      graft.operators.TheilSen.fit(sample, "id", "x", "y")
+    },
+
     // X138 leakage-safe categorical encoding: smoothed out-of-fold label
     // mean per (priority, fold). Folds are the overflow-safe Knuth hash
     // of the order key (replayable on any engine); every sum is an

@@ -37,7 +37,10 @@ object Autocorrelation {
     require(maxLag >= 1, s"acf: maxLag=$maxLag must be >= 1")
     val spark = events.sparkSession
     import spark.implicits._
-    val w = Window.partitionBy(col("_k")).orderBy(col("_us"))
+    // secondary sort on the (centi-long) value: duplicate (key, ts) rows
+    // would otherwise pair engine-/partition-order-dependently, breaking
+    // the hash-replay claim — the oracle window shares this tie-break
+    val w = Window.partitionBy(col("_k")).orderBy(col("_us"), col("_v"))
     val base = events.select(col(keyCol).as("_k"),
       unix_micros(col(tsCol)).as("_us"),
       round(col(valueCol) * 100).cast("long").as("_v"))

@@ -69,7 +69,7 @@ object Conformal {
     * TakeOrdered over only the bracket slice. One sketch pass + one
     * count aggregate + one bracket fetch per distinct rank.
     */
-  private def orderStatistics(vals: DataFrame, c: String, n: Long,
+  private[operators] def orderStatistics(vals: DataFrame, c: String, n: Long,
       ranks: Seq[Long]): Map[Long, Double] = {
     if (ranks.isEmpty) return Map.empty
     val eps = 1e-4
@@ -92,9 +92,17 @@ object Conformal {
         val nBelow = belowRow.getLong(i)
         val r = (k - nBelow).toInt // rank of the target inside the bracket
         require(r >= 1, s"order statistic bracket miss for rank $k (below=$nBelow)")
-        val v = vals.filter(col(c) >= lo && col(c) <= hi)
-          .orderBy(col(c).asc).limit(r).agg(max(col(c))).head().getDouble(0)
-        k -> v
+        // guard BOTH bracket sides: count inside the limit(r) slice — if
+        // the upper bound fell below the true k-th value the slice holds
+        // fewer than r rows, and agg(max) would silently return the
+        // bracket maximum instead of the k-th order statistic
+        val row = vals.filter(col(c) >= lo && col(c) <= hi)
+          .orderBy(col(c).asc).limit(r)
+          .agg(max(col(c)), count(lit(1))).head()
+        require(row.getLong(1) == r,
+          s"order statistic bracket miss for rank $k: bracket [$lo,$hi] holds " +
+            s"${row.getLong(1)} rows above $nBelow, need $r")
+        k -> row.getDouble(0)
       }
     }.toMap
   }

@@ -31,32 +31,36 @@ object Modularity {
   def score(edges: DataFrame, labels: DataFrame): DataFrame = {
     val twoM = edges.count()
     val l = labels.select(col("node"), col("lbl"))
-    // Contract: labels must cover every edge endpoint — e_in and d_sum
-    // inner-join the label table while 2m counts ALL edges, so an
-    // unlabeled endpoint would silently deflate the numerators only.
-    // True by construction for LabelPropagation output (it labels every
-    // node of the edge list); enforced here for arbitrary callers with
-    // one cheap early-out anti-join probe per endpoint column.
-    val endpoints = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node")))
-    val uncovered = endpoints.join(l, Seq("node"), "left_anti").limit(1).collect()
-    require(uncovered.isEmpty,
-      s"Modularity.score: edge endpoint '${uncovered.headOption.map(_.get(0)).orNull}' " +
-        "has no label — labels must cover every edge endpoint (2m counts all edges)")
     val byDst = l.select(col("node").as("dst"), col("lbl").as("dst_lbl"))
     val bySrc = l.select(col("node").as("src"), col("lbl").as("src_lbl"))
-    // directed intra-community edge count per community
-    val eIn = edges.join(bySrc, "src").join(byDst, "dst")
-      .filter(col("src_lbl") === col("dst_lbl"))
-      .groupBy(col("src_lbl").as("community")).agg(count(lit(1)).as("e_in"))
-    // directed degree sum per community (= sum of out-degrees here)
-    val dSum = edges.join(bySrc, "src")
-      .groupBy(col("src_lbl").as("community")).agg(count(lit(1)).as("d_sum"))
+    // ONE pass over the labeled edge list yields e_in (intra-community
+    // edges), d_sum (out-degree sum) AND the coverage guard together:
+    // both label joins are LEFT joins, a null label on either endpoint
+    // rides the same map-side-combined aggregate as an `uncovered`
+    // count per src-community. Contract: labels must cover every edge
+    // endpoint — e_in/d_sum count labeled edges while 2m counts ALL
+    // edges, so an unlabeled endpoint would silently deflate the
+    // numerators only. True by construction for LabelPropagation
+    // output; enforced for arbitrary callers on the tiny per-community
+    // aggregate below — no separate anti-join job.
+    val perCommunity = edges
+      .join(bySrc, Seq("src"), "left").join(byDst, Seq("dst"), "left")
+      .groupBy(col("src_lbl").as("community"))
+      .agg(
+        count(when(col("src_lbl") === col("dst_lbl"), 1)).as("e_in"),
+        count(col("src_lbl")).as("d_sum"),
+        count(when(col("src_lbl").isNull || col("dst_lbl").isNull, 1))
+          .as("_uncovered"))
+      .persist()
+    val guard = perCommunity.agg(sum(col("_uncovered"))).head()
+    require(guard.isNullAt(0) || guard.getLong(0) == 0L,
+      s"Modularity.score: ${if (guard.isNullAt(0)) 0L else guard.getLong(0)} edge " +
+        "endpoints have no label — labels must cover every edge endpoint " +
+        "(2m counts all edges)")
     val sizes = l.groupBy(col("lbl").as("community")).agg(count(lit(1)).as("n_nodes"))
     val w = Window.partitionBy(lit(1))
     sizes
-      .join(dSum, Seq("community"), "left")
-      .join(eIn, Seq("community"), "left")
+      .join(perCommunity.drop("_uncovered"), Seq("community"), "left")
       .na.fill(0L, Seq("e_in", "d_sum"))
       .withColumn("q_contrib",
         (col("e_in").cast("decimal(38,0)") * twoM -

@@ -34,15 +34,21 @@ object QualityEnsemble {
     */
   def percentileBlend(df: DataFrame, idCol: String, signals: Seq[String]): DataFrame = {
     require(signals.nonEmpty)
-    val base = df.select(col(idCol) +: signals.map(col): _*)
+    val base = df.select(col(idCol) +: signals.map(col): _*).persist()
     val n = base.count()
     val nBuckets = 64
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    val withPr = signals.foldLeft(base) { (acc, sig) =>
-      // boundaries from a quantile sketch; ANY boundary set is correct
-      // (it only balances buckets): ranks compose from exact counts
-      val bounds = acc.select(col(sig).cast("double").as("_v"))
+    // ALL boundary sketches run on the persisted base — sketching the
+    // accumulating fold frame would recompute every previous signal's
+    // bucketing join once per signal (quadratic in |signals| passes).
+    // ANY boundary set is correct (it only balances buckets): ranks
+    // compose from exact counts.
+    val allBounds = signals.map { sig =>
+      sig -> base.select(col(sig).cast("double").as("_v"))
         .stat.approxQuantile("_v", probs, 0.01).distinct.sorted
+    }.toMap
+    val withPr = signals.foldLeft(base.toDF()) { (acc, sig) =>
+      val bounds = allBounds(sig)
       // strictly-below count ⇒ equal values share a bucket, and a
       // lower bucket index implies a strictly smaller value
       val bucket = if (bounds.isEmpty) lit(0)

@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   * caller's deterministic row sample (hash-pick ~10³ rows → ~10⁶
   * pairs): the pair join runs over the BOUNDED sample only — s² pairs
   * by construction, the corpus never self-joins. Both medians are
-  * exact lower-median order statistics (k-th smallest via
-  * TakeOrdered + max — swap in [[Conformal]]'s quantile-bracket
-  * search when the sample itself is huge), so the whole fit
+  * exact lower-median order statistics found with [[Conformal]]'s
+  * distributed quantile-bracket search — no TakeOrdered whose k
+  * scales with the pair count ever runs, so the fit stays safe even
+  * when the pair frame itself is huge — and the whole fit
   * hash-replays: pair set, slopes, medians, intercept.
   */
 object TheilSen {
@@ -41,8 +42,8 @@ object TheilSen {
     val nPairs = slopes.count()
     require(nPairs > 0, "TheilSen.fit: no slope-defining pairs (all x equal?)")
     def lowerMedian(df: DataFrame, c: String, n: Long): Double = {
-      val k = ((n + 1) / 2).toInt
-      df.orderBy(col(c).asc).limit(k).agg(max(col(c))).head().getDouble(0)
+      val k = (n + 1) / 2
+      Conformal.orderStatistics(df, c, n, Seq(k))(k)
     }
     val slope = lowerMedian(slopes, "_s", nPairs)
     slopes.unpersist()

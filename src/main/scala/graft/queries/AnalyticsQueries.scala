@@ -982,8 +982,8 @@ object AnalyticsQueries {
     Q("q_events_ohlc",
       """WITH s AS (SELECT user_id, epoch_us(ts) AS us, value AS v FROM events)
         |SELECT user_id, cast(us // 604800000000 AS bigint) AS bucket,
-        |       arg_min(v, us) AS open, max(v) AS high, min(v) AS low,
-        |       arg_max(v, us) AS close,
+        |       min({'us': us, 'v': v}).v AS open, max(v) AS high, min(v) AS low,
+        |       max({'us': us, 'v': v}).v AS close,
         |       cast(count(*) AS bigint) AS n,
         |       cast(sum(CAST(round(v * 100) AS BIGINT)) AS double) / 100.0 AS v_sum
         |FROM s GROUP BY 1, 2 ORDER BY user_id, bucket""".stripMargin) { (s, dir) =>
@@ -1062,7 +1062,7 @@ object AnalyticsQueries {
       s"""WITH e AS (SELECT user_id AS k, epoch_us(ts) AS us,
          |                  CAST(round(value * 100) AS BIGINT) AS v FROM events),
          |l AS (SELECT k, us, v, $lagCols
-         |      FROM e WINDOW w AS (PARTITION BY k ORDER BY us)),
+         |      FROM e WINDOW w AS (PARTITION BY k ORDER BY us, v)),
          |m AS (SELECT
          |  $momentCols
          |FROM l)

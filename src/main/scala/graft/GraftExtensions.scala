@@ -66,6 +66,12 @@ object GraftExtensions {
     // ... and the native keyed interval-containment join, same ladder.
     ext.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushFiltersThroughIntervalJoin)
+    // SQL front door for both native joins: TVFs plant unresolved
+    // placeholders; the resolution rule rewrites them into the real
+    // nodes once their inputs resolve (graft.plans.SqlFrontDoor).
+    ext.injectTableFunction(graft.plans.SqlFrontDoor.asOfTvf)
+    ext.injectTableFunction(graft.plans.SqlFrontDoor.intervalTvf)
+    ext.injectResolutionRule(_ => graft.plans.ResolveGraftJoins)
     ext.injectFunction(fn("graft_dot", 2, "graft_dot(array<double>, array<double>)") {
       ch => graft.expressions.DotProduct(
         Cast(ch(0), ArrayType(DoubleType)), Cast(ch(1), ArrayType(DoubleType)))

@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
   Alias, Ascending, Attribute, GenericInternalRow, JoinedRow, PredicateHelper,
   RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -20,10 +21,14 @@ import org.apache.spark.sql.graftbridge.Bridge
   * Semantics (identical to the compositional
   * [[graft.operators.AsOfJoin]], asserted row-for-row in
   * `NativeAsOfJoinSpec`): for each left row, the LATEST right row of the
-  * same key with `rightTime <= leftTime`; ties at equal time match; a
-  * left row with no earlier right row gets null payload columns (left
-  * outer). SQL-null semantics throughout: a null key or time on either
-  * side never matches anything.
+  * same key with `rightTime <= leftTime`; ties at equal time match.
+  * `joinType` picks what happens to a left row with no earlier right
+  * row: [[LeftOuter]] (the default — DuckDB's `ASOF LEFT JOIN`, and the
+  * reference's own left-outer-then-filter match pipeline,
+  * src/preprocess.py:450-461) keeps it with null payload columns;
+  * [[Inner]] (DuckDB's plain `ASOF JOIN`) drops it. SQL-null semantics
+  * throughout: a null key or time on either side never matches
+  * anything (and under Inner such left rows are dropped too).
   *
   * 100 TB design: `requiredChildDistribution` clusters each side on its
   * key and `requiredChildOrdering` asks for (key, time) — so Catalyst's
@@ -44,10 +49,14 @@ case class AsOfJoinNode(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, rightKey: Attribute,
     leftTime: Attribute, rightTime: Attribute,
-    payload: Seq[Attribute]) extends BinaryNode {
+    payload: Seq[Attribute],
+    joinType: JoinType = LeftOuter) extends BinaryNode {
+  require(joinType == LeftOuter || joinType == Inner,
+    s"AsOfJoinNode: joinType must be LEFT OUTER or INNER, got $joinType")
 
   override def output: Seq[Attribute] =
-    left.output ++ payload.map(_.withNullability(true))
+    if (joinType == LeftOuter) left.output ++ payload.map(_.withNullability(true))
+    else left.output ++ payload
 
   override def maxRows: Option[Long] = left.maxRows
 
@@ -59,8 +68,8 @@ case class AsOfJoinNode(
 /** Plans [[AsOfJoinNode]] as [[AsOfJoinExec]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt, p) =>
-      AsOfJoinExec(lk, rk, lt, rt, p, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, p, jt) =>
+      AsOfJoinExec(lk, rk, lt, rt, p, jt, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -93,11 +102,12 @@ object PushLeftFiltersThroughAsOf extends Rule[LogicalPlan] with PredicateHelper
 case class AsOfJoinExec(
     leftKey: Attribute, rightKey: Attribute,
     leftTime: Attribute, rightTime: Attribute,
-    payload: Seq[Attribute],
+    payload: Seq[Attribute], joinType: JoinType,
     left: SparkPlan, right: SparkPlan) extends SparkPlan with BinaryExecNode {
 
   override def output: Seq[Attribute] =
-    left.output ++ payload.map(_.withNullability(true))
+    if (joinType == LeftOuter) left.output ++ payload.map(_.withNullability(true))
+    else left.output ++ payload
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
@@ -118,6 +128,7 @@ case class AsOfJoinExec(
     val leftOut = left.output
     val rightOut = right.output
     val outAttrs = output
+    val inner = joinType == Inner
     val (lk, rk, lt, rt, pay) = (leftKey, rightKey, leftTime, rightTime, payload)
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(Seq(lk), leftOut)
@@ -125,9 +136,9 @@ case class AsOfJoinExec(
       val lTimeProj = UnsafeProjection.create(Seq(lt), leftOut)
       val rTimeProj = UnsafeProjection.create(Seq(rt), rightOut)
       val payloadProj = UnsafeProjection.create(pay, rightOut)
-      // Bind against NULLABLE payload attrs: unmatched left rows read the
-      // all-null payload row, so the bound reference must null-check even
-      // when the right column itself is non-nullable.
+      // Bind against NULLABLE payload attrs: unmatched OUTER left rows
+      // read the all-null payload row, so the bound reference must
+      // null-check even when the right column itself is non-nullable.
       val resultProj =
         UnsafeProjection.create(outAttrs, leftOut ++ pay.map(_.withNullability(true)))
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lk.dataType))
@@ -140,12 +151,13 @@ case class AsOfJoinExec(
       // right cursor only ever moves forward.
       var lastKey: UnsafeRow = null
       var lastVal: UnsafeRow = null
-      lIter.map { lRow =>
+      lIter.flatMap { lRow =>
         val lKeyRow = lKeyProj(lRow)
         val lTimeRow = lTimeProj(lRow)
         if (lKeyRow.isNullAt(0) || lTimeRow.isNullAt(0)) {
           // SQL semantics: null never equals / never compares — no match.
-          resultProj(joined(lRow, nullPayload))
+          if (inner) Iterator.empty
+          else Iterator.single(resultProj(joined(lRow, nullPayload)))
         } else {
           var done = false
           while (!done && rBuf.hasNext) {
@@ -167,7 +179,9 @@ case class AsOfJoinExec(
             }
           }
           val matched = lastKey != null && keyOrd.compare(lastKey, lKeyRow) == 0
-          resultProj(joined(lRow, if (matched) lastVal else nullPayload))
+          if (matched) Iterator.single(resultProj(joined(lRow, lastVal)))
+          else if (inner) Iterator.empty
+          else Iterator.single(resultProj(joined(lRow, nullPayload)))
         }
       }
     }
@@ -187,13 +201,24 @@ object NativeAsOfJoin {
     * columns. Payload names must not collide with left column names.
     */
   def asOf(left: DataFrame, right: DataFrame, key: String,
-      leftTime: String, rightTime: String, payloadCols: Seq[String]): DataFrame = {
-    val clash = payloadCols.filter(left.columns.contains)
+      leftTime: String, rightTime: String, payloadCols: Seq[String],
+      joinType: JoinType = LeftOuter): DataFrame = {
+    val node = buildNode(left.queryExecution.analyzed, right.queryExecution.analyzed,
+      key, leftTime, rightTime, payloadCols, joinType)
+    Bridge.ofRows(left.sparkSession, node)
+  }
+
+  /** Resolve names → attributes and assemble the logical node; shared by
+    * the DataFrame front door above and the SQL TVF resolution rule
+    * ([[ResolveGraftJoins]]). Both child plans must be analyzed.
+    */
+  private[plans] def buildNode(lPlan: LogicalPlan, rAnalyzed: LogicalPlan,
+      key: String, leftTime: String, rightTime: String,
+      payloadCols: Seq[String], joinType: JoinType): AsOfJoinNode = {
+    val clash = payloadCols.filter(n => lPlan.output.exists(_.name == n))
     require(clash.isEmpty,
       s"asOf: payload columns ${clash.mkString(", ")} collide with left columns — " +
         "rename them on the right side before joining")
-    val lPlan = left.queryExecution.analyzed
-    val rAnalyzed = right.queryExecution.analyzed
     val needed = (Seq(key, rightTime) ++ payloadCols).distinct
     def rAttr(n: String): Attribute = rAnalyzed.output.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(s"asOf: right column $n not found"))
@@ -213,9 +238,8 @@ object NativeAsOfJoin {
     require(lTimeAttr.dataType == rTimeAttr.dataType,
       s"asOf: time dtype mismatch — left $leftTime is ${lTimeAttr.dataType.sql}, " +
         s"right $rightTime is ${rTimeAttr.dataType.sql}; cast one side before joining")
-    val node = AsOfJoinNode(lPlan, rPlan,
+    AsOfJoinNode(lPlan, rPlan,
       lKeyAttr, rKeyAttr, lTimeAttr, rTimeAttr,
-      payloadCols.map(pick(rPlan.output, _, "right")))
-    Bridge.ofRows(left.sparkSession, node)
+      payloadCols.map(pick(rPlan.output, _, "right")), joinType)
   }
 }

@@ -202,12 +202,22 @@ object NativeIntervalJoin {
   def contain(points: DataFrame, intervals: DataFrame, key: String,
       pointTime: String, startCol: String, endCol: String,
       payloadCols: Seq[String]): DataFrame = {
-    val clash = payloadCols.filter(points.columns.contains)
+    val node = buildNode(points.queryExecution.analyzed,
+      intervals.queryExecution.analyzed, key, pointTime, startCol, endCol, payloadCols)
+    Bridge.ofRows(points.sparkSession, node)
+  }
+
+  /** Resolve names → attributes and assemble the logical node; shared by
+    * the DataFrame front door above and the SQL TVF resolution rule
+    * ([[ResolveGraftJoins]]). Both child plans must be analyzed.
+    */
+  private[plans] def buildNode(lPlan: LogicalPlan, rAnalyzed: LogicalPlan,
+      key: String, pointTime: String, startCol: String, endCol: String,
+      payloadCols: Seq[String]): IntervalJoinNode = {
+    val clash = payloadCols.filter(n => lPlan.output.exists(_.name == n))
     require(clash.isEmpty,
       s"contain: payload columns ${clash.mkString(", ")} collide with point columns — " +
         "rename them on the interval side before joining")
-    val lPlan = points.queryExecution.analyzed
-    val rAnalyzed = intervals.queryExecution.analyzed
     val needed = (Seq(key, startCol, endCol) ++ payloadCols).distinct
     def rAttr(n: String): Attribute = rAnalyzed.output.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(s"contain: interval column $n not found"))
@@ -225,8 +235,7 @@ object NativeIntervalJoin {
       s"contain: time dtype mismatch — $pointTime is ${lTimeA.dataType.sql}, " +
         s"$startCol is ${rStartA.dataType.sql}, $endCol is ${rEndA.dataType.sql}; " +
         "cast to one type before joining")
-    val node = IntervalJoinNode(lPlan, rPlan, lKeyA, rKeyA, lTimeA, rStartA, rEndA,
+    IntervalJoinNode(lPlan, rPlan, lKeyA, rKeyA, lTimeA, rStartA, rEndA,
       payloadCols.map(pick(rPlan.output, _, "interval")))
-    Bridge.ofRows(points.sparkSession, node)
   }
 }

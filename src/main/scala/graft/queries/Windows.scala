@@ -646,6 +646,127 @@ object Windows {
         .orderBy(col("click_id"), col("window_id"))
     },
 
+    // X181 the native as-of join's LEFT OUTER mode made VISIBLE: the
+    // click side is thinned to event_id % 5 == 0, so purchases whose
+    // user has no earlier surviving click come back with NULL payload —
+    // the reference's own left-outer-then-filter match shape
+    // (src/preprocess.py:450-461). Oracle = DuckDB ASOF LEFT JOIN on
+    // the same thinned side; the null rows must agree exactly.
+    Q("q_join_asof_left",
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |       c.event_id AS click_id,
+        |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events
+        |                WHERE event_type = 'click' AND event_id % 5 = 0) c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click" && col("event_id") % 5 === 0)
+        .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      graft.plans.NativeAsOfJoin.asOf(purchases, clicks, key = "user_id",
+          leftTime = "ts", rightTime = "click_ts",
+          payloadCols = Seq("click_id", "click_ts"))
+        .select(col("purchase_id"), col("user_id"), col("click_id"),
+          (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+        .orderBy(col("purchase_id"))
+    },
+
+    // X181 the same thinned shape in INNER mode (joinType = Inner on
+    // the same AsOfJoinNode/Exec): unmatched purchases are DROPPED, so
+    // this row set is the left-outer one minus the null rows — DuckDB's
+    // plain ASOF JOIN is the oracle, a third independent check that the
+    // two modes differ exactly by the unmatched rows.
+    Q("q_join_asof_inner",
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |       c.event_id AS click_id,
+        |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events
+        |           WHERE event_type = 'click' AND event_id % 5 = 0) c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click" && col("event_id") % 5 === 0)
+        .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      graft.plans.NativeAsOfJoin.asOf(purchases, clicks, key = "user_id",
+          leftTime = "ts", rightTime = "click_ts",
+          payloadCols = Seq("click_id", "click_ts"),
+          joinType = org.apache.spark.sql.catalyst.plans.Inner)
+        .select(col("purchase_id"), col("user_id"), col("click_id"),
+          (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+        .orderBy(col("purchase_id"))
+    },
+
+    // X182 the native as-of join through the SQL FRONT DOOR: ONE SQL
+    // text — the graft_asof_join table-valued function (registered via
+    // injectTableFunction; an injected resolution rule rewrites the
+    // placeholder into AsOfJoinNode once the views resolve) — plans the
+    // same AsOfJoinExec a DataFrame user gets. SqlFrontDoorSpec pins
+    // the exec in the physical plan; the oracle is DuckDB's native
+    // ASOF LEFT JOIN, so SQL-surface and engine semantics are
+    // hash-locked.
+    Q("q_sql_asof_native",
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |       c.event_id AS click_id,
+        |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+        .createOrReplaceTempView("ga_purchases_v")
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+        .createOrReplaceTempView("ga_clicks_v")
+      s.sql(
+        """SELECT purchase_id, user_id, click_id,
+          |       unix_micros(ts) - unix_micros(click_ts) AS gap_us
+          |FROM graft_asof_join('ga_purchases_v', 'ga_clicks_v',
+          |                     'user_id', 'ts', 'click_ts', 'click_id,click_ts')
+          |ORDER BY purchase_id""".stripMargin)
+    },
+
+    // X182 the native interval join through the same SQL front door:
+    // graft_interval_join(...) → placeholder → IntervalJoinNode →
+    // streaming sort-merge exec, from one SQL text. Oracle = the plain
+    // range-predicate join (independent semantics).
+    Q("q_sql_interval_native",
+      """WITH w AS (SELECT user_id, event_id AS window_id,
+        |                  cast(epoch_us(ts) AS bigint) AS w_start,
+        |                  cast(epoch_us(ts) AS bigint)
+        |                    + CAST(round(value * 3600000000) AS BIGINT) AS w_end
+        |           FROM events WHERE event_type = 'signup'),
+        |p AS (SELECT user_id, event_id AS click_id, cast(epoch_us(ts) AS bigint) AS t
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.click_id, p.user_id, p.t, w.window_id,
+        |       cast(w.w_end - p.t AS bigint) AS remaining_us
+        |FROM p JOIN w ON p.user_id = w.user_id AND p.t BETWEEN w.w_start AND w.w_end
+        |ORDER BY click_id, window_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          unix_micros(col("ts")).as("t"))
+        .createOrReplaceTempView("gi_points_v")
+      ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("window_id"),
+          unix_micros(col("ts")).as("w_start"),
+          (unix_micros(col("ts")) +
+            round(col("value") * 3600000000L).cast("long")).as("w_end"))
+        .createOrReplaceTempView("gi_windows_v")
+      s.sql(
+        """SELECT click_id, user_id, t, window_id, w_end - t AS remaining_us
+          |FROM graft_interval_join('gi_points_v', 'gi_windows_v',
+          |                         'user_id', 't', 'w_start', 'w_end', 'window_id,w_end')
+          |ORDER BY click_id, window_id""".stripMargin)
+    },
+
     // Beyond the reference's window set (SURVEY §2.5 "not present"):
     // dense_rank, ntile, cume_dist, and a RANGE frame — all partitioned
     // by a high-cardinality key, so the same scale shape as W1-W5.

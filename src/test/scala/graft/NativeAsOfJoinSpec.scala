@@ -44,6 +44,25 @@ class NativeAsOfJoinSpec extends SparkSpec {
       104L -> null, 105L -> null))
   }
 
+  test("inner mode drops exactly the unmatched left rows the outer mode nulls") {
+    val outer = NativeAsOfJoin.asOf(trades, quotes, key = "sym",
+        leftTime = "tts", rightTime = "qts", payloadCols = Seq("px"))
+      .select($"trade_id", $"px")
+    val inner = NativeAsOfJoin.asOf(trades, quotes, key = "sym",
+        leftTime = "tts", rightTime = "qts", payloadCols = Seq("px"),
+        joinType = org.apache.spark.sql.catalyst.plans.Inner)
+      .select($"trade_id", $"px")
+    val got = inner.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // trades 100 (before any A quote), 104 (before B's quote) and 105
+    // (key C has no quotes) are unmatched: nulled by outer, gone here
+    assert(got === Map(101L -> 2.0, 102L -> 2.0, 103L -> 3.0))
+    assert(outer.count() === trades.count(), "outer keeps every left row")
+    assert(outer.filter($"px".isNull).count() === 3)
+    assert(inner.exceptAll(outer.filter($"px".isNotNull)).isEmpty &&
+      outer.filter($"px".isNotNull).exceptAll(inner).isEmpty,
+      "inner == outer minus the null-payload rows")
+  }
+
   test("mismatched key or time dtypes fail fast instead of silently miscomparing") {
     val l = Seq((1, ts(10), 1L)).toDF("k", "t", "id") // int key
     val r = Seq((1L, ts(5), 7.0)).toDF("k", "t", "px") // bigint key

@@ -107,6 +107,16 @@ object Bench {
     Files.writeString(Paths.get(outPath), json + "\n")
     println(json)
 
+    // Append-only per-run history (round-12 judge ask): the host-drift
+    // episode cost a day of ambiguity because only the latest refresh
+    // survived. One JSONL line per bench run — totals + the min-of-2
+    // per-query map — makes uniform-drift vs plan-regression a
+    // one-liner to distinguish across rounds.
+    val histPath = Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "BENCH_HISTORY.jsonl"))
+    val histLine = s"""{"epoch_ms":${System.currentTimeMillis()},"total":${math.rint(total * 1000) / 1000},"n_failed":$nFailed,"sf":"$sfDir","agg":"min_of_2","queries":$qs}"""
+    Files.writeString(histPath, histLine + "\n",
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+
     // The harness that invokes this keeps only a ~2000-char tail of
     // stdout, and the full-precision line above outgrew it (rounds 1-2
     // were recorded with parsed=null). Emit a size-capped summary as the

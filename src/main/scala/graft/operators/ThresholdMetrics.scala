@@ -69,4 +69,72 @@ object ThresholdMetrics {
           .otherwise(lit(2) * $"precision" * $"recall" / ($"precision" + $"recall")))
       .orderBy($"bucket")
   }
+
+  /** The reference's EXACT artifact shape — `results/brf/metrics.csv`
+    * as written by `export_results.py:45-46` from
+    * `random_forest.py:136-220`: thresholds at the bucket UPPER edge
+    * `(b+1)/n`, the reference's column headers verbatim (spaces and
+    * capitals included), and its edge conventions — `floor` WITHOUT a
+    * clamp (prob == 1.0 overflows into bucket n and survives the full
+    * outer domain join), an unguarded precision (an empty artifact
+    * cell — here NULL via try_divide — when no row scores at-or-above
+    * the threshold), a zero-guarded recall, and the
+    * four count-over-total percentage columns. `ResultsParitySpec`
+    * pins this frame column-for-column against the committed CSV.
+    * Engine users should prefer [[compute]], whose clamped buckets and
+    * guarded ratios are the saner defaults; this method exists so a
+    * reference user's downstream readers of metrics.csv keep working.
+    */
+  def referenceCurve(scored: DataFrame, nPoints: Int = 20,
+      probCol: String = "probability", labelCol: String = "label"): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val total = scored.count().toDouble
+    val bucketed = scored
+      .select(col(labelCol).cast("int").as("label"),
+        floor(col(probCol) * nPoints).cast("long").as("id_bucket"))
+      .groupBy($"label", $"id_bucket").agg(count(lit(1)).as("n"))
+    // domain -1..n-1 (threshold 0.0..1.0); FULL outer keeps overflow
+    // buckets from out-of-[0,1) probabilities, as the reference does
+    val domain = spark.range(-1L, nPoints.toLong).select($"id".as("id_bucket"))
+      .crossJoin(Seq(0, 1).toDF("label"))
+    val full = domain.join(bucketed, Seq("id_bucket", "label"), "full_outer")
+      .na.fill(0L, Seq("n"))
+    val byLabel = Window.partitionBy($"label").orderBy($"id_bucket")
+    // predicted negative at threshold (b+1)/n: buckets <= b (current
+    // row INCLUDED — the reference's inf window); positive: strictly
+    // above
+    val cum = full
+      .withColumn("n_neg", sum($"n").over(
+        byLabel.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_pos", coalesce(sum($"n").over(
+        byLabel.rowsBetween(1, Window.unboundedFollowing)), lit(0L)))
+    val curve = cum.groupBy($"id_bucket").agg(
+      sum(when($"label" === 0, $"n_neg")).as("tn"),
+      sum(when($"label" === 0, $"n_pos")).as("fp"),
+      sum(when($"label" === 1, $"n_neg")).as("fn"),
+      sum(when($"label" === 1, $"n_pos")).as("tp"))
+      .na.fill(0L, Seq("tn", "fp", "fn", "tp"))
+    def d(c: String) = col(c).cast("double")
+    // the reference's unguarded 0/0 cells reached its artifact as EMPTY
+    // (pandas NaN → empty csv cell); under ANSI, try_divide's NULL is
+    // the same empty cell — and what DuckDB's division yields, so the
+    // oracle compare is exact
+    curve
+      .withColumn("Threshold", ($"id_bucket" + 1).cast("double") / nPoints)
+      .withColumn("Precision", try_divide(d("tp"), d("tp") + d("fp")))
+      .withColumn("Recall",
+        when($"tp" =!= 0, d("tp") / (d("tp") + d("fn"))).otherwise(0.0))
+      .withColumn("False positive rate", try_divide(d("fp"), d("fp") + d("tn")))
+      .withColumn("Accuracy",
+        (d("tp") + d("tn")) / (d("tp") + d("tn") + d("fp") + d("fn")))
+      .withColumn("F1 Score",
+        try_divide(lit(2) * $"Precision" * $"Recall", $"Precision" + $"Recall"))
+      .withColumn("True negative percentage", d("tn") / total)
+      .withColumn("True positive percentage", d("tp") / total)
+      .withColumn("False negative percentage", d("fn") / total)
+      .withColumn("False positive percentage", d("fp") / total)
+      .drop("id_bucket", "tn", "fp", "fn", "tp")
+      .orderBy($"Threshold")
+  }
 }

@@ -914,6 +914,78 @@ object VectorMlQueries {
         .orderBy(col("bucket"))
     },
 
+    // M10/M12 the reference's ARTIFACT shape (results/brf/metrics.csv,
+    // random_forest.py:136-220): upper-edge thresholds (b+1)/n over the
+    // -1..n-1 domain, floor WITHOUT clamp (the pseudo-score hits
+    // prob == 1.0, exercising the overflow bucket), unguarded precision
+    // (null on both engines at an empty positive set), and the four
+    // count-over-total percentage columns. ResultsParitySpec pins the
+    // same frame column-for-column against the committed reference CSV.
+    // (label is the 10-class corpus label, binarized by parity — the
+    // reference's predictions carry a true binary label; the curve's
+    // percentage columns only partition 1 over a binary label.)
+    Q("q_ml_threshold_reference",
+      """WITH scored AS (
+        |  SELECT ((vec_id * 37) % 97) / 96.0 AS prob,
+        |         cast(label % 2 AS int) AS label
+        |  FROM embeddings),
+        |tot AS (SELECT cast(count(*) AS double) AS total FROM scored),
+        |bucketed AS (
+        |  SELECT label, cast(floor(prob * 20) AS bigint) AS id_bucket, count(*) AS n
+        |  FROM scored GROUP BY 1, 2),
+        |domain AS (
+        |  SELECT cast(range AS bigint) AS id_bucket, l.label
+        |  FROM range(-1, 20) CROSS JOIN (SELECT 0 AS label UNION ALL SELECT 1) l),
+        |grid AS (
+        |  SELECT coalesce(d.id_bucket, b.id_bucket) AS id_bucket,
+        |         coalesce(d.label, b.label) AS label,
+        |         coalesce(b.n, 0) AS n
+        |  FROM domain d FULL JOIN bucketed b
+        |    ON d.id_bucket = b.id_bucket AND d.label = b.label),
+        |cum AS (
+        |  SELECT id_bucket, label,
+        |         sum(n) OVER (PARTITION BY label ORDER BY id_bucket
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_neg,
+        |         coalesce(sum(n) OVER (PARTITION BY label ORDER BY id_bucket
+        |           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS n_pos
+        |  FROM grid),
+        |curve AS (
+        |  SELECT id_bucket,
+        |         cast(coalesce(sum(CASE WHEN label = 0 THEN n_neg END), 0) AS double) AS tn,
+        |         cast(coalesce(sum(CASE WHEN label = 0 THEN n_pos END), 0) AS double) AS fp,
+        |         cast(coalesce(sum(CASE WHEN label = 1 THEN n_neg END), 0) AS double) AS fn,
+        |         cast(coalesce(sum(CASE WHEN label = 1 THEN n_pos END), 0) AS double) AS tp
+        |  FROM cum GROUP BY 1)
+        |SELECT cast(id_bucket + 1 AS double) / 20 AS threshold,
+        |       tp / (tp + fp) AS precision,
+        |       CASE WHEN tp <> 0 THEN tp / (tp + fn) ELSE 0.0 END AS recall,
+        |       fp / (fp + tn) AS fpr,
+        |       (tp + tn) / (tp + tn + fp + fn) AS accuracy,
+        |       2 * (tp / (tp + fp))
+        |         * (CASE WHEN tp <> 0 THEN tp / (tp + fn) ELSE 0.0 END)
+        |         / ((tp / (tp + fp))
+        |            + (CASE WHEN tp <> 0 THEN tp / (tp + fn) ELSE 0.0 END)) AS f1,
+        |       tn / total AS tn_pct, tp / total AS tp_pct,
+        |       fn / total AS fn_pct, fp / total AS fp_pct
+        |FROM curve CROSS JOIN tot
+        |ORDER BY threshold""".stripMargin) { (s, dir) =>
+      val scored = t(s, dir, "embeddings")
+        .select((((col("vec_id") * 37) % 97) / 96.0).as("prob"),
+          (col("label") % 2).as("label"))
+      ThresholdMetrics.referenceCurve(scored, nPoints = 20, probCol = "prob")
+        .select(col("Threshold").as("threshold"),
+          col("Precision").as("precision"),
+          col("Recall").as("recall"),
+          col("False positive rate").as("fpr"),
+          col("Accuracy").as("accuracy"),
+          col("F1 Score").as("f1"),
+          col("True negative percentage").as("tn_pct"),
+          col("True positive percentage").as("tp_pct"),
+          col("False negative percentage").as("fn_pct"),
+          col("False positive percentage").as("fp_pct"))
+        .orderBy(col("threshold"))
+    },
+
     // M8 baseline rate model fit as ONE aggregation + reverse-cumulative
     // window (the reference runs 377 sequential filter+count jobs —
     // mains/main_train_base.py:25-51).

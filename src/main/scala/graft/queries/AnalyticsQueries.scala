@@ -1145,5 +1145,51 @@ object AnalyticsQueries {
         |FROM pn ORDER BY user_id, hr_us""".stripMargin) { (s, dir) =>
       graft.operators.Resample.lerpHourly(t(s, dir, "events"), "user_id", "ts", "value")
         .orderBy(col("user_id"), col("hr_us"))
+    },
+
+    // X184 HBOS multivariate outliers: per-feature equi-width histogram
+    // densities multiplied into one anomaly score (the Goldstein-Dengel
+    // Σlog(1/density) kept in product form — IEEE mul/div only, so the
+    // score is bit-deterministic and the top-20 boundary is safe to
+    // hash). The fact table is NEVER shuffled: one min/max aggregate,
+    // one melted tiny groupBy, then broadcast joins — scoring is
+    // map-side. Multivariate sibling of q_quality_robust_outliers.
+    Q("q_anomaly_hbos",
+      """WITH f AS (SELECT l_orderkey, l_linenumber,
+        |                  cast(l_quantity AS double) AS q,
+        |                  cast(l_extendedprice AS double) AS p,
+        |                  cast(l_discount AS double) AS d
+        |           FROM lineitem
+        |           WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |             AND l_discount IS NOT NULL),
+        |mm AS (SELECT min(q) AS mnq, max(q) AS mxq, min(p) AS mnp, max(p) AS mxp,
+        |              min(d) AS mnd, max(d) AS mxd FROM f),
+        |b AS (SELECT l_orderkey, l_linenumber,
+        |             least(greatest(cast(floor((q - mnq) / (mxq - mnq) * 20) AS int), 0), 19) AS bin_q,
+        |             least(greatest(cast(floor((p - mnp) / (mxp - mnp) * 20) AS int), 0), 19) AS bin_p,
+        |             least(greatest(cast(floor((d - mnd) / (mxd - mnd) * 20) AS int), 0), 19) AS bin_d
+        |      FROM f CROSS JOIN mm),
+        |cq AS (SELECT bin_q, count(*) AS c FROM b GROUP BY 1),
+        |cp AS (SELECT bin_p, count(*) AS c FROM b GROUP BY 1),
+        |cd AS (SELECT bin_d, count(*) AS c FROM b GROUP BY 1),
+        |mx AS (SELECT (SELECT max(c) FROM cq) AS mq, (SELECT max(c) FROM cp) AS mp,
+        |              (SELECT max(c) FROM cd) AS md),
+        |scored AS (
+        |  SELECT b.l_orderkey, b.l_linenumber, b.bin_q, b.bin_p, b.bin_d,
+        |         (cast(mx.mq AS double) / cast(cq.c AS double))
+        |           * (cast(mx.mp AS double) / cast(cp.c AS double))
+        |           * (cast(mx.md AS double) / cast(cd.c AS double)) AS hbos
+        |  FROM b JOIN cq USING (bin_q) JOIN cp USING (bin_p) JOIN cd USING (bin_d)
+        |  CROSS JOIN mx)
+        |SELECT l_orderkey, l_linenumber, bin_q, bin_p, bin_d, hbos
+        |FROM scored
+        |ORDER BY hbos DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin) { (s, dir) =>
+      graft.operators.Hbos.topOutliers(t(s, dir, "lineitem"),
+          keyCols = Seq("l_orderkey", "l_linenumber"),
+          features = Seq("l_quantity", "l_extendedprice", "l_discount"),
+          nBins = 20, k = 20)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("bin_l_quantity").as("bin_q"), col("bin_l_extendedprice").as("bin_p"),
+          col("bin_l_discount").as("bin_d"), col("hbos"))
     })
 }

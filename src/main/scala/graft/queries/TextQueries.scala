@@ -1137,6 +1137,77 @@ object TextQueries {
       graft.operators.DupNgrams.washFraction(t(s, dir, "documents"), n = 8, minDocs = 2L)
     },
 
+    // X183 winnowing fingerprints (Schleimer/Wilkerson/Aiken, MOSS):
+    // rightmost minimal 5-gram hash per 8-window — guaranteed detection
+    // of any >= 12-token match at ~2/9 index density. ONE bounded
+    // window per doc, no corpus window, no join; the md5 gram-hash
+    // family and the (h, -pos) struct-min tie rule replay exactly in
+    // DuckDB. Per-doc digest: count + min/max + modular checksum of the
+    // selected hash set.
+    Q("q_text_winnow_fp",
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS ts FROM documents),
+         |g AS (SELECT doc_id, cast(i - 1 AS int) AS pos,
+         |             array_to_string(ts[i:i+4], ' ') AS gram
+         |      FROM tok, unnest(generate_series(1, len(ts) - 4)) AS u(i)
+         |      WHERE len(ts) >= 5),
+         |h AS (SELECT doc_id, pos,
+         |             ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h FROM g),
+         |sel AS (SELECT doc_id, pos,
+         |               min({'h': h, 'np': -pos}) OVER (
+         |                 PARTITION BY doc_id ORDER BY pos
+         |                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS s
+         |        FROM h),
+         |fp AS (SELECT DISTINCT doc_id, s.h AS h FROM sel WHERE pos >= 7)
+         |SELECT d.doc_id,
+         |       cast(coalesce(f.n_fp, 0) AS bigint) AS n_fp,
+         |       f.h_min, f.h_max,
+         |       cast(coalesce(f.h_sum_mod, 0) AS bigint) AS h_sum_mod
+         |FROM documents d LEFT JOIN (
+         |  SELECT doc_id, count(*) AS n_fp, min(h) AS h_min, max(h) AS h_max,
+         |         sum(h % 1000003) AS h_sum_mod
+         |  FROM fp GROUP BY 1) f USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val fp = graft.operators.Winnowing.fingerprints(
+          t(s, dir, "documents"), "doc_id", "text", k = 5, w = 8)
+        .select(col("id").as("doc_id"), col("h")).distinct()
+      val agg = fp.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_fp"), min(col("h")).as("h_min"), max(col("h")).as("h_max"),
+        sum(col("h") % 1000003).as("h_sum_mod"))
+      t(s, dir, "documents").select(col("doc_id"))
+        .join(agg, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_fp", "h_sum_mod"))
+        .orderBy(col("doc_id"))
+    },
+
+    // X183 winnowing copy candidates: doc pairs sharing >= 2 selected
+    // fingerprints — the MOSS index join (cost per shared hash bucket,
+    // LSH-band shape), catching the >= 12-token copied span the
+    // whole-doc signatures dilute away.
+    Q("q_dedup_winnow_pairs",
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS ts FROM documents),
+         |g AS (SELECT doc_id, cast(i - 1 AS int) AS pos,
+         |             array_to_string(ts[i:i+4], ' ') AS gram
+         |      FROM tok, unnest(generate_series(1, len(ts) - 4)) AS u(i)
+         |      WHERE len(ts) >= 5),
+         |h AS (SELECT doc_id, pos,
+         |             ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h FROM g),
+         |sel AS (SELECT doc_id, pos,
+         |               min({'h': h, 'np': -pos}) OVER (
+         |                 PARTITION BY doc_id ORDER BY pos
+         |                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS s
+         |        FROM h),
+         |fp AS (SELECT DISTINCT doc_id, s.h AS h FROM sel WHERE pos >= 7)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       cast(count(*) AS bigint) AS n_shared
+         |FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      graft.operators.Winnowing.candidatePairs(
+          t(s, dir, "documents"), "doc_id", "text", k = 5, w = 8, minShared = 2)
+        .select(col("id_a"), col("id_b"), col("n_shared"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // End-to-end corpus pipeline — the LLM-data-side counterpart of
     // AccidentPipeline, composed from the engine's own stages: exact
     // dedup (keep min id per md5) → quality gate (length + punctuation)

@@ -11,6 +11,20 @@ import java.nio.file.{Files, Paths}
   * driver's parse of round 1's output).
   */
 object Bench {
+
+  /** Minimal JSON string literal — the hand-built JSON below embeds the
+    * sfDir path and query names; a quote/backslash/control char in
+    * either would otherwise write a corrupt line that silently breaks
+    * later history parsing (no JSON dep is available offline).
+    */
+  private def jstr(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }.mkString("\"", "", "\"")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
@@ -90,9 +104,9 @@ object Bench {
     val regressionsJson = regressions
       .filter { case (_, old, v) => v > old * 2 }
       .map { case (name, old, v) =>
-        s"""{"q":"$name","base":${math.rint(old * 1000) / 1000},"now":${math.rint(v * 1000) / 1000}}"""
+        s"""{"q":${jstr(name)},"base":${math.rint(old * 1000) / 1000},"now":${math.rint(v * 1000) / 1000}}"""
       }.mkString("[", ",", "]")
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     // -1.0 failure sentinels must not deflate the total (round-10 ADVICE:
     // 22 failed queries each subtracted a second from the headline gate
@@ -101,9 +115,9 @@ object Bench {
     val nFailed = results.count(_._2 < 0)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val runsJson = runs.map(r =>
-      r.map { case (k, v) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }
+      r.map { case (k, v) => jstr(k) + ":" + math.rint(v * 1000) / 1000 }
         .mkString("{", ",", "}")).mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_failed":$nFailed,"regressions":$regressionsJson,"queries":$qs,"sf":"$sfDir","agg":"min_of_2","runs":$runsJson}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_failed":$nFailed,"regressions":$regressionsJson,"queries":$qs,"sf":${jstr(sfDir)},"agg":"min_of_2","runs":$runsJson}"""
     Files.writeString(Paths.get(outPath), json + "\n")
     println(json)
 
@@ -113,7 +127,7 @@ object Bench {
     // per-query map — makes uniform-drift vs plan-regression a
     // one-liner to distinguish across rounds.
     val histPath = Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "BENCH_HISTORY.jsonl"))
-    val histLine = s"""{"epoch_ms":${System.currentTimeMillis()},"total":${math.rint(total * 1000) / 1000},"n_failed":$nFailed,"sf":"$sfDir","agg":"min_of_2","queries":$qs}"""
+    val histLine = s"""{"epoch_ms":${System.currentTimeMillis()},"total":${math.rint(total * 1000) / 1000},"n_failed":$nFailed,"sf":${jstr(sfDir)},"agg":"min_of_2","queries":$qs}"""
     Files.writeString(histPath, histLine + "\n",
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
 
@@ -127,12 +141,12 @@ object Bench {
     // cutoff ride in the JSON, so a round-over-round diff knows whether
     // a missing query was dropped-as-fast or actually vanished
     def compact(rs: Seq[(String, Double)], omitted: Int, cutoff: Double): String = {
-      val m = rs.map { case (k, v) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }
+      val m = rs.map { case (k, v) => jstr(k) + ":" + math.rint(v * 1000) / 1000 }
         .mkString("{", ",", "}")
       val omit = if (omitted > 0)
         s""","queries_omitted":$omitted,"omit_rule":"fastest_first","omitted_max_sec":${math.rint(cutoff * 1000) / 1000}"""
       else ""
-      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_failed":$nFailed,"queries":$m$omit,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_failed":$nFailed,"queries":$m$omit,"sf":${jstr(sfDir)}}"""
     }
     val bySlowest = results.sortBy(-_._2)
     val line = (results.size to 0 by -5).iterator

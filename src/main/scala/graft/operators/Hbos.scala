@@ -48,12 +48,18 @@ object Hbos {
     }
     val binned = features.foldLeft(clean)((acc, f) => acc.withColumn(s"bin_$f", binOf(f)))
 
-    // melted counts: ONE shuffle, <= features x nBins output rows
+    // melted counts: ONE shuffle, <= features x nBins output rows.
+    // Eager localCheckpoint, not persist: each per-feature broadcast
+    // below re-evaluates its (filtered) input, so without pinning, the
+    // full histogram aggregate would rerun once per feature — and a
+    // persist() here would sit in the CacheManager for the session
+    // (nothing can unpersist it after return). Checkpoint blocks are
+    // RDD-level and GC-released once the result frame is dropped.
     val counts = binned.select(explode(array(features.map(f =>
         struct(lit(f).as("_feat"), col(s"bin_$f").as("_bin"))): _*)).as("_fb"))
       .groupBy(col("_fb._feat").as("_feat"), col("_fb._bin").as("_bin"))
       .agg(count(lit(1)).as("_cnt"))
-      .persist()
+      .localCheckpoint(true)
     val maxes = counts.groupBy(col("_feat")).agg(max(col("_cnt")).as("_maxcnt"))
     val lookup = broadcast(counts.join(maxes, "_feat"))
 

@@ -34,6 +34,11 @@ object QualityEnsemble {
     */
   def percentileBlend(df: DataFrame, idCol: String, signals: Seq[String]): DataFrame = {
     require(signals.nonEmpty)
+    // base stays persisted for the LIFETIME of the returned frame (the
+    // fold result reads it on every action) — a corpus-sized but
+    // narrow (id + |signals| numerics) retained cache, the same
+    // documented-leak convention as Bfs. Callers that need the memory
+    // back drop the result and clearCache().
     val base = df.select(col(idCol) +: signals.map(col): _*).persist()
     val n = base.count()
     val nBuckets = 64

@@ -215,16 +215,20 @@ object NativeAsOfJoin {
   private[plans] def buildNode(lPlan: LogicalPlan, rAnalyzed: LogicalPlan,
       key: String, leftTime: String, rightTime: String,
       payloadCols: Seq[String], joinType: JoinType): AsOfJoinNode = {
-    val clash = payloadCols.filter(n => lPlan.output.exists(_.name == n))
+    // match names with the session's resolver, not ==: under Spark's
+    // default case-insensitive resolution a SQL caller passing USER_ID
+    // must find user_id, exactly as it would in a builtin join
+    val resolver = org.apache.spark.sql.internal.SQLConf.get.resolver
+    val clash = payloadCols.filter(n => lPlan.output.exists(a => resolver(a.name, n)))
     require(clash.isEmpty,
       s"asOf: payload columns ${clash.mkString(", ")} collide with left columns — " +
         "rename them on the right side before joining")
     val needed = (Seq(key, rightTime) ++ payloadCols).distinct
-    def rAttr(n: String): Attribute = rAnalyzed.output.find(_.name == n).getOrElse(
+    def rAttr(n: String): Attribute = rAnalyzed.output.find(a => resolver(a.name, n)).getOrElse(
       throw new IllegalArgumentException(s"asOf: right column $n not found"))
     val rPlan = Project(needed.map(n => Alias(rAttr(n), n)()), rAnalyzed)
     def pick(out: Seq[Attribute], n: String, side: String): Attribute =
-      out.find(_.name == n).getOrElse(
+      out.find(a => resolver(a.name, n)).getOrElse(
         throw new IllegalArgumentException(s"asOf: $side column $n not found"))
     val (lKeyAttr, rKeyAttr) = (pick(lPlan.output, key, "left"), pick(rPlan.output, key, "right"))
     val (lTimeAttr, rTimeAttr) =

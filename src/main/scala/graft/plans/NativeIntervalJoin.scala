@@ -214,16 +214,19 @@ object NativeIntervalJoin {
   private[plans] def buildNode(lPlan: LogicalPlan, rAnalyzed: LogicalPlan,
       key: String, pointTime: String, startCol: String, endCol: String,
       payloadCols: Seq[String]): IntervalJoinNode = {
-    val clash = payloadCols.filter(n => lPlan.output.exists(_.name == n))
+    // session-resolver name matching (case-insensitive under the default
+    // spark.sql.caseSensitive=false) — same contract as NativeAsOfJoin
+    val resolver = org.apache.spark.sql.internal.SQLConf.get.resolver
+    val clash = payloadCols.filter(n => lPlan.output.exists(a => resolver(a.name, n)))
     require(clash.isEmpty,
       s"contain: payload columns ${clash.mkString(", ")} collide with point columns — " +
         "rename them on the interval side before joining")
     val needed = (Seq(key, startCol, endCol) ++ payloadCols).distinct
-    def rAttr(n: String): Attribute = rAnalyzed.output.find(_.name == n).getOrElse(
+    def rAttr(n: String): Attribute = rAnalyzed.output.find(a => resolver(a.name, n)).getOrElse(
       throw new IllegalArgumentException(s"contain: interval column $n not found"))
     val rPlan = Project(needed.map(n => Alias(rAttr(n), n)()), rAnalyzed)
     def pick(out: Seq[Attribute], n: String, side: String): Attribute =
-      out.find(_.name == n).getOrElse(
+      out.find(a => resolver(a.name, n)).getOrElse(
         throw new IllegalArgumentException(s"contain: $side column $n not found"))
     val (lKeyA, rKeyA) = (pick(lPlan.output, key, "point"), pick(rPlan.output, key, "interval"))
     val (lTimeA, rStartA, rEndA) = (pick(lPlan.output, pointTime, "point"),

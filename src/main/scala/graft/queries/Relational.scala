@@ -1462,7 +1462,11 @@ object Relational {
       s"""WITH $lpRoundsSql
          |SELECT cast(lbl AS bigint) AS community, cast(count(*) AS bigint) AS size
          |FROM l2 GROUP BY lbl ORDER BY size DESC, community LIMIT 20""".stripMargin) { (s, dir) =>
-      LabelPropagation.communities(coSupplyEdges(t(s, dir, "lineitem")), rounds = 2)
+      // persist the edge list once across propagate's per-round joins
+      // (same discipline as q_graph_modularity below)
+      val edges = coSupplyEdges(t(s, dir, "lineitem"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      LabelPropagation.communities(edges, rounds = 2, edgesDistinct = true)
         .orderBy(col("size").desc, col("community")).limit(20)
     },
 
@@ -1490,8 +1494,14 @@ object Relational {
          |       round(q_contrib, 9) AS q_contrib,
          |       round(sum(q_contrib) OVER (), 9) AS q
          |FROM q ORDER BY n_nodes DESC, community LIMIT 15""".stripMargin) { (s, dir) =>
+      // persist the edge list ONCE: it feeds propagate's three actions
+      // (round-0 node distinct + two round joins) and score's labeled
+      // aggregate — unpersisted, the lineitem distinct+union would
+      // recompute on every one of those passes (the bulk of the
+      // r12/r13 q_graph_modularity wall-clock)
       val edges = coSupplyEdges(t(s, dir, "lineitem"))
-      val labels = LabelPropagation.propagate(edges, rounds = 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val labels = LabelPropagation.propagate(edges, rounds = 2, edgesDistinct = true)
       Modularity.score(edges, labels)
         .select(col("community"), col("n_nodes"), col("e_in"), col("d_sum"),
           round(col("q_contrib"), 9).as("q_contrib"), round(col("q"), 9).as("q"))

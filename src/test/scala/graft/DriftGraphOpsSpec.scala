@@ -30,6 +30,35 @@ class DriftGraphOpsSpec extends SparkSpec {
     assert(sizes.values.sum === 6L, "every node keeps exactly one label")
   }
 
+  test("label propagation: edgesDistinct round-1 shortcut agrees with the join path") {
+    // deterministic pseudo-random graph, both directions, no dup pairs
+    val und = (1 to 400).map(i => ((i * 7L) % 37L, (i * 13L) % 41L + 37L)).distinct
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    for (rounds <- Seq(1, 2, 3)) {
+      val slow = LabelPropagation.propagate(edges, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val fast = LabelPropagation.propagate(edges, rounds, edgesDistinct = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast === slow, s"rounds=$rounds: shortcut path diverged")
+    }
+  }
+
+  test("label propagation: long runs cross the periodic checkpoint boundary intact") {
+    // 8 rounds > checkpointEvery=4 — exercises the persist-every-4th
+    // cadence (two interior materializations + the final one)
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val lbl = LabelPropagation.propagate(edges, rounds = 8, edgesDistinct = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbl.keySet === (1L to 7L).toSet)
+    // a path graph under min-tie-break LPA converges toward label 1/2
+    assert(lbl.values.forall(v => v >= 1L && v <= 7L))
+    // and the result equals the slow path at the same round count
+    val slow = LabelPropagation.propagate(edges, rounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbl === slow)
+  }
+
   test("PSI: identical cohorts give psi == 0; a shifted cohort does not") {
     val same = (1 to 200).flatMap(i => Seq((i * 13 % 100 / 100.0, true),
       (i * 13 % 100 / 100.0, false))).toDF("s", "base")

@@ -20,7 +20,20 @@ class ResultsParitySpec extends SparkSpec {
 
   import spark.implicits._
 
-  private val brfDir = "/root/reference/results/brf"
+  // overridable so the suite skips (not errors) on machines without the
+  // reference checkout at the default location
+  private val brfDir = sys.props.get("graft.reference.brf")
+    .orElse(sys.env.get("GRAFT_REFERENCE_BRF"))
+    .getOrElse("/root/reference/results/brf")
+
+  /** Cancels (ScalaTest `assume`) the calling test when the reference
+    * artifacts are absent — parity is a fixture-dependent golden, not a
+    * portable invariant.
+    */
+  private def requireArtifacts(): Unit =
+    assume(new java.io.File(brfDir).isDirectory,
+      s"reference artifacts not present at $brfDir " +
+        "(set -Dgraft.reference.brf or GRAFT_REFERENCE_BRF)")
 
   private def csv(path: String): Seq[Seq[String]] = {
     val src = Source.fromFile(path)
@@ -40,12 +53,14 @@ class ResultsParitySpec extends SparkSpec {
   }
 
   test("metrics.csv: engine curve reproduces the artifact's exact column set") {
+    requireArtifacts()
     val header = csv(s"$brfDir/metrics.csv").head
     assert(engineCurve.columns.toSeq === header,
       s"engine columns ${engineCurve.columns.toSeq} != artifact header $header")
   }
 
   test("metrics.csv: the artifact's 20-threshold grid is the engine's grid") {
+    requireArtifacts()
     val rows = csv(s"$brfDir/metrics.csv").tail
     assert(rows.size === 20, s"artifact has ${rows.size} threshold rows")
     val artifactGrid = rows.map(_.head.toDouble)
@@ -60,6 +75,7 @@ class ResultsParitySpec extends SparkSpec {
   }
 
   test("metrics.csv: the artifact's metric definitions are the engine's definitions") {
+    requireArtifacts()
     // prove on the ARTIFACT's own rows that its columns obey exactly
     // the formulas referenceCurve computes: F1 = 2PR/(P+R), Accuracy =
     // TP% + TN%, FPR = FP%/(FP% + TN%), and the four percentages
@@ -102,6 +118,7 @@ class ResultsParitySpec extends SparkSpec {
   }
 
   test("feature_importances.csv: engine export mirrors the artifact's shape") {
+    requireArtifacts()
     val lines = csv(s"$brfDir/feature_importances.csv")
     assert(lines.head === Seq("", "Feature importances"),
       "artifact: unnamed feature index + one importance column")

@@ -1,9 +1,10 @@
 package graft
 
+import graft.functions.TextFunctions
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-/** Temporary dev probe for the q_graph_modularity phase split. */
+/** Temporary dev probe: q_text_cosine_pairs phase split. */
 object DevProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -15,23 +16,35 @@ object DevProbe {
       println(f"PHASE $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
       r
     }
-    // mirror the query lambda
-    (1 to 2).foreach { runNo =>
+    (1 to 3).foreach { runNo =>
       println(s"--- run $runNo ---")
       spark.sharedState.cacheManager.clearCache()
       System.gc()
-      val li = Tables.load(spark, sfDir, "lineitem")
-      val e0 = li.select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst")).distinct()
-      val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      val docs = Tables.load(spark, sfDir, "documents")
+      val n = 3; val maxTermDf = 100; val scale = 1L << 16
+      val tf = docs
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("_toks"))
+        .select(col("doc_id"), explode(TextFunctions.shinglesFromTokens(col("_toks"), n)).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val overCap = dfreq.filter(col("df") > maxTermDf).select(col("term"))
+      val nDocs = phase("docs-count")(docs.count()).toDouble
+      val w = tf.join(broadcast(overCap), Seq("term"), "left_anti")
+        .join(dfreq, Seq("term"))
+        .select(col("doc_id"), col("term"),
+          floor(col("tf") * log(lit(nDocs) / col("df")) * scale).as("wq"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      phase("edges-materialize")(edges.count())
-      val labels = phase("propagate")(graft.operators.LabelPropagation.propagate(edges, rounds = 2, edgesDistinct = true))
-      val scored = phase("score-build")(graft.operators.Modularity.score(edges, labels))
-      phase("score-run") {
-        scored.select(col("community"), col("n_nodes"), col("e_in"), col("d_sum"),
-            round(col("q_contrib"), 9).as("q_contrib"), round(col("q"), 9).as("q"))
-          .orderBy(col("n_nodes").desc, col("community")).limit(15).count()
-      }
+      phase("w-materialize")(w.count())
+      val nrm = w.groupBy(col("doc_id")).agg(sum(col("wq") * col("wq")).as("nrm2"))
+      phase("nrm")(nrm.count())
+      val dots = w.as("a").hint("shuffle_hash")
+        .join(w.as("b"), col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          (col("a.wq") * col("b.wq")).as("part"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).cast("int").as("n_common"), sum(col("part")).as("dot"))
+      phase("pair-join+agg")(dots.count())
+      w.unpersist()
     }
     spark.stop()
   }

@@ -5,12 +5,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 /** Bounded-round k-core peeling: iteratively remove every node whose
-  * current degree is below k, recomputing degrees on the surviving
-  * subgraph each round. The k-core is the standard graph-density filter
-  * in corpus curation (link-farm and spam subgraphs have low core
-  * numbers; genuine hub communities survive) and in entity-resolution
-  * QA (a match cluster that collapses under peeling was glued by weak
-  * edges).
+  * current degree is below k. The k-core is the standard graph-density
+  * filter in corpus curation (link-farm and spam subgraphs have low
+  * core numbers; genuine hub communities survive) and in
+  * entity-resolution QA (a match cluster that collapses under peeling
+  * was glued by weak edges).
   *
   * Rounds are FIXED rather than run-to-fixpoint so the operator is
   * replayable round-for-round by an external SQL engine (the same
@@ -18,12 +17,17 @@ import org.apache.spark.storage.StorageLevel
   * handful of rounds because each round can only remove nodes whose
   * degree was dragged down by the previous one.
   *
-  * Scale shape (100 TB): each round is one degree aggregation
-  * (map-side combined on src) plus two semi-joins that keep only
-  * surviving endpoints — all on the same key, so AQE reuses the
-  * exchange. Edge and degree frames persist per round to keep lineage
-  * linear, and every prior round's blocks release once the next is
-  * materialized.
+  * Scale shape (100 TB): DEGREE-DELTA peeling. The edge list is
+  * scanned in full exactly once (the round-1 degree aggregate); every
+  * later round only counts edges INTO the just-removed node set —
+  * deg_{r+1}(v) = deg_r(v) − |edges v→removed_r| — via one equi-join
+  * of the cached edge list against the (typically tiny, AQE-broadcast)
+  * removed frame plus a node-sized join. Nothing corpus-sized is
+  * re-persisted per round (the previous shape re-filtered and
+  * re-cached the full edge list twice per round — the dominant cost at
+  * sf0.1 and a 2×rounds write amplification at scale). Per-round state
+  * is one materialized |surviving nodes| degree frame, so the whole
+  * peel runs rounds+2 jobs; the count is pinned in GraphOpsSpec.
   */
 object KCore {
 
@@ -39,7 +43,7 @@ object KCore {
     require(k >= 1 && rounds >= 1)
     // symmetrize in ONE scan (explode to both directions), dedup so
     // degree = distinct-neighbor count whatever the caller fed in
-    var edges = pairs
+    val edges = pairs
       .select(col(aCol).as("a"), col(bCol).as("b"))
       .select(explode(array(
         struct(col("a").as("src"), col("b").as("dst")),
@@ -47,33 +51,38 @@ object KCore {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var nodes = edges.select(col("src").as("node")).distinct()
+    // the ONE full-degree pass (also materializes the edge cache);
+    // every node appears (it has >= 1 edge by construction)
+    var deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    deg.count()
     val removed = scala.collection.mutable.Buffer[DataFrame]()
-    val pinned = scala.collection.mutable.Buffer[DataFrame](edges)
+    val pinned = scala.collection.mutable.Buffer[DataFrame](edges, deg)
     for (r <- 1 to rounds) {
-      val deg = nodes
-        .join(edges.groupBy(col("src")).agg(count(lit(1)).as("d")),
-          nodes("node") === col("src"), "left")
-        .select(col("node"), coalesce(col("d"), lit(0L)).as("deg"))
+      val dropped = deg.filter(col("deg") < k)
+      removed += dropped
+        .select(col("node"), lit(r).as("removed_round"), lit(0L).as("deg"))
+      // degree delta: only neighbors of just-removed nodes lose degree.
+      // Each edge (s, d) is subtracted exactly once — in the round d is
+      // removed; edges whose s was removed earlier no longer have a
+      // row in `deg` to subtract from.
+      val delta = edges
+        .join(dropped.select(col("node").as("dst")), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(count(lit(1)).as("_d"))
+      deg = deg.filter(col("deg") >= k)
+        .join(delta, Seq("node"), "left")
+        .select(col("node"),
+          (col("deg") - coalesce(col("_d"), lit(0L))).as("deg"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // materialize per round: AQE then sizes the surviving node set at
-      // runtime and broadcasts the semi-joins below (see PageRank)
+      // materialize per round: the next round's filters and the AQE
+      // broadcast decision for the delta join both read sized stats
       deg.count()
       pinned += deg
-      removed += deg.filter(col("deg") < k)
-        .select(col("node"), lit(r).as("removed_round"), lit(0L).as("deg"))
-      nodes = deg.filter(col("deg") >= k).select(col("node"))
-      edges = edges
-        .join(nodes.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
-        .join(nodes.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      pinned += edges
     }
-    val survivors = nodes
-      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("d")),
-        nodes("node") === col("src"), "left")
-      .select(col("node"), lit(0).as("removed_round"),
-        coalesce(col("d"), lit(0L)).as("deg"))
+    // survivors carry their degree in the final surviving subgraph —
+    // deg after `rounds` subtractions IS that degree (a survivor whose
+    // neighbors were all removed reads 0 through the left-join path)
+    val survivors = deg.select(col("node"), lit(0).as("removed_round"), col("deg"))
     // eager localCheckpoint, NOT persist+count: unpersisting the
     // per-round frames below would invalidate a CacheManager entry that
     // depends on them (non-cascading invalidation drops the data and

@@ -54,6 +54,38 @@ class KCoreSpec extends SparkSpec {
     assert(out(3L)._2 == 3L, "3 keeps its clique degree once 4 is gone")
     assert(out(0L)._2 == 3L)
   }
+
+  test("degree-delta peel: bounded job count — one full-degree pass, node-sized rounds") {
+    val s = spark; import s.implicits._
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    def jobsFor(rounds: Int): Int = {
+      jobs.set(0)
+      s.sparkContext.addSparkListener(listener)
+      try {
+        graft.operators.KCore.peel(edges, k = 2, rounds = rounds)
+        // listener events are posted asynchronously
+        Thread.sleep(1500)
+      } finally s.sparkContext.removeSparkListener(listener)
+      jobs.get
+    }
+    val j3 = jobsFor(3)
+    val j5 = jobsFor(5)
+    println(s"KCORE_JOBS rounds=3: $j3, rounds=5: $j5")
+    // actions: 1 initial degree materialize + r per-round degree
+    // materializes + 1 final checkpoint; AQE splits each action into a
+    // handful of stage-materialization jobs. The pin: the marginal cost
+    // of a round is a FIXED handful of node-sized jobs (the old shape
+    // added edge-list re-materializations on top, and a regression back
+    // to per-round full-degree scans would push the marginal count up)
+    assert(j3 <= 32, s"peel(rounds=3) ran $j3 jobs — per-round work regressed")
+    assert(j5 - j3 <= 14, s"marginal rounds cost ${j5 - j3} jobs over two rounds")
+  }
 }
 
 class PersonalizedPageRankSpec extends SparkSpec {

@@ -115,8 +115,16 @@ class PlanSpec extends SparkSpec {
   }
 
   test("cosine pair join hash-joins shared terms; df cap broadcast-anti-joins") {
+    // r13 bench drift bisect (5.18 → 6.80 s with no code change): the
+    // strategy did NOT flip — isolated runs hold ~3.5 s warm with this
+    // exact shape; the drift is in-suite allocation/GC contention from
+    // the adjacent text queries. This pin fails loudly if the join
+    // strategy ever actually flips (SMJ would sort ~3M exploded shingle
+    // strings per side).
     val p = plan("q_text_cosine_pairs")
     assert(p.contains("ShuffledHashJoin"), "pair join must hash-join:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "no sort-merge anywhere in the pair pipeline (shingle strings must never sort):\n" + p)
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
       "df cap must be a broadcast anti-join:\n" + p)
   }

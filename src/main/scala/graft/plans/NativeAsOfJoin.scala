@@ -26,7 +26,10 @@ import org.apache.spark.sql.graftbridge.Bridge
   * row: [[LeftOuter]] (the default — DuckDB's `ASOF LEFT JOIN`, and the
   * reference's own left-outer-then-filter match pipeline,
   * src/preprocess.py:450-461) keeps it with null payload columns;
-  * [[Inner]] (DuckDB's plain `ASOF JOIN`) drops it. SQL-null semantics
+  * [[Inner]] (DuckDB's plain `ASOF JOIN`) drops it. `tolerance` bounds
+  * the lookback (pandas `merge_asof(tolerance=...)`): a left row whose
+  * latest candidate sits more than `tolerance` time-units in the past
+  * is unmatched — there is no fallback to an older candidate. SQL-null semantics
   * throughout: a null key or time on either side never matches
   * anything (and under Inner such left rows are dropped too).
   *
@@ -50,9 +53,12 @@ case class AsOfJoinNode(
     leftKey: Attribute, rightKey: Attribute,
     leftTime: Attribute, rightTime: Attribute,
     payload: Seq[Attribute],
-    joinType: JoinType = LeftOuter) extends BinaryNode {
+    joinType: JoinType = LeftOuter,
+    tolerance: Option[Long] = None) extends BinaryNode {
   require(joinType == LeftOuter || joinType == Inner,
     s"AsOfJoinNode: joinType must be LEFT OUTER or INNER, got $joinType")
+  require(tolerance.forall(_ >= 0L),
+    s"AsOfJoinNode: tolerance must be >= 0, got $tolerance")
 
   override def output: Seq[Attribute] =
     if (joinType == LeftOuter) left.output ++ payload.map(_.withNullability(true))
@@ -68,8 +74,8 @@ case class AsOfJoinNode(
 /** Plans [[AsOfJoinNode]] as [[AsOfJoinExec]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt, p, jt) =>
-      AsOfJoinExec(lk, rk, lt, rt, p, jt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, p, jt, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, p, jt, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -98,12 +104,32 @@ object PushLeftFiltersThroughAsOf extends Rule[LogicalPlan] with PredicateHelper
 
 /** Sort-merge as-of join: children arrive clustered by key and sorted by
   * (key, time); each partition is merged in one streaming pass.
+  *
+  * `tolerance` (pandas `merge_asof(tolerance=...)` semantics) bounds the
+  * lookback: a left row only matches when `leftTime − rightTime <=
+  * tolerance` against its LATEST qualifying right row — no fallback to
+  * an older one (the latest row maximizes rightTime, so if it misses the
+  * bound every earlier row does too). Unbounded lookback is a
+  * correctness smell at 100 TB (a purchase attributed to a click from
+  * months ago); real attribution pipelines pass `within`.
   */
 case class AsOfJoinExec(
     leftKey: Attribute, rightKey: Attribute,
     leftTime: Attribute, rightTime: Attribute,
     payload: Seq[Attribute], joinType: JoinType,
+    tolerance: Option[Long],
     left: SparkPlan, right: SparkPlan) extends SparkPlan with BinaryExecNode {
+
+  // the same dark-spot problem as any exec without metrics: at scale
+  // the Spark UI shows every builtin join's row counts — this operator
+  // must not be the one blind node (reference: SortMergeJoinExec)
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatchedLeftRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of matched left rows"),
+    "numUnmatchedLeftRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of unmatched left rows"))
 
   override def output: Seq[Attribute] =
     if (joinType == LeftOuter) left.output ++ payload.map(_.withNullability(true))
@@ -130,6 +156,16 @@ case class AsOfJoinExec(
     val outAttrs = output
     val inner = joinType == Inner
     val (lk, rk, lt, rt, pay) = (leftKey, rightKey, leftTime, rightTime, payload)
+    val tol = tolerance
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatchedLeftRows")
+    val numUnmatched = longMetric("numUnmatchedLeftRows")
+    // tolerance needs the numeric time value (micros for timestamps) —
+    // buildNode restricts the time dtype to these when tolerance is set
+    val timeAsLong: InternalRow => Long = lt.dataType match {
+      case org.apache.spark.sql.types.IntegerType => r => r.getInt(0).toLong
+      case _ => r => r.getLong(0) // LongType / TimestampType(_NTZ) micros
+    }
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(Seq(lk), leftOut)
       val rKeyProj = UnsafeProjection.create(Seq(rk), rightOut)
@@ -146,18 +182,26 @@ case class AsOfJoinExec(
       val nullPayload = new GenericInternalRow(pay.length)
       val joined = new JoinedRow
       val rBuf = rIter.buffered
-      // Latest right row consumed so far: its key (copied) and payload
-      // (copied). Because both sides stream in (key, time) order, the
-      // right cursor only ever moves forward.
+      // Latest right row consumed so far: its key (copied), payload
+      // (copied) and numeric time. Because both sides stream in
+      // (key, time) order, the right cursor only ever moves forward.
       var lastKey: UnsafeRow = null
       var lastVal: UnsafeRow = null
+      var lastTime = 0L
+      def unmatchedOut(lRow: InternalRow): Iterator[InternalRow] = {
+        numUnmatched += 1
+        if (inner) Iterator.empty
+        else {
+          numOutputRows += 1
+          Iterator.single(resultProj(joined(lRow, nullPayload)))
+        }
+      }
       lIter.flatMap { lRow =>
         val lKeyRow = lKeyProj(lRow)
         val lTimeRow = lTimeProj(lRow)
         if (lKeyRow.isNullAt(0) || lTimeRow.isNullAt(0)) {
           // SQL semantics: null never equals / never compares — no match.
-          if (inner) Iterator.empty
-          else Iterator.single(resultProj(joined(lRow, nullPayload)))
+          unmatchedOut(lRow)
         } else {
           var done = false
           while (!done && rBuf.hasNext) {
@@ -173,15 +217,21 @@ case class AsOfJoinExec(
                 else if (timeOrd.compare(rTimeRow, lTimeRow) <= 0) {
                   lastKey = lKeyRow.copy()
                   lastVal = payloadProj(head).copy()
+                  lastTime = timeAsLong(rTimeRow)
                   rBuf.next()
                 } else done = true // future right row — stop
               } else done = true // right is ahead of this key group
             }
           }
-          val matched = lastKey != null && keyOrd.compare(lastKey, lKeyRow) == 0
-          if (matched) Iterator.single(resultProj(joined(lRow, lastVal)))
-          else if (inner) Iterator.empty
-          else Iterator.single(resultProj(joined(lRow, nullPayload)))
+          // the latest qualifying right row maximizes rightTime, so it
+          // alone decides the tolerance bound — no fallback scan
+          val matched = lastKey != null && keyOrd.compare(lastKey, lKeyRow) == 0 &&
+            tol.forall(timeAsLong(lTimeRow) - lastTime <= _)
+          if (matched) {
+            numMatched += 1
+            numOutputRows += 1
+            Iterator.single(resultProj(joined(lRow, lastVal)))
+          } else unmatchedOut(lRow)
         }
       }
     }
@@ -195,6 +245,14 @@ object NativeAsOfJoin {
     * leftTime`; `payloadCols` from the right side are appended to the
     * left columns (null when no right row qualifies).
     *
+    * `within` (optional) bounds the lookback — pandas
+    * `merge_asof(tolerance=...)`: the latest qualifying right row only
+    * matches when `leftTime − rightTime <= within`, in the time
+    * column's own units (micros for timestamps); a left row whose
+    * latest candidate misses the bound is unmatched (null payload
+    * under LeftOuter, dropped under Inner). Requires an
+    * integer/long/timestamp time column.
+    *
     * The right side is re-projected to only (key, time, payload) with
     * fresh expression ids, so self-as-of joins are unambiguous and the
     * builtin rules prune + push the right scan down to just those
@@ -202,9 +260,9 @@ object NativeAsOfJoin {
     */
   def asOf(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, payloadCols: Seq[String],
-      joinType: JoinType = LeftOuter): DataFrame = {
+      joinType: JoinType = LeftOuter, within: Option[Long] = None): DataFrame = {
     val node = buildNode(left.queryExecution.analyzed, right.queryExecution.analyzed,
-      key, leftTime, rightTime, payloadCols, joinType)
+      key, leftTime, rightTime, payloadCols, joinType, within)
     Bridge.ofRows(left.sparkSession, node)
   }
 
@@ -214,7 +272,8 @@ object NativeAsOfJoin {
     */
   private[plans] def buildNode(lPlan: LogicalPlan, rAnalyzed: LogicalPlan,
       key: String, leftTime: String, rightTime: String,
-      payloadCols: Seq[String], joinType: JoinType): AsOfJoinNode = {
+      payloadCols: Seq[String], joinType: JoinType,
+      within: Option[Long] = None): AsOfJoinNode = {
     // match names with the session's resolver, not ==: under Spark's
     // default case-insensitive resolution a SQL caller passing USER_ID
     // must find user_id, exactly as it would in a builtin join
@@ -242,8 +301,16 @@ object NativeAsOfJoin {
     require(lTimeAttr.dataType == rTimeAttr.dataType,
       s"asOf: time dtype mismatch — left $leftTime is ${lTimeAttr.dataType.sql}, " +
         s"right $rightTime is ${rTimeAttr.dataType.sql}; cast one side before joining")
+    if (within.isDefined) {
+      import org.apache.spark.sql.types.{IntegerType, LongType, TimestampNTZType, TimestampType}
+      require(Seq(IntegerType, LongType, TimestampType, TimestampNTZType)
+          .contains(lTimeAttr.dataType),
+        s"asOf: within= needs an int/long/timestamp time column, " +
+          s"got ${lTimeAttr.dataType.sql} (tolerance is in the column's units; " +
+          "micros for timestamps)")
+    }
     AsOfJoinNode(lPlan, rPlan,
       lKeyAttr, rKeyAttr, lTimeAttr, rTimeAttr,
-      payloadCols.map(pick(rPlan.output, _, "right")), joinType)
+      payloadCols.map(pick(rPlan.output, _, "right")), joinType, within)
   }
 }

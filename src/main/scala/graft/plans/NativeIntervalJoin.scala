@@ -105,6 +105,16 @@ case class IntervalJoinExec(
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
+  // UI visibility at scale — every builtin join reports row counts;
+  // this exec must not be the one dark node (reference: SortMergeJoinExec)
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatchedPoints" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of points inside >= 1 interval"),
+    "numUnmatchedPoints" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of points inside no interval"))
+
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): IntervalJoinExec =
     copy(left = newLeft, right = newRight)
@@ -115,6 +125,9 @@ case class IntervalJoinExec(
     val outAttrs = output
     val (lk, rk, lt, rs, re, pay) =
       (leftKey, rightKey, leftTime, rightStart, rightEnd, payload)
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatchedPoints")
+    val numUnmatched = longMetric("numUnmatchedPoints")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(Seq(lk), leftOut)
       val rKeyProj = UnsafeProjection.create(Seq(rk), rightOut)
@@ -135,8 +148,10 @@ case class IntervalJoinExec(
       lIter.flatMap { lRow =>
         val lKeyRow = lKeyProj(lRow)
         val lTimeRow = lTimeProj(lRow)
-        if (lKeyRow.isNullAt(0) || lTimeRow.isNullAt(0)) Iterator.empty
-        else {
+        if (lKeyRow.isNullAt(0) || lTimeRow.isNullAt(0)) {
+          numUnmatched += 1
+          Iterator.empty
+        } else {
           if (currentKey == null || keyOrd.compare(currentKey, lKeyRow) != 0) {
             active.clear()
             currentKey = lKeyRow.copy()
@@ -174,8 +189,12 @@ case class IntervalJoinExec(
           // keep the PROJECTION lazy — resultProj reuses one output
           // buffer, so eagerly materializing N results would alias
           // them all to the last match.
-          if (active.isEmpty) Iterator.empty
-          else {
+          if (active.isEmpty) {
+            numUnmatched += 1
+            Iterator.empty
+          } else {
+            numMatched += 1
+            numOutputRows += active.length
             val lCopy = lRow.copy()
             val snapshot = active.map(_._2).toArray
             snapshot.iterator.map(payRow => resultProj(joined(lCopy, payRow)))

@@ -18,6 +18,8 @@ import org.apache.spark.sql.types.StringType
   *     'user_id', 'ts', 'click_ts',   -- key, left time, right time
   *     'click_id,click_value')         -- payload columns (CSV)
   *     -- optional 7th arg: 'left' (default) or 'inner'
+  *     -- optional 8th arg: integer lookback tolerance (time-column
+  *        units; micros for timestamps) — pandas merge_asof tolerance
   *
   *   SELECT * FROM graft_interval_join(
   *     'clicks', 'windows',            -- points / intervals
@@ -46,7 +48,8 @@ object SqlFrontDoor {
   case class UnresolvedGraftAsOfJoin(
       left: LogicalPlan, right: LogicalPlan,
       key: String, leftTime: String, rightTime: String,
-      payload: Seq[String], joinType: JoinType) extends BinaryNode {
+      payload: Seq[String], joinType: JoinType,
+      within: Option[Long] = None) extends BinaryNode {
     override lazy val resolved: Boolean = false
     override def output: Seq[Attribute] = throw new UnresolvedException("output")
     override protected def withNewChildrenInternal(
@@ -84,9 +87,9 @@ object SqlFrontDoor {
     (FunctionIdentifier("graft_asof_join"),
       new ExpressionInfo("graft.plans.SqlFrontDoor", "graft_asof_join"),
       (args: Seq[Expression]) => {
-        require(args.size == 6 || args.size == 7,
+        require(args.size >= 6 && args.size <= 8,
           "graft_asof_join(left_table, right_table, key, left_time, right_time, " +
-            "payload_csv[, 'left'|'inner']) expects 6 or 7 string-literal arguments")
+            "payload_csv[, 'left'|'inner'[, tolerance]]) expects 6-8 literal arguments")
         def a(i: Int, what: String) = strArg("graft_asof_join", args, i, what)
         val joinType = if (args.size < 7) LeftOuter
           else a(6, "join type").toLowerCase match {
@@ -95,9 +98,17 @@ object SqlFrontDoor {
             case other => throw new IllegalArgumentException(
               s"graft_asof_join: join type must be 'left' or 'inner', got '$other'")
           }
+        // optional 8th arg: lookback tolerance (integer literal, in the
+        // time column's own units — micros for timestamps)
+        val within = if (args.size < 8) None else args(7) match {
+          case Literal(v: Int, _) => Some(v.toLong)
+          case Literal(v: Long, _) => Some(v)
+          case other => throw new IllegalArgumentException(
+            s"graft_asof_join: argument 8 (tolerance) must be an integer literal, got $other")
+        }
         UnresolvedGraftAsOfJoin(rel(a(0, "left table")), rel(a(1, "right table")),
           a(2, "key"), a(3, "left time"), a(4, "right time"),
-          csv(a(5, "payload")), joinType)
+          csv(a(5, "payload")), joinType, within)
       })
 
   /** `(identifier, info, builder)` triple for `injectTableFunction`. */
@@ -125,7 +136,7 @@ object ResolveGraftJoins extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
     case u: UnresolvedGraftAsOfJoin if u.childrenResolved =>
       NativeAsOfJoin.buildNode(u.left, u.right,
-        u.key, u.leftTime, u.rightTime, u.payload, u.joinType)
+        u.key, u.leftTime, u.rightTime, u.payload, u.joinType, u.within)
     case u: UnresolvedGraftIntervalJoin if u.childrenResolved =>
       NativeIntervalJoin.buildNode(u.left, u.right,
         u.key, u.pointTime, u.startCol, u.endCol, u.payload)

@@ -607,11 +607,11 @@ object VectorMlQueries {
         .orderBy(col("query_id"), col("rk"))
     },
 
-    // kNN label-agreement audit (label-noise detection): per embedding,
-    // how many of its 5 cosine-nearest neighbors share its label,
-    // rolled up per label with a strict-minority suspect count — the
-    // confident-learning QA gate, all-integer until the final mean.
-    Q("q_ml_label_agreement", {
+    // kNN label-agreement audit, EXACT brute-force backend — kept as
+    // the calibration oracle beside the IVF-primary q_ml_label_agreement
+    // below (corpus × corpus cosine: audit scale only; diffing the two
+    // avg_match columns is the built-in agreement-delta monitor).
+    Q("q_ml_label_agreement_brute", {
       val cos = cosSql("q.qv", "c.cv")
       s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS ql
          |           FROM embeddings),
@@ -635,13 +635,17 @@ object VectorMlQueries {
       graft.operators.LabelAgreement.perLabel(t(s, dir, "embeddings"), k = 5)
     },
 
-    // The SAME audit over the IVF backend (perLabelFrom — the corpus-
-    // scale plug): deterministic modular centroids, 4-probe search, so
-    // the approximate neighbor set — and therefore the whole agreement
-    // rollup — replays exactly in the oracle. Probes are NOT broadcast
-    // here (queries = the corpus); diffing avg_match against
-    // q_ml_label_agreement is the built-in agreement-delta monitor.
-    Q("q_ml_label_agreement_ivf", {
+    // kNN label-agreement audit (label-noise detection): per embedding,
+    // how many of its 5 cosine-nearest neighbors share its label,
+    // rolled up per label with a strict-minority suspect count — the
+    // confident-learning QA gate, all-integer until the final mean.
+    // PRIMARY backend = IVF (perLabelFrom, the corpus-scale plug):
+    // deterministic modular centroids, 4-probe search, so the
+    // approximate neighbor set — and therefore the whole agreement
+    // rollup — replays exactly in the oracle; probes are NOT broadcast
+    // (queries = the corpus). Brute-force cosine is the wrong default
+    // at 100× scale; it stays above as the calibration oracle.
+    Q("q_ml_label_agreement", {
       val cosAssign = cosSql("c.cv", "cent.cent_v")
       val cosProbe = cosSql("q.qv", "cent.cent_v")
       val cosScore = cosSql("p.qv", "a.cv")

@@ -702,6 +702,41 @@ object Windows {
         .orderBy(col("purchase_id"))
     },
 
+    // X186 the native as-of join with a LOOKBACK TOLERANCE (within =
+    // 7 days — the thinned click stream's median gap is ~5 days, so
+    // the bound genuinely splits the population both ways): pandas
+    // merge_asof(tolerance=...) semantics — the latest
+    // qualifying click only matches when the purchase-click gap fits
+    // the bound, with NO fallback to an older click; out-of-window
+    // purchases keep null payload (LeftOuter). The thinned click side
+    // stretches gaps so the bound visibly fires. Oracle = DuckDB ASOF
+    // LEFT JOIN with the bound applied as a post-match CASE — exactly
+    // the no-fallback semantics, independently implemented.
+    Q("q_join_asof_tolerance",
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |       CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 604800000000
+        |            THEN c.event_id END AS click_id,
+        |       CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 604800000000
+        |            THEN epoch_us(p.ts) - epoch_us(c.ts) END AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events
+        |                WHERE event_type = 'click' AND event_id % 5 = 0) c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click" && col("event_id") % 5 === 0)
+        .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      graft.plans.NativeAsOfJoin.asOf(purchases, clicks, key = "user_id",
+          leftTime = "ts", rightTime = "click_ts",
+          payloadCols = Seq("click_id", "click_ts"),
+          within = Some(604800000000L)) // 7 days in micros
+        .select(col("purchase_id"), col("user_id"), col("click_id"),
+          (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+        .orderBy(col("purchase_id"))
+    },
+
     // X182 the native as-of join through the SQL FRONT DOOR: ONE SQL
     // text — the graft_asof_join table-valued function (registered via
     // injectTableFunction; an injected resolution rule rewrites the

@@ -63,6 +63,47 @@ class NativeAsOfJoinSpec extends SparkSpec {
       "inner == outer minus the null-payload rows")
   }
 
+  test("tolerance: an out-of-window latest match nulls (outer) or drops (inner)") {
+    // trade 102 at t=25 matches the t=20 quote with gap 5 s; trade 103
+    // at t=99 has latest quote t=30, gap 69 s — outside within=10 s.
+    // NO fallback: 103 must not reach back to an older quote either.
+    val outer = NativeAsOfJoin.asOf(trades, quotes, key = "sym",
+        leftTime = "tts", rightTime = "qts", payloadCols = Seq("px"),
+        within = Some(10L * 1000000L)) // timestamps compare in micros
+      .select($"trade_id", $"px").collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(outer === Map(
+      100L -> null, 101L -> 2.0, 102L -> 2.0, 103L -> null,
+      104L -> null, 105L -> null))
+    val inner = NativeAsOfJoin.asOf(trades, quotes, key = "sym",
+        leftTime = "tts", rightTime = "qts", payloadCols = Seq("px"),
+        joinType = org.apache.spark.sql.catalyst.plans.Inner,
+        within = Some(10L * 1000000L))
+      .select($"trade_id", $"px").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(inner === Map(101L -> 2.0, 102L -> 2.0),
+      "inner drops the out-of-window row entirely")
+  }
+
+  test("tolerance requires a numeric/timestamp time column") {
+    val l = Seq(("A", "x", 1L)).toDF("k", "t", "id")
+    val r = Seq(("A", "x", 7.0)).toDF("k", "t", "px")
+    val e = intercept[IllegalArgumentException] {
+      NativeAsOfJoin.asOf(l, r, "k", "t", "t", Seq("px"), within = Some(5L))
+    }
+    assert(e.getMessage.contains("within="), e.getMessage)
+  }
+
+  test("exec reports SQLMetrics: output/matched/unmatched row counts") {
+    val df = NativeAsOfJoin.asOf(trades, quotes, key = "sym",
+      leftTime = "tts", rightTime = "qts", payloadCols = Seq("px"))
+    df.collect()
+    val exec = TestSpark.findExec[graft.plans.AsOfJoinExec](df.queryExecution.executedPlan)
+      .getOrElse(fail("AsOfJoinExec missing from the executed plan"))
+    assert(exec.metrics("numOutputRows").value === 6L)
+    assert(exec.metrics("numMatchedLeftRows").value === 3L)
+    assert(exec.metrics("numUnmatchedLeftRows").value === 3L)
+  }
+
   test("mismatched key or time dtypes fail fast instead of silently miscomparing") {
     val l = Seq((1, ts(10), 1L)).toDF("k", "t", "id") // int key
     val r = Seq((1L, ts(5), 7.0)).toDF("k", "t", "px") // bigint key

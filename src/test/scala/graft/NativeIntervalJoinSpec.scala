@@ -31,6 +31,20 @@ class NativeIntervalJoinSpec extends SparkSpec {
     assert(got === Set((100L, 900L), (101L, 901L), (102L, 901L), (102L, 902L)))
   }
 
+  test("exec reports SQLMetrics: output rows, matched and unmatched points") {
+    val df = NativeIntervalJoin.contain(points, intervals, key = "k",
+      pointTime = "t", startCol = "s", endCol = "e", payloadCols = Seq("wid"))
+    df.collect()
+    val exec = TestSpark.findExec[graft.plans.IntervalJoinExec](df.queryExecution.executedPlan)
+      .getOrElse(fail("IntervalJoinExec missing from the executed plan"))
+    // 4 output rows (102 matches twice); points 100/101/102 matched;
+    // 103 (after all A intervals), 104 (before B's), 105 (no C
+    // intervals) unmatched
+    assert(exec.metrics("numOutputRows").value === 4L)
+    assert(exec.metrics("numMatchedPoints").value === 3L)
+    assert(exec.metrics("numUnmatchedPoints").value === 3L)
+  }
+
   test("closed ends: boundary instants match on both edges") {
     val p = Seq(("A", 10L, 1L), ("A", 30L, 2L)).toDF("k", "t", "pid")
     val got = NativeIntervalJoin.contain(p, intervals, "k", "t", "s", "e", Seq("wid"))

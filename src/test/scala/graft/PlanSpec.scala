@@ -261,7 +261,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("label agreement broadcasts the query side; per-point top-k rides WindowGroupLimit") {
-    val p = plan("q_ml_label_agreement")
+    val p = plan("q_ml_label_agreement_brute")
     assert(p.contains("BroadcastExchange"), "query side must broadcast:\n" + p)
     assert(p.contains("WindowGroupLimit"), "kNN cut must group-limit:\n" + p)
   }

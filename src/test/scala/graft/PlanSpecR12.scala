@@ -72,7 +72,7 @@ class PlanSpecR12 extends SparkSpec {
   }
 
   test("IVF label audit: no broadcast of the corpus-sized probe frame") {
-    val df = SparkEntry.queries("q_ml_label_agreement_ivf")(spark, TestSpark.sf0001)
+    val df = SparkEntry.queries("q_ml_label_agreement")(spark, TestSpark.sf0001)
     val analyzed = df.queryExecution.optimizedPlan.toString
     // centroids may broadcast (tiny); the probes frame (every corpus
     // vector) must not carry an explicit broadcast hint

@@ -13,6 +13,22 @@ object TestSpark {
     s
   }
   val sf0001 = "/root/testdata/sf0.001"
+
+  /** Find an exec node of type T anywhere in an executed plan,
+    * descending through AQE wrappers (AdaptiveSparkPlanExec holds its
+    * current plan out-of-tree; QueryStageExec wraps materialized
+    * subtrees) — plain collectFirst stops at those boundaries.
+    */
+  def findExec[T <: org.apache.spark.sql.execution.SparkPlan](
+      p: org.apache.spark.sql.execution.SparkPlan)(
+      implicit ct: scala.reflect.ClassTag[T]): Option[T] = p match {
+    case t if ct.runtimeClass.isInstance(t) => Some(t.asInstanceOf[T])
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      findExec[T](a.executedPlan)
+    case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      findExec[T](s.plan)
+    case other => other.children.iterator.flatMap(findExec[T](_)).nextOption()
+  }
 }
 
 trait SparkSpec extends AnyFunSuite {

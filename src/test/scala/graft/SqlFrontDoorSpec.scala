@@ -68,6 +68,33 @@ class SqlFrontDoorSpec extends SparkSpec {
     assert(inner.exceptAll(matchedOuter).isEmpty && matchedOuter.exceptAll(inner).isEmpty)
   }
 
+  test("tolerance through SQL (8th arg) == DataFrame within=, and bounds the lookback") {
+    registerViews()
+    val tol = 604800000000L // 7 days in micros
+    val viaSql = spark.sql(
+      s"""SELECT purchase_id, click_id
+         |FROM graft_asof_join('sfd_purchases', 'sfd_clicks',
+         |                     'user_id', 'ts', 'click_ts', 'click_id', 'left', $tol)""".stripMargin)
+    val ev = Tables.load(spark, TestSpark.sf0001, "events")
+    val viaDf = graft.plans.NativeAsOfJoin.asOf(
+        ev.filter($"event_type" === "purchase")
+          .select($"event_id".as("purchase_id"), $"user_id", $"ts"),
+        ev.filter($"event_type" === "click")
+          .select($"user_id", $"ts".as("click_ts"), $"event_id".as("click_id")),
+        key = "user_id", leftTime = "ts", rightTime = "click_ts",
+        payloadCols = Seq("click_id"), within = Some(tol))
+      .select($"purchase_id", $"click_id")
+    assert(viaSql.exceptAll(viaDf).isEmpty && viaDf.exceptAll(viaSql).isEmpty)
+    // the bound must actually null some matches the unbounded join keeps
+    val unbounded = spark.sql(
+      """SELECT purchase_id, click_id
+        |FROM graft_asof_join('sfd_purchases', 'sfd_clicks',
+        |                     'user_id', 'ts', 'click_ts', 'click_id')""".stripMargin)
+    assert(viaSql.filter($"click_id".isNull).count() >
+      unbounded.filter($"click_id".isNull).count(),
+      "the 7-day bound should unmatch at least one purchase at sf0.001")
+  }
+
   test("filters above the SQL TVF still push below the native node") {
     registerViews()
     val df = spark.sql(

@@ -22,6 +22,10 @@ import org.apache.spark.sql.graftbridge.Bridge
   * [[graft.operators.AsOfJoin]], asserted row-for-row in
   * `NativeAsOfJoinSpec`): for each left row, the LATEST right row of the
   * same key with `rightTime <= leftTime`; ties at equal time match.
+  * [[AsOfDirection.Forward]] flips the search (EARLIEST `rightTime >=
+  * leftTime` — the still-streaming mirror: the candidate is peeked, not
+  * consumed); [[AsOfDirection.Nearest]] takes the closer of the two,
+  * ties backward — full pandas `merge_asof(direction=...)` parity.
   * `joinType` picks what happens to a left row with no earlier right
   * row: [[LeftOuter]] (the default — DuckDB's `ASOF LEFT JOIN`, and the
   * reference's own left-outer-then-filter match pipeline,
@@ -48,13 +52,35 @@ import org.apache.spark.sql.graftbridge.Bridge
   * (at equal times the last row in sort order wins) — same caveat as the
   * compositional operator and DuckDB's ASOF JOIN.
   */
+/** Match direction — pandas `merge_asof(direction=...)` parity.
+  * [[AsOfDirection.Backward]] (default): latest right row with
+  * `rightTime <= leftTime`. [[AsOfDirection.Forward]]: earliest right
+  * row with `rightTime >= leftTime`. [[AsOfDirection.Nearest]]: the
+  * closer of the two (ties go backward — documented, deterministic).
+  */
+sealed trait AsOfDirection
+object AsOfDirection {
+  case object Backward extends AsOfDirection
+  case object Forward extends AsOfDirection
+  case object Nearest extends AsOfDirection
+
+  def parse(s: String): AsOfDirection = s.toLowerCase match {
+    case "backward" => Backward
+    case "forward" => Forward
+    case "nearest" => Nearest
+    case other => throw new IllegalArgumentException(
+      s"asOf: direction must be 'backward', 'forward' or 'nearest', got '$other'")
+  }
+}
+
 case class AsOfJoinNode(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, rightKey: Attribute,
     leftTime: Attribute, rightTime: Attribute,
     payload: Seq[Attribute],
     joinType: JoinType = LeftOuter,
-    tolerance: Option[Long] = None) extends BinaryNode {
+    tolerance: Option[Long] = None,
+    direction: AsOfDirection = AsOfDirection.Backward) extends BinaryNode {
   require(joinType == LeftOuter || joinType == Inner,
     s"AsOfJoinNode: joinType must be LEFT OUTER or INNER, got $joinType")
   require(tolerance.forall(_ >= 0L),
@@ -74,8 +100,8 @@ case class AsOfJoinNode(
 /** Plans [[AsOfJoinNode]] as [[AsOfJoinExec]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt, p, jt, tol) =>
-      AsOfJoinExec(lk, rk, lt, rt, p, jt, tol, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, p, jt, tol, dir) =>
+      AsOfJoinExec(lk, rk, lt, rt, p, jt, tol, dir, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -112,12 +138,27 @@ object PushLeftFiltersThroughAsOf extends Rule[LogicalPlan] with PredicateHelper
   * bound every earlier row does too). Unbounded lookback is a
   * correctness smell at 100 TB (a purchase attributed to a click from
   * months ago); real attribution pipelines pass `within`.
+  *
+  * Codegen audit (round 14): the exec is interpreted row-at-a-time (no
+  * whole-stage codegen), but its projections ARE codegen'd
+  * UnsafeProjections and the merge loop is a hand-rolled iterator (no
+  * per-row allocation). Measured at sf0.1×10 (1M events, 10× per-key
+  * history): native 0.40 s vs compositional union+window 0.19 s warm
+  * under `count()` — the gap is STRUCTURAL, not interpretive: the node
+  * plans one shuffle+sort per side while the composition rides a single
+  * tagged-union window, and `count()` prunes every column through the
+  * window but cannot prune through this black-box node. The native
+  * operator wins when left rows are wide (the composition shuffles
+  * every left column twice) and when consumers project the payload
+  * (both plans then materialize it); the measured worst-case 2×
+  * interpretive overhead is accepted — `doProduce`/`doConsume` support
+  * would couple the exec to codegen internals for a bounded win.
   */
 case class AsOfJoinExec(
     leftKey: Attribute, rightKey: Attribute,
     leftTime: Attribute, rightTime: Attribute,
     payload: Seq[Attribute], joinType: JoinType,
-    tolerance: Option[Long],
+    tolerance: Option[Long], direction: AsOfDirection,
     left: SparkPlan, right: SparkPlan) extends SparkPlan with BinaryExecNode {
 
   // the same dark-spot problem as any exec without metrics: at scale
@@ -157,6 +198,7 @@ case class AsOfJoinExec(
     val inner = joinType == Inner
     val (lk, rk, lt, rt, pay) = (leftKey, rightKey, leftTime, rightTime, payload)
     val tol = tolerance
+    val dir = direction
     val numOutputRows = longMetric("numOutputRows")
     val numMatched = longMetric("numMatchedLeftRows")
     val numUnmatched = longMetric("numUnmatchedLeftRows")
@@ -188,50 +230,108 @@ case class AsOfJoinExec(
       var lastKey: UnsafeRow = null
       var lastVal: UnsafeRow = null
       var lastTime = 0L
-      def unmatchedOut(lRow: InternalRow): Iterator[InternalRow] = {
-        numUnmatched += 1
-        if (inner) Iterator.empty
-        else {
-          numOutputRows += 1
-          Iterator.single(resultProj(joined(lRow, nullPayload)))
-        }
-      }
-      lIter.flatMap { lRow =>
-        val lKeyRow = lKeyProj(lRow)
-        val lTimeRow = lTimeProj(lRow)
-        if (lKeyRow.isNullAt(0) || lTimeRow.isNullAt(0)) {
-          // SQL semantics: null never equals / never compares — no match.
-          unmatchedOut(lRow)
-        } else {
-          var done = false
-          while (!done && rBuf.hasNext) {
-            val head = rBuf.head
-            val rKeyRow = rKeyProj(head)
-            if (rKeyRow.isNullAt(0)) rBuf.next() // null keys match nothing
-            else {
-              val c = keyOrd.compare(rKeyRow, lKeyRow)
-              if (c < 0) rBuf.next() // key group already passed
-              else if (c == 0) {
-                val rTimeRow = rTimeProj(head)
-                if (rTimeRow.isNullAt(0)) rBuf.next() // nulls-first: skip
-                else if (timeOrd.compare(rTimeRow, lTimeRow) <= 0) {
-                  lastKey = lKeyRow.copy()
-                  lastVal = payloadProj(head).copy()
-                  lastTime = timeAsLong(rTimeRow)
-                  rBuf.next()
-                } else done = true // future right row — stop
-              } else done = true // right is ahead of this key group
+      val tolBound = tol.getOrElse(Long.MaxValue)
+      // Forward: the candidate is the first right row AT OR AFTER the
+      // left time — it is PEEKED, never consumed (later left rows may
+      // need it too); rows strictly before the left time are dead for
+      // every later left row (times ascend) and are discarded.
+      // Backward/Nearest: rows at or before the left time are consumed,
+      // tracking the latest (the backward candidate).
+      val fwdOnly = dir == AsOfDirection.Forward
+      val useFwd = dir != AsOfDirection.Backward
+      val useBwd = !fwdOnly
+      // gap arithmetic (tolerance / nearest) reads numeric time values;
+      // buildNode restricts the time dtype when either is requested.
+      // Without them the <= Long.MaxValue checks are vacuously true, so
+      // non-numeric orderable time types stay correct under Backward.
+      // Hand-rolled iterator, not lIter.flatMap + Iterator.single: the
+      // exec is not whole-stage-codegen'd (see class doc), so the merge
+      // loop IS the hot path.
+      new Iterator[InternalRow] {
+        private var pending: InternalRow = null
+        private def computeNext(): Unit = {
+          while (pending == null && lIter.hasNext) {
+            val lRow = lIter.next()
+            val lKeyRow = lKeyProj(lRow)
+            val lTimeRow = lTimeProj(lRow)
+            if (lKeyRow.isNullAt(0) || lTimeRow.isNullAt(0)) {
+              // SQL semantics: null never equals / never compares.
+              numUnmatched += 1
+              if (!inner) {
+                numOutputRows += 1
+                pending = resultProj(joined(lRow, nullPayload))
+              }
+            } else {
+              var done = false
+              while (!done && rBuf.hasNext) {
+                val head = rBuf.head
+                val rKeyRow = rKeyProj(head)
+                if (rKeyRow.isNullAt(0)) rBuf.next() // null keys match nothing
+                else {
+                  val c = keyOrd.compare(rKeyRow, lKeyRow)
+                  if (c < 0) rBuf.next() // key group already passed
+                  else if (c == 0) {
+                    val rTimeRow = rTimeProj(head)
+                    if (rTimeRow.isNullAt(0)) rBuf.next() // nulls-first: skip
+                    else {
+                      val cmp = timeOrd.compare(rTimeRow, lTimeRow)
+                      if (if (fwdOnly) cmp < 0 else cmp <= 0) {
+                        if (useBwd) {
+                          lastKey = lKeyRow.copy()
+                          lastVal = payloadProj(head).copy()
+                          lastTime = timeAsLong(rTimeRow)
+                        }
+                        rBuf.next()
+                      } else done = true // candidate-or-later — stop
+                    }
+                  } else done = true // right is ahead of this key group
+                }
+              }
+              // backward candidate: the latest consumed row maximizes
+              // rightTime, so it alone decides the tolerance bound
+              val bwdHit = useBwd && lastKey != null &&
+                keyOrd.compare(lastKey, lKeyRow) == 0
+              val bwdGap = if (bwdHit) timeAsLong(lTimeRow) - lastTime else 0L
+              val bwdOk = bwdHit && bwdGap <= tolBound
+              // forward candidate: peek the (unconsumed) head — the
+              // earliest same-key row at-or-after the left time
+              var fwdRow: InternalRow = null
+              var fwdGap = 0L
+              if (useFwd && rBuf.hasNext) {
+                val head = rBuf.head
+                val rKeyRow = rKeyProj(head)
+                if (!rKeyRow.isNullAt(0) && keyOrd.compare(rKeyRow, lKeyRow) == 0) {
+                  val rTimeRow = rTimeProj(head)
+                  if (!rTimeRow.isNullAt(0) &&
+                      timeOrd.compare(rTimeRow, lTimeRow) >= 0) {
+                    fwdRow = head
+                    if (tol.isDefined || dir == AsOfDirection.Nearest)
+                      fwdGap = timeAsLong(rTimeRow) - timeAsLong(lTimeRow)
+                  }
+                }
+              }
+              val fwdOk = fwdRow != null && fwdGap <= tolBound
+              // Nearest: closer wins, ties go BACKWARD (deterministic)
+              val pickBwd = bwdOk && (!fwdOk || !useFwd || bwdGap <= fwdGap)
+              if (pickBwd || fwdOk) {
+                numMatched += 1
+                numOutputRows += 1
+                pending = resultProj(joined(lRow,
+                  if (pickBwd) lastVal else payloadProj(fwdRow)))
+              } else {
+                numUnmatched += 1
+                if (!inner) {
+                  numOutputRows += 1
+                  pending = resultProj(joined(lRow, nullPayload))
+                }
+              }
             }
           }
-          // the latest qualifying right row maximizes rightTime, so it
-          // alone decides the tolerance bound — no fallback scan
-          val matched = lastKey != null && keyOrd.compare(lastKey, lKeyRow) == 0 &&
-            tol.forall(timeAsLong(lTimeRow) - lastTime <= _)
-          if (matched) {
-            numMatched += 1
-            numOutputRows += 1
-            Iterator.single(resultProj(joined(lRow, lastVal)))
-          } else unmatchedOut(lRow)
+        }
+        override def hasNext: Boolean = { computeNext(); pending != null }
+        override def next(): InternalRow = {
+          computeNext()
+          val r = pending; pending = null; r
         }
       }
     }
@@ -260,9 +360,10 @@ object NativeAsOfJoin {
     */
   def asOf(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, payloadCols: Seq[String],
-      joinType: JoinType = LeftOuter, within: Option[Long] = None): DataFrame = {
+      joinType: JoinType = LeftOuter, within: Option[Long] = None,
+      direction: AsOfDirection = AsOfDirection.Backward): DataFrame = {
     val node = buildNode(left.queryExecution.analyzed, right.queryExecution.analyzed,
-      key, leftTime, rightTime, payloadCols, joinType, within)
+      key, leftTime, rightTime, payloadCols, joinType, within, direction)
     Bridge.ofRows(left.sparkSession, node)
   }
 
@@ -273,7 +374,8 @@ object NativeAsOfJoin {
   private[plans] def buildNode(lPlan: LogicalPlan, rAnalyzed: LogicalPlan,
       key: String, leftTime: String, rightTime: String,
       payloadCols: Seq[String], joinType: JoinType,
-      within: Option[Long] = None): AsOfJoinNode = {
+      within: Option[Long] = None,
+      direction: AsOfDirection = AsOfDirection.Backward): AsOfJoinNode = {
     // match names with the session's resolver, not ==: under Spark's
     // default case-insensitive resolution a SQL caller passing USER_ID
     // must find user_id, exactly as it would in a builtin join
@@ -301,16 +403,18 @@ object NativeAsOfJoin {
     require(lTimeAttr.dataType == rTimeAttr.dataType,
       s"asOf: time dtype mismatch — left $leftTime is ${lTimeAttr.dataType.sql}, " +
         s"right $rightTime is ${rTimeAttr.dataType.sql}; cast one side before joining")
-    if (within.isDefined) {
+    if (within.isDefined || direction == AsOfDirection.Nearest) {
+      // both tolerance and nearest-side selection do gap ARITHMETIC on
+      // the time values, not just ordering comparisons
       import org.apache.spark.sql.types.{IntegerType, LongType, TimestampNTZType, TimestampType}
       require(Seq(IntegerType, LongType, TimestampType, TimestampNTZType)
           .contains(lTimeAttr.dataType),
-        s"asOf: within= needs an int/long/timestamp time column, " +
+        s"asOf: within=/direction=nearest need an int/long/timestamp time column, " +
           s"got ${lTimeAttr.dataType.sql} (tolerance is in the column's units; " +
           "micros for timestamps)")
     }
     AsOfJoinNode(lPlan, rPlan,
       lKeyAttr, rKeyAttr, lTimeAttr, rTimeAttr,
-      payloadCols.map(pick(rPlan.output, _, "right")), joinType, within)
+      payloadCols.map(pick(rPlan.output, _, "right")), joinType, within, direction)
   }
 }

@@ -86,6 +86,13 @@ object PushFiltersThroughIntervalJoin extends Rule[LogicalPlan] with PredicateHe
 /** Streaming sort-merge interval join: children arrive clustered by key
   * and sorted by (key, time) / (key, start); each partition is merged
   * in one pass over an active-interval buffer.
+  *
+  * Codegen audit (round 14): interpreted row-at-a-time (codegen'd
+  * UnsafeProjections inside), measured 0.57-0.8 s at sf0.1×10 (1M
+  * events) — unlike the as-of case there is no cheaper compositional
+  * equivalent to fall back to (a range-predicate join explodes on
+  * bucket overlap), so the interpretive overhead is the price of the
+  * O(|L|+|R|) guarantee; accepted, same reasoning as [[AsOfJoinExec]].
   */
 case class IntervalJoinExec(
     leftKey: Attribute, rightKey: Attribute,

@@ -20,6 +20,8 @@ import org.apache.spark.sql.types.StringType
   *     -- optional 7th arg: 'left' (default) or 'inner'
   *     -- optional 8th arg: integer lookback tolerance (time-column
   *        units; micros for timestamps) — pandas merge_asof tolerance
+  *     -- optional 9th arg: 'backward' (default) | 'forward' | 'nearest'
+  *        — pandas merge_asof direction
   *
   *   SELECT * FROM graft_interval_join(
   *     'clicks', 'windows',            -- points / intervals
@@ -49,7 +51,8 @@ object SqlFrontDoor {
       left: LogicalPlan, right: LogicalPlan,
       key: String, leftTime: String, rightTime: String,
       payload: Seq[String], joinType: JoinType,
-      within: Option[Long] = None) extends BinaryNode {
+      within: Option[Long] = None,
+      direction: AsOfDirection = AsOfDirection.Backward) extends BinaryNode {
     override lazy val resolved: Boolean = false
     override def output: Seq[Attribute] = throw new UnresolvedException("output")
     override protected def withNewChildrenInternal(
@@ -87,9 +90,10 @@ object SqlFrontDoor {
     (FunctionIdentifier("graft_asof_join"),
       new ExpressionInfo("graft.plans.SqlFrontDoor", "graft_asof_join"),
       (args: Seq[Expression]) => {
-        require(args.size >= 6 && args.size <= 8,
+        require(args.size >= 6 && args.size <= 9,
           "graft_asof_join(left_table, right_table, key, left_time, right_time, " +
-            "payload_csv[, 'left'|'inner'[, tolerance]]) expects 6-8 literal arguments")
+            "payload_csv[, 'left'|'inner'[, tolerance[, direction]]]) " +
+            "expects 6-9 literal arguments")
         def a(i: Int, what: String) = strArg("graft_asof_join", args, i, what)
         val joinType = if (args.size < 7) LeftOuter
           else a(6, "join type").toLowerCase match {
@@ -106,9 +110,12 @@ object SqlFrontDoor {
           case other => throw new IllegalArgumentException(
             s"graft_asof_join: argument 8 (tolerance) must be an integer literal, got $other")
         }
+        // optional 9th arg: 'backward' (default) | 'forward' | 'nearest'
+        val direction = if (args.size < 9) AsOfDirection.Backward
+          else AsOfDirection.parse(a(8, "direction"))
         UnresolvedGraftAsOfJoin(rel(a(0, "left table")), rel(a(1, "right table")),
           a(2, "key"), a(3, "left time"), a(4, "right time"),
-          csv(a(5, "payload")), joinType, within)
+          csv(a(5, "payload")), joinType, within, direction)
       })
 
   /** `(identifier, info, builder)` triple for `injectTableFunction`. */
@@ -136,7 +143,7 @@ object ResolveGraftJoins extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
     case u: UnresolvedGraftAsOfJoin if u.childrenResolved =>
       NativeAsOfJoin.buildNode(u.left, u.right,
-        u.key, u.leftTime, u.rightTime, u.payload, u.joinType, u.within)
+        u.key, u.leftTime, u.rightTime, u.payload, u.joinType, u.within, u.direction)
     case u: UnresolvedGraftIntervalJoin if u.childrenResolved =>
       NativeIntervalJoin.buildNode(u.left, u.right,
         u.key, u.pointTime, u.startCol, u.endCol, u.payload)

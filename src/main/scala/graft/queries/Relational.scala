@@ -1443,10 +1443,11 @@ object Relational {
         |  WHERE bfs.dist < 4)
         |SELECT cast(node AS bigint) AS node, cast(min(dist) AS int) AS dist
         |FROM bfs GROUP BY node ORDER BY node""".stripMargin) { (s, dir) =>
-      val e0 = t(s, dir, "lineitem")
-        .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
-        .distinct()
-      val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      // persist the edge list once: each of the 4 hops joins it, and
+      // unpersisted the lineitem distinct+union recomputes per hop
+      // (same discipline as q_graph_modularity / q_graph_labelprop)
+      val edges = coSupplyEdges(t(s, dir, "lineitem"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val seeds = t(s, dir, "supplier").filter(col("s_suppkey") % 25 === 0)
         .select((col("s_suppkey") * 2).as("node"))
       Bfs.kHop(edges, seeds, maxHops = 4).orderBy(col("node"))

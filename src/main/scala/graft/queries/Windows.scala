@@ -737,6 +737,73 @@ object Windows {
         .orderBy(col("purchase_id"))
     },
 
+    // X187 FORWARD direction on the native as-of join (pandas
+    // merge_asof(direction='forward')): each purchase matched to the
+    // user's EARLIEST click at-or-after it — the "next touchpoint"
+    // attribution mirror. Streaming implementation detail: the forward
+    // candidate is peeked, never consumed (later purchases may share
+    // it). Oracle = DuckDB ASOF LEFT JOIN with the reversed inequality,
+    // an independent implementation of the same direction.
+    Q("q_join_asof_forward",
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |       c.event_id AS click_id,
+        |       epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events
+        |                WHERE event_type = 'click' AND event_id % 5 = 0) c
+        |  ON p.user_id = c.user_id AND c.ts >= p.ts
+        |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click" && col("event_id") % 5 === 0)
+        .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      graft.plans.NativeAsOfJoin.asOf(purchases, clicks, key = "user_id",
+          leftTime = "ts", rightTime = "click_ts",
+          payloadCols = Seq("click_id", "click_ts"),
+          direction = graft.plans.AsOfDirection.Forward)
+        .select(col("purchase_id"), col("user_id"), col("click_id"),
+          (unix_micros(col("click_ts")) - unix_micros(col("ts"))).as("gap_us"))
+        .orderBy(col("purchase_id"))
+    },
+
+    // X187 NEAREST direction (pandas merge_asof(direction='nearest')):
+    // the closer of the latest-earlier and earliest-later clicks, ties
+    // deterministically backward. The oracle composes it from DuckDB's
+    // two one-sided ASOF joins + a CASE on the gaps — an independent
+    // derivation of the same argmin that must agree row-for-row.
+    Q("q_join_asof_nearest",
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT * FROM events WHERE event_type = 'click' AND event_id % 5 = 0),
+        |b AS (SELECT p.event_id AS pid, c.event_id AS cid,
+        |             epoch_us(p.ts) - epoch_us(c.ts) AS gap
+        |      FROM p ASOF LEFT JOIN c
+        |        ON p.user_id = c.user_id AND c.ts <= p.ts),
+        |f AS (SELECT p.event_id AS pid, c.event_id AS cid,
+        |             epoch_us(c.ts) - epoch_us(p.ts) AS gap
+        |      FROM p ASOF LEFT JOIN c
+        |        ON p.user_id = c.user_id AND c.ts >= p.ts)
+        |SELECT p.event_id AS purchase_id, p.user_id,
+        |       CASE WHEN b.cid IS NOT NULL AND (f.cid IS NULL OR b.gap <= f.gap)
+        |            THEN b.cid ELSE f.cid END AS click_id,
+        |       CASE WHEN b.cid IS NOT NULL AND (f.cid IS NULL OR b.gap <= f.gap)
+        |            THEN b.gap ELSE f.gap END AS gap_us
+        |FROM p JOIN b ON b.pid = p.event_id JOIN f ON f.pid = p.event_id
+        |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click" && col("event_id") % 5 === 0)
+        .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      graft.plans.NativeAsOfJoin.asOf(purchases, clicks, key = "user_id",
+          leftTime = "ts", rightTime = "click_ts",
+          payloadCols = Seq("click_id", "click_ts"),
+          direction = graft.plans.AsOfDirection.Nearest)
+        .select(col("purchase_id"), col("user_id"), col("click_id"),
+          abs(unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+        .orderBy(col("purchase_id"))
+    },
+
     // X182 the native as-of join through the SQL FRONT DOOR: ONE SQL
     // text — the graft_asof_join table-valued function (registered via
     // injectTableFunction; an injected resolution rule rewrites the

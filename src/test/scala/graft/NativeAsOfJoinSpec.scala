@@ -84,6 +84,49 @@ class NativeAsOfJoinSpec extends SparkSpec {
       "inner drops the out-of-window row entirely")
   }
 
+  test("forward direction: earliest at-or-after match; ties at equal time match") {
+    val got = NativeAsOfJoin.asOf(trades, quotes, key = "sym",
+        leftTime = "tts", rightTime = "qts", payloadCols = Seq("px"),
+        direction = graft.plans.AsOfDirection.Forward)
+      .select($"trade_id", $"px").collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    // 100 (t=5) -> first A quote t=10; 101 (t=20) -> tie, t=20; 102
+    // (t=25) -> t=30; 103 (t=99) -> nothing after; 104 (B t=14) -> B's
+    // t=15; 105 (C) -> no quotes
+    assert(got === Map(
+      100L -> 1.0, 101L -> 2.0, 102L -> 3.0, 103L -> null,
+      104L -> 10.0, 105L -> null))
+  }
+
+  test("nearest direction: argmin gap over both sides, exact ties go backward") {
+    val got = NativeAsOfJoin.asOf(trades, quotes, key = "sym",
+        leftTime = "tts", rightTime = "qts", payloadCols = Seq("px"),
+        direction = graft.plans.AsOfDirection.Nearest)
+      .select($"trade_id", $"px").collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    // 100: only forward (t=10); 101: exact backward hit (gap 0);
+    // 102 (t=25): backward t=20 gap 5 TIES forward t=30 gap 5 ->
+    // backward wins deterministically; 103: only backward (t=30);
+    // 104: forward t=15 (gap 1) beats nothing backward; 105: none
+    assert(got === Map(
+      100L -> 1.0, 101L -> 2.0, 102L -> 2.0, 103L -> 3.0,
+      104L -> 10.0, 105L -> null))
+  }
+
+  test("nearest + tolerance: both sides must respect the bound") {
+    // within=6s: 103's nearest (backward t=30, gap 69s) is out of
+    // bounds -> null; 102's tie (gap 5s) survives
+    val got = NativeAsOfJoin.asOf(trades, quotes, key = "sym",
+        leftTime = "tts", rightTime = "qts", payloadCols = Seq("px"),
+        within = Some(6L * 1000000L),
+        direction = graft.plans.AsOfDirection.Nearest)
+      .select($"trade_id", $"px").collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(got === Map(
+      100L -> 1.0, 101L -> 2.0, 102L -> 2.0, 103L -> null,
+      104L -> 10.0, 105L -> null))
+  }
+
   test("tolerance requires a numeric/timestamp time column") {
     val l = Seq(("A", "x", 1L)).toDF("k", "t", "id")
     val r = Seq(("A", "x", 7.0)).toDF("k", "t", "px")

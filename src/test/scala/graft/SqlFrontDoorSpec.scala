@@ -95,6 +95,26 @@ class SqlFrontDoorSpec extends SparkSpec {
       "the 7-day bound should unmatch at least one purchase at sf0.001")
   }
 
+  test("direction through SQL (9th arg) == DataFrame direction=") {
+    registerViews()
+    val viaSql = spark.sql(
+      """SELECT purchase_id, click_id
+        |FROM graft_asof_join('sfd_purchases', 'sfd_clicks',
+        |                     'user_id', 'ts', 'click_ts', 'click_id',
+        |                     'left', 9223372036854775807, 'nearest')""".stripMargin)
+    val ev = Tables.load(spark, TestSpark.sf0001, "events")
+    val viaDf = graft.plans.NativeAsOfJoin.asOf(
+        ev.filter($"event_type" === "purchase")
+          .select($"event_id".as("purchase_id"), $"user_id", $"ts"),
+        ev.filter($"event_type" === "click")
+          .select($"user_id", $"ts".as("click_ts"), $"event_id".as("click_id")),
+        key = "user_id", leftTime = "ts", rightTime = "click_ts",
+        payloadCols = Seq("click_id"),
+        direction = graft.plans.AsOfDirection.Nearest)
+      .select($"purchase_id", $"click_id")
+    assert(viaSql.exceptAll(viaDf).isEmpty && viaDf.exceptAll(viaSql).isEmpty)
+  }
+
   test("filters above the SQL TVF still push below the native node") {
     registerViews()
     val df = spark.sql(

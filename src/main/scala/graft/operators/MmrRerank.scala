@@ -51,21 +51,19 @@ object MmrRerank {
           .otherwise(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))).as("sim"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rels = base.select(col("query_id"), col(idCol), col("rel"))
-    // materialize both shared inputs NOW: the k unrolled stages each read
-    // them ~2×, and an unmaterialized persist would re-run the upstream
-    // retrieval scan on every first touch per stage
-    base.count(); pairs.count()
 
-    // Each greedy pick is ≤ nQueries rows; persist + materialize it so
-    // stage s's plan reads k−1 cached micro-tables instead of replaying
-    // stages 1..s−1 (without this the `selected` subtree is referenced
-    // ~3× per stage and lineage grows exponentially in k — the PageRank
-    // per-iteration-persist discipline, operators/PageRank.scala).
-    def pin(df: DataFrame): DataFrame = {
-      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      p.count()
-      p
-    }
+    // Each greedy pick is ≤ nQueries rows; persist it (LAZILY) so stage
+    // s's plan reads k−1 cached micro-tables instead of replaying
+    // stages 1..s−1 — without the persist the `selected` subtree is
+    // referenced ~3× per stage and lineage grows exponentially in k.
+    // The persist REGISTRATION alone breaks the blowup: block-store
+    // dedup computes each cached frame once even when the first (and
+    // only) action evaluates all k stages in one job. The previous
+    // eager count() per pick spent one whole job per stage on frames of
+    // a few dozen rows — 6+ driver actions of pure scheduling overhead
+    // at sf0.1 (over half the query's wall-clock).
+    def pin(df: DataFrame): DataFrame =
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var selected = pin(TopK.perGroup(rels,
         partitionBy = Seq(col("query_id")),
         orderBy = Seq(col("rel").desc, col(idCol)),

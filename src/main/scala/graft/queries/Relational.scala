@@ -237,12 +237,12 @@ object Relational {
     Q("q_agg_cms_partkey",
       """WITH js AS (SELECT unnest([0, 1, 2, 3]) AS j),
         |cells AS (SELECT l_partkey, j,
-        |                 ('0x' || substr(md5(j || ':' || l_partkey), 1, 15))::BIGINT % 512 AS bucket
+        |                 ('0x' || substr(md5(l_partkey::VARCHAR), 1 + 8 * j, 8))::BIGINT % 512 AS bucket
         |          FROM lineitem CROSS JOIN js),
         |sketch AS (SELECT j, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2),
         |probes AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_partkey % 200 = 7),
         |pc AS (SELECT l_partkey, j,
-        |              ('0x' || substr(md5(j || ':' || l_partkey), 1, 15))::BIGINT % 512 AS bucket
+        |              ('0x' || substr(md5(l_partkey::VARCHAR), 1 + 8 * j, 8))::BIGINT % 512 AS bucket
         |       FROM probes CROSS JOIN js),
         |est AS (SELECT pc.l_partkey, min(coalesce(s.cnt, 0)) AS est
         |        FROM pc LEFT JOIN sketch s ON pc.j = s.j AND pc.bucket = s.bucket GROUP BY 1),
@@ -586,12 +586,12 @@ object Relational {
       """WITH js AS (SELECT unnest([0, 1, 2]) AS j),
         |dim AS (SELECT DISTINCT o_orderkey AS key FROM orders
         |        WHERE o_orderpriority = '1-URGENT'),
-        |bpos AS (SELECT key, (('0x' || substr(md5(j || ':' || key), 1, 15))::BIGINT % 16384) AS pos
+        |bpos AS (SELECT key, (('0x' || substr(md5(key::VARCHAR), 1 + 8 * j, 8))::BIGINT % 16384) AS pos
         |         FROM dim CROSS JOIN js),
         |words AS (SELECT pos // 32 AS widx, bit_or((1::BIGINT) << (pos % 32)::INT) AS word
         |          FROM bpos GROUP BY 1),
         |probes AS (SELECT DISTINCT l_orderkey AS key FROM lineitem),
-        |ppos AS (SELECT key, (('0x' || substr(md5(j || ':' || key), 1, 15))::BIGINT % 16384) AS pos
+        |ppos AS (SELECT key, (('0x' || substr(md5(key::VARCHAR), 1 + 8 * j, 8))::BIGINT % 16384) AS pos
         |         FROM probes CROSS JOIN js),
         |hits AS (SELECT p.key,
         |                count(*) = sum(CASE WHEN ((coalesce(w.word, 0) >> (p.pos % 32)::INT) & 1) = 1
@@ -1065,10 +1065,10 @@ object Relational {
     // table ever joined to the other to produce the estimate.
     Q("q_diag_join_size",
       """WITH js AS (SELECT unnest([0, 1, 2, 3]) AS j),
-        |ca AS (SELECT j, ('0x' || substr(md5(j || ':' || l_orderkey), 1, 15))::BIGINT % 65536 AS bucket,
+        |ca AS (SELECT j, ('0x' || substr(md5(l_orderkey::VARCHAR), 1 + 8 * j, 8))::BIGINT % 65536 AS bucket,
         |              count(*) AS cnt
         |       FROM lineitem CROSS JOIN js GROUP BY 1, 2),
-        |cb AS (SELECT j, ('0x' || substr(md5(j || ':' || o_orderkey), 1, 15))::BIGINT % 65536 AS bucket,
+        |cb AS (SELECT j, ('0x' || substr(md5(o_orderkey::VARCHAR), 1 + 8 * j, 8))::BIGINT % 65536 AS bucket,
         |              count(*) AS cnt
         |       FROM orders CROSS JOIN js GROUP BY 1, 2),
         |ip AS (SELECT ca.j, cast(sum(ca.cnt * cb.cnt) AS bigint) AS est

@@ -600,7 +600,7 @@ object Windows {
     Q("q_stream_cms",
       """WITH js AS (SELECT unnest([0, 1, 2]) AS j),
         |cells AS (SELECT user_id, j,
-        |                 ('0x' || substr(md5(j || ':' || user_id), 1, 15))::BIGINT % 256 AS bucket
+        |                 ('0x' || substr(md5(user_id::VARCHAR), 1 + 8 * j, 8))::BIGINT % 256 AS bucket
         |          FROM events CROSS JOIN js)
         |SELECT j, cast(bucket AS bigint) AS bucket, count(*) AS cnt
         |FROM cells GROUP BY 1, 2

@@ -51,8 +51,11 @@ object KCore {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // the ONE full-degree pass (also materializes the edge cache);
-    // every node appears (it has >= 1 edge by construction)
+    // the ONE full-degree pass, materialized EAGERLY (also fills the
+    // edge cache): handing AQE a finished stage here lets it size every
+    // later round's joins; making this lazy too measured ~1.5x slower
+    // (the whole peel as one blind-planned job). Every node appears
+    // (it has >= 1 edge by construction).
     var deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     deg.count()
@@ -74,9 +77,12 @@ object KCore {
         .select(col("node"),
           (col("deg") - coalesce(col("_d"), lit(0L))).as("deg"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // materialize per round: the next round's filters and the AQE
-      // broadcast decision for the delta join both read sized stats
-      deg.count()
+      // LAZY persist: registration alone breaks the fan-out re-compute
+      // (each deg frame is read by the removed filter, the delta join
+      // and the next round — block-store dedup computes it once inside
+      // the single materializing job); an eager count() here spent one
+      // scheduling job per round on a node-sized frame, and AQE still
+      // sizes the delta join at its own shuffle-stage boundary
       pinned += deg
     }
     // survivors carry their degree in the final surviving subgraph —

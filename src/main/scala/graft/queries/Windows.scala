@@ -1053,6 +1053,40 @@ object Windows {
         .orderBy(col("user_id"), col("start_ms"))
     },
 
+    // X188 STREAMING as-of attribution: every purchase matched to the
+    // user's latest click within 7 days, as a flatMapGroupsWithState
+    // stream — state per user is ONE (click_id, t_us) pair (constant,
+    // vs a stream-stream join buffering every click in the interval),
+    // the streaming mirror of q_join_asof_tolerance. Oracle = DuckDB
+    // ASOF LEFT JOIN + the post-match gap CASE; with AvailableNow the
+    // emitted append set must equal the batch join exactly, and the
+    // cross-batch state carry (a purchase in batch 2 matching batch
+    // 1's click) is pinned separately in StreamingSpec.
+    Q("q_stream_asof",
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |       CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 604800000000
+        |            THEN c.event_id END AS click_id,
+        |       CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 604800000000
+        |            THEN epoch_us(p.ts) - epoch_us(c.ts) END AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val (src, staged) = stagedEventsStream(s, dir)
+      val ev = src
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        .as[graft.streaming.StreamingOps.AttrEvent]
+      val attributed = graft.streaming.StreamingOps.asOfWithState(
+        ev, sourceType = "click", matchType = "purchase",
+        withinUs = Some(604800000000L)) // 7 days
+      runToMemorySink(s, attributed.toDF(),
+          sinkName("stream_asof_", dir), outputMode = "append", staged = staged :: Nil)
+        .select(col("purchase_id"), col("user_id"), col("click_id"), col("gap_us"))
+        .orderBy(col("purchase_id"))
+    },
+
     // Stream-stream interval join (view→click attribution within 6
     // hours per user) — the one streaming shape the surface lacked. TWO
     // independent file-source streams (each its own staged directory),

@@ -139,6 +139,63 @@ object StreamingOps {
       }
   }
 
+  case class AttrEvent(user_id: Long, event_id: Long, event_type: String,
+      ts: java.sql.Timestamp)
+  case class Attribution(user_id: Long, purchase_id: Long,
+      click_id: Option[Long], gap_us: Option[Long])
+
+  /** Streaming as-of attribution (`flatMapGroupsWithState`): per user,
+    * every `matchType` event (purchase) is matched to the LATEST
+    * `sourceType` event (click) at-or-before it, optionally within a
+    * `withinUs` lookback bound — the continuous mirror of the native
+    * [[graft.plans.AsOfJoinNode]] backward join with tolerance, and the
+    * streaming shape of attribution at 100 TB: state per user is ONE
+    * (click_id, t_us) pair, constant and watermark-independent, versus
+    * a stream-stream join buffering every click in the interval.
+    * Emitted rows are final (append-exact) under the same in-order
+    * arrival contract as [[funnelWithState]]: events sort within each
+    * batch, and cross-batch state carries the latest click forward, so
+    * a purchase in a later batch still sees an earlier batch's click
+    * (pinned in StreamingSpec).
+    */
+  def asOfWithState(events: Dataset[AttrEvent], sourceType: String,
+      matchType: String, withinUs: Option[Long] = None): Dataset[Attribution] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), Attribution](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[AttrEvent], state: GroupState[(Long, Long)]) =>
+          def us(e: AttrEvent): Long =
+            e.ts.getTime / 1000L * 1000000L + e.ts.getNanos / 1000L
+          var latest = state.getOption // (click_id, t_us)
+          val out = scala.collection.mutable.ListBuffer[Attribution]()
+          // at equal timestamps the source processes FIRST: as-of ties
+          // (click.ts == purchase.ts) match, exactly like the native
+          // join and DuckDB ASOF
+          it.toSeq.sortBy(e =>
+              (us(e), if (e.event_type == sourceType) 0 else 1, e.event_id))
+            .foreach { e =>
+            val t = us(e)
+            if (e.event_type == sourceType) {
+              if (latest.forall(_._2 <= t)) latest = Some((e.event_id, t))
+            } else if (e.event_type == matchType) {
+              // the latest source maximizes its time, so it alone
+              // decides the bound — same no-fallback rule as the
+              // native tolerance join
+              val hit = latest.filter { case (_, ct) =>
+                ct <= t && withinUs.forall(t - ct <= _)
+              }
+              out += Attribution(user, e.event_id,
+                hit.map(_._1), hit.map(t - _._2))
+            }
+          }
+          latest.foreach(state.update)
+          out.iterator
+      }
+  }
+
   case class TypedEvent(user_id: Long, event_type: String, ts: java.sql.Timestamp)
   case class FunnelReach(user_id: Long, stage: Int, t_us: Long)
 

@@ -135,6 +135,41 @@ class StreamingSpec extends SparkSpec {
     assert(r2.contains((1L, 3)), s"purchase reach missing: $r2")
   }
 
+  test("streaming as-of carries the latest click across real micro-batches") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import StreamingOps.AttrEvent
+    val mem = MemoryStream[AttrEvent]
+    val q = StreamingOps.asOfWithState(mem.toDS(), sourceType = "click",
+        matchType = "purchase", withinUs = Some(30L * 60 * 1000000L)) // 30 min
+      .writeStream.format("memory").queryName("asofs").outputMode("append")
+      .start()
+    try {
+      // batch 1: only a click — no output, state = (100, t)
+      mem.addData(AttrEvent(1L, 100L, "click", ts("2024-01-01 00:00:00")))
+      q.processAllAvailable()
+      assert(spark.table("asofs").count() === 0)
+      // batch 2: purchase 10 min later matches batch 1's click (state
+      // carry); a second purchase 40 min later misses the 30-min bound
+      // and must NOT fall back to it; a click after both is inert here
+      mem.addData(
+        AttrEvent(1L, 200L, "purchase", ts("2024-01-01 00:10:00")),
+        AttrEvent(1L, 201L, "purchase", ts("2024-01-01 00:40:00")),
+        AttrEvent(1L, 101L, "click", ts("2024-01-01 00:50:00")))
+      q.processAllAvailable()
+      val r = spark.table("asofs").collect()
+        .map(x => x.getLong(1) -> (if (x.isNullAt(2)) -1L else x.getLong(2))).toMap
+      assert(r === Map(200L -> 100L, 201L -> -1L), s"got $r")
+      // batch 3: a purchase right after batch 2's click matches IT (the
+      // newer click replaced the state), not the original
+      mem.addData(AttrEvent(1L, 202L, "purchase", ts("2024-01-01 00:55:00")))
+      q.processAllAvailable()
+      val r3 = spark.table("asofs").collect()
+        .map(x => x.getLong(1) -> (if (x.isNullAt(2)) -1L else x.getLong(2))).toMap
+      assert(r3(202L) === 101L, s"got $r3")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val s = spark; import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext

@@ -40,7 +40,12 @@ import org.apache.spark.sql.graftbridge.Bridge
   * 100 TB design: `requiredChildDistribution` clusters each side on its
   * key and `requiredChildOrdering` asks for (key, time) — so Catalyst's
   * EnsureRequirements plans exactly ONE hash shuffle + sort per side
-  * (the sort-merge-join shape, AQE-coalescible), and the merge itself is
+  * (the sort-merge-join shape). The per-partition merge zips the two
+  * children, which requires EQUAL partition counts; verified (round
+  * 14, 2M×10 skewed probe): AQE does not partition-coalesce around
+  * this node even when one side is tiny — both exchanges keep the
+  * full `spark.sql.shuffle.partitions` count, so the zip contract
+  * holds by construction. The merge itself is
   * a streaming single pass per partition holding ONE buffered right row
   * group — O(|L|+|R|) with O(1) memory, regardless of history depth. The
   * compositional union+window form moves |L|+|R| rows through one

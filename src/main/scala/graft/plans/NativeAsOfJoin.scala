@@ -80,7 +80,7 @@ object AsOfDirection {
 
 case class AsOfJoinNode(
     left: LogicalPlan, right: LogicalPlan,
-    leftKey: Attribute, rightKey: Attribute,
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTime: Attribute, rightTime: Attribute,
     payload: Seq[Attribute],
     joinType: JoinType = LeftOuter,
@@ -88,6 +88,9 @@ case class AsOfJoinNode(
     direction: AsOfDirection = AsOfDirection.Backward) extends BinaryNode {
   require(joinType == LeftOuter || joinType == Inner,
     s"AsOfJoinNode: joinType must be LEFT OUTER or INNER, got $joinType")
+  require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
+    s"AsOfJoinNode: need >= 1 key and equal key counts, " +
+      s"got ${leftKeys.length} vs ${rightKeys.length}")
   require(tolerance.forall(_ >= 0L),
     s"AsOfJoinNode: tolerance must be >= 0, got $tolerance")
 
@@ -105,8 +108,8 @@ case class AsOfJoinNode(
 /** Plans [[AsOfJoinNode]] as [[AsOfJoinExec]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt, p, jt, tol, dir) =>
-      AsOfJoinExec(lk, rk, lt, rt, p, jt, tol, dir, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinNode(l, r, lks, rks, lt, rt, p, jt, tol, dir) =>
+      AsOfJoinExec(lks, rks, lt, rt, p, jt, tol, dir, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -160,7 +163,7 @@ object PushLeftFiltersThroughAsOf extends Rule[LogicalPlan] with PredicateHelper
   * would couple the exec to codegen internals for a bounded win.
   */
 case class AsOfJoinExec(
-    leftKey: Attribute, rightKey: Attribute,
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTime: Attribute, rightTime: Attribute,
     payload: Seq[Attribute], joinType: JoinType,
     tolerance: Option[Long], direction: AsOfDirection,
@@ -182,11 +185,11 @@ case class AsOfJoinExec(
     else left.output ++ payload
 
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
 
   // Left rows pass through in their sorted order, one output row each.
   override def outputPartitioning: Partitioning = left.outputPartitioning
@@ -201,7 +204,7 @@ case class AsOfJoinExec(
     val rightOut = right.output
     val outAttrs = output
     val inner = joinType == Inner
-    val (lk, rk, lt, rt, pay) = (leftKey, rightKey, leftTime, rightTime, payload)
+    val (lks, rks, lt, rt, pay) = (leftKeys, rightKeys, leftTime, rightTime, payload)
     val tol = tolerance
     val dir = direction
     val numOutputRows = longMetric("numOutputRows")
@@ -214,8 +217,8 @@ case class AsOfJoinExec(
       case _ => r => r.getLong(0) // LongType / TimestampType(_NTZ) micros
     }
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val lKeyProj = UnsafeProjection.create(Seq(lk), leftOut)
-      val rKeyProj = UnsafeProjection.create(Seq(rk), rightOut)
+      val lKeyProj = UnsafeProjection.create(lks, leftOut)
+      val rKeyProj = UnsafeProjection.create(rks, rightOut)
       val lTimeProj = UnsafeProjection.create(Seq(lt), leftOut)
       val rTimeProj = UnsafeProjection.create(Seq(rt), rightOut)
       val payloadProj = UnsafeProjection.create(pay, rightOut)
@@ -224,7 +227,7 @@ case class AsOfJoinExec(
       // null-check even when the right column itself is non-nullable.
       val resultProj =
         UnsafeProjection.create(outAttrs, leftOut ++ pay.map(_.withNullability(true)))
-      val keyOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lk.dataType))
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(lks.map(_.dataType))
       val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lt.dataType))
       val nullPayload = new GenericInternalRow(pay.length)
       val joined = new JoinedRow
@@ -259,7 +262,7 @@ case class AsOfJoinExec(
             val lRow = lIter.next()
             val lKeyRow = lKeyProj(lRow)
             val lTimeRow = lTimeProj(lRow)
-            if (lKeyRow.isNullAt(0) || lTimeRow.isNullAt(0)) {
+            if (lKeyRow.anyNull || lTimeRow.isNullAt(0)) {
               // SQL semantics: null never equals / never compares.
               numUnmatched += 1
               if (!inner) {
@@ -271,7 +274,7 @@ case class AsOfJoinExec(
               while (!done && rBuf.hasNext) {
                 val head = rBuf.head
                 val rKeyRow = rKeyProj(head)
-                if (rKeyRow.isNullAt(0)) rBuf.next() // null keys match nothing
+                if (rKeyRow.anyNull) rBuf.next() // null keys match nothing
                 else {
                   val c = keyOrd.compare(rKeyRow, lKeyRow)
                   if (c < 0) rBuf.next() // key group already passed
@@ -305,7 +308,7 @@ case class AsOfJoinExec(
               if (useFwd && rBuf.hasNext) {
                 val head = rBuf.head
                 val rKeyRow = rKeyProj(head)
-                if (!rKeyRow.isNullAt(0) && keyOrd.compare(rKeyRow, lKeyRow) == 0) {
+                if (!rKeyRow.anyNull && keyOrd.compare(rKeyRow, lKeyRow) == 0) {
                   val rTimeRow = rTimeProj(head)
                   if (!rTimeRow.isNullAt(0) &&
                       timeOrd.compare(rTimeRow, lTimeRow) >= 0) {
@@ -366,21 +369,35 @@ object NativeAsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, payloadCols: Seq[String],
       joinType: JoinType = LeftOuter, within: Option[Long] = None,
+      direction: AsOfDirection = AsOfDirection.Backward): DataFrame =
+    asOfKeys(left, right, Seq(key), leftTime, rightTime, payloadCols,
+      joinType, within, direction)
+
+  /** [[asOf]] on a COMPOSITE key — the shape real attribution uses
+    * ((user, device), (exchange, symbol), (user, day) …): both sides
+    * cluster and sort on all key columns, the time comparison runs
+    * within each composite group, and a null in ANY key column matches
+    * nothing (SQL join-key semantics).
+    */
+  def asOfKeys(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, payloadCols: Seq[String],
+      joinType: JoinType = LeftOuter, within: Option[Long] = None,
       direction: AsOfDirection = AsOfDirection.Backward): DataFrame = {
     val node = buildNode(left.queryExecution.analyzed, right.queryExecution.analyzed,
-      key, leftTime, rightTime, payloadCols, joinType, within, direction)
+      keys, leftTime, rightTime, payloadCols, joinType, within, direction)
     Bridge.ofRows(left.sparkSession, node)
   }
 
   /** Resolve names → attributes and assemble the logical node; shared by
-    * the DataFrame front door above and the SQL TVF resolution rule
+    * the DataFrame front doors above and the SQL TVF resolution rule
     * ([[ResolveGraftJoins]]). Both child plans must be analyzed.
     */
   private[plans] def buildNode(lPlan: LogicalPlan, rAnalyzed: LogicalPlan,
-      key: String, leftTime: String, rightTime: String,
+      keys: Seq[String], leftTime: String, rightTime: String,
       payloadCols: Seq[String], joinType: JoinType,
       within: Option[Long] = None,
       direction: AsOfDirection = AsOfDirection.Backward): AsOfJoinNode = {
+    require(keys.nonEmpty, "asOf: need at least one key column")
     // match names with the session's resolver, not ==: under Spark's
     // default case-insensitive resolution a SQL caller passing USER_ID
     // must find user_id, exactly as it would in a builtin join
@@ -389,22 +406,25 @@ object NativeAsOfJoin {
     require(clash.isEmpty,
       s"asOf: payload columns ${clash.mkString(", ")} collide with left columns — " +
         "rename them on the right side before joining")
-    val needed = (Seq(key, rightTime) ++ payloadCols).distinct
+    val needed = (keys ++ Seq(rightTime) ++ payloadCols).distinct
     def rAttr(n: String): Attribute = rAnalyzed.output.find(a => resolver(a.name, n)).getOrElse(
       throw new IllegalArgumentException(s"asOf: right column $n not found"))
     val rPlan = Project(needed.map(n => Alias(rAttr(n), n)()), rAnalyzed)
     def pick(out: Seq[Attribute], n: String, side: String): Attribute =
       out.find(a => resolver(a.name, n)).getOrElse(
         throw new IllegalArgumentException(s"asOf: $side column $n not found"))
-    val (lKeyAttr, rKeyAttr) = (pick(lPlan.output, key, "left"), pick(rPlan.output, key, "right"))
+    val lKeyAttrs = keys.map(pick(lPlan.output, _, "left"))
+    val rKeyAttrs = keys.map(pick(rPlan.output, _, "right"))
     val (lTimeAttr, rTimeAttr) =
       (pick(lPlan.output, leftTime, "left"), pick(rPlan.output, rightTime, "right"))
-    // The exec partitions each side on its own key and compares raw
+    // The exec partitions each side on its own keys and compares raw
     // bytes with orderings built from the LEFT types — an int-vs-bigint
     // mismatch would mispartition and miscompare SILENTLY. Fail fast.
-    require(lKeyAttr.dataType == rKeyAttr.dataType,
-      s"asOf: key dtype mismatch — left $key is ${lKeyAttr.dataType.sql}, " +
-        s"right $key is ${rKeyAttr.dataType.sql}; cast one side before joining")
+    keys.indices.foreach { i =>
+      require(lKeyAttrs(i).dataType == rKeyAttrs(i).dataType,
+        s"asOf: key dtype mismatch — left ${keys(i)} is ${lKeyAttrs(i).dataType.sql}, " +
+          s"right ${keys(i)} is ${rKeyAttrs(i).dataType.sql}; cast one side before joining")
+    }
     require(lTimeAttr.dataType == rTimeAttr.dataType,
       s"asOf: time dtype mismatch — left $leftTime is ${lTimeAttr.dataType.sql}, " +
         s"right $rightTime is ${rTimeAttr.dataType.sql}; cast one side before joining")
@@ -419,7 +439,7 @@ object NativeAsOfJoin {
           "micros for timestamps)")
     }
     AsOfJoinNode(lPlan, rPlan,
-      lKeyAttr, rKeyAttr, lTimeAttr, rTimeAttr,
+      lKeyAttrs, rKeyAttrs, lTimeAttr, rTimeAttr,
       payloadCols.map(pick(rPlan.output, _, "right")), joinType, within, direction)
   }
 }

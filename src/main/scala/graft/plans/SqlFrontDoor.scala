@@ -15,7 +15,7 @@ import org.apache.spark.sql.types.StringType
   * {{{
   *   SELECT * FROM graft_asof_join(
   *     'purchases', 'clicks',          -- left / right table or view
-  *     'user_id', 'ts', 'click_ts',   -- key, left time, right time
+  *     'user_id', 'ts', 'click_ts',   -- key (CSV for composite), left/right time
   *     'click_id,click_value')         -- payload columns (CSV)
   *     -- optional 7th arg: 'left' (default) or 'inner'
   *     -- optional 8th arg: integer lookback tolerance (time-column
@@ -49,7 +49,7 @@ object SqlFrontDoor {
   /** Placeholder planted by the `graft_asof_join` TVF builder. */
   case class UnresolvedGraftAsOfJoin(
       left: LogicalPlan, right: LogicalPlan,
-      key: String, leftTime: String, rightTime: String,
+      keys: Seq[String], leftTime: String, rightTime: String,
       payload: Seq[String], joinType: JoinType,
       within: Option[Long] = None,
       direction: AsOfDirection = AsOfDirection.Backward) extends BinaryNode {
@@ -114,7 +114,7 @@ object SqlFrontDoor {
         val direction = if (args.size < 9) AsOfDirection.Backward
           else AsOfDirection.parse(a(8, "direction"))
         UnresolvedGraftAsOfJoin(rel(a(0, "left table")), rel(a(1, "right table")),
-          a(2, "key"), a(3, "left time"), a(4, "right time"),
+          csv(a(2, "key")), a(3, "left time"), a(4, "right time"),
           csv(a(5, "payload")), joinType, within, direction)
       })
 
@@ -143,7 +143,7 @@ object ResolveGraftJoins extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
     case u: UnresolvedGraftAsOfJoin if u.childrenResolved =>
       NativeAsOfJoin.buildNode(u.left, u.right,
-        u.key, u.leftTime, u.rightTime, u.payload, u.joinType, u.within, u.direction)
+        u.keys, u.leftTime, u.rightTime, u.payload, u.joinType, u.within, u.direction)
     case u: UnresolvedGraftIntervalJoin if u.childrenResolved =>
       NativeIntervalJoin.buildNode(u.left, u.right,
         u.key, u.pointTime, u.startCol, u.endCol, u.payload)

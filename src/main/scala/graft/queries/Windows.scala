@@ -804,6 +804,39 @@ object Windows {
         .orderBy(col("purchase_id"))
     },
 
+    // X189 COMPOSITE-KEY native as-of join: same-day attribution — the
+    // key is (user_id, calendar day), so a purchase only matches the
+    // user's latest click OF THE SAME DAY (the multi-column key shape
+    // real attribution uses: (user, device), (exchange, symbol), …).
+    // Both sides cluster and sort on all key columns; a null in any
+    // key column matches nothing. Oracle = DuckDB ASOF LEFT JOIN with
+    // an extra equality condition — its native composite-key form.
+    Q("q_join_asof_multikey",
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |       c.event_id AS click_id,
+        |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND CAST(p.ts AS DATE) = CAST(c.ts AS DATE)
+        | AND c.ts <= p.ts
+        |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"),
+          to_date(col("ts")).as("day"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("ts").as("click_ts"), col("event_id").as("click_id"))
+      graft.plans.NativeAsOfJoin.asOfKeys(purchases, clicks,
+          keys = Seq("user_id", "day"),
+          leftTime = "ts", rightTime = "click_ts",
+          payloadCols = Seq("click_id", "click_ts"))
+        .select(col("purchase_id"), col("user_id"), col("click_id"),
+          (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+        .orderBy(col("purchase_id"))
+    },
+
     // X182 the native as-of join through the SQL FRONT DOOR: ONE SQL
     // text — the graft_asof_join table-valued function (registered via
     // injectTableFunction; an injected resolution rule rewrites the

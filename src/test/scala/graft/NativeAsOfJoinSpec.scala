@@ -127,6 +127,53 @@ class NativeAsOfJoinSpec extends SparkSpec {
       104L -> 10.0, 105L -> null))
   }
 
+  test("composite keys: matches stay inside the (sym, venue) group; null key matches nothing") {
+    val q2 = Seq(
+      ("A", "X", ts(10), 1.0), ("A", "Y", ts(12), 7.0),
+      (null.asInstanceOf[String], "X", ts(1), 9.9)
+    ).toDF("sym", "venue", "qts", "px")
+    val t2 = Seq(
+      ("A", "X", ts(20), 1L),  // only the (A, X) quote qualifies
+      ("A", "Y", ts(20), 2L),  // only the (A, Y) quote
+      ("A", "Z", ts(20), 3L),  // no quotes on venue Z
+      (null.asInstanceOf[String], "X", ts(20), 4L) // null key -> no match
+    ).toDF("sym", "venue", "tts", "trade_id")
+    val got = NativeAsOfJoin.asOfKeys(t2, q2, keys = Seq("sym", "venue"),
+        leftTime = "tts", rightTime = "qts", payloadCols = Seq("px"))
+      .select($"trade_id", $"px").collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(got === Map(1L -> 1.0, 2L -> 7.0, 3L -> null, 4L -> null))
+  }
+
+  test("composite keys through the SQL TVF (CSV key argument)") {
+    val ev = Tables.load(spark, TestSpark.sf0001, "events")
+    ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts", to_date($"ts").as("day"))
+      .createOrReplaceTempView("mk_purchases")
+    ev.filter($"event_type" === "click")
+      .select($"user_id", to_date($"ts").as("day"), $"ts".as("click_ts"),
+        $"event_id".as("click_id"))
+      .createOrReplaceTempView("mk_clicks")
+    val viaSql = spark.sql(
+      """SELECT purchase_id, click_id
+        |FROM graft_asof_join('mk_purchases', 'mk_clicks',
+        |                     'user_id,day', 'ts', 'click_ts', 'click_id')""".stripMargin)
+    val viaDf = NativeAsOfJoin.asOfKeys(
+        spark.table("mk_purchases"), spark.table("mk_clicks"),
+        keys = Seq("user_id", "day"), leftTime = "ts", rightTime = "click_ts",
+        payloadCols = Seq("click_id"))
+      .select($"purchase_id", $"click_id")
+    assert(viaSql.exceptAll(viaDf).isEmpty && viaDf.exceptAll(viaSql).isEmpty)
+    // the day key genuinely restricts: strictly more nulls than the
+    // single-key join
+    val singleKey = NativeAsOfJoin.asOf(
+        spark.table("mk_purchases").drop("day"), spark.table("mk_clicks").drop("day"),
+        key = "user_id", leftTime = "ts", rightTime = "click_ts",
+        payloadCols = Seq("click_id"))
+    assert(viaDf.filter($"click_id".isNull).count() >
+      singleKey.filter($"click_id".isNull).count())
+  }
+
   test("tolerance requires a numeric/timestamp time column") {
     val l = Seq(("A", "x", 1L)).toDF("k", "t", "id")
     val r = Seq(("A", "x", 7.0)).toDF("k", "t", "px")

@@ -39,9 +39,12 @@ import org.apache.spark.sql.graftbridge.Bridge
   */
 case class IntervalJoinNode(
     left: LogicalPlan, right: LogicalPlan,
-    leftKey: Attribute, rightKey: Attribute,
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTime: Attribute, rightStart: Attribute, rightEnd: Attribute,
     payload: Seq[Attribute]) extends BinaryNode {
+  require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
+    s"IntervalJoinNode: need >= 1 key and equal key counts, " +
+      s"got ${leftKeys.length} vs ${rightKeys.length}")
 
   override def output: Seq[Attribute] = left.output ++ payload
 
@@ -53,8 +56,8 @@ case class IntervalJoinNode(
 /** Plans [[IntervalJoinNode]] as [[IntervalJoinExec]]. */
 object IntervalJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case IntervalJoinNode(l, r, lk, rk, lt, rs, re, p) =>
-      IntervalJoinExec(lk, rk, lt, rs, re, p, planLater(l), planLater(r)) :: Nil
+    case IntervalJoinNode(l, r, lks, rks, lt, rs, re, p) =>
+      IntervalJoinExec(lks, rks, lt, rs, re, p, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -95,7 +98,7 @@ object PushFiltersThroughIntervalJoin extends Rule[LogicalPlan] with PredicateHe
   * O(|L|+|R|) guarantee; accepted, same reasoning as [[AsOfJoinExec]].
   */
 case class IntervalJoinExec(
-    leftKey: Attribute, rightKey: Attribute,
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTime: Attribute, rightStart: Attribute, rightEnd: Attribute,
     payload: Seq[Attribute],
     left: SparkPlan, right: SparkPlan) extends SparkPlan with BinaryExecNode {
@@ -103,11 +106,11 @@ case class IntervalJoinExec(
   override def output: Seq[Attribute] = left.output ++ payload
 
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightStart, Ascending)))
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightStart, Ascending))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
@@ -130,20 +133,20 @@ case class IntervalJoinExec(
     val leftOut = left.output
     val rightOut = right.output
     val outAttrs = output
-    val (lk, rk, lt, rs, re, pay) =
-      (leftKey, rightKey, leftTime, rightStart, rightEnd, payload)
+    val (lks, rks, lt, rs, re, pay) =
+      (leftKeys, rightKeys, leftTime, rightStart, rightEnd, payload)
     val numOutputRows = longMetric("numOutputRows")
     val numMatched = longMetric("numMatchedPoints")
     val numUnmatched = longMetric("numUnmatchedPoints")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val lKeyProj = UnsafeProjection.create(Seq(lk), leftOut)
-      val rKeyProj = UnsafeProjection.create(Seq(rk), rightOut)
+      val lKeyProj = UnsafeProjection.create(lks, leftOut)
+      val rKeyProj = UnsafeProjection.create(rks, rightOut)
       val lTimeProj = UnsafeProjection.create(Seq(lt), leftOut)
       val rStartProj = UnsafeProjection.create(Seq(rs), rightOut)
       val rEndProj = UnsafeProjection.create(Seq(re), rightOut)
       val payloadProj = UnsafeProjection.create(pay, rightOut)
       val resultProj = UnsafeProjection.create(outAttrs, leftOut ++ pay)
-      val keyOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lk.dataType))
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(lks.map(_.dataType))
       val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lt.dataType))
       val joined = new JoinedRow
       val rBuf = rIter.buffered
@@ -155,7 +158,7 @@ case class IntervalJoinExec(
       lIter.flatMap { lRow =>
         val lKeyRow = lKeyProj(lRow)
         val lTimeRow = lTimeProj(lRow)
-        if (lKeyRow.isNullAt(0) || lTimeRow.isNullAt(0)) {
+        if (lKeyRow.anyNull || lTimeRow.isNullAt(0)) {
           numUnmatched += 1
           Iterator.empty
         } else {
@@ -169,7 +172,7 @@ case class IntervalJoinExec(
           while (!done && rBuf.hasNext) {
             val head = rBuf.head
             val rKeyRow = rKeyProj(head)
-            if (rKeyRow.isNullAt(0)) rBuf.next() // null keys match nothing
+            if (rKeyRow.anyNull) rBuf.next() // null keys match nothing
             else {
               val c = keyOrd.compare(rKeyRow, lKeyRow)
               if (c < 0) rBuf.next() // key group already passed
@@ -227,9 +230,18 @@ object NativeIntervalJoin {
     */
   def contain(points: DataFrame, intervals: DataFrame, key: String,
       pointTime: String, startCol: String, endCol: String,
+      payloadCols: Seq[String]): DataFrame =
+    containKeys(points, intervals, Seq(key), pointTime, startCol, endCol, payloadCols)
+
+  /** [[contain]] on a COMPOSITE key — same rules as
+    * [[NativeAsOfJoin.asOfKeys]]: both sides cluster and sort on all
+    * key columns; a null in any key column matches nothing.
+    */
+  def containKeys(points: DataFrame, intervals: DataFrame, keys: Seq[String],
+      pointTime: String, startCol: String, endCol: String,
       payloadCols: Seq[String]): DataFrame = {
     val node = buildNode(points.queryExecution.analyzed,
-      intervals.queryExecution.analyzed, key, pointTime, startCol, endCol, payloadCols)
+      intervals.queryExecution.analyzed, keys, pointTime, startCol, endCol, payloadCols)
     Bridge.ofRows(points.sparkSession, node)
   }
 
@@ -238,8 +250,9 @@ object NativeIntervalJoin {
     * ([[ResolveGraftJoins]]). Both child plans must be analyzed.
     */
   private[plans] def buildNode(lPlan: LogicalPlan, rAnalyzed: LogicalPlan,
-      key: String, pointTime: String, startCol: String, endCol: String,
+      keys: Seq[String], pointTime: String, startCol: String, endCol: String,
       payloadCols: Seq[String]): IntervalJoinNode = {
+    require(keys.nonEmpty, "contain: need at least one key column")
     // session-resolver name matching (case-insensitive under the default
     // spark.sql.caseSensitive=false) — same contract as NativeAsOfJoin
     val resolver = org.apache.spark.sql.internal.SQLConf.get.resolver
@@ -247,24 +260,27 @@ object NativeIntervalJoin {
     require(clash.isEmpty,
       s"contain: payload columns ${clash.mkString(", ")} collide with point columns — " +
         "rename them on the interval side before joining")
-    val needed = (Seq(key, startCol, endCol) ++ payloadCols).distinct
+    val needed = (keys ++ Seq(startCol, endCol) ++ payloadCols).distinct
     def rAttr(n: String): Attribute = rAnalyzed.output.find(a => resolver(a.name, n)).getOrElse(
       throw new IllegalArgumentException(s"contain: interval column $n not found"))
     val rPlan = Project(needed.map(n => Alias(rAttr(n), n)()), rAnalyzed)
     def pick(out: Seq[Attribute], n: String, side: String): Attribute =
       out.find(a => resolver(a.name, n)).getOrElse(
         throw new IllegalArgumentException(s"contain: $side column $n not found"))
-    val (lKeyA, rKeyA) = (pick(lPlan.output, key, "point"), pick(rPlan.output, key, "interval"))
+    val lKeyAs = keys.map(pick(lPlan.output, _, "point"))
+    val rKeyAs = keys.map(pick(rPlan.output, _, "interval"))
     val (lTimeA, rStartA, rEndA) = (pick(lPlan.output, pointTime, "point"),
       pick(rPlan.output, startCol, "interval"), pick(rPlan.output, endCol, "interval"))
-    require(lKeyA.dataType == rKeyA.dataType,
-      s"contain: key dtype mismatch — point $key is ${lKeyA.dataType.sql}, " +
-        s"interval $key is ${rKeyA.dataType.sql}; cast one side before joining")
+    keys.indices.foreach { i =>
+      require(lKeyAs(i).dataType == rKeyAs(i).dataType,
+        s"contain: key dtype mismatch — point ${keys(i)} is ${lKeyAs(i).dataType.sql}, " +
+          s"interval ${keys(i)} is ${rKeyAs(i).dataType.sql}; cast one side before joining")
+    }
     require(lTimeA.dataType == rStartA.dataType && rStartA.dataType == rEndA.dataType,
       s"contain: time dtype mismatch — $pointTime is ${lTimeA.dataType.sql}, " +
         s"$startCol is ${rStartA.dataType.sql}, $endCol is ${rEndA.dataType.sql}; " +
         "cast to one type before joining")
-    IntervalJoinNode(lPlan, rPlan, lKeyA, rKeyA, lTimeA, rStartA, rEndA,
+    IntervalJoinNode(lPlan, rPlan, lKeyAs, rKeyAs, lTimeA, rStartA, rEndA,
       payloadCols.map(pick(rPlan.output, _, "interval")))
   }
 }

@@ -25,7 +25,7 @@ import org.apache.spark.sql.types.StringType
   *
   *   SELECT * FROM graft_interval_join(
   *     'clicks', 'windows',            -- points / intervals
-  *     'user_id', 'ts',                -- key, point time
+  *     'user_id', 'ts',                -- key (CSV for composite), point time
   *     'win_start', 'win_end',         -- interval bounds
   *     'win_id')                       -- payload columns (CSV)
   * }}}
@@ -63,7 +63,7 @@ object SqlFrontDoor {
   /** Placeholder planted by the `graft_interval_join` TVF builder. */
   case class UnresolvedGraftIntervalJoin(
       left: LogicalPlan, right: LogicalPlan,
-      key: String, pointTime: String, startCol: String, endCol: String,
+      keys: Seq[String], pointTime: String, startCol: String, endCol: String,
       payload: Seq[String]) extends BinaryNode {
     override lazy val resolved: Boolean = false
     override def output: Seq[Attribute] = throw new UnresolvedException("output")
@@ -128,7 +128,7 @@ object SqlFrontDoor {
             "start_col, end_col, payload_csv) expects 7 string-literal arguments")
         def a(i: Int, what: String) = strArg("graft_interval_join", args, i, what)
         UnresolvedGraftIntervalJoin(rel(a(0, "points table")), rel(a(1, "intervals table")),
-          a(2, "key"), a(3, "point time"), a(4, "start"), a(5, "end"),
+          csv(a(2, "key")), a(3, "point time"), a(4, "start"), a(5, "end"),
           csv(a(6, "payload")))
       })
 }
@@ -146,6 +146,6 @@ object ResolveGraftJoins extends Rule[LogicalPlan] {
         u.keys, u.leftTime, u.rightTime, u.payload, u.joinType, u.within, u.direction)
     case u: UnresolvedGraftIntervalJoin if u.childrenResolved =>
       NativeIntervalJoin.buildNode(u.left, u.right,
-        u.key, u.pointTime, u.startCol, u.endCol, u.payload)
+        u.keys, u.pointTime, u.startCol, u.endCol, u.payload)
   }
 }

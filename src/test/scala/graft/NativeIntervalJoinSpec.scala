@@ -45,6 +45,19 @@ class NativeIntervalJoinSpec extends SparkSpec {
     assert(exec.metrics("numUnmatchedPoints").value === 3L)
   }
 
+  test("composite keys: containment stays inside the (k, zone) group; null key matches nothing") {
+    val p = Seq(("A", "east", 15L, 1L), ("A", "west", 15L, 2L),
+      (null.asInstanceOf[String], "east", 15L, 3L)).toDF("k", "zone", "t", "pid")
+    val iv = Seq(("A", "east", 10L, 20L, 900L), ("A", "west", 0L, 5L, 901L))
+      .toDF("k", "zone", "s", "e", "wid")
+    val got = NativeIntervalJoin.containKeys(p, iv, keys = Seq("k", "zone"),
+        pointTime = "t", startCol = "s", endCol = "e", payloadCols = Seq("wid"))
+      .select($"pid", $"wid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // pid 1 hits (A, east)'s [10,20]; pid 2's (A, west) interval ended
+    // at 5; pid 3's null key matches nothing
+    assert(got === Set((1L, 900L)))
+  }
+
   test("closed ends: boundary instants match on both edges") {
     val p = Seq(("A", 10L, 1L), ("A", 30L, 2L)).toDF("k", "t", "pid")
     val got = NativeIntervalJoin.contain(p, intervals, "k", "t", "s", "e", Seq("wid"))

@@ -6,8 +6,9 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, And, Ascending, Attribute, JoinedRow, PredicateHelper, RowOrdering,
-  SortOrder, UnsafeProjection, UnsafeRow}
+  Alias, And, Ascending, Attribute, GenericInternalRow, JoinedRow,
+  PredicateHelper, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -20,10 +21,12 @@ import org.apache.spark.sql.graftbridge.Bridge
   * [[IntervalJoinStrategy]] into [[IntervalJoinExec]], a streaming
   * sort-merge physical operator.
   *
-  * Semantics: INNER join — for each left (point) row, one output row
-  * per right interval of the same key with `start <= t <= end` (closed
-  * ends). SQL-null semantics: a null key, time, start, or end never
-  * matches. Asserted row-for-row against the equivalent relational
+  * Semantics: for each left (point) row, one output row per right
+  * interval of the same key with `start <= t <= end` (closed ends).
+  * `joinType` [[Inner]] (default) drops uncontained points;
+  * [[LeftOuter]] keeps them with null payload columns — the audit
+  * shape ("which clicks fell outside every campaign window"). SQL-null
+  * semantics: a null key, time, start, or end never matches. Asserted row-for-row against the equivalent relational
   * range join and a DuckDB oracle in `NativeIntervalJoinSpec` /
   * `q_join_interval_native`.
   *
@@ -41,12 +44,17 @@ case class IntervalJoinNode(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTime: Attribute, rightStart: Attribute, rightEnd: Attribute,
-    payload: Seq[Attribute]) extends BinaryNode {
+    payload: Seq[Attribute],
+    joinType: JoinType = Inner) extends BinaryNode {
   require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
     s"IntervalJoinNode: need >= 1 key and equal key counts, " +
       s"got ${leftKeys.length} vs ${rightKeys.length}")
+  require(joinType == Inner || joinType == LeftOuter,
+    s"IntervalJoinNode: joinType must be INNER or LEFT OUTER, got $joinType")
 
-  override def output: Seq[Attribute] = left.output ++ payload
+  override def output: Seq[Attribute] =
+    if (joinType == LeftOuter) left.output ++ payload.map(_.withNullability(true))
+    else left.output ++ payload
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): IntervalJoinNode =
@@ -56,8 +64,8 @@ case class IntervalJoinNode(
 /** Plans [[IntervalJoinNode]] as [[IntervalJoinExec]]. */
 object IntervalJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case IntervalJoinNode(l, r, lks, rks, lt, rs, re, p) =>
-      IntervalJoinExec(lks, rks, lt, rs, re, p, planLater(l), planLater(r)) :: Nil
+    case IntervalJoinNode(l, r, lks, rks, lt, rs, re, p, jt) =>
+      IntervalJoinExec(lks, rks, lt, rs, re, p, jt, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -74,7 +82,11 @@ object PushFiltersThroughIntervalJoin extends Rule[LogicalPlan] with PredicateHe
       val preds = splitConjunctivePredicates(cond)
       val (lPush, rest) = preds.partition(p =>
         p.deterministic && p.references.subsetOf(j.left.outputSet))
+      // a right-side predicate above a LEFT OUTER interval join filters
+      // post-match payload values — sinking it would turn unmatched
+      // nulls into dropped rows; only INNER may push right-side
       val (rPush, keep) = rest.partition(p =>
+        j.joinType == Inner &&
         p.deterministic && p.references.subsetOf(j.right.outputSet))
       if (lPush.isEmpty && rPush.isEmpty) f
       else {
@@ -100,10 +112,12 @@ object PushFiltersThroughIntervalJoin extends Rule[LogicalPlan] with PredicateHe
 case class IntervalJoinExec(
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTime: Attribute, rightStart: Attribute, rightEnd: Attribute,
-    payload: Seq[Attribute],
+    payload: Seq[Attribute], joinType: JoinType,
     left: SparkPlan, right: SparkPlan) extends SparkPlan with BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ payload
+  override def output: Seq[Attribute] =
+    if (joinType == LeftOuter) left.output ++ payload.map(_.withNullability(true))
+    else left.output ++ payload
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
@@ -135,6 +149,7 @@ case class IntervalJoinExec(
     val outAttrs = output
     val (lks, rks, lt, rs, re, pay) =
       (leftKeys, rightKeys, leftTime, rightStart, rightEnd, payload)
+    val outer = joinType == LeftOuter
     val numOutputRows = longMetric("numOutputRows")
     val numMatched = longMetric("numMatchedPoints")
     val numUnmatched = longMetric("numUnmatchedPoints")
@@ -145,7 +160,11 @@ case class IntervalJoinExec(
       val rStartProj = UnsafeProjection.create(Seq(rs), rightOut)
       val rEndProj = UnsafeProjection.create(Seq(re), rightOut)
       val payloadProj = UnsafeProjection.create(pay, rightOut)
-      val resultProj = UnsafeProjection.create(outAttrs, leftOut ++ pay)
+      // bind against NULLABLE payload attrs: unmatched OUTER points read
+      // the all-null payload row (same rule as AsOfJoinExec)
+      val resultProj =
+        UnsafeProjection.create(outAttrs, leftOut ++ pay.map(_.withNullability(true)))
+      val nullPayload = new GenericInternalRow(pay.length)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(lks.map(_.dataType))
       val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lt.dataType))
       val joined = new JoinedRow
@@ -160,7 +179,10 @@ case class IntervalJoinExec(
         val lTimeRow = lTimeProj(lRow)
         if (lKeyRow.anyNull || lTimeRow.isNullAt(0)) {
           numUnmatched += 1
-          Iterator.empty
+          if (outer) {
+            numOutputRows += 1
+            Iterator.single(resultProj(joined(lRow, nullPayload)))
+          } else Iterator.empty
         } else {
           if (currentKey == null || keyOrd.compare(currentKey, lKeyRow) != 0) {
             active.clear()
@@ -201,7 +223,10 @@ case class IntervalJoinExec(
           // them all to the last match.
           if (active.isEmpty) {
             numUnmatched += 1
-            Iterator.empty
+            if (outer) {
+              numOutputRows += 1
+              Iterator.single(resultProj(joined(lRow, nullPayload)))
+            } else Iterator.empty
           } else {
             numMatched += 1
             numOutputRows += active.length
@@ -230,8 +255,9 @@ object NativeIntervalJoin {
     */
   def contain(points: DataFrame, intervals: DataFrame, key: String,
       pointTime: String, startCol: String, endCol: String,
-      payloadCols: Seq[String]): DataFrame =
-    containKeys(points, intervals, Seq(key), pointTime, startCol, endCol, payloadCols)
+      payloadCols: Seq[String], joinType: JoinType = Inner): DataFrame =
+    containKeys(points, intervals, Seq(key), pointTime, startCol, endCol,
+      payloadCols, joinType)
 
   /** [[contain]] on a COMPOSITE key — same rules as
     * [[NativeAsOfJoin.asOfKeys]]: both sides cluster and sort on all
@@ -239,9 +265,10 @@ object NativeIntervalJoin {
     */
   def containKeys(points: DataFrame, intervals: DataFrame, keys: Seq[String],
       pointTime: String, startCol: String, endCol: String,
-      payloadCols: Seq[String]): DataFrame = {
+      payloadCols: Seq[String], joinType: JoinType = Inner): DataFrame = {
     val node = buildNode(points.queryExecution.analyzed,
-      intervals.queryExecution.analyzed, keys, pointTime, startCol, endCol, payloadCols)
+      intervals.queryExecution.analyzed, keys, pointTime, startCol, endCol,
+      payloadCols, joinType)
     Bridge.ofRows(points.sparkSession, node)
   }
 
@@ -251,7 +278,7 @@ object NativeIntervalJoin {
     */
   private[plans] def buildNode(lPlan: LogicalPlan, rAnalyzed: LogicalPlan,
       keys: Seq[String], pointTime: String, startCol: String, endCol: String,
-      payloadCols: Seq[String]): IntervalJoinNode = {
+      payloadCols: Seq[String], joinType: JoinType = Inner): IntervalJoinNode = {
     require(keys.nonEmpty, "contain: need at least one key column")
     // session-resolver name matching (case-insensitive under the default
     // spark.sql.caseSensitive=false) — same contract as NativeAsOfJoin
@@ -281,6 +308,6 @@ object NativeIntervalJoin {
         s"$startCol is ${rStartA.dataType.sql}, $endCol is ${rEndA.dataType.sql}; " +
         "cast to one type before joining")
     IntervalJoinNode(lPlan, rPlan, lKeyAs, rKeyAs, lTimeA, rStartA, rEndA,
-      payloadCols.map(pick(rPlan.output, _, "interval")))
+      payloadCols.map(pick(rPlan.output, _, "interval")), joinType)
   }
 }

@@ -28,6 +28,7 @@ import org.apache.spark.sql.types.StringType
   *     'user_id', 'ts',                -- key (CSV for composite), point time
   *     'win_start', 'win_end',         -- interval bounds
   *     'win_id')                       -- payload columns (CSV)
+  *     -- optional 8th arg: 'inner' (default) or 'left'
   * }}}
   *
   * The TVF builder runs BEFORE its inputs are resolved, so it cannot
@@ -64,7 +65,7 @@ object SqlFrontDoor {
   case class UnresolvedGraftIntervalJoin(
       left: LogicalPlan, right: LogicalPlan,
       keys: Seq[String], pointTime: String, startCol: String, endCol: String,
-      payload: Seq[String]) extends BinaryNode {
+      payload: Seq[String], joinType: JoinType = Inner) extends BinaryNode {
     override lazy val resolved: Boolean = false
     override def output: Seq[Attribute] = throw new UnresolvedException("output")
     override protected def withNewChildrenInternal(
@@ -123,13 +124,21 @@ object SqlFrontDoor {
     (FunctionIdentifier("graft_interval_join"),
       new ExpressionInfo("graft.plans.SqlFrontDoor", "graft_interval_join"),
       (args: Seq[Expression]) => {
-        require(args.size == 7,
+        require(args.size == 7 || args.size == 8,
           "graft_interval_join(points_table, intervals_table, key, point_time, " +
-            "start_col, end_col, payload_csv) expects 7 string-literal arguments")
+            "start_col, end_col, payload_csv[, 'inner'|'left']) expects 7-8 " +
+            "string-literal arguments")
         def a(i: Int, what: String) = strArg("graft_interval_join", args, i, what)
+        val joinType = if (args.size < 8) Inner
+          else a(7, "join type").toLowerCase match {
+            case "inner" => Inner
+            case "left" => LeftOuter
+            case other => throw new IllegalArgumentException(
+              s"graft_interval_join: join type must be 'inner' or 'left', got '$other'")
+          }
         UnresolvedGraftIntervalJoin(rel(a(0, "points table")), rel(a(1, "intervals table")),
           csv(a(2, "key")), a(3, "point time"), a(4, "start"), a(5, "end"),
-          csv(a(6, "payload")))
+          csv(a(6, "payload")), joinType)
       })
 }
 
@@ -146,6 +155,6 @@ object ResolveGraftJoins extends Rule[LogicalPlan] {
         u.keys, u.leftTime, u.rightTime, u.payload, u.joinType, u.within, u.direction)
     case u: UnresolvedGraftIntervalJoin if u.childrenResolved =>
       NativeIntervalJoin.buildNode(u.left, u.right,
-        u.keys, u.pointTime, u.startCol, u.endCol, u.payload)
+        u.keys, u.pointTime, u.startCol, u.endCol, u.payload, u.joinType)
   }
 }

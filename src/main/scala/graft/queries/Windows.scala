@@ -646,6 +646,42 @@ object Windows {
         .orderBy(col("click_id"), col("window_id"))
     },
 
+    // X190 the native interval join's LEFT OUTER mode: every click
+    // keeps a row — those inside no signup window of their user come
+    // back with null payload, the audit shape ("which events fell
+    // outside every campaign window"). Window set thinned (event_id %
+    // 3 = 0) so unmatched rows genuinely occur. Oracle = a plain LEFT
+    // JOIN on the range predicate.
+    Q("q_join_interval_left",
+      """WITH w AS (SELECT user_id, event_id AS window_id,
+        |                  cast(epoch_us(ts) AS bigint) AS w_start,
+        |                  cast(epoch_us(ts) AS bigint)
+        |                    + CAST(round(value * 3600000000) AS BIGINT) AS w_end
+        |           FROM events WHERE event_type = 'signup' AND event_id % 3 = 0),
+        |p AS (SELECT user_id, event_id AS click_id, cast(epoch_us(ts) AS bigint) AS t
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.click_id, p.user_id, p.t, w.window_id,
+        |       cast(w.w_end - p.t AS bigint) AS remaining_us
+        |FROM p LEFT JOIN w ON p.user_id = w.user_id AND p.t BETWEEN w.w_start AND w.w_end
+        |ORDER BY click_id, window_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val points = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          unix_micros(col("ts")).as("t"))
+      val windows = ev.filter(col("event_type") === "signup" && col("event_id") % 3 === 0)
+        .select(col("user_id"), col("event_id").as("window_id"),
+          unix_micros(col("ts")).as("w_start"),
+          (unix_micros(col("ts")) +
+            round(col("value") * 3600000000L).cast("long")).as("w_end"))
+      graft.plans.NativeIntervalJoin.contain(points, windows, key = "user_id",
+          pointTime = "t", startCol = "w_start", endCol = "w_end",
+          payloadCols = Seq("window_id", "w_end"),
+          joinType = org.apache.spark.sql.catalyst.plans.LeftOuter)
+        .select(col("click_id"), col("user_id"), col("t"), col("window_id"),
+          (col("w_end") - col("t")).as("remaining_us"))
+        .orderBy(col("click_id"), col("window_id"))
+    },
+
     // X181 the native as-of join's LEFT OUTER mode made VISIBLE: the
     // click side is thinned to event_id % 5 == 0, so purchases whose
     // user has no earlier surviving click come back with NULL payload —

@@ -45,6 +45,23 @@ class NativeIntervalJoinSpec extends SparkSpec {
     assert(exec.metrics("numUnmatchedPoints").value === 3L)
   }
 
+  test("left-outer mode keeps uncontained points with null payload; inner == outer minus nulls") {
+    val outer = NativeIntervalJoin.contain(points, intervals, key = "k",
+      pointTime = "t", startCol = "s", endCol = "e", payloadCols = Seq("wid"),
+      joinType = org.apache.spark.sql.catalyst.plans.LeftOuter)
+    val inner = NativeIntervalJoin.contain(points, intervals, key = "k",
+      pointTime = "t", startCol = "s", endCol = "e", payloadCols = Seq("wid"))
+    // every point appears at least once; 103/104/105 carry null wid
+    val byPid = outer.select($"pid", $"wid").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(r =>
+        if (r.isNullAt(1)) -1L else r.getLong(1)).toSet).toMap
+    assert(byPid.keySet === Set(100L, 101L, 102L, 103L, 104L, 105L))
+    assert(byPid(103L) === Set(-1L) && byPid(104L) === Set(-1L) && byPid(105L) === Set(-1L))
+    assert(byPid(102L) === Set(901L, 902L), "matched points keep their 1:N rows")
+    val matchedOuter = outer.filter($"wid".isNotNull)
+    assert(inner.exceptAll(matchedOuter).isEmpty && matchedOuter.exceptAll(inner).isEmpty)
+  }
+
   test("composite keys: containment stays inside the (k, zone) group; null key matches nothing") {
     val p = Seq(("A", "east", 15L, 1L), ("A", "west", 15L, 2L),
       (null.asInstanceOf[String], "east", 15L, 3L)).toDF("k", "zone", "t", "pid")

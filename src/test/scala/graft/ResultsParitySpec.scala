@@ -117,6 +117,80 @@ class ResultsParitySpec extends SparkSpec {
     }
   }
 
+  // ---- parity across ALL FOUR model families the reference ships ----
+  // (brf above is the deep check; these prove the engine's curve and
+  // results shapes hold for base/urf/xgb too, not just one model)
+
+  private def resultsDir = new java.io.File(brfDir).getParent
+
+  test("metrics.csv: all four families (base/brf/urf/xgb) share the engine's column set") {
+    requireArtifacts()
+    Seq("base", "brf", "urf", "xgb").foreach { fam =>
+      val header = csv(s"$resultsDir/$fam/metrics.csv").head
+      assert(engineCurve.columns.toSeq === header, s"family $fam header mismatch")
+    }
+  }
+
+  test("metrics.csv: the metric identities hold on every family's artifact rows") {
+    requireArtifacts()
+    Seq("base", "brf", "urf", "xgb").foreach { fam =>
+      val lines = csv(s"$resultsDir/$fam/metrics.csv")
+      val idx = lines.head.zipWithIndex.toMap
+      val rows = lines.tail.filter(_.forall(_.nonEmpty))
+      assert(rows.nonEmpty, s"family $fam has no complete rows")
+      rows.foreach { r =>
+        def v(c: String) = r(idx(c)).toDouble
+        if (v("Precision") + v("Recall") > 0)
+          assert(math.abs(v("F1 Score") -
+            2 * v("Precision") * v("Recall") / (v("Precision") + v("Recall"))) < 1e-9,
+            s"$fam: $r")
+        assert(math.abs(v("Accuracy") -
+          (v("True positive percentage") + v("True negative percentage"))) < 1e-9,
+          s"$fam: $r")
+        if (v("False positive percentage") + v("True negative percentage") > 0)
+          assert(math.abs(v("False positive rate") -
+            v("False positive percentage") /
+              (v("False positive percentage") + v("True negative percentage"))) < 1e-9,
+            s"$fam: $r")
+        val pctSum = Seq("True negative percentage", "True positive percentage",
+          "False negative percentage", "False positive percentage").map(v).sum
+        assert(math.abs(pctSum - 1.0) < 1e-9, s"$fam: $r")
+      }
+      // every family's threshold grid lives inside the engine's grid
+      val engineGrid = engineCurve.select("Threshold").collect().map(_.getDouble(0)).toSet
+      val famGrid = lines.tail.map(_.head.toDouble)
+      assert(famGrid.forall(engineGrid.contains),
+        s"$fam grid $famGrid must be covered by the engine grid")
+    }
+  }
+
+  test("results: every family's AUPRC/AUROC export carries exactly resultsFrame's quantity set") {
+    requireArtifacts()
+    // the reference's write_results text format: 'Test set:'/'Train
+    // set:' sections each with 'Area Under PR/ROC = x' — parse it and
+    // require exactly the four (split, metric) pairs resultsFrame
+    // emits, with finite values in (0, 1]
+    val metricOf = Map("Area Under PR" -> "areaUnderPR", "Area Under ROC" -> "areaUnderROC")
+    Seq("base", "brf", "urf", "xgb").foreach { fam =>
+      val lines = scala.io.Source.fromFile(s"$resultsDir/$fam/results").getLines().toList
+      var split = ""
+      val found = scala.collection.mutable.ListBuffer[(String, String, Double)]()
+      lines.foreach {
+        case l if l.trim == "Test set:" => split = "test"
+        case l if l.trim == "Train set:" => split = "train"
+        case l if l.contains("=") =>
+          val Array(name, value) = l.trim.split(" = ", 2)
+          found += ((split, metricOf(name.trim), value.toDouble))
+        case _ => ()
+      }
+      assert(found.map(t => (t._1, t._2)).toSet ===
+        Set(("test", "areaUnderPR"), ("test", "areaUnderROC"),
+          ("train", "areaUnderPR"), ("train", "areaUnderROC")),
+        s"family $fam quantity set mismatch: $found")
+      assert(found.forall(t => t._3 > 0.0 && t._3 <= 1.0), s"family $fam values: $found")
+    }
+  }
+
   test("feature_importances.csv: engine export mirrors the artifact's shape") {
     requireArtifacts()
     val lines = csv(s"$brfDir/feature_importances.csv")

@@ -308,6 +308,35 @@ object AnalyticsQueries {
         .orderBy(col("event_type"))
     },
 
+    // X191 bottom-k-by-hash quantile summary: deciles of
+    // l_extendedprice read off a 1024-row uniform sample selected by
+    // the k SMALLEST md5 ranks — a mergeable, partition-independent,
+    // hash-replayable quantile sketch (union two nodes' bottom-k sets,
+    // re-keep k), unlike GK/KLL whose compaction state depends on
+    // arrival order and can never be replayed by an external engine.
+    // Selection plans as TakeOrderedAndProject (no global sort); the
+    // accuracy bound |F(est_p) − p| = O(1/√k) is property-tested in
+    // HashSampleSketchSpec against the exact ECDF.
+    Q("q_sketch_bottomk_quantiles",
+      """WITH ranked AS (
+        |  SELECT l_extendedprice AS v,
+        |         ('0x' || substr(md5(l_orderkey || ':' || l_linenumber), 1, 15))::BIGINT AS rk
+        |  FROM lineitem),
+        |samp AS (SELECT rk, v FROM ranked ORDER BY rk, v LIMIT 1024),
+        |sorted AS (SELECT v, rk, row_number() OVER (ORDER BY v, rk) AS rn,
+        |                  count(*) OVER () AS n
+        |           FROM samp),
+        |ps AS (SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS p)
+        |SELECT p, v AS est, cast(n AS bigint) AS n_sample
+        |FROM sorted JOIN ps ON rn = 1 + floor(p * (n - 1))
+        |ORDER BY p""".stripMargin) { (s, dir) =>
+      graft.operators.HashSampleSketch.quantiles(
+        t(s, dir, "lineitem"),
+        key = concat_ws(":", col("l_orderkey"), col("l_linenumber")),
+        value = col("l_extendedprice"), k = 1024,
+        probs = Seq(0.1, 0.25, 0.5, 0.75, 0.9))
+    },
+
     // X116 per-group weighted median: quantity-weighted median line
     // price — value/weight collapse first (frame bounded by value
     // cardinality), integer cum·2 ≥ total crossing, no interpolation.

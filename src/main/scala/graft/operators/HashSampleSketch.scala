@@ -63,4 +63,32 @@ object HashSampleSketch {
       .select(col("p"), col("value").as("est"), col("_n").cast("long").as("n_sample"))
       .orderBy(col("p"))
   }
+
+  /** Per-group quantile estimates: the same bottom-k-by-hash summary
+    * independently per `group` value. Selection rides a
+    * WindowGroupLimit (per-partition k before the shuffle) instead of
+    * a global TakeOrdered; groups smaller than k report exact order
+    * statistics (the sample is lossless there). Output:
+    * (group, p, est, n_sample), ordered by (group, p).
+    */
+  def quantilesByGroup(df: DataFrame, group: Column, key: Column, value: Column,
+      k: Int, probs: Seq[Double]): DataFrame = {
+    require(k >= 1 && probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranked = df.select(group.as("group"), rankOf(key).as("_rk"),
+      value.cast("double").as("value"))
+    val wSel = Window.partitionBy(col("group")).orderBy(col("_rk"), col("value"))
+    val sample = ranked
+      .withColumn("_sel", row_number().over(wSel)).filter(col("_sel") <= k)
+    val wOrd = Window.partitionBy(col("group")).orderBy(col("value"), col("_rk"))
+    val sorted = sample
+      .withColumn("_rn", row_number().over(wOrd))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("group"))))
+    val ps = probs.map(p => (p, p)).toDF("p", "_p")
+    sorted.join(ps, col("_rn") === floor(col("_p") * (col("_n") - 1)) + 1)
+      .select(col("group"), col("p"), col("value").as("est"),
+        col("_n").cast("long").as("n_sample"))
+      .orderBy(col("group"), col("p"))
+  }
 }

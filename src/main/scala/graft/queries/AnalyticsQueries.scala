@@ -337,6 +337,36 @@ object AnalyticsQueries {
         probs = Seq(0.1, 0.25, 0.5, 0.75, 0.9))
     },
 
+    // X192 the grouped variant of X191: per-returnflag quartiles from
+    // independent per-group bottom-k samples — selection rides a
+    // WindowGroupLimit (per-partition k before the shuffle) instead of
+    // a global TakeOrdered, so adding groups never serializes through
+    // the driver. Groups below k are exact (lossless sample).
+    Q("q_sketch_bottomk_grouped",
+      """WITH ranked AS (
+        |  SELECT l_returnflag AS grp, l_extendedprice AS v,
+        |         ('0x' || substr(md5(l_orderkey || ':' || l_linenumber), 1, 15))::BIGINT AS rk
+        |  FROM lineitem),
+        |samp AS (SELECT grp, rk, v FROM (
+        |  SELECT grp, rk, v,
+        |         row_number() OVER (PARTITION BY grp ORDER BY rk, v) AS sel
+        |  FROM ranked) WHERE sel <= 512),
+        |sorted AS (SELECT grp, v, rk,
+        |                  row_number() OVER (PARTITION BY grp ORDER BY v, rk) AS rn,
+        |                  count(*) OVER (PARTITION BY grp) AS n
+        |           FROM samp),
+        |ps AS (SELECT unnest([0.25, 0.5, 0.75]) AS p)
+        |SELECT grp AS "group", p, v AS est, cast(n AS bigint) AS n_sample
+        |FROM sorted JOIN ps ON rn = 1 + floor(p * (n - 1))
+        |ORDER BY "group", p""".stripMargin) { (s, dir) =>
+      graft.operators.HashSampleSketch.quantilesByGroup(
+        t(s, dir, "lineitem"),
+        group = col("l_returnflag"),
+        key = concat_ws(":", col("l_orderkey"), col("l_linenumber")),
+        value = col("l_extendedprice"), k = 512,
+        probs = Seq(0.25, 0.5, 0.75))
+    },
+
     // X116 per-group weighted median: quantity-weighted median line
     // price — value/weight collapse first (frame bounded by value
     // cardinality), integer cum·2 ≥ total crossing, no interpolation.

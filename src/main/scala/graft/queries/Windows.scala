@@ -873,6 +873,43 @@ object Windows {
         .orderBy(col("purchase_id"))
     },
 
+    // X193 the nearest-direction native join on a NUMERIC axis — the
+    // "time" column is any ordered long, here price cents: every part
+    // snaps to its brand's nearest price TIER (tiers = the distinct
+    // prices of partkey % 97 == 0 parts) — the quantization /
+    // nearest-bucket join shape (snap-to-grid feature binning, price
+    // laddering) running on the same exec as temporal as-of. Ties go
+    // backward (the lower tier), per the documented rule. Oracle =
+    // DuckDB's two one-sided ASOFs + the argmin CASE.
+    Q("q_join_asof_numeric",
+      """WITH p AS (SELECT p_partkey, p_brand,
+        |                  cast(round(p_retailprice * 100) AS bigint) AS cents
+        |           FROM part),
+        |tier AS (SELECT DISTINCT p_brand, cents FROM p WHERE p_partkey % 97 = 0),
+        |b AS (SELECT p.p_partkey AS pk, t.cents AS tc
+        |      FROM p ASOF LEFT JOIN tier t
+        |        ON p.p_brand = t.p_brand AND t.cents <= p.cents),
+        |f AS (SELECT p.p_partkey AS pk, t.cents AS tc
+        |      FROM p ASOF LEFT JOIN tier t
+        |        ON p.p_brand = t.p_brand AND t.cents >= p.cents)
+        |SELECT p.p_partkey, p.p_brand, p.cents,
+        |       CASE WHEN b.tc IS NOT NULL AND (f.tc IS NULL OR p.cents - b.tc <= f.tc - p.cents)
+        |            THEN b.tc ELSE f.tc END AS tier_cents
+        |FROM p JOIN b ON b.pk = p.p_partkey JOIN f ON f.pk = p.p_partkey
+        |ORDER BY p.p_partkey""".stripMargin) { (s, dir) =>
+      val parts = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"),
+          round(col("p_retailprice") * 100).cast("long").as("cents"))
+      val tiers = parts.filter(col("p_partkey") % 97 === 0)
+        .select(col("p_brand"), col("cents").as("tier_cents")).distinct()
+      graft.plans.NativeAsOfJoin.asOf(parts, tiers, key = "p_brand",
+          leftTime = "cents", rightTime = "tier_cents",
+          payloadCols = Seq("tier_cents"),
+          direction = graft.plans.AsOfDirection.Nearest)
+        .select(col("p_partkey"), col("p_brand"), col("cents"), col("tier_cents"))
+        .orderBy(col("p_partkey"))
+    },
+
     // X182 the native as-of join through the SQL FRONT DOOR: ONE SQL
     // text — the graft_asof_join table-valued function (registered via
     // injectTableFunction; an injected resolution rule rewrites the

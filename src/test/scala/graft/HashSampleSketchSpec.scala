@@ -44,6 +44,24 @@ class HashSampleSketchSpec extends SparkSpec {
     }
   }
 
+  test("grouped variant: small groups are exact; big groups match the ungrouped sketch") {
+    val g = spark.range(0, 4000).select(
+      when(col("id") < 20, lit("small")).otherwise(lit("big")).as("grp"),
+      col("id"), col("id").cast("double").as("v"))
+    val got = HashSampleSketch.quantilesByGroup(g, col("grp"), col("id"), col("v"),
+        k = 256, probs = Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // the 20-row group is below k: its median is the EXACT order
+    // statistic value at floor(0.5 * 19) = index 9 -> 9.0
+    assert(got("small") === 9.0)
+    // the big group's estimate equals running the ungrouped sketch on
+    // just that group's rows (same hash, same k)
+    val solo = HashSampleSketch.quantiles(g.filter(col("grp") === "big"),
+        col("id"), col("v"), 256, Seq(0.5))
+      .collect().head.getDouble(1)
+    assert(got("big") === solo)
+  }
+
   test("plan: sample selection is TakeOrderedAndProject, never a global sort") {
     val p = HashSampleSketch.bottomK(df, col("id"), col("v"), 64)
       .queryExecution.executedPlan.toString

@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.plans.{AsOfDirection, NativeAsOfJoin}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.plans.{JoinType, LeftOuter}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Skew-safe BACKWARD as-of join: the hot-key mitigation for the native
+  * operator (the documented straggler bound of
+  * [[graft.plans.AsOfJoinExec]] — a single key with 10⁷ left rows lands
+  * in ONE partition of the sort-merge zip, and the zip contract forbids
+  * AQE's skew splitting from rescuing it).
+  *
+  * Construction (semantics identical to `NativeAsOfJoin.asOf(...,
+  * direction = Backward)`, verified against it on a synthetic hot key in
+  * `SkewAsOfJoinSpec` and against the independent DuckDB ASOF JOIN by
+  * `q_join_asof_skewsafe`):
+  *
+  *  1. bucket both sides by `floor(time / bucketWidth)`;
+  *  2. per (key, target bucket), compute ONE carry-in row — the latest
+  *     right row of any STRICTLY earlier bucket (a running `last(...,
+  *     ignoreNulls)` over the union of right rows and per-bucket
+  *     markers, ordered so markers precede same-bucket right rows);
+  *  3. as-of join on the COMPOSITE key (key, bucket): in-bucket
+  *     candidates plus the carry-in are exactly the rows a left row in
+  *     that bucket can match (carry.rt < bucket·W <= leftTime, so the
+  *     carry needs no extra time guard), and the join picks the latest.
+  *
+  * Scale analysis: the per-partition work for the hottest (key, bucket)
+  * group is O(left rows in that time bucket + right rows in it + 1) —
+  * the operator converts an unbounded per-KEY straggler into a
+  * per-(key × bucketWidth) bound the caller controls. The carry window
+  * partitions by key over |right| + |distinct (key, bucket)| rows: the
+  * skew assumption is that the HUGE side is the left (events); a right
+  * side that is itself hot-keyed would move the straggler there, not
+  * remove it. Backward direction only: forward/nearest would need the
+  * mirrored carry from FUTURE buckets (not built — fail fast instead).
+  */
+object SkewAsOfJoin {
+
+  /** Exact integer floor(t / w) as a column, without `div`'s
+    * truncate-toward-zero bias on negatives: pmod is non-negative, so
+    * (t - pmod(t, w)) is an exact multiple of w, and the double
+    * division of exact multiples is exact for |t| < 2^53 (micros until
+    * year ~2255).
+    */
+  private def floorDivCol(t: Column, w: Long): Column =
+    ((t - pmod(t, lit(w))) / lit(w)).cast("long")
+
+  /** As-of join `left` to `right` on `key`, latest `rightTime <=
+    * leftTime` (backward), with per-time-bucket skew splitting. The
+    * time columns must be int/long/timestamp; `bucketWidth` is in the
+    * column's own units (micros for timestamps).
+    */
+  def asOfBucketed(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, payloadCols: Seq[String],
+      bucketWidth: Long,
+      joinType: JoinType = LeftOuter, within: Option[Long] = None): DataFrame = {
+    require(bucketWidth > 0, s"asOfBucketed: bucketWidth must be > 0, got $bucketWidth")
+    val reserved = Seq("__graft_bucket", "__graft_tag", "__graft_carrier")
+    reserved.foreach { n =>
+      require(!left.columns.contains(n) && !right.columns.contains(n),
+        s"asOfBucketed: column name $n is reserved")
+    }
+
+    def asLong(c: Column, dt: org.apache.spark.sql.types.DataType): Column = dt match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => unix_micros(c)
+      case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+        c.cast("long")
+      case other => throw new IllegalArgumentException(
+        s"asOfBucketed: time column must be int/long/timestamp, got ${other.sql}")
+    }
+    val lDt = left.schema(leftTime).dataType
+    val rDt = right.schema(rightTime).dataType
+
+    val leftB = left.withColumn("__graft_bucket",
+      floorDivCol(asLong(col(leftTime), lDt), bucketWidth))
+    val rightB = right
+      .select((Seq(key, rightTime) ++ payloadCols).distinct.map(col): _*)
+      .withColumn("__graft_bucket",
+        floorDivCol(asLong(col(rightTime), rDt), bucketWidth))
+
+    // carry-in rows: per (key, left-side bucket), the latest right row
+    // of any strictly earlier bucket. Markers (tag 0) sort before the
+    // same bucket's right rows (tag 1), so the running last(...) at a
+    // marker has seen exactly the earlier-bucket rows.
+    val targets = leftB
+      .filter(col(key).isNotNull && col("__graft_bucket").isNotNull)
+      .select(col(key), col("__graft_bucket")).distinct()
+    val rights = rightB
+      .filter(col(key).isNotNull && col(rightTime).isNotNull)
+      .withColumn("__graft_tag", lit(1))
+      .withColumn("__graft_carrier",
+        struct((Seq(rightTime) ++ payloadCols.filterNot(_ == rightTime)).map(col): _*))
+      .select(col(key), col("__graft_bucket"), col("__graft_tag"), col("__graft_carrier"))
+    val carrierType = rights.schema("__graft_carrier").dataType
+    val marks = targets
+      .withColumn("__graft_tag", lit(0))
+      .withColumn("__graft_carrier", lit(null).cast(carrierType))
+      .select(col(key), col("__graft_bucket"), col("__graft_tag"), col("__graft_carrier"))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__graft_bucket"), col("__graft_tag"),
+        col("__graft_carrier").getField(rightTime))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carries = rights.unionByName(marks)
+      .withColumn("__graft_carrier", last(col("__graft_carrier"), ignoreNulls = true).over(w))
+      .filter(col("__graft_tag") === 0 && col("__graft_carrier").isNotNull)
+      .select(Seq(col(key), col("__graft_bucket")) ++
+        (Seq(rightTime) ++ payloadCols.filterNot(_ == rightTime)).map(n =>
+          col("__graft_carrier").getField(n).as(n)): _*)
+
+    val augmented = rightB
+      .select(Seq(col(key), col("__graft_bucket")) ++
+        (Seq(rightTime) ++ payloadCols.filterNot(_ == rightTime)).map(col): _*)
+      .unionByName(carries)
+
+    NativeAsOfJoin.asOfKeys(leftB, augmented, keys = Seq(key, "__graft_bucket"),
+        leftTime = leftTime, rightTime = rightTime,
+        payloadCols = payloadCols, // augmented carries rightTime, so a
+        joinType = joinType,       // rightTime-in-payload request (same
+        within = within,           // contract as NativeAsOfJoin) resolves
+        direction = AsOfDirection.Backward)
+      .drop("__graft_bucket")
+  }
+}

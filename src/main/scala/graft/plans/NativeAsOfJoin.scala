@@ -7,8 +7,10 @@ import org.apache.spark.sql.catalyst.expressions.{
   Alias, Ascending, Attribute, GenericInternalRow, JoinedRow, PredicateHelper,
   RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan, Project}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan, Project, Statistics}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode,
+  Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graftbridge.Bridge
@@ -85,7 +87,8 @@ case class AsOfJoinNode(
     payload: Seq[Attribute],
     joinType: JoinType = LeftOuter,
     tolerance: Option[Long] = None,
-    direction: AsOfDirection = AsOfDirection.Backward) extends BinaryNode {
+    direction: AsOfDirection = AsOfDirection.Backward,
+    broadcast: Option[Boolean] = None) extends BinaryNode {
   require(joinType == LeftOuter || joinType == Inner,
     s"AsOfJoinNode: joinType must be LEFT OUTER or INNER, got $joinType")
   require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
@@ -100,16 +103,50 @@ case class AsOfJoinNode(
 
   override def maxRows: Option[Long] = left.maxRows
 
+  /** Stats propagation (a BinaryNode without this gets the visitor
+    * default — the PRODUCT of the children's sizes — so any join planned
+    * ABOVE an as-of output would never see it as broadcast-able, even
+    * when the as-of output is a few kilobytes). The operator emits
+    * exactly one row per left row (LeftOuter) or at most that (Inner),
+    * each widened by the payload columns: size = left size scaled by the
+    * output/left row-width ratio, rowCount forwarded from the left.
+    */
+  override def stats: Statistics = {
+    val l = left.stats
+    val lWidth = BigInt((1 max left.output.map(_.dataType.defaultSize).sum).toLong)
+    val outWidth = lWidth + payload.map(_.dataType.defaultSize).sum
+    Statistics(
+      sizeInBytes = (l.sizeInBytes * outWidth / lWidth).max(1),
+      rowCount = l.rowCount)
+  }
+
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
     copy(left = newLeft, right = newRight)
 }
 
-/** Plans [[AsOfJoinNode]] as [[AsOfJoinExec]]. */
+/** Plans [[AsOfJoinNode]] as [[AsOfJoinExec]] (sort-merge, big×big) or
+  * [[BroadcastAsOfJoinExec]] (small right side): `node.broadcast`
+  * forces a side when set; otherwise the strategy auto-selects exactly
+  * like Spark's own JoinSelection — broadcast when the right child's
+  * stats fit under `spark.sql.autoBroadcastJoinThreshold` (and the
+  * threshold isn't -1). The canonical 100 TB attribution shape — a huge
+  * event stream against a small ticks/dimension table — then pays ZERO
+  * exchange and zero sort on the big side.
+  */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lks, rks, lt, rt, p, jt, tol, dir) =>
-      AsOfJoinExec(lks, rks, lt, rt, p, jt, tol, dir, planLater(l), planLater(r)) :: Nil
+    case n: AsOfJoinNode =>
+      val thr = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      val autoSmall = thr > 0 && n.right.stats.sizeInBytes <= thr
+      if (n.broadcast.getOrElse(autoSmall))
+        BroadcastAsOfJoinExec(n.leftKeys, n.rightKeys, n.leftTime, n.rightTime,
+          n.payload, n.joinType, n.tolerance, n.direction,
+          planLater(n.left), planLater(n.right)) :: Nil
+      else
+        AsOfJoinExec(n.leftKeys, n.rightKeys, n.leftTime, n.rightTime,
+          n.payload, n.joinType, n.tolerance, n.direction,
+          planLater(n.left), planLater(n.right)) :: Nil
     case _ => Nil
   }
 }
@@ -216,7 +253,24 @@ case class AsOfJoinExec(
       case org.apache.spark.sql.types.IntegerType => r => r.getInt(0).toLong
       case _ => r => r.getLong(0) // LongType / TimestampType(_NTZ) micros
     }
-    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+    val lRdd = left.execute()
+    val rRdd = right.execute()
+    // Runtime zip-contract guard: the merge zips child partitions
+    // pairwise, which is only correct when EnsureRequirements gave both
+    // sides the SAME hash partitioning (count equality is the checkable
+    // half; round-14 probes verified AQE never coalesces around this
+    // node). If a future AQE/planner change breaks that, fail loudly by
+    // name here — RDD.zipPartitions would also throw on count mismatch,
+    // but deep in getPartitions with a message that doesn't say which
+    // operator or what contract broke.
+    if (lRdd.getNumPartitions != rRdd.getNumPartitions) {
+      throw new IllegalStateException(
+        s"GRAFT_ASOF_ZIP_CONTRACT violated: AsOfJoinExec requires equal child " +
+          s"partition counts, got left=${lRdd.getNumPartitions} " +
+          s"right=${rRdd.getNumPartitions}. A planner/AQE change has re-partitioned " +
+          "around the node; the pairwise merge would join wrong partitions.")
+    }
+    lRdd.zipPartitions(rRdd) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lks, leftOut)
       val rKeyProj = UnsafeProjection.create(rks, rightOut)
       val lTimeProj = UnsafeProjection.create(Seq(lt), leftOut)
@@ -346,6 +400,217 @@ case class AsOfJoinExec(
   }
 }
 
+/** Broadcast-right as-of join: the small right side ships to every
+  * executor as a per-key time-sorted index; each left row answers with
+  * one hash probe + one binary search. The plan carries NO exchange and
+  * NO sort on the left child — at 100 TB the huge event stream is
+  * joined in place, partition by partition, while the sort-merge
+  * sibling [[AsOfJoinExec]] would shuffle and sort all of it.
+  *
+  * Semantics are identical to [[AsOfJoinExec]] (directions, tolerance,
+  * Inner/LeftOuter, SQL-null keys/times), asserted by running the full
+  * randomized differential suite on both execs. Equal (key, time) ties
+  * keep the same caveat as the sort-merge exec and DuckDB ASOF: the
+  * payload is deterministic only when right (key, time) is unique.
+  *
+  * The index is built from the broadcast row array once per executor
+  * (memoized by broadcast id + projection signature, soft-referenced so
+  * memory pressure can reclaim it) — not once per task: at 32 cores a
+  * per-task build would pay the O(R log R) group-and-sort 32×.
+  */
+case class BroadcastAsOfJoinExec(
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
+    leftTime: Attribute, rightTime: Attribute,
+    payload: Seq[Attribute], joinType: JoinType,
+    tolerance: Option[Long], direction: AsOfDirection,
+    left: SparkPlan, right: SparkPlan) extends SparkPlan with BinaryExecNode {
+
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatchedLeftRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of matched left rows"),
+    "numUnmatchedLeftRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of unmatched left rows"))
+
+  override def output: Seq[Attribute] =
+    if (joinType == LeftOuter) left.output ++ payload.map(_.withNullability(true))
+    else left.output ++ payload
+
+  // left is NOT re-distributed (that is the whole point); right arrives
+  // as a whole-relation broadcast (IdentityBroadcastMode — the index
+  // wants raw rows, not Spark's join-shaped HashedRelation)
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution :: BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val leftOut = left.output
+    val rightOut = right.output
+    val outAttrs = output
+    val inner = joinType == Inner
+    val (lks, rks, lt, rt, pay) = (leftKeys, rightKeys, leftTime, rightTime, payload)
+    val tol = tolerance
+    val dir = direction
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatchedLeftRows")
+    val numUnmatched = longMetric("numUnmatchedLeftRows")
+    val timeAsLong: InternalRow => Long = lt.dataType match {
+      case org.apache.spark.sql.types.IntegerType => r => r.getInt(0).toLong
+      case _ => r => r.getLong(0) // LongType / TimestampType(_NTZ) micros
+    }
+    // gap arithmetic is only exercised when tolerance / nearest are
+    // requested (buildNode then restricts the time dtype); under plain
+    // Backward/Forward the numeric times are never read, so non-numeric
+    // orderable time types stay correct — same contract as AsOfJoinExec.
+    val needGaps = tol.isDefined || dir == AsOfDirection.Nearest
+    val rBroadcast = right.executeBroadcast[Array[InternalRow]]()
+    val indexSig = (rks.map(_.exprId.id) ++ Seq(rt.exprId.id) ++ pay.map(_.exprId.id))
+      .mkString(",")
+    left.execute().mapPartitions({ lIter =>
+      val index = BroadcastAsOfJoinExec.cachedIndex(
+        rBroadcast.id, indexSig, rBroadcast.value,
+        rightOut, rks, rt, pay, needGaps, timeAsLong)
+      val lKeyProj = UnsafeProjection.create(lks, leftOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lt), leftOut)
+      val resultProj =
+        UnsafeProjection.create(outAttrs, leftOut ++ pay.map(_.withNullability(true)))
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lt.dataType))
+      val nullPayload = new GenericInternalRow(pay.length)
+      val joined = new JoinedRow
+      val tolBound = tol.getOrElse(Long.MaxValue)
+      val useFwd = dir != AsOfDirection.Backward
+      val useBwd = dir != AsOfDirection.Forward
+      lIter.flatMap { lRow =>
+        val lKeyRow = lKeyProj(lRow)
+        val lTimeRow = lTimeProj(lRow)
+        var matchRow: InternalRow = null
+        if (!lKeyRow.anyNull && !lTimeRow.isNullAt(0)) {
+          val g = index.groups.get(lKeyRow)
+          if (g != null) {
+            // backward candidate: LAST right time <= left time
+            var bwdIdx = -1
+            if (useBwd) {
+              var lo = 0; var hi = g.times.length - 1
+              while (lo <= hi) {
+                val mid = (lo + hi) >>> 1
+                if (timeOrd.compare(g.times(mid), lTimeRow) <= 0) { bwdIdx = mid; lo = mid + 1 }
+                else hi = mid - 1
+              }
+            }
+            // forward candidate: FIRST right time >= left time
+            var fwdIdx = -1
+            if (useFwd) {
+              var lo = 0; var hi = g.times.length - 1
+              while (lo <= hi) {
+                val mid = (lo + hi) >>> 1
+                if (timeOrd.compare(g.times(mid), lTimeRow) >= 0) { fwdIdx = mid; hi = mid - 1 }
+                else lo = mid + 1
+              }
+            }
+            val lTimeLong = if (needGaps) timeAsLong(lTimeRow) else 0L
+            val bwdGap = if (bwdIdx >= 0 && needGaps) lTimeLong - g.timesLong(bwdIdx) else 0L
+            val fwdGap = if (fwdIdx >= 0 && needGaps) g.timesLong(fwdIdx) - lTimeLong else 0L
+            val bwdOk = bwdIdx >= 0 && bwdGap <= tolBound
+            val fwdOk = fwdIdx >= 0 && fwdGap <= tolBound
+            // Nearest: closer wins, ties go BACKWARD (same rule as the
+            // sort-merge exec — deterministic)
+            val pickBwd = bwdOk && (!fwdOk || !useFwd || bwdGap <= fwdGap)
+            if (pickBwd) matchRow = g.payloads(bwdIdx)
+            else if (fwdOk) matchRow = g.payloads(fwdIdx)
+          }
+        }
+        if (matchRow != null) {
+          numMatched += 1
+          numOutputRows += 1
+          Iterator.single(resultProj(joined(lRow, matchRow)))
+        } else {
+          numUnmatched += 1
+          if (!inner) {
+            numOutputRows += 1
+            Iterator.single(resultProj(joined(lRow, nullPayload)))
+          } else Iterator.empty
+        }
+      }
+    }, preservesPartitioning = true)
+  }
+}
+
+object BroadcastAsOfJoinExec {
+
+  /** Per-key index: parallel arrays of 1-col time rows (binary-search
+    * comparand), numeric times (gap arithmetic) and payload rows, all
+    * time-ascending.
+    */
+  private[plans] final class Group(
+      val times: Array[UnsafeRow], val timesLong: Array[Long],
+      val payloads: Array[UnsafeRow])
+  private[plans] final class Index(val groups: java.util.HashMap[UnsafeRow, Group])
+
+  // executor-wide memo: broadcast id + projection signature → index.
+  // Soft references let the JVM reclaim an index under memory pressure
+  // (it is rebuilt from the still-broadcast rows on next use).
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.ref.SoftReference[Index]]()
+
+  private[plans] def cachedIndex(broadcastId: Long, sig: String,
+      rows: Array[InternalRow], rightOut: Seq[Attribute],
+      rks: Seq[Attribute], rt: Attribute, pay: Seq[Attribute],
+      needGaps: Boolean, timeAsLong: InternalRow => Long): Index = {
+    val key = s"$broadcastId:$sig"
+    val ref = cache.get(key)
+    val hit = if (ref != null) ref.get else null
+    if (hit != null) return hit
+    val built = build(rows, rightOut, rks, rt, pay, needGaps, timeAsLong)
+    cache.put(key, new java.lang.ref.SoftReference(built))
+    built
+  }
+
+  private def build(rows: Array[InternalRow], rightOut: Seq[Attribute],
+      rks: Seq[Attribute], rt: Attribute, pay: Seq[Attribute],
+      needGaps: Boolean, timeAsLong: InternalRow => Long): Index = {
+    val rKeyProj = UnsafeProjection.create(rks, rightOut)
+    val rTimeProj = UnsafeProjection.create(Seq(rt), rightOut)
+    val payloadProj = UnsafeProjection.create(pay, rightOut)
+    val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(rt.dataType))
+    val grouped = new java.util.HashMap[
+      UnsafeRow, scala.collection.mutable.ArrayBuffer[(UnsafeRow, UnsafeRow)]]()
+    rows.foreach { row =>
+      val k = rKeyProj(row)
+      if (!k.anyNull) { // null keys match nothing — SQL join semantics
+        val t = rTimeProj(row)
+        if (!t.isNullAt(0)) { // null times match nothing
+          var buf = grouped.get(k)
+          if (buf == null) {
+            buf = new scala.collection.mutable.ArrayBuffer[(UnsafeRow, UnsafeRow)]
+            grouped.put(k.copy(), buf)
+          }
+          buf += ((t.copy(), payloadProj(row).copy()))
+        }
+      }
+    }
+    val groups = new java.util.HashMap[UnsafeRow, Group](grouped.size())
+    grouped.forEach { (k, buf) =>
+      val sorted = buf.sortInPlace()(Ordering.comparatorToOrdering(
+        new java.util.Comparator[(UnsafeRow, UnsafeRow)] {
+          override def compare(a: (UnsafeRow, UnsafeRow), b: (UnsafeRow, UnsafeRow)): Int =
+            timeOrd.compare(a._1, b._1)
+        }))
+      val times = sorted.map(_._1).toArray
+      val payloads = sorted.map(_._2).toArray
+      val timesLong = if (needGaps) times.map(timeAsLong) else new Array[Long](0)
+      groups.put(k, new Group(times, timesLong, payloads))
+    }
+    new Index(groups)
+  }
+}
+
 /** DataFrame front door for the native operator. */
 object NativeAsOfJoin {
 
@@ -369,9 +634,10 @@ object NativeAsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, payloadCols: Seq[String],
       joinType: JoinType = LeftOuter, within: Option[Long] = None,
-      direction: AsOfDirection = AsOfDirection.Backward): DataFrame =
+      direction: AsOfDirection = AsOfDirection.Backward,
+      broadcast: Option[Boolean] = None): DataFrame =
     asOfKeys(left, right, Seq(key), leftTime, rightTime, payloadCols,
-      joinType, within, direction)
+      joinType, within, direction, broadcast)
 
   /** [[asOf]] on a COMPOSITE key — the shape real attribution uses
     * ((user, device), (exchange, symbol), (user, day) …): both sides
@@ -382,9 +648,10 @@ object NativeAsOfJoin {
   def asOfKeys(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, payloadCols: Seq[String],
       joinType: JoinType = LeftOuter, within: Option[Long] = None,
-      direction: AsOfDirection = AsOfDirection.Backward): DataFrame = {
+      direction: AsOfDirection = AsOfDirection.Backward,
+      broadcast: Option[Boolean] = None): DataFrame = {
     val node = buildNode(left.queryExecution.analyzed, right.queryExecution.analyzed,
-      keys, leftTime, rightTime, payloadCols, joinType, within, direction)
+      keys, leftTime, rightTime, payloadCols, joinType, within, direction, broadcast)
     Bridge.ofRows(left.sparkSession, node)
   }
 
@@ -396,7 +663,8 @@ object NativeAsOfJoin {
       keys: Seq[String], leftTime: String, rightTime: String,
       payloadCols: Seq[String], joinType: JoinType,
       within: Option[Long] = None,
-      direction: AsOfDirection = AsOfDirection.Backward): AsOfJoinNode = {
+      direction: AsOfDirection = AsOfDirection.Backward,
+      broadcast: Option[Boolean] = None): AsOfJoinNode = {
     require(keys.nonEmpty, "asOf: need at least one key column")
     // match names with the session's resolver, not ==: under Spark's
     // default case-insensitive resolution a SQL caller passing USER_ID
@@ -440,6 +708,7 @@ object NativeAsOfJoin {
     }
     AsOfJoinNode(lPlan, rPlan,
       lKeyAttrs, rKeyAttrs, lTimeAttr, rTimeAttr,
-      payloadCols.map(pick(rPlan.output, _, "right")), joinType, within, direction)
+      payloadCols.map(pick(rPlan.output, _, "right")), joinType, within, direction,
+      broadcast)
   }
 }

@@ -56,6 +56,23 @@ case class IntervalJoinNode(
     if (joinType == LeftOuter) left.output ++ payload.map(_.withNullability(true))
     else left.output ++ payload
 
+  /** Stats propagation — same rationale as [[AsOfJoinNode.stats]]: the
+    * visitor default for an unknown BinaryNode is the PRODUCT of child
+    * sizes, which starves every operator above of usable estimates.
+    * This join is 1:N (a point can land in several intervals), so the
+    * left-row-count forward is a LOWER-bound heuristic; without
+    * per-key interval-concurrency stats it is still far closer than the
+    * product, and errs toward sort-merge (the safe side) above.
+    */
+  override def stats: org.apache.spark.sql.catalyst.plans.logical.Statistics = {
+    val l = left.stats
+    val lWidth = BigInt((1 max left.output.map(_.dataType.defaultSize).sum).toLong)
+    val outWidth = lWidth + payload.map(_.dataType.defaultSize).sum
+    org.apache.spark.sql.catalyst.plans.logical.Statistics(
+      sizeInBytes = (l.sizeInBytes * outWidth / lWidth).max(1),
+      rowCount = l.rowCount)
+  }
+
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): IntervalJoinNode =
     copy(left = newLeft, right = newRight)
@@ -153,7 +170,20 @@ case class IntervalJoinExec(
     val numOutputRows = longMetric("numOutputRows")
     val numMatched = longMetric("numMatchedPoints")
     val numUnmatched = longMetric("numUnmatchedPoints")
-    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+    val lRdd = left.execute()
+    val rRdd = right.execute()
+    // Runtime zip-contract guard — same contract and rationale as
+    // AsOfJoinExec: pairwise partition zip is only correct under equal
+    // co-hash-partitioning; fail by name instead of mis-zipping or
+    // surfacing a generic zipPartitions error.
+    if (lRdd.getNumPartitions != rRdd.getNumPartitions) {
+      throw new IllegalStateException(
+        s"GRAFT_INTERVAL_ZIP_CONTRACT violated: IntervalJoinExec requires equal " +
+          s"child partition counts, got left=${lRdd.getNumPartitions} " +
+          s"right=${rRdd.getNumPartitions}. A planner/AQE change has re-partitioned " +
+          "around the node; the pairwise merge would join wrong partitions.")
+    }
+    lRdd.zipPartitions(rRdd) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lks, leftOut)
       val rKeyProj = UnsafeProjection.create(rks, rightOut)
       val lTimeProj = UnsafeProjection.create(Seq(lt), leftOut)

@@ -583,12 +583,78 @@ object Windows {
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("ts").as("click_ts"),
           col("event_id").as("click_id"), col("value").as("click_value"))
+      // broadcast=Some(false) pins the SORT-MERGE exec — this row is the
+      // big×big path's bench identity; the broadcast-right sibling has
+      // its own row (q_join_asof_broadcast) and auto-selection between
+      // them is stats-driven (AsOfJoinStrategy)
       graft.plans.NativeAsOfJoin.asOf(purchases, clicks, key = "user_id",
           leftTime = "ts", rightTime = "click_ts",
-          payloadCols = Seq("click_id", "click_ts", "click_value"))
+          payloadCols = Seq("click_id", "click_ts", "click_value"),
+          broadcast = Some(false))
         .select(col("purchase_id"), col("user_id"), col("click_id"),
           (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"),
           round(col("click_value"), 6).as("click_value"))
+        .orderBy(col("purchase_id"))
+    },
+
+    // X194 the BROADCAST-RIGHT native as-of exec: the canonical 100 TB
+    // attribution shape — a huge left (events) against a small right
+    // (per-user signup dimension) — pays ZERO exchange and zero sort on
+    // the left side: the small side ships as a per-key time-sorted
+    // index, each left row answers with a hash probe + binary search
+    // (plans/NativeAsOfJoin.scala BroadcastAsOfJoinExec; plan shape
+    // pinned in NativeAsOfJoinSpec). Same oracle family as
+    // q_join_asof_native: DuckDB's independent ASOF LEFT JOIN.
+    Q("q_join_asof_broadcast",
+      """SELECT e.event_id, e.user_id,
+        |       s.event_id AS signup_id,
+        |       epoch_us(e.ts) - epoch_us(s.ts) AS since_signup_us
+        |FROM (SELECT * FROM events WHERE event_type IN ('click', 'purchase')) e
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON e.user_id = s.user_id AND s.ts <= e.ts
+        |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val big = ev.filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("signup_ts"),
+          col("event_id").as("signup_id"))
+      graft.plans.NativeAsOfJoin.asOf(big, signups, key = "user_id",
+          leftTime = "ts", rightTime = "signup_ts",
+          payloadCols = Seq("signup_id", "signup_ts"), broadcast = Some(true))
+        .select(col("event_id"), col("user_id"), col("signup_id"),
+          (unix_micros(col("ts")) - unix_micros(col("signup_ts"))).as("since_signup_us"))
+        .orderBy(col("event_id"))
+    },
+
+    // X195 SKEW-SAFE as-of join: same semantics as q_join_asof_click,
+    // executed through the time-bucketed hot-key split
+    // (operators/SkewAsOfJoin.scala — per-bucket carry-in rows +
+    // composite (key, bucket) native as-of), so one user with 10⁷
+    // events is bounded per (key × bucketWidth) instead of stalling one
+    // partition. The bucketing is INTERNAL: the oracle is the very same
+    // DuckDB ASOF LEFT JOIN the un-bucketed operator answers to —
+    // hash-equality proves the split changes nothing.
+    Q("q_join_asof_skewsafe",
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |       c.event_id AS click_id,
+        |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+      graft.operators.SkewAsOfJoin.asOfBucketed(purchases, clicks,
+          key = "user_id", leftTime = "ts", rightTime = "click_ts",
+          payloadCols = Seq("click_id", "click_ts"),
+          bucketWidth = 6L * 3600L * 1000000L) // 6-hour buckets, micros
+        .select(col("purchase_id"), col("user_id"), col("click_id"),
+          (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
         .orderBy(col("purchase_id"))
     },
 

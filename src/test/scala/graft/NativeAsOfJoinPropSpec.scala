@@ -71,28 +71,32 @@ class NativeAsOfJoinPropSpec extends SparkSpec {
     if (inner) out.filter(_._2.isDefined) else out
   }
 
-  test("native exec == reference model across directions, modes, tolerances (60 random cases)") {
+  test("both native execs == reference model across directions, modes, tolerances") {
     val rng = new Rng(0x5eed5eedL)
+    // broadcast = Some(false) pins the sort-merge exec, Some(true) the
+    // broadcast-right exec: the SAME differential suite covers both
+    // physical implementations of the operator
     val configs = for {
       dir <- Seq(AsOfDirection.Backward, AsOfDirection.Forward, AsOfDirection.Nearest)
       inner <- Seq(false, true)
       tol <- Seq(None, Some(7L))
-    } yield (dir, inner, tol)
+      bcast <- Seq(Some(false), Some(true))
+    } yield (dir, inner, tol, bcast)
     (1 to 5).foreach { caseNo =>
       val (l, r) = genCase(rng)
       val lDf = l.map(x => (x.k, x.t, x.id)).toDF("k", "t", "id")
       val rDf = r.map(x => (x.k, x.t, x.v)).toDF("k", "rt", "v")
-      configs.foreach { case (dir, inner, tol) =>
+      configs.foreach { case (dir, inner, tol, bcast) =>
         val got = NativeAsOfJoin.asOf(lDf, rDf, key = "k",
             leftTime = "t", rightTime = "rt", payloadCols = Seq("v"),
             joinType = if (inner) Inner else LeftOuter,
-            within = tol, direction = dir)
+            within = tol, direction = dir, broadcast = bcast)
           .select($"id", $"v").collect()
           .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getDouble(1))))
           .sortBy(_._1).toSeq
         val want = reference(l, r, inner, tol, dir).sortBy(_._1)
         assert(got === want,
-          s"case $caseNo dir=$dir inner=$inner tol=$tol\nleft=$l\nright=$r")
+          s"case $caseNo dir=$dir inner=$inner tol=$tol bcast=$bcast\nleft=$l\nright=$r")
       }
     }
   }

@@ -185,13 +185,123 @@ class NativeAsOfJoinSpec extends SparkSpec {
 
   test("exec reports SQLMetrics: output/matched/unmatched row counts") {
     val df = NativeAsOfJoin.asOf(trades, quotes, key = "sym",
-      leftTime = "tts", rightTime = "qts", payloadCols = Seq("px"))
+      leftTime = "tts", rightTime = "qts", payloadCols = Seq("px"),
+      broadcast = Some(false)) // pin the sort-merge exec
     df.collect()
     val exec = TestSpark.findExec[graft.plans.AsOfJoinExec](df.queryExecution.executedPlan)
       .getOrElse(fail("AsOfJoinExec missing from the executed plan"))
     assert(exec.metrics("numOutputRows").value === 6L)
     assert(exec.metrics("numMatchedLeftRows").value === 3L)
     assert(exec.metrics("numUnmatchedLeftRows").value === 3L)
+  }
+
+  test("broadcast exec: same results, same SQLMetrics, on the hand-computed fixture") {
+    val df = NativeAsOfJoin.asOf(trades, quotes, key = "sym",
+      leftTime = "tts", rightTime = "qts", payloadCols = Seq("px"),
+      broadcast = Some(true))
+    // collect df ITSELF (a derived .select gets its own exec instance —
+    // its metrics would leave this one untouched)
+    val rows = df.collect()
+    val got = rows.map { r =>
+      val pxAt = r.fieldIndex("px")
+      r.getLong(r.fieldIndex("trade_id")) ->
+        (if (r.isNullAt(pxAt)) null else r.getDouble(pxAt))
+    }.toMap
+    assert(got === Map(
+      100L -> null, 101L -> 2.0, 102L -> 2.0, 103L -> 3.0,
+      104L -> null, 105L -> null))
+    val exec = TestSpark.findExec[graft.plans.BroadcastAsOfJoinExec](
+        df.queryExecution.executedPlan)
+      .getOrElse(fail("BroadcastAsOfJoinExec missing from the executed plan"))
+    assert(exec.metrics("numOutputRows").value === 6L)
+    assert(exec.metrics("numMatchedLeftRows").value === 3L)
+    assert(exec.metrics("numUnmatchedLeftRows").value === 3L)
+  }
+
+  test("broadcast plan: ZERO exchange and zero sort on the left side") {
+    val ev = Tables.load(spark, TestSpark.sf0001, "events")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts".as("cts"), $"event_id".as("click_id"))
+    val df = NativeAsOfJoin.asOf(purchases, clicks, "user_id", "ts", "cts",
+      Seq("click_id"), broadcast = Some(true))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastAsOfJoin"), "broadcast exec must plan:\n" + p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      "no hash shuffle anywhere — the huge left side is joined in place:\n" + p)
+    assert(!p.contains("Sort "), "no sort on either side:\n" + p)
+    assert(p.contains("BroadcastExchange"), "right side ships via broadcast:\n" + p)
+  }
+
+  test("auto-selection: tiny right side picks broadcast, threshold -1 pins sort-merge") {
+    val auto = NativeAsOfJoin.asOf(trades, quotes, key = "sym",
+      leftTime = "tts", rightTime = "qts", payloadCols = Seq("px"))
+    assert(TestSpark.findExec[graft.plans.BroadcastAsOfJoinExec](
+      auto.queryExecution.executedPlan).isDefined,
+      "a kilobyte right side under the default 10MB threshold must auto-broadcast")
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val sm = NativeAsOfJoin.asOf(trades, quotes, key = "sym",
+        leftTime = "tts", rightTime = "qts", payloadCols = Seq("px"))
+      assert(TestSpark.findExec[graft.plans.AsOfJoinExec](
+        sm.queryExecution.executedPlan).isDefined,
+        "threshold -1 must disable auto-broadcast, like builtin join selection")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("stats propagate: a join ABOVE the as-of output can broadcast it") {
+    // the size-only visitor default for an unknown BinaryNode is the
+    // PRODUCT of child sizes — under that, the tiny as-of output below
+    // would never be seen as broadcast-able by the join above it
+    val node = NativeAsOfJoin.asOf(trades, quotes, key = "sym",
+      leftTime = "tts", rightTime = "qts", payloadCols = Seq("px"))
+    val asOfStats = node.queryExecution.optimizedPlan.stats
+    val lStats = trades.queryExecution.optimizedPlan.stats
+    assert(asOfStats.sizeInBytes >= lStats.sizeInBytes,
+      "output carries the left rows plus payload")
+    assert(asOfStats.sizeInBytes < lStats.sizeInBytes * 4,
+      s"stats must scale with the LEFT side, not the child product: $asOfStats")
+    // planner-level: pick a threshold between the as-of output size and
+    // the child product, and check the join above broadcasts the as-of
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "4096")
+      val ev = Tables.load(spark, TestSpark.sf0001, "events")
+        .select($"event_id".as("trade_id"), $"value")
+      val joined = node.join(ev, Seq("trade_id"))
+      joined.collect()
+      assert(TestSpark.findExec[
+        org.apache.spark.sql.execution.joins.BroadcastHashJoinExec](
+        joined.queryExecution.executedPlan).isDefined,
+        "the small as-of output must be the broadcast side:\n" +
+          joined.queryExecution.executedPlan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("zip-contract guard: mismatched child partition counts fail loudly by name") {
+    import org.apache.spark.sql.catalyst.plans.LeftOuter
+    val lDf = Seq(("A", 10L, 1L)).toDF("k", "t", "id").repartition(4)
+    val rDf = Seq(("A", 5L, 2.0)).toDF("k", "rt", "px").repartition(2)
+    val lAttrs = lDf.queryExecution.analyzed.output
+    val rAttrs = rDf.queryExecution.analyzed.output
+    def leaf(df: org.apache.spark.sql.DataFrame) = {
+      val rdd = df.queryExecution.toRdd
+      val attrs = df.queryExecution.analyzed.output
+      TestLeafPlan(attrs, rdd)
+    }
+    val asOf = graft.plans.AsOfJoinExec(
+      Seq(lAttrs(0)), Seq(rAttrs(0)), lAttrs(1), rAttrs(1), Seq(rAttrs(2)),
+      LeftOuter, None, graft.plans.AsOfDirection.Backward, leaf(lDf), leaf(rDf))
+    val e1 = intercept[IllegalStateException] { asOf.execute() }
+    assert(e1.getMessage.contains("GRAFT_ASOF_ZIP_CONTRACT"), e1.getMessage)
+    val interval = graft.plans.IntervalJoinExec(
+      Seq(lAttrs(0)), Seq(rAttrs(0)), lAttrs(1), rAttrs(1), rAttrs(1), Seq(rAttrs(2)),
+      org.apache.spark.sql.catalyst.plans.Inner, leaf(lDf), leaf(rDf))
+    val e2 = intercept[IllegalStateException] { interval.execute() }
+    assert(e2.getMessage.contains("GRAFT_INTERVAL_ZIP_CONTRACT"), e2.getMessage)
   }
 
   test("mismatched key or time dtypes fail fast instead of silently miscomparing") {
@@ -292,4 +402,16 @@ class NativeAsOfJoinSpec extends SparkSpec {
     assert(node.right.output.map(_.name).toSet === Set("user_id", "cts", "click_id"),
       "unused right columns must not reach the exec: " + node.right.output)
   }
+}
+
+/** Minimal leaf exec over a pre-materialized row RDD — hands the native
+  * execs mismatched-partition children directly, bypassing
+  * EnsureRequirements, to exercise the runtime zip-contract guard.
+  */
+case class TestLeafPlan(
+    output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+    rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow])
+  extends org.apache.spark.sql.execution.LeafExecNode {
+  override protected def doExecute()
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] = rdd
 }

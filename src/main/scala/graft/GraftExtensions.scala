@@ -104,6 +104,15 @@ object GraftExtensions {
       }
       graft.expressions.NgramExplode(ch(0), n)
     })
+    ext.injectFunction(fn("graft_char_kmers", 2,
+      "graft_char_kmers(text, k int literal) -> rows of (pos, kmer)") { ch =>
+      val k = ch(1) match {
+        case Literal(v: Number, _) => v.intValue
+        case other => throw new IllegalArgumentException(
+          s"graft_char_kmers: k must be an integer literal, got $other")
+      }
+      graft.expressions.CharKmerExplode(ch(0), k)
+    })
     ext.injectFunction(fn("graft_hilbert", 3,
       "graft_hilbert(x bigint, y bigint, bits int literal)") { ch =>
       val bits = ch(2) match {

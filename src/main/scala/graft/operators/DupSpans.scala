@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.expressions.CharKmerExplode
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Byte/char-level EXACT-substring deduplication — the
+  * deduplicate-text-datasets / RefinedWeb exact recipe, at character
+  * granularity (the word-8-gram [[DupNgrams]] approximates it at token
+  * granularity). A duplicated SPAN is a maximal character range covered
+  * by k-mers that occur at least `minCount` times corpus-wide; the
+  * output offsets replay with `substr(text, span_start + 1, span_len)`
+  * in both Spark and DuckDB, so a removal pass is a pure string
+  * operation downstream.
+  *
+  * Scale shape (100 TB): the k-mer stream is O(total characters) rows
+  * but each is (id, pos, key) narrow; it flows into one map-side-
+  * combined groupBy for the duplicate-k-mer table, one semi-join back,
+  * and one per-document window for the island merge — cost O(total
+  * bytes), never O(docs²), exactly like the suffix-array construction
+  * it replaces (sorted k-mer runs ARE the suffix array truncated at
+  * depth k). `byHash = true` shuffles 8-byte xxhash64 keys instead of
+  * k-char grams — the at-scale mode (k× less shuffle I/O) with a
+  * 2⁻⁶⁴-per-pair false-dup-seed risk; `byHash = false` is exact and is
+  * what the DuckDB oracle checks. `DupSpansSpec` pins the two modes
+  * equal on the test corpus and replays every span.
+  */
+object DupSpans {
+
+  /** One row per character offset: (idCol, pos int, kmer string). */
+  def kmers(docs: DataFrame, k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val gen = Bridge.column(CharKmerExplode(Bridge.expression(col(textCol)), k))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), gen.as(Seq("pos", "kmer")))
+  }
+
+  /** Maximal duplicated spans: (idCol, span_start long, span_end long
+    * — exclusive, span_len long, n_seeds long) ordered by (id, start).
+    * Seeds at positions p1 < p2 merge into one span when p2 <= p1 + k
+    * (their k-char windows overlap or touch — the covered text is
+    * contiguous).
+    */
+  def spans(docs: DataFrame, k: Int, minCount: Long = 2L,
+      idCol: String = "doc_id", textCol: String = "text",
+      byHash: Boolean = false): DataFrame = {
+    val g = kmers(docs, k, idCol, textCol)
+    val key: Column = if (byHash) xxhash64(col("kmer")) else col("kmer")
+    val keyed = g.select(col(idCol), col("pos"), key.as("kkey"))
+    // total occurrences, not distinct docs: a string repeated inside ONE
+    // document is duplicated text too (same rule as the suffix-array
+    // recipe)
+    val dup = keyed.groupBy(col("kkey")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .select(col("kkey"))
+    val seeds = keyed.join(dup, Seq("kkey"), "left_semi")
+      .select(col(idCol), col("pos"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val islanded = seeds
+      .withColumn("__prev", lag(col("pos"), 1).over(byDoc))
+      .withColumn("__new_island",
+        when(col("__prev").isNull || col("pos") > col("__prev") + k, 1).otherwise(0))
+      .withColumn("__island",
+        sum(col("__new_island")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+    islanded.groupBy(col(idCol), col("__island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + k).cast("long").as("span_end"),
+        count(lit(1)).as("n_seeds"))
+      .withColumn("span_len", col("span_end") - col("span_start"))
+      .select(col(idCol), col("span_start"), col("span_end"), col("span_len"),
+        col("n_seeds"))
+      .orderBy(col(idCol), col("span_start"))
+  }
+}

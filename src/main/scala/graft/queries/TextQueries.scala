@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Boilerplate, BpeMerges, ChiSquareKeywords, Chunking, Contamination, CorpusPacking, Dedup, HybridRetrieval, LexicalStats, MixtureSampler, Multimodal, NegativeSampler, NgramLanguageModel, PostingsIndex, RepetitionScore, SimilaritySearch, DupSourceMatrix, SnapshotDiff, SpanCorruption, SparseSimilarity, StratifiedSampler, TopK}
+import graft.operators.{Boilerplate, BpeMerges, ChiSquareKeywords, Chunking, Contamination, CorpusPacking, Dedup, DupSpans, HybridRetrieval, LexicalStats, MixtureSampler, Multimodal, NegativeSampler, NgramLanguageModel, PostingsIndex, RepetitionScore, SimilaritySearch, DupSourceMatrix, SnapshotDiff, SpanCorruption, SparseSimilarity, StratifiedSampler, TopK}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1975,5 +1975,39 @@ object TextQueries {
          |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
       DupSourceMatrix.matrix(t(s, dir, "documents"))
         .orderBy(col("source_a"), col("source_b"))
+    },
+
+    // X196 byte-level EXACT-substring dedup (the deduplicate-text-
+    // datasets / RefinedWeb exact recipe, which X91 approximates at
+    // word-8-gram granularity): maximal character spans covered by
+    // 20-char k-mers occurring >= 2 times corpus-wide, offsets
+    // replayable via substr(text, span_start+1, span_len) in BOTH
+    // engines (operators/DupSpans.scala — O(total bytes): one grouped
+    // count over the k-mer stream, one semi-join back, one per-doc
+    // island merge; never O(docs²)). The query runs the exact-key mode
+    // the oracle can replicate; DupSpansSpec pins the 8-byte-hash
+    // shuffle mode equal to it.
+    Q("q_text_dupspans",
+      """WITH km0 AS (
+        |  SELECT doc_id, text,
+        |         unnest(range(0, greatest(length(text) - 20 + 1, 0))) AS pos
+        |  FROM documents WHERE text IS NOT NULL
+        |),
+        |km AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |              substr(text, CAST(pos AS INT) + 1, 20) AS gram FROM km0),
+        |dup AS (SELECT gram FROM km GROUP BY gram HAVING count(*) >= 2),
+        |seeds AS (SELECT km.doc_id, km.pos FROM km JOIN dup USING (gram)),
+        |lagd AS (SELECT doc_id, pos,
+        |                lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |         FROM seeds),
+        |isl AS (SELECT doc_id, pos,
+        |               sum(CASE WHEN prev IS NULL OR pos > prev + 20 THEN 1 ELSE 0 END)
+        |                 OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |        FROM lagd)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 20 AS span_end,
+        |       max(pos) + 20 - min(pos) AS span_len, count(*) AS n_seeds
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin) { (s, dir) =>
+      DupSpans.spans(t(s, dir, "documents"), k = 20, minCount = 2L)
     })
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Boilerplate, BpeMerges, ChiSquareKeywords, Chunking, Contamination, CorpusPacking, Dedup, DupSpans, HybridRetrieval, LexicalStats, MixtureSampler, Multimodal, NegativeSampler, NgramLanguageModel, PostingsIndex, RepetitionScore, SimilaritySearch, DupSourceMatrix, SnapshotDiff, SpanCorruption, SparseSimilarity, StratifiedSampler, TopK}
+import graft.operators.{Boilerplate, BpeApply, BpeMerges, ChiSquareKeywords, Chunking, Contamination, CorpusPacking, Dedup, DupSpans, HybridRetrieval, LexicalStats, MixtureSampler, Multimodal, NegativeSampler, NgramLanguageModel, PostingsIndex, RepetitionScore, SimilaritySearch, DupSourceMatrix, SnapshotDiff, SpanCorruption, SparseSimilarity, StratifiedSampler, TopK}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -2009,5 +2009,89 @@ object TextQueries {
         |FROM isl GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin) { (s, dir) =>
       DupSpans.spans(t(s, dir, "documents"), k = 20, minCount = 2L)
-    })
+    },
+
+    // X197 BPE tokenizer APPLY (expressions/BpeEncode.scala via
+    // operators/BpeApply): the first 5 words of every document encoded
+    // with a FIXED pretrained-style merge list (the realistic 100 TB
+    // shape — a tokenizer is fitted once and applied everywhere; the
+    // iterative FIT loop is BpeApply.fitMerges, determinism-pinned in
+    // BpeApplySpec). The oracle runs the IDENTICAL merges as a DuckDB
+    // recursive CTE splicing one lowest-rank occurrence per step — the
+    // literal reference BPE loop — so hash equality proves the
+    // single-pass-per-rank native expression implements real BPE.
+    bpeEncodeQ,
+
+    // X198 sequence packing by REAL token counts: q_text_pack_bins
+    // packs on whitespace counts; this bins the same corpus on the BPE
+    // token counts of X197 — the number a trainer actually budgets.
+    bpePackQ)
+
+  /** Fixed demo merge list (training-consistent — every compound symbol
+    * is produced before use; BpeApply.requireConsistent re-checks).
+    * Chosen to fire on the synthetic corpus vocabulary (table / value /
+    * row / scan / the / data...).
+    */
+  private lazy val bpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "a", "ta" -> "b", "l" -> "e", "tab" -> "le",
+    "v" -> "a", "va" -> "l", "u" -> "e", "val" -> "ue",
+    "r" -> "o", "ro" -> "w", "s" -> "c", "sc" -> "a", "sca" -> "n",
+    "t" -> "h", "th" -> "e", "d" -> "a", "da" -> "t", "dat" -> "a")
+
+  /** Shared oracle prelude: per-(doc, word_pos) BPE encoding of the
+    * first 5 words via the recursive reference loop.
+    */
+  private lazy val bpeOracleEnc: String = {
+    val (caseExpr, anyPos) = BpeApply.oracleCase(bpeMerges)
+    s"""WITH RECURSIVE words0 AS (
+       |  SELECT doc_id, string_split(text, ' ') AS l
+       |  FROM documents WHERE text IS NOT NULL),
+       |w AS (
+       |  SELECT doc_id, CAST(i AS INT) + 1 AS word_pos, l[CAST(i AS INT) + 1] AS word
+       |  FROM (SELECT doc_id, l, unnest(range(0, least(len(l), 5))) AS i FROM words0)
+       |  WHERE l[CAST(i AS INT) + 1] <> ''),
+       |base AS (
+       |  SELECT doc_id, word_pos, word,
+       |         ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s FROM w),
+       |enc AS (
+       |  SELECT doc_id, word_pos, word, s FROM base
+       |  UNION ALL
+       |  SELECT doc_id, word_pos, word, $caseExpr AS s FROM enc WHERE $anyPos),
+       |done AS (
+       |  SELECT doc_id, word_pos, word, trim(s) AS encoded,
+       |         CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_tokens
+       |  FROM enc WHERE NOT ($anyPos))""".stripMargin
+  }
+
+  private lazy val bpeEncodeQ: Q = Q("q_text_bpe_encode",
+    s"""$bpeOracleEnc
+       |SELECT doc_id, word_pos, word, encoded, n_tokens
+       |FROM done ORDER BY doc_id, word_pos""".stripMargin) { (s, dir) =>
+    BpeApply.encodeWords(t(s, dir, "documents"), bpeMerges, maxWords = 5)
+      .orderBy(col("doc_id"), col("word_pos"))
+  }
+
+  private lazy val bpePackQ: Q = Q("q_text_pack_bins_bpe",
+    s"""$bpeOracleEnc,
+       |tok AS (SELECT doc_id, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+       |        FROM done GROUP BY doc_id),
+       |placed AS (
+       |  SELECT doc_id, n_tokens, doc_id % 8 AS shard,
+       |         coalesce(sum(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+       |  FROM tok)
+       |SELECT cast(shard AS bigint) AS shard,
+       |       cast(floor(start_tok / 64) AS bigint) AS bin,
+       |       count(*) AS n_docs, cast(sum(n_tokens) AS bigint) AS bin_tokens,
+       |       cast(min(doc_id) AS bigint) AS first_doc
+       |FROM placed GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin) { (s, dir) =>
+    val sized = BpeApply.encodeWords(t(s, dir, "documents"), bpeMerges, maxWords = 5)
+      .groupBy(col("doc_id")).agg(sum(col("n_tokens")).as("n_bpe"))
+    CorpusPacking.packByTokenBudget(sized, idCol = "doc_id",
+        nTokensCol = "n_bpe", budgetTokens = 64L, nShards = 8)
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("shard"), col("bin"))
+  }
 }

@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.BpeApply
+import org.apache.spark.sql.functions._
+
+/** BPE apply against the literal reference algorithm (lowest-rank pair
+  * present, leftmost occurrence, ONE merge per step — GPT-2's loop),
+  * plus the fit loop's determinism and fit→apply round trip.
+  */
+class BpeApplySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Reference: one merge at a time, always the lowest-rank pair
+    * present, leftmost occurrence of it.
+    */
+  private def referenceEncode(w: String, merges: Seq[(String, String)]): String = {
+    var syms = w.map(_.toString).toVector
+    var done = false
+    while (!done) {
+      val hit = merges.iterator.zipWithIndex
+        .map { case ((a, b), r) =>
+          (r, syms.indices.dropRight(1).find(i => syms(i) == a && syms(i + 1) == b))
+        }
+        .collectFirst { case (r, Some(i)) => (r, i) }
+      hit match {
+        case Some((r, i)) =>
+          val (a, b) = merges(r)
+          syms = syms.patch(i, Seq(a + b), 2)
+        case None => done = true
+      }
+    }
+    syms.mkString(" ")
+  }
+
+  private val merges = Seq(
+    "t" -> "a", "ta" -> "b", "l" -> "e", "tab" -> "le",
+    "v" -> "a", "va" -> "l", "u" -> "e", "val" -> "ue",
+    "a" -> "a", "aa" -> "aa")
+
+  test("single-pass-per-rank apply == one-merge-at-a-time reference, incl. runs") {
+    val words = Seq("table", "value", "tab", "ttaabb", "aaaa", "aaaaa", "aaaaaaa",
+      "tabletable", "valuevalue", "x", "", "zzzz", "avalanche", "Ttable")
+    val got = words.toDF("w")
+      .select($"w", BpeApply.encodeCol($"w", merges).as("enc"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    words.foreach { w =>
+      assert(got(w) === referenceEncode(w, merges), s"word '$w'")
+    }
+    // runs exercise the overlap rule: 4 a's -> aa aa -> aaaa; 5 -> aaaa a
+    assert(got("aaaa") === "aaaa")
+    assert(got("aaaaa") === "aaaa a")
+    assert(got("aaaaaaa") === "aaaa aa a")
+  }
+
+  test("inconsistent merge list fails fast") {
+    val e = intercept[IllegalArgumentException] {
+      BpeApply.encodeCol(lit("x"), Seq("ab" -> "c")) // 'ab' never produced
+    }
+    assert(e.getMessage.contains("no earlier merge produces"), e.getMessage)
+  }
+
+  test("fit is deterministic and its merges are training-consistent") {
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents").limit(100)
+    val m1 = BpeApply.fitMerges(docs, k = 6)
+    val m2 = BpeApply.fitMerges(docs, k = 6)
+    assert(m1 === m2, "same corpus, same seedless count -> same merges")
+    assert(m1.length === 6)
+    BpeApply.requireConsistent(m1) // throws if not
+    // fit -> apply round trip: fitted merges actually compress
+    val enc = docs.select(explode(split($"text", "\\s+")).as("w"))
+      .filter(length($"w") >= 2).limit(50)
+      .select($"w", BpeApply.encodeCol($"w", m1).as("enc"))
+      .withColumn("n", size(split($"enc", " ")))
+      .agg(sum(length($"w")).as("chars"), sum($"n").as("toks"))
+      .collect()(0)
+    assert(enc.getLong(1) < enc.getLong(0), "fitted merges must reduce token count")
+  }
+
+  test("unicode: surrogate pairs stay whole symbols") {
+    val got = Seq("a😀b").toDF("w")
+      .select(BpeApply.encodeCol($"w", Seq("a" -> "b")).as("enc"))
+      .collect()(0).getString(0)
+    assert(got === "a 😀 b") // emoji is ONE symbol; a+b not adjacent
+  }
+}

@@ -44,11 +44,30 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench-warm] $n: ${e.getMessage}") }
     }
 
-    // Two measured passes, report the per-query MIN. Round-5 bench showed
+    // Fixed-cost CANARY (round-14 judge ask): pure compute, zero I/O,
+    // independent of every operator in the repo — its time moves with
+    // HOST speed (CPU contention, thermal state) and nothing else, so
+    // `value * (CANARY_REF / canary_sec)` separates environment drift
+    // from real plan regressions. Measured min-of-3 warm (one unmeasured
+    // warm-up absorbs the range-codegen compile). CANARY_REF is this
+    // box's warm baseline, pinned when the canary was introduced.
+    val CANARY_REF = 2.0
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(12000000000L).selectExpr("bit_xor(xxhash64(id)) AS h").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    canaryOnce() // warm-up, unmeasured
+    val canaries = Seq.fill(3)(canaryOnce())
+    val canarySec = canaries.min
+
+    // THREE measured passes, report the per-query MIN. Round-5 bench showed
     // untouched 0.5-s queries reading 4-8 s in-suite while staying fast in
     // isolation (TimeQ): single-run noise from GC pressure / JIT state left
-    // by adjacent heavy queries was masquerading as regressions. Both raw
-    // passes are kept in the file JSON ("runs") for provenance.
+    // by adjacent heavy queries was masquerading as regressions; round-14
+    // showed ~10% whole-run drift across back-to-back runs, hence the
+    // third pass + the canary. All raw passes are kept in the file JSON
+    // ("runs") for provenance.
     def pass(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
       // drop persisted blocks leaked by the previous query's operators:
       // accumulated caches measurably slowed later dedup queries (round-2
@@ -65,7 +84,7 @@ object Bench {
       // recorded as a plausible-looking time-to-exception
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val runs = Seq(pass(), pass())
+    val runs = Seq(pass(), pass(), pass())
     val results = ordered.map { case (name, _) =>
       val ts = runs.map(_.toMap.apply(name))
       name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
@@ -117,7 +136,12 @@ object Bench {
     val runsJson = runs.map(r =>
       r.map { case (k, v) => jstr(k) + ":" + math.rint(v * 1000) / 1000 }
         .mkString("{", ",", "}")).mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_failed":$nFailed,"regressions":$regressionsJson,"queries":$qs,"sf":${jstr(sfDir)},"agg":"min_of_2","runs":$runsJson}"""
+    // value = raw wall seconds (the driver's gate number);
+    // value_canary_norm = the same total rescaled to the canary's pinned
+    // baseline, the round-over-round comparable that cancels host drift
+    val norm = math.rint(total * (CANARY_REF / canarySec) * 1000) / 1000
+    val canaryJson = canaries.map(c => math.rint(c * 1000) / 1000).mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","value_canary_norm":$norm,"canary_sec":${math.rint(canarySec * 1000) / 1000},"canary_ref":$CANARY_REF,"canary_runs":$canaryJson,"n_failed":$nFailed,"regressions":$regressionsJson,"queries":$qs,"sf":${jstr(sfDir)},"agg":"min_of_3","runs":$runsJson}"""
     Files.writeString(Paths.get(outPath), json + "\n")
     println(json)
 
@@ -127,7 +151,7 @@ object Bench {
     // per-query map — makes uniform-drift vs plan-regression a
     // one-liner to distinguish across rounds.
     val histPath = Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "BENCH_HISTORY.jsonl"))
-    val histLine = s"""{"epoch_ms":${System.currentTimeMillis()},"total":${math.rint(total * 1000) / 1000},"n_failed":$nFailed,"sf":${jstr(sfDir)},"agg":"min_of_2","queries":$qs}"""
+    val histLine = s"""{"epoch_ms":${System.currentTimeMillis()},"total":${math.rint(total * 1000) / 1000},"total_canary_norm":$norm,"canary_sec":${math.rint(canarySec * 1000) / 1000},"n_failed":$nFailed,"sf":${jstr(sfDir)},"agg":"min_of_3","queries":$qs}"""
     Files.writeString(histPath, histLine + "\n",
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
 
@@ -146,7 +170,7 @@ object Bench {
       val omit = if (omitted > 0)
         s""","queries_omitted":$omitted,"omit_rule":"fastest_first","omitted_max_sec":${math.rint(cutoff * 1000) / 1000}"""
       else ""
-      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_failed":$nFailed,"queries":$m$omit,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","value_canary_norm":$norm,"canary_sec":${math.rint(canarySec * 1000) / 1000},"n_failed":$nFailed,"queries":$m$omit,"sf":${jstr(sfDir)}}"""
     }
     val bySlowest = results.sortBy(-_._2)
     val line = (results.size to 0 by -5).iterator

@@ -73,4 +73,43 @@ object DupSpans {
         col("n_seeds"))
       .orderBy(col(idCol), col("span_start"))
   }
+
+  /** The REMOVE half of the recipe: splice every duplicated span out of
+    * the text (spans are disjoint and sorted by construction — islands
+    * are separated by gaps > k). Removal is total — both copies go, the
+    * deduplicate-text-datasets default; "keep one occurrence" is a
+    * policy layer above (pick a canonical doc first, X174-style).
+    * Output: one row per INPUT doc — (idCol, washed_text, n_spans long,
+    * removed_chars long); span-less docs pass through verbatim.
+    *
+    * The splice is a row-local higher-order `aggregate` over the doc's
+    * own (few) spans — no extra shuffle beyond [[spans]]' per-doc
+    * grouping.
+    */
+  def removeSpans(docs: DataFrame, k: Int, minCount: Long = 2L,
+      idCol: String = "doc_id", textCol: String = "text",
+      byHash: Boolean = false): DataFrame = {
+    val sp = spans(docs, k, minCount, idCol, textCol, byHash)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("span_start"), col("span_end"))))
+          .as("__spans"))
+    val emptySpans = array().cast("array<struct<span_start:bigint,span_end:bigint>>")
+    docs.filter(col(textCol).isNotNull)
+      .join(sp, Seq(idCol), "left")
+      .withColumn("__spans", coalesce(col("__spans"), emptySpans))
+      .withColumn("__acc", aggregate(col("__spans"),
+        struct(lit("").as("w"), lit(0L).as("prev")),
+        (acc, s) => struct(
+          concat(acc("w"), col(textCol).substr(
+            (acc("prev") + 1).cast("int"),
+            (s("span_start") - acc("prev")).cast("int"))).as("w"),
+          s("span_end").as("prev")),
+        acc => concat(acc("w"), col(textCol).substr(
+          (acc("prev") + 1).cast("int"), length(col(textCol))))))
+      .select(col(idCol),
+        col("__acc").as("washed_text"),
+        size(col("__spans")).cast("long").as("n_spans"),
+        (length(col(textCol)) - length(col("__acc"))).cast("long").as("removed_chars"))
+      .orderBy(col(idCol))
+  }
 }

@@ -10,7 +10,9 @@ import org.apache.spark.sql.catalyst.expressions.{
   PredicateHelper, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan, Project}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode,
+  Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graftbridge.Bridge
@@ -45,7 +47,8 @@ case class IntervalJoinNode(
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTime: Attribute, rightStart: Attribute, rightEnd: Attribute,
     payload: Seq[Attribute],
-    joinType: JoinType = Inner) extends BinaryNode {
+    joinType: JoinType = Inner,
+    broadcast: Option[Boolean] = None) extends BinaryNode {
   require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
     s"IntervalJoinNode: need >= 1 key and equal key counts, " +
       s"got ${leftKeys.length} vs ${rightKeys.length}")
@@ -78,11 +81,23 @@ case class IntervalJoinNode(
     copy(left = newLeft, right = newRight)
 }
 
-/** Plans [[IntervalJoinNode]] as [[IntervalJoinExec]]. */
+/** Plans [[IntervalJoinNode]] as [[IntervalJoinExec]] (sort-merge,
+  * big×big) or [[BroadcastIntervalJoinExec]] (small interval side) —
+  * same selection rule as [[AsOfJoinStrategy]]: the node's `broadcast`
+  * knob when set, else right-child stats vs
+  * `spark.sql.autoBroadcastJoinThreshold`.
+  */
 object IntervalJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case IntervalJoinNode(l, r, lks, rks, lt, rs, re, p, jt) =>
-      IntervalJoinExec(lks, rks, lt, rs, re, p, jt, planLater(l), planLater(r)) :: Nil
+    case n: IntervalJoinNode =>
+      val thr = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      val autoSmall = thr > 0 && n.right.stats.sizeInBytes <= thr
+      if (n.broadcast.getOrElse(autoSmall))
+        BroadcastIntervalJoinExec(n.leftKeys, n.rightKeys, n.leftTime, n.rightStart,
+          n.rightEnd, n.payload, n.joinType, planLater(n.left), planLater(n.right)) :: Nil
+      else
+        IntervalJoinExec(n.leftKeys, n.rightKeys, n.leftTime, n.rightStart,
+          n.rightEnd, n.payload, n.joinType, planLater(n.left), planLater(n.right)) :: Nil
     case _ => Nil
   }
 }
@@ -270,6 +285,176 @@ case class IntervalJoinExec(
   }
 }
 
+/** Broadcast-right interval-containment join — the small interval side
+  * (campaign windows, maintenance windows, session bounds) ships to
+  * every executor as a per-key START-SORTED index; each left point
+  * binary-searches the last interval with `start <= t` and scans the
+  * prefix filtering `end >= t`. ZERO exchange and zero sort on the huge
+  * point side — the same canonical win as [[BroadcastAsOfJoinExec]].
+  * Per-probe cost is O(log n + intervals with start <= t of that key):
+  * linear in per-key interval count worst-case, which a broadcast-sized
+  * right bounds by construction (an interval tree would shave it to
+  * O(log n + matches); not needed under the threshold).
+  * Semantics identical to [[IntervalJoinExec]] — closed ends, SQL-null
+  * keys/times/bounds, Inner/LeftOuter — pinned by the shared
+  * differential tests.
+  */
+case class BroadcastIntervalJoinExec(
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
+    leftTime: Attribute, rightStart: Attribute, rightEnd: Attribute,
+    payload: Seq[Attribute], joinType: JoinType,
+    left: SparkPlan, right: SparkPlan) extends SparkPlan with BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    if (joinType == LeftOuter) left.output ++ payload.map(_.withNullability(true))
+    else left.output ++ payload
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution :: BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatchedPoints" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of points inside >= 1 interval"),
+    "numUnmatchedPoints" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of points inside no interval"))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastIntervalJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val leftOut = left.output
+    val rightOut = right.output
+    val outAttrs = output
+    val outer = joinType == LeftOuter
+    val (lks, rks, lt, rs, re, pay) =
+      (leftKeys, rightKeys, leftTime, rightStart, rightEnd, payload)
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatchedPoints")
+    val numUnmatched = longMetric("numUnmatchedPoints")
+    val rBroadcast = right.executeBroadcast[Array[InternalRow]]()
+    val indexSig = (rks.map(_.exprId.id) ++ Seq(rs.exprId.id, re.exprId.id) ++
+      pay.map(_.exprId.id)).mkString(",")
+    left.execute().mapPartitions({ lIter =>
+      val index = BroadcastIntervalJoinExec.cachedIndex(
+        rBroadcast.id, indexSig, rBroadcast.value, rightOut, rks, rs, re, pay)
+      val lKeyProj = UnsafeProjection.create(lks, leftOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lt), leftOut)
+      val resultProj =
+        UnsafeProjection.create(outAttrs, leftOut ++ pay.map(_.withNullability(true)))
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lt.dataType))
+      val nullPayload = new GenericInternalRow(pay.length)
+      val joined = new JoinedRow
+      lIter.flatMap { lRow =>
+        val lKeyRow = lKeyProj(lRow)
+        val lTimeRow = lTimeProj(lRow)
+        var hits: ArrayBuffer[UnsafeRow] = null
+        if (!lKeyRow.anyNull && !lTimeRow.isNullAt(0)) {
+          val g = index.groups.get(lKeyRow)
+          if (g != null) {
+            // ub = first interval with start > t (they sort by start)
+            var lo = 0; var hi = g.starts.length
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (timeOrd.compare(g.starts(mid), lTimeRow) <= 0) lo = mid + 1 else hi = mid
+            }
+            var i = 0
+            while (i < lo) {
+              if (timeOrd.compare(g.ends(i), lTimeRow) >= 0) {
+                if (hits == null) hits = new ArrayBuffer[UnsafeRow](4)
+                hits += g.payloads(i)
+              }
+              i += 1
+            }
+          }
+        }
+        if (hits != null) {
+          numMatched += 1
+          numOutputRows += hits.length
+          // keep the projection LAZY — resultProj reuses one buffer
+          val lCopy = lRow.copy()
+          hits.iterator.map(payRow => resultProj(joined(lCopy, payRow)))
+        } else {
+          numUnmatched += 1
+          if (outer) {
+            numOutputRows += 1
+            Iterator.single(resultProj(joined(lRow, nullPayload)))
+          } else Iterator.empty
+        }
+      }
+    }, preservesPartitioning = true)
+  }
+}
+
+object BroadcastIntervalJoinExec {
+
+  /** Per-key index: start-sorted parallel arrays of 1-col start/end rows
+    * and payload rows.
+    */
+  private[plans] final class Group(
+      val starts: Array[UnsafeRow], val ends: Array[UnsafeRow],
+      val payloads: Array[UnsafeRow])
+  private[plans] final class Index(val groups: java.util.HashMap[UnsafeRow, Group])
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.ref.SoftReference[Index]]()
+
+  private[plans] def cachedIndex(broadcastId: Long, sig: String,
+      rows: Array[InternalRow], rightOut: Seq[Attribute],
+      rks: Seq[Attribute], rs: Attribute, re: Attribute,
+      pay: Seq[Attribute]): Index = {
+    val key = s"$broadcastId:$sig"
+    val ref = cache.get(key)
+    val hit = if (ref != null) ref.get else null
+    if (hit != null) return hit
+    val built = build(rows, rightOut, rks, rs, re, pay)
+    cache.put(key, new java.lang.ref.SoftReference(built))
+    built
+  }
+
+  private def build(rows: Array[InternalRow], rightOut: Seq[Attribute],
+      rks: Seq[Attribute], rs: Attribute, re: Attribute,
+      pay: Seq[Attribute]): Index = {
+    val rKeyProj = UnsafeProjection.create(rks, rightOut)
+    val rStartProj = UnsafeProjection.create(Seq(rs), rightOut)
+    val rEndProj = UnsafeProjection.create(Seq(re), rightOut)
+    val payloadProj = UnsafeProjection.create(pay, rightOut)
+    val startOrd = RowOrdering.createNaturalAscendingOrdering(Seq(rs.dataType))
+    val grouped = new java.util.HashMap[
+      UnsafeRow, ArrayBuffer[(UnsafeRow, UnsafeRow, UnsafeRow)]]()
+    rows.foreach { row =>
+      val k = rKeyProj(row)
+      if (!k.anyNull) { // SQL join semantics: null never matches
+        val s0 = rStartProj(row)
+        val e0 = rEndProj(row)
+        if (!s0.isNullAt(0) && !e0.isNullAt(0)) { // null bounds match nothing
+          var buf = grouped.get(k)
+          if (buf == null) {
+            buf = new ArrayBuffer[(UnsafeRow, UnsafeRow, UnsafeRow)]
+            grouped.put(k.copy(), buf)
+          }
+          buf += ((s0.copy(), e0.copy(), payloadProj(row).copy()))
+        }
+      }
+    }
+    val groups = new java.util.HashMap[UnsafeRow, Group](grouped.size())
+    grouped.forEach { (k, buf) =>
+      val sorted = buf.sortInPlace()(Ordering.comparatorToOrdering(
+        new java.util.Comparator[(UnsafeRow, UnsafeRow, UnsafeRow)] {
+          override def compare(a: (UnsafeRow, UnsafeRow, UnsafeRow),
+              b: (UnsafeRow, UnsafeRow, UnsafeRow)): Int = startOrd.compare(a._1, b._1)
+        }))
+      groups.put(k, new Group(sorted.map(_._1).toArray, sorted.map(_._2).toArray,
+        sorted.map(_._3).toArray))
+    }
+    new Index(groups)
+  }
+}
+
 /** DataFrame front door for the native operator. */
 object NativeIntervalJoin {
 
@@ -285,9 +470,10 @@ object NativeIntervalJoin {
     */
   def contain(points: DataFrame, intervals: DataFrame, key: String,
       pointTime: String, startCol: String, endCol: String,
-      payloadCols: Seq[String], joinType: JoinType = Inner): DataFrame =
+      payloadCols: Seq[String], joinType: JoinType = Inner,
+      broadcast: Option[Boolean] = None): DataFrame =
     containKeys(points, intervals, Seq(key), pointTime, startCol, endCol,
-      payloadCols, joinType)
+      payloadCols, joinType, broadcast)
 
   /** [[contain]] on a COMPOSITE key — same rules as
     * [[NativeAsOfJoin.asOfKeys]]: both sides cluster and sort on all
@@ -295,10 +481,11 @@ object NativeIntervalJoin {
     */
   def containKeys(points: DataFrame, intervals: DataFrame, keys: Seq[String],
       pointTime: String, startCol: String, endCol: String,
-      payloadCols: Seq[String], joinType: JoinType = Inner): DataFrame = {
+      payloadCols: Seq[String], joinType: JoinType = Inner,
+      broadcast: Option[Boolean] = None): DataFrame = {
     val node = buildNode(points.queryExecution.analyzed,
       intervals.queryExecution.analyzed, keys, pointTime, startCol, endCol,
-      payloadCols, joinType)
+      payloadCols, joinType, broadcast)
     Bridge.ofRows(points.sparkSession, node)
   }
 
@@ -308,7 +495,8 @@ object NativeIntervalJoin {
     */
   private[plans] def buildNode(lPlan: LogicalPlan, rAnalyzed: LogicalPlan,
       keys: Seq[String], pointTime: String, startCol: String, endCol: String,
-      payloadCols: Seq[String], joinType: JoinType = Inner): IntervalJoinNode = {
+      payloadCols: Seq[String], joinType: JoinType = Inner,
+      broadcast: Option[Boolean] = None): IntervalJoinNode = {
     require(keys.nonEmpty, "contain: need at least one key column")
     // session-resolver name matching (case-insensitive under the default
     // spark.sql.caseSensitive=false) — same contract as NativeAsOfJoin
@@ -338,6 +526,6 @@ object NativeIntervalJoin {
         s"$startCol is ${rStartA.dataType.sql}, $endCol is ${rEndA.dataType.sql}; " +
         "cast to one type before joining")
     IntervalJoinNode(lPlan, rPlan, lKeyAs, rKeyAs, lTimeA, rStartA, rEndA,
-      payloadCols.map(pick(rPlan.output, _, "interval")), joinType)
+      payloadCols.map(pick(rPlan.output, _, "interval")), joinType, broadcast)
   }
 }

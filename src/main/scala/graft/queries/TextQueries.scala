@@ -1988,27 +1988,48 @@ object TextQueries {
     // the oracle can replicate; DupSpansSpec pins the 8-byte-hash
     // shuffle mode equal to it.
     Q("q_text_dupspans",
-      """WITH km0 AS (
-        |  SELECT doc_id, text,
-        |         unnest(range(0, greatest(length(text) - 20 + 1, 0))) AS pos
-        |  FROM documents WHERE text IS NOT NULL
-        |),
-        |km AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-        |              substr(text, CAST(pos AS INT) + 1, 20) AS gram FROM km0),
-        |dup AS (SELECT gram FROM km GROUP BY gram HAVING count(*) >= 2),
-        |seeds AS (SELECT km.doc_id, km.pos FROM km JOIN dup USING (gram)),
-        |lagd AS (SELECT doc_id, pos,
-        |                lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-        |         FROM seeds),
-        |isl AS (SELECT doc_id, pos,
-        |               sum(CASE WHEN prev IS NULL OR pos > prev + 20 THEN 1 ELSE 0 END)
-        |                 OVER (PARTITION BY doc_id ORDER BY pos) AS island
-        |        FROM lagd)
-        |SELECT doc_id, min(pos) AS span_start, max(pos) + 20 AS span_end,
-        |       max(pos) + 20 - min(pos) AS span_len, count(*) AS n_seeds
-        |FROM isl GROUP BY doc_id, island
-        |ORDER BY doc_id, span_start""".stripMargin) { (s, dir) =>
+      s"""$dupSpansCte
+         |SELECT doc_id, min(pos) AS span_start, max(pos) + 20 AS span_end,
+         |       max(pos) + 20 - min(pos) AS span_len, count(*) AS n_seeds
+         |FROM isl GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""".stripMargin) { (s, dir) =>
       DupSpans.spans(t(s, dir, "documents"), k = 20, minCount = 2L)
+    },
+
+    // X199 the REMOVE half of exact-substring dedup: X196's spans
+    // spliced out of the text — removal is total (both copies go, the
+    // deduplicate-text-datasets default; canonical-keep is a policy
+    // layer above, X174). The splice is a row-local higher-order
+    // aggregate over each doc's own spans; the oracle re-derives the
+    // spans and splices with a lag window + ordered string_agg.
+    Q("q_text_dupwash",
+      s"""$dupSpansCte,
+         |spans AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 20 AS span_end
+         |          FROM isl GROUP BY doc_id, island),
+         |segs AS (
+         |  SELECT s.doc_id, d.text, s.span_start, s.span_end,
+         |         coalesce(lag(s.span_end) OVER (PARTITION BY s.doc_id
+         |           ORDER BY s.span_start), 0) AS prev_end
+         |  FROM spans s JOIN documents d USING (doc_id)),
+         |agg AS (
+         |  SELECT doc_id,
+         |         string_agg(substr(text, CAST(prev_end AS INT) + 1,
+         |                           CAST(span_start - prev_end AS INT)),
+         |                    '' ORDER BY span_start) AS kept,
+         |         max(span_end) AS last_end, count(*) AS n_spans,
+         |         any_value(text) AS text
+         |  FROM segs GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       coalesce(a.kept || substr(d.text, CAST(a.last_end AS INT) + 1),
+         |                d.text) AS washed_text,
+         |       CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+         |       CAST(length(d.text) - length(coalesce(
+         |         a.kept || substr(d.text, CAST(a.last_end AS INT) + 1),
+         |         d.text)) AS BIGINT) AS removed_chars
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |WHERE d.text IS NOT NULL
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      DupSpans.removeSpans(t(s, dir, "documents"), k = 20, minCount = 2L)
     },
 
     // X197 BPE tokenizer APPLY (expressions/BpeEncode.scala via
@@ -2026,6 +2047,27 @@ object TextQueries {
     // packs on whitespace counts; this bins the same corpus on the BPE
     // token counts of X197 — the number a trainer actually budgets.
     bpePackQ)
+
+  /** Shared oracle CTE for the exact-substring recipe (X196/X199): the
+    * 20-char k-mer stream, duplicate grams, seed positions, islands.
+    */
+  private lazy val dupSpansCte: String =
+    """WITH km0 AS (
+      |  SELECT doc_id, text,
+      |         unnest(range(0, greatest(length(text) - 20 + 1, 0))) AS pos
+      |  FROM documents WHERE text IS NOT NULL
+      |),
+      |km AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |              substr(text, CAST(pos AS INT) + 1, 20) AS gram FROM km0),
+      |dup AS (SELECT gram FROM km GROUP BY gram HAVING count(*) >= 2),
+      |seeds AS (SELECT km.doc_id, km.pos FROM km JOIN dup USING (gram)),
+      |lagd AS (SELECT doc_id, pos,
+      |                lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      |         FROM seeds),
+      |isl AS (SELECT doc_id, pos,
+      |               sum(CASE WHEN prev IS NULL OR pos > prev + 20 THEN 1 ELSE 0 END)
+      |                 OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |        FROM lagd)""".stripMargin
 
   /** Fixed demo merge list (training-consistent — every compound symbol
     * is produced before use; BpeApply.requireConsistent re-checks).

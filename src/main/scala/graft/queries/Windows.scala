@@ -704,9 +704,46 @@ object Windows {
           unix_micros(col("ts")).as("w_start"),
           (unix_micros(col("ts")) +
             round(col("value") * 3600000000L).cast("long")).as("w_end"))
+      // broadcast=Some(false) pins the SORT-MERGE exec (big×big bench
+      // identity); the broadcast-right sibling has its own row below
       graft.plans.NativeIntervalJoin.contain(points, windows, key = "user_id",
           pointTime = "t", startCol = "w_start", endCol = "w_end",
-          payloadCols = Seq("window_id", "w_end"))
+          payloadCols = Seq("window_id", "w_end"), broadcast = Some(false))
+        .select(col("click_id"), col("user_id"), col("t"), col("window_id"),
+          (col("w_end") - col("t")).as("remaining_us"))
+        .orderBy(col("click_id"), col("window_id"))
+    },
+
+    // X200 the BROADCAST-RIGHT native interval join: same semantics and
+    // oracle family as q_join_interval_native, but the (small) window
+    // side ships as a per-key start-sorted index and the huge point
+    // side is probed IN PLACE — zero exchange, zero sort on the left
+    // (plans/NativeIntervalJoin.scala BroadcastIntervalJoinExec; plan
+    // pinned in NativeIntervalJoinSpec).
+    Q("q_join_interval_broadcast",
+      """WITH w AS (SELECT user_id, event_id AS window_id,
+        |                  cast(epoch_us(ts) AS bigint) AS w_start,
+        |                  cast(epoch_us(ts) AS bigint)
+        |                    + CAST(round(value * 3600000000) AS BIGINT) AS w_end
+        |           FROM events WHERE event_type = 'signup'),
+        |p AS (SELECT user_id, event_id AS click_id, cast(epoch_us(ts) AS bigint) AS t
+        |      FROM events WHERE event_type IN ('click', 'purchase'))
+        |SELECT p.click_id, p.user_id, p.t, w.window_id,
+        |       cast(w.w_end - p.t AS bigint) AS remaining_us
+        |FROM p JOIN w ON p.user_id = w.user_id AND p.t BETWEEN w.w_start AND w.w_end
+        |ORDER BY click_id, window_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val points = ev.filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_id").as("click_id"),
+          unix_micros(col("ts")).as("t"))
+      val windows = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("window_id"),
+          unix_micros(col("ts")).as("w_start"),
+          (unix_micros(col("ts")) +
+            round(col("value") * 3600000000L).cast("long")).as("w_end"))
+      graft.plans.NativeIntervalJoin.contain(points, windows, key = "user_id",
+          pointTime = "t", startCol = "w_start", endCol = "w_end",
+          payloadCols = Seq("window_id", "w_end"), broadcast = Some(true))
         .select(col("click_id"), col("user_id"), col("t"), col("window_id"),
           (col("w_end") - col("t")).as("remaining_us"))
         .orderBy(col("click_id"), col("window_id"))

@@ -100,6 +100,35 @@ class DupSpansSpec extends SparkSpec {
     assert(exact.nonEmpty, "fixture corpus should contain duplicated 20-char runs")
   }
 
+  test("removeSpans splices exactly the spans out; span-less docs pass through") {
+    val docs = Seq(
+      1L -> "aaaa THE QUICK BROWN FOX JUMPED OVER THE LAZY DOG bbbb unique tail one",
+      2L -> "cccc THE QUICK BROWN FOX JUMPED OVER THE LAZY DOG dddd other ending xx",
+      3L -> "entirely original content with no shared twenty-char run at all 12345")
+    val k = 10
+    val expectedSpans = reference(docs, k, 2).groupBy(_._1)
+    val got = graft.operators.DupSpans.removeSpans(docs.toDF("doc_id", "text"), k)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet === docs.map(_._1).toSet, "one row per input doc")
+    docs.foreach { case (id, text) =>
+      val spans = expectedSpans.getOrElse(id, Seq()).sortBy(_._2)
+      val washed = {
+        val sb = new StringBuilder
+        var prev = 0L
+        spans.foreach { case (_, s, e) =>
+          sb.append(text.substring(prev.toInt, s.toInt)); prev = e
+        }
+        sb.append(text.substring(prev.toInt)); sb.toString
+      }
+      val (w, n, removed) = got(id)
+      assert(w === washed, s"doc $id")
+      assert(n === spans.size.toLong)
+      assert(removed === spans.map { case (_, s, e) => e - s }.sum)
+    }
+    assert(got(3L)._1 === docs.toMap.apply(3L), "no spans -> verbatim")
+  }
+
   test("docs shorter than k yield no k-mers; null text is skipped") {
     val df = Seq((1L, Some("tiny")), (2L, None), (3L, Some("x" * 30)))
       .toDF("doc_id", "text")

@@ -33,7 +33,8 @@ class NativeIntervalJoinSpec extends SparkSpec {
 
   test("exec reports SQLMetrics: output rows, matched and unmatched points") {
     val df = NativeIntervalJoin.contain(points, intervals, key = "k",
-      pointTime = "t", startCol = "s", endCol = "e", payloadCols = Seq("wid"))
+      pointTime = "t", startCol = "s", endCol = "e", payloadCols = Seq("wid"),
+      broadcast = Some(false)) // pin the sort-merge exec
     df.collect()
     val exec = TestSpark.findExec[graft.plans.IntervalJoinExec](df.queryExecution.executedPlan)
       .getOrElse(fail("IntervalJoinExec missing from the executed plan"))
@@ -126,13 +127,53 @@ class NativeIntervalJoinSpec extends SparkSpec {
   }
 
   test("plan: IntervalJoin exec with one shuffle+sort per side, no explode") {
-    val df = NativeIntervalJoin.contain(points, intervals, "k", "t", "s", "e", Seq("wid"))
+    val df = NativeIntervalJoin.contain(points, intervals, "k", "t", "s", "e", Seq("wid"),
+      broadcast = Some(false))
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("IntervalJoin"), p)
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
       "exactly one shuffle per side:\n" + p)
     assert(!p.contains("Generate") && !p.contains("CartesianProduct"),
       "no bucket explode, no cartesian:\n" + p)
+  }
+
+  test("broadcast exec: same results and metrics; ZERO exchange on the point side") {
+    val df = NativeIntervalJoin.contain(points, intervals, key = "k",
+      pointTime = "t", startCol = "s", endCol = "e", payloadCols = Seq("wid"),
+      broadcast = Some(true))
+    val rows = df.collect()
+    val got = rows.map { r =>
+      (r.getLong(r.fieldIndex("pid")), r.getLong(r.fieldIndex("wid")))
+    }.toSet
+    assert(got === Set((100L, 900L), (101L, 901L), (102L, 901L), (102L, 902L)))
+    val exec = TestSpark.findExec[graft.plans.BroadcastIntervalJoinExec](
+        df.queryExecution.executedPlan)
+      .getOrElse(fail("BroadcastIntervalJoinExec missing from the executed plan"))
+    assert(exec.metrics("numOutputRows").value === 4L)
+    assert(exec.metrics("numMatchedPoints").value === 3L)
+    assert(exec.metrics("numUnmatchedPoints").value === 3L)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      "no hash shuffle anywhere:\n" + p)
+    assert(p.contains("BroadcastExchange"), "intervals ship via broadcast:\n" + p)
+  }
+
+  test("broadcast == sort-merge on the events fixture, inner and outer") {
+    val ev = Tables.load(spark, TestSpark.sf0001, "events")
+    val pts = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("pid"), unix_micros($"ts").as("t"))
+    val ivs = ev.filter($"event_type" === "signup")
+      .select($"user_id", $"event_id".as("wid"), unix_micros($"ts").as("s"),
+        (unix_micros($"ts") + round($"value" * 3600000000L).cast("long")).as("e"))
+    Seq(org.apache.spark.sql.catalyst.plans.Inner,
+        org.apache.spark.sql.catalyst.plans.LeftOuter).foreach { jt =>
+      val sm = NativeIntervalJoin.contain(pts, ivs, "user_id", "t", "s", "e",
+        Seq("wid"), joinType = jt, broadcast = Some(false))
+      val bc = NativeIntervalJoin.contain(pts, ivs, "user_id", "t", "s", "e",
+        Seq("wid"), joinType = jt, broadcast = Some(true))
+      assert(bc.exceptAll(sm).isEmpty && sm.exceptAll(bc).isEmpty,
+        s"broadcast and sort-merge must agree row-for-row under $jt")
+    }
   }
 
   test("pushdown: single-side filters sink below the node on both sides") {

@@ -91,6 +91,34 @@ object BpeApply {
         encodeCol(col("word"), merges).as("encoded"))
       .withColumn("n_tokens", size(split(col("encoded"), " ")).cast("long"))
 
+  /** Token IDS from [[encodeWords]] output — what a trainer actually
+    * consumes: vocab = every final symbol ranked by (count desc, symbol
+    * asc) (deterministic, replayable), ids = the per-word symbol
+    * sequence mapped through it, emitted as a csv string (engine-
+    * portable). Output: (idCol, word_pos, ids_csv, n_tokens long).
+    *
+    * The vocab ranking is a GLOBAL row_number window — over the
+    * vocab-sized aggregate only (distinct symbols, ≤ ~100k for real
+    * tokenizers), never the corpus; the join back broadcasts it.
+    */
+  def tokenIds(enc: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val toks = enc.select(col(idCol), col("word_pos"),
+      posexplode(split(col("encoded"), " ")).as(Seq("ti", "sym")))
+    val vocab = toks.groupBy(col("sym")).agg(count(lit(1)).as("cnt"))
+      .withColumn("tok_id", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("sym"))).cast("long"))
+      .select(col("sym"), col("tok_id"))
+    toks.join(broadcast(vocab), Seq("sym"))
+      .groupBy(col(idCol), col("word_pos"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("ti"), col("tok_id")))),
+          x => x.getField("tok_id").cast("string")), ",").as("ids_csv"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy(col(idCol), col("word_pos"))
+  }
+
   /** DuckDB oracle SQL fragments for the SAME merge list: a recursive
     * CTE that splices ONE merge occurrence per step, always the
     * lowest-rank pair present, leftmost occurrence first — the literal

@@ -417,6 +417,12 @@ case class AsOfJoinExec(
   * (memoized by broadcast id + projection signature, soft-referenced so
   * memory pressure can reclaim it) — not once per task: at 32 cores a
   * per-task build would pay the O(R log R) group-and-sort 32×.
+  *
+  * Measured (round 15, sf0.1×50: 2.0M left events × 20k right signups,
+  * local[32], warm, `count()`): sort-merge exec 0.53–0.65 s vs
+  * broadcast 0.17–0.21 s — ~3.2×, and the gap is the left-side
+  * exchange+sort, so it widens linearly with left volume (at sf0.1×10,
+  * 0.4M rows, it was ~1.7×).
   */
 case class BroadcastAsOfJoinExec(
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],

@@ -2046,7 +2046,13 @@ object TextQueries {
     // X198 sequence packing by REAL token counts: q_text_pack_bins
     // packs on whitespace counts; this bins the same corpus on the BPE
     // token counts of X197 — the number a trainer actually budgets.
-    bpePackQ)
+    bpePackQ,
+
+    // X201 token IDS: X197's symbol sequences mapped through a
+    // deterministic fitted vocab (count desc, symbol asc) — the actual
+    // trainer input. The vocab ranking is a global row_number over the
+    // vocab-sized aggregate only; the id join broadcasts it.
+    bpeIdsQ)
 
   /** Shared oracle CTE for the exact-substring recipe (X196/X199): the
     * 20-char k-mer stream, duplicate grams, seed positions, islands.
@@ -2111,6 +2117,30 @@ object TextQueries {
        |FROM done ORDER BY doc_id, word_pos""".stripMargin) { (s, dir) =>
     BpeApply.encodeWords(t(s, dir, "documents"), bpeMerges, maxWords = 5)
       .orderBy(col("doc_id"), col("word_pos"))
+  }
+
+  private lazy val bpeIdsQ: Q = Q("q_text_bpe_ids",
+    s"""$bpeOracleEnc,
+       |toks AS (
+       |  SELECT doc_id, word_pos, CAST(i AS INT) AS ti,
+       |         sy[CAST(i AS INT) + 1] AS sym
+       |  FROM (SELECT doc_id, word_pos, string_split(encoded, ' ') AS sy,
+       |               unnest(range(0, len(string_split(encoded, ' ')))) AS i
+       |        FROM done)),
+       |vocab AS (SELECT sym, count(*) AS cnt FROM toks GROUP BY sym),
+       |ranked AS (SELECT sym,
+       |                  CAST(row_number() OVER (ORDER BY cnt DESC, sym) AS BIGINT)
+       |                    AS tok_id
+       |           FROM vocab),
+       |j AS (SELECT t.doc_id, t.word_pos, t.ti, r.tok_id
+       |      FROM toks t JOIN ranked r USING (sym))
+       |SELECT doc_id, word_pos,
+       |       string_agg(tok_id::VARCHAR, ',' ORDER BY ti) AS ids_csv,
+       |       CAST(count(*) AS BIGINT) AS n_tokens
+       |FROM j GROUP BY doc_id, word_pos
+       |ORDER BY doc_id, word_pos""".stripMargin) { (s, dir) =>
+    BpeApply.tokenIds(
+      BpeApply.encodeWords(t(s, dir, "documents"), bpeMerges, maxWords = 5))
   }
 
   private lazy val bpePackQ: Q = Q("q_text_pack_bins_bpe",

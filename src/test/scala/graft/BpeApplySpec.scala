@@ -77,6 +77,29 @@ class BpeApplySpec extends SparkSpec {
     assert(enc.getLong(1) < enc.getLong(0), "fitted merges must reduce token count")
   }
 
+  test("tokenIds: dense 1..|V| vocab, ids decode back to the encoded symbols") {
+    val docs = Seq((1L, "table value table"), (2L, "tab value zz"))
+      .toDF("doc_id", "text")
+    val enc = BpeApply.encodeWords(docs, merges, maxWords = 5)
+    val ids = BpeApply.tokenIds(enc)
+    // vocab reconstruction: symbol -> id must be a bijection onto 1..|V|
+    val symById = enc.select(explode(split($"encoded", " ")).as("sym"))
+      .groupBy($"sym").count().collect()
+      .sortBy(r => (-r.getLong(1), r.getString(0)))
+      .zipWithIndex.map { case (r, i) => (i + 1).toLong -> r.getString(0) }.toMap
+    assert(symById.keySet === (1L to symById.size.toLong).toSet)
+    val encoded = enc.select($"doc_id", $"word_pos", $"encoded").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    ids.collect().foreach { r =>
+      val key = (r.getLong(r.fieldIndex("doc_id")), r.getInt(r.fieldIndex("word_pos")))
+      val decoded = r.getString(r.fieldIndex("ids_csv")).split(",")
+        .map(s => symById(s.toLong)).mkString(" ")
+      assert(decoded === encoded(key), s"round trip at $key")
+      assert(r.getLong(r.fieldIndex("n_tokens")) ===
+        encoded(key).split(" ").length.toLong)
+    }
+  }
+
   test("unicode: surrogate pairs stay whole symbols") {
     val got = Seq("a😀b").toDF("w")
       .select(BpeApply.encodeCol($"w", Seq("a" -> "b")).as("enc"))

@@ -665,13 +665,26 @@ object NativeAsOfJoin {
     * the DataFrame front doors above and the SQL TVF resolution rule
     * ([[ResolveGraftJoins]]). Both child plans must be analyzed.
     */
-  private[plans] def buildNode(lPlan: LogicalPlan, rAnalyzed: LogicalPlan,
+  private[plans] def buildNode(lPlan: LogicalPlan, rAnalyzed0: LogicalPlan,
       keys: Seq[String], leftTime: String, rightTime: String,
       payloadCols: Seq[String], joinType: JoinType,
       within: Option[Long] = None,
       direction: AsOfDirection = AsOfDirection.Backward,
       broadcast: Option[Boolean] = None): AsOfJoinNode = {
     require(keys.nonEmpty, "asOf: need at least one key column")
+    // honor functions.broadcast(right) exactly like a builtin join:
+    // EliminateResolvedHint only transfers hints into Join nodes, so a
+    // hint reaching this custom node would otherwise be silently
+    // dropped with a warning — absorb it into the broadcast knob here
+    // (an explicit knob argument wins)
+    val (rAnalyzed, hinted) = rAnalyzed0 match {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+          if h.hints.strategy.contains(
+            org.apache.spark.sql.catalyst.plans.logical.BROADCAST) =>
+        (h.child, Some(true))
+      case other => (other, None)
+    }
+    val bcast = broadcast.orElse(hinted)
     // match names with the session's resolver, not ==: under Spark's
     // default case-insensitive resolution a SQL caller passing USER_ID
     // must find user_id, exactly as it would in a builtin join
@@ -715,6 +728,6 @@ object NativeAsOfJoin {
     AsOfJoinNode(lPlan, rPlan,
       lKeyAttrs, rKeyAttrs, lTimeAttr, rTimeAttr,
       payloadCols.map(pick(rPlan.output, _, "right")), joinType, within, direction,
-      broadcast)
+      bcast)
   }
 }

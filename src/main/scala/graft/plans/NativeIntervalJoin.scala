@@ -493,11 +493,21 @@ object NativeIntervalJoin {
     * the DataFrame front door above and the SQL TVF resolution rule
     * ([[ResolveGraftJoins]]). Both child plans must be analyzed.
     */
-  private[plans] def buildNode(lPlan: LogicalPlan, rAnalyzed: LogicalPlan,
+  private[plans] def buildNode(lPlan: LogicalPlan, rAnalyzed0: LogicalPlan,
       keys: Seq[String], pointTime: String, startCol: String, endCol: String,
       payloadCols: Seq[String], joinType: JoinType = Inner,
       broadcast: Option[Boolean] = None): IntervalJoinNode = {
     require(keys.nonEmpty, "contain: need at least one key column")
+    // honor functions.broadcast(intervals) like a builtin join — same
+    // rationale as NativeAsOfJoin.buildNode (explicit knob wins)
+    val (rAnalyzed, hinted) = rAnalyzed0 match {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+          if h.hints.strategy.contains(
+            org.apache.spark.sql.catalyst.plans.logical.BROADCAST) =>
+        (h.child, Some(true))
+      case other => (other, None)
+    }
+    val bcast = broadcast.orElse(hinted)
     // session-resolver name matching (case-insensitive under the default
     // spark.sql.caseSensitive=false) — same contract as NativeAsOfJoin
     val resolver = org.apache.spark.sql.internal.SQLConf.get.resolver
@@ -526,6 +536,6 @@ object NativeIntervalJoin {
         s"$startCol is ${rStartA.dataType.sql}, $endCol is ${rEndA.dataType.sql}; " +
         "cast to one type before joining")
     IntervalJoinNode(lPlan, rPlan, lKeyAs, rKeyAs, lTimeA, rStartA, rEndA,
-      payloadCols.map(pick(rPlan.output, _, "interval")), joinType, broadcast)
+      payloadCols.map(pick(rPlan.output, _, "interval")), joinType, bcast)
   }
 }

@@ -252,6 +252,31 @@ class NativeAsOfJoinSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("functions.broadcast(right) hint picks the broadcast exec, like builtin joins") {
+    // EliminateResolvedHint only moves hints into Join nodes — the front
+    // door absorbs it instead, so the standard idiom works here too.
+    // Pin threshold -1 so only the HINT can be selecting broadcast.
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = NativeAsOfJoin.asOf(trades, broadcast(quotes), key = "sym",
+        leftTime = "tts", rightTime = "qts", payloadCols = Seq("px"))
+      assert(TestSpark.findExec[graft.plans.BroadcastAsOfJoinExec](
+        df.queryExecution.executedPlan).isDefined,
+        "hint must win over the disabled threshold:\n" + df.queryExecution.executedPlan)
+      val got = df.select($"trade_id", $"px").collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+      assert(got === Map(100L -> null, 101L -> 2.0, 102L -> 2.0, 103L -> 3.0,
+        104L -> null, 105L -> null))
+      val iv = graft.plans.NativeIntervalJoin.contain(
+        Seq(("A", 5L, 1L)).toDF("k", "t", "pid"),
+        broadcast(Seq(("A", 0L, 10L, 7L)).toDF("k", "s", "e", "wid")),
+        "k", "t", "s", "e", Seq("wid"))
+      assert(TestSpark.findExec[graft.plans.BroadcastIntervalJoinExec](
+        iv.queryExecution.executedPlan).isDefined, "interval hint too")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("stats propagate: a join ABOVE the as-of output can broadcast it") {
     // the size-only visitor default for an unknown BinaryNode is the
     // PRODUCT of child sizes — under that, the tiny as-of output below

@@ -158,6 +158,14 @@ class NativeIntervalJoinSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), "intervals ship via broadcast:\n" + p)
   }
 
+  test("stats propagate: left-size-scaled, not the child-product visitor default") {
+    val df = NativeIntervalJoin.contain(points, intervals, "k", "t", "s", "e", Seq("wid"))
+    val st = df.queryExecution.optimizedPlan.stats
+    val lSt = points.queryExecution.optimizedPlan.stats
+    assert(st.sizeInBytes >= lSt.sizeInBytes && st.sizeInBytes < lSt.sizeInBytes * 4,
+      s"interval-join stats must scale with the point side: $st vs left $lSt")
+  }
+
   test("broadcast == sort-merge on the events fixture, inner and outer") {
     val ev = Tables.load(spark, TestSpark.sf0001, "events")
     val pts = ev.filter($"event_type" === "click")

@@ -1296,6 +1296,39 @@ object Windows {
         .orderBy(col("purchase_id"))
     },
 
+    // X202 STREAM-STATIC as-of enrichment through the NATIVE broadcast
+    // exec: the purchase STREAM joined per micro-batch against a static
+    // click dimension via BroadcastAsOfJoinExec — fully STATELESS (no
+    // state store, no watermark: the static side is complete, so every
+    // batch's answer is final), zero shuffle of the stream, the shape a
+    // 100 TB enrichment topology actually runs for slowly-changing
+    // dimensions. Complements X188 (stream-vs-own-history, which NEEDS
+    // per-user state). With AvailableNow the appended set must equal
+    // the batch join — oracle = DuckDB ASOF LEFT JOIN;
+    // StreamingSpec pins the exec + statelessness in the streaming plan.
+    Q("q_stream_asof_static",
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |       c.event_id AS click_id,
+        |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+      val (src, staged) = stagedEventsStream(s, dir)
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val clicks = t(s, dir, "events").filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"), col("event_id").as("click_id"))
+      val joined = graft.plans.NativeAsOfJoin.asOf(purchases, clicks,
+        key = "user_id", leftTime = "ts", rightTime = "cts",
+        payloadCols = Seq("click_id", "cts"), broadcast = Some(true))
+      runToMemorySink(s, joined, sinkName("stream_asof_static_", dir),
+          outputMode = "append", staged = staged :: Nil)
+        .select(col("purchase_id"), col("user_id"), col("click_id"),
+          (unix_micros(col("ts")) - unix_micros(col("cts"))).as("gap_us"))
+        .orderBy(col("purchase_id"))
+    },
+
     // Stream-stream interval join (view→click attribution within 6
     // hours per user) — the one streaming shape the surface lacked. TWO
     // independent file-source streams (each its own staged directory),

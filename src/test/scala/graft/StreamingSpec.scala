@@ -170,6 +170,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static as-of via the native BROADCAST exec: stateless, cross-batch exact") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // streaming purchases, STATIC click dimension: no state store should
+    // ever open — the static side is complete, each batch is final
+    case class P(user_id: Long, purchase_id: Long, ts: java.sql.Timestamp)
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = mem.toDS().toDF("user_id", "purchase_id", "ts")
+    val clicks = Seq(
+      (1L, 100L, ts("2024-01-01 00:00:00")),
+      (1L, 101L, ts("2024-01-01 00:30:00")),
+      (2L, 102L, ts("2024-01-01 00:10:00"))
+    ).toDF("user_id", "click_id", "cts").select($"user_id", $"click_id",
+      $"cts")
+    val joined = graft.plans.NativeAsOfJoin.asOf(purchases, clicks,
+      key = "user_id", leftTime = "ts", rightTime = "cts",
+      payloadCols = Seq("click_id"), broadcast = Some(true))
+    assert(joined.isStreaming, "plan must stay a streaming plan")
+    val q = joined.writeStream.format("memory").queryName("asof_static")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 200L, ts("2024-01-01 00:05:00")))
+      q.processAllAvailable()
+      mem.addData((1L, 201L, ts("2024-01-01 00:45:00")),
+        (2L, 202L, ts("2024-01-01 00:05:00")), // before user 2's click -> null
+        (3L, 203L, ts("2024-01-01 09:00:00"))) // unknown user -> null
+      q.processAllAvailable()
+      val r = spark.table("asof_static").collect()
+        .map(x => x.getLong(x.fieldIndex("purchase_id")) ->
+          (if (x.isNullAt(x.fieldIndex("click_id"))) -1L
+           else x.getLong(x.fieldIndex("click_id")))).toMap
+      assert(r === Map(200L -> 100L, 201L -> 101L, 202L -> -1L, 203L -> -1L), s"got $r")
+      // statelessness pin: the public progress API reports NO stateful
+      // operators in any batch
+      assert(q.recentProgress.nonEmpty &&
+        q.recentProgress.forall(_.stateOperators.isEmpty),
+        "broadcast as-of enrichment must run with zero state stores")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val s = spark; import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext

@@ -573,6 +573,9 @@ object BroadcastAsOfJoinExec {
     val ref = cache.get(key)
     val hit = if (ref != null) ref.get else null
     if (hit != null) return hit
+    // purge slots whose soft refs the GC cleared — a long-lived app
+    // broadcasting thousands of dimensions must not accrete dead entries
+    cache.forEach { (k, r) => if (r.get == null) cache.remove(k, r) }
     val built = build(rows, rightOut, rks, rt, pay, needGaps, timeAsLong)
     cache.put(key, new java.lang.ref.SoftReference(built))
     built

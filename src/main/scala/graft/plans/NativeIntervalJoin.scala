@@ -411,6 +411,8 @@ object BroadcastIntervalJoinExec {
     val ref = cache.get(key)
     val hit = if (ref != null) ref.get else null
     if (hit != null) return hit
+    // purge GC-cleared slots — same hygiene as BroadcastAsOfJoinExec
+    cache.forEach { (k, r) => if (r.get == null) cache.remove(k, r) }
     val built = build(rows, rightOut, rks, rs, re, pay)
     cache.put(key, new java.lang.ref.SoftReference(built))
     built

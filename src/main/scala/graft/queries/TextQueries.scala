@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Boilerplate, BpeApply, BpeMerges, ChiSquareKeywords, Chunking, Contamination, CorpusPacking, Dedup, DupSpans, HybridRetrieval, LexicalStats, MixtureSampler, Multimodal, NegativeSampler, NgramLanguageModel, PostingsIndex, RepetitionScore, SimilaritySearch, DupSourceMatrix, SnapshotDiff, SpanCorruption, SparseSimilarity, StratifiedSampler, TopK}
+import graft.operators.{Boilerplate, BpeApply, BpeMerges, ChiSquareKeywords, Chunking, Contamination, CorpusPacking, Dedup, DupSpans, HybridRetrieval, LengthBatching, LexicalStats, MixtureSampler, Multimodal, NegativeSampler, NgramLanguageModel, PostingsIndex, RepetitionScore, SimilaritySearch, DupSourceMatrix, SnapshotDiff, SpanCorruption, SparseSimilarity, StratifiedSampler, TopK}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -2052,7 +2052,43 @@ object TextQueries {
     // deterministic fitted vocab (count desc, symbol asc) — the actual
     // trainer input. The vocab ranking is a global row_number over the
     // vocab-sized aggregate only; the id join broadcasts it.
-    bpeIdsQ)
+    bpeIdsQ,
+
+    // X203 length-bucketed micro-batching (the NMT/pretraining padding
+    // cut): whitespace token counts bucketed at fixed edges, batched
+    // within (shard, bucket) by a deterministic row_number — per-batch
+    // padded_tokens is the number a trainer multiplies by FLOPs/token.
+    // Shard-parallel like X20 (operators/LengthBatching.scala).
+    Q("q_text_length_batches",
+      """WITH sized AS (
+        |  SELECT doc_id, CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS len,
+        |         doc_id % 8 AS shard
+        |  FROM documents WHERE text IS NOT NULL),
+        |bucketed AS (
+        |  SELECT doc_id, len, shard,
+        |         (CASE WHEN len >= 16 THEN 1 ELSE 0 END +
+        |          CASE WHEN len >= 32 THEN 1 ELSE 0 END +
+        |          CASE WHEN len >= 48 THEN 1 ELSE 0 END +
+        |          CASE WHEN len >= 64 THEN 1 ELSE 0 END) AS bucket
+        |  FROM sized),
+        |batched AS (
+        |  SELECT shard, bucket, len,
+        |         CAST(floor((row_number() OVER (PARTITION BY shard, bucket ORDER BY doc_id)
+        |               - 1) / 16) AS BIGINT) AS batch
+        |  FROM bucketed)
+        |SELECT cast(shard AS bigint) AS shard, bucket, batch,
+        |       count(*) AS n_seqs, max(len) AS max_len,
+        |       cast(sum(len) AS bigint) AS sum_len,
+        |       cast(count(*) * max(len) - sum(len) AS bigint) AS padded_tokens
+        |FROM batched GROUP BY shard, bucket, batch
+        |ORDER BY shard, bucket, batch""".stripMargin) { (s, dir) =>
+      val sized = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tok"))
+      LengthBatching.paddingStats(LengthBatching.assign(
+        sized, idCol = "doc_id", lenCol = "n_tok",
+        edges = Seq(16L, 32L, 48L, 64L), batchSize = 16, nShards = 8))
+    })
 
   /** Shared oracle CTE for the exact-substring recipe (X196/X199): the
     * 20-char k-mer stream, duplicate grams, seed positions, islands.

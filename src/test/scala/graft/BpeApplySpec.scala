@@ -100,6 +100,32 @@ class BpeApplySpec extends SparkSpec {
     }
   }
 
+  test("property: fit on random corpora, apply == reference on every word") {
+    // deterministic xorshift (same pattern as NativeAsOfJoinPropSpec)
+    var seed = 0xbeefL
+    def nxt(n: Int): Int = {
+      seed ^= seed << 13; seed ^= seed >>> 7; seed ^= seed << 17
+      math.floorMod(seed, n.toLong).toInt
+    }
+    (1 to 3).foreach { caseNo =>
+      val alphabet = "abcd"
+      val words = (0 until 40).map { _ =>
+        (0 until 2 + nxt(7)).map(_ => alphabet(nxt(alphabet.length))).mkString
+      }
+      val docs = words.grouped(8).map(_.mkString(" ")).toSeq.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toSeq.toDF("doc_id", "text")
+      val fitted = BpeApply.fitMerges(docs, k = 5)
+      BpeApply.requireConsistent(fitted)
+      val got = words.distinct.toDF("w")
+        .select($"w", BpeApply.encodeCol($"w", fitted).as("enc"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      words.distinct.foreach { w =>
+        assert(got(w) === referenceEncode(w, fitted),
+          s"case $caseNo word '$w' merges $fitted")
+      }
+    }
+  }
+
   test("unicode: surrogate pairs stay whole symbols") {
     val got = Seq("a😀b").toDF("w")
       .select(BpeApply.encodeCol($"w", Seq("a" -> "b")).as("enc"))

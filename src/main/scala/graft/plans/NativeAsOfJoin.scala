@@ -255,20 +255,20 @@ case class AsOfJoinExec(
     }
     val lRdd = left.execute()
     val rRdd = right.execute()
-    // Runtime zip-contract guard: the merge zips child partitions
-    // pairwise, which is only correct when EnsureRequirements gave both
-    // sides the SAME hash partitioning (count equality is the checkable
-    // half; round-14 probes verified AQE never coalesces around this
-    // node). If a future AQE/planner change breaks that, fail loudly by
-    // name here — RDD.zipPartitions would also throw on count mismatch,
-    // but deep in getPartitions with a message that doesn't say which
-    // operator or what contract broke.
-    if (lRdd.getNumPartitions != rRdd.getNumPartitions) {
+    // Runtime zip-contract guard ([[ZipContract]]): the merge zips child
+    // partitions pairwise, which is only correct when EnsureRequirements
+    // gave both sides co-aligned hash partitionings (round-14 probes
+    // verified AQE never coalesces around this node). If a future
+    // planner/AQE change breaks that, fail loudly by name here —
+    // RDD.zipPartitions would also throw on a count mismatch, but deep
+    // in getPartitions with a message that doesn't say which operator or
+    // what contract broke, and it would NOT catch misaligned hash keys.
+    ZipContract.violation(left.outputPartitioning, right.outputPartitioning,
+        lRdd.getNumPartitions, rRdd.getNumPartitions, lks, rks).foreach { why =>
       throw new IllegalStateException(
-        s"GRAFT_ASOF_ZIP_CONTRACT violated: AsOfJoinExec requires equal child " +
-          s"partition counts, got left=${lRdd.getNumPartitions} " +
-          s"right=${rRdd.getNumPartitions}. A planner/AQE change has re-partitioned " +
-          "around the node; the pairwise merge would join wrong partitions.")
+        s"GRAFT_ASOF_ZIP_CONTRACT violated: $why. A planner/AQE change has " +
+          "re-partitioned around AsOfJoinExec; the pairwise merge would join " +
+          "wrong partitions.")
     }
     lRdd.zipPartitions(rRdd) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lks, leftOut)

@@ -187,16 +187,16 @@ case class IntervalJoinExec(
     val numUnmatched = longMetric("numUnmatchedPoints")
     val lRdd = left.execute()
     val rRdd = right.execute()
-    // Runtime zip-contract guard — same contract and rationale as
-    // AsOfJoinExec: pairwise partition zip is only correct under equal
-    // co-hash-partitioning; fail by name instead of mis-zipping or
-    // surfacing a generic zipPartitions error.
-    if (lRdd.getNumPartitions != rRdd.getNumPartitions) {
+    // Runtime zip-contract guard ([[ZipContract]]) — same contract and
+    // rationale as AsOfJoinExec: pairwise partition zip is only correct
+    // under co-aligned hash partitioning; fail by name instead of
+    // mis-zipping or surfacing a generic zipPartitions error.
+    ZipContract.violation(left.outputPartitioning, right.outputPartitioning,
+        lRdd.getNumPartitions, rRdd.getNumPartitions, lks, rks).foreach { why =>
       throw new IllegalStateException(
-        s"GRAFT_INTERVAL_ZIP_CONTRACT violated: IntervalJoinExec requires equal " +
-          s"child partition counts, got left=${lRdd.getNumPartitions} " +
-          s"right=${rRdd.getNumPartitions}. A planner/AQE change has re-partitioned " +
-          "around the node; the pairwise merge would join wrong partitions.")
+        s"GRAFT_INTERVAL_ZIP_CONTRACT violated: $why. A planner/AQE change has " +
+          "re-partitioned around IntervalJoinExec; the pairwise merge would join " +
+          "wrong partitions.")
     }
     lRdd.zipPartitions(rRdd) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lks, leftOut)

@@ -103,6 +103,30 @@ object SourceQueries {
         .orderBy(col("o_year"), col("hour"))
     },
 
+    // Beyond-reference source: JSONL roundtrip — documents reshaped
+    // with a NESTED struct, written line-delimited (the interchange
+    // format every data pipeline meets), read back through schema
+    // inference, aggregated through the nested field path. Oracle
+    // recomputes the rollup from the parquet source directly: hash
+    // equality proves the write→infer→read loop is lossless for
+    // longs/strings/nesting.
+    Q("q_source_jsonl_roundtrip",
+      """SELECT lang, source, count(*) AS n_docs,
+        |       cast(sum(n_chars) AS bigint) AS sum_chars
+        |FROM documents
+        |GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin) { (s, dir) =>
+      val path = tmp(dir, "jsonlrt")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          struct(col("lang"), col("source")).as("meta"), col("n_chars"))
+        .write.mode("overwrite").json(path)
+      s.read.json(path)
+        .groupBy(col("meta.lang").as("lang"), col("meta.source").as("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"), col("source"))
+    },
+
     // S5: suppliers rendered as KML documents (one per nation), parsed
     // back by the distributed XML flatMap — folders, placemarks, nid
     // regex, LineString point un-nesting, appended center point. Oracle

@@ -6,40 +6,42 @@ import org.apache.spark.sql.catalyst.plans.{JoinType, LeftOuter}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Skew-safe BACKWARD as-of join: the hot-key mitigation for the native
-  * operator (the documented straggler bound of
-  * [[graft.plans.AsOfJoinExec]] — a single key with 10⁷ left rows lands
-  * in ONE partition of the sort-merge zip, and the zip contract forbids
-  * AQE's skew splitting from rescuing it).
+/** Skew-safe as-of join: the hot-key mitigation for the native operator
+  * (the documented straggler bound of [[graft.plans.AsOfJoinExec]] — a
+  * single key with 10⁷ left rows lands in ONE partition of the
+  * sort-merge zip, and the zip contract forbids AQE's skew splitting
+  * from rescuing it).
   *
-  * Construction (semantics identical to `NativeAsOfJoin.asOf(...,
-  * direction = Backward)`, verified against it on a synthetic hot key in
+  * Construction (semantics identical to `NativeAsOfJoin.asOf`, verified
+  * against it per direction on a synthetic hot key in
   * `SkewAsOfJoinSpec` and against the independent DuckDB ASOF JOIN by
   * `q_join_asof_skewsafe`):
   *
   *  1. bucket both sides by `floor(time / bucketWidth)`;
-  *  2. per (key, target bucket), compute ONE carry-in row — the latest
-  *     right row of any STRICTLY earlier bucket (a running `last(...,
-  *     ignoreNulls)` over the union of right rows and per-bucket
-  *     markers, ordered so markers precede same-bucket right rows);
+  *  2. per (key, target bucket), compute carry-in rows — for Backward
+  *     the LATEST right row of any STRICTLY earlier bucket, for Forward
+  *     the EARLIEST right row of any strictly later bucket, for Nearest
+  *     both (a running `last(..., ignoreNulls)` over the union of right
+  *     rows and per-bucket markers, scan order ascending or descending
+  *     so markers see exactly the other-bucket rows);
   *  3. as-of join on the COMPOSITE key (key, bucket): in-bucket
-  *     candidates plus the carry-in are exactly the rows a left row in
-  *     that bucket can match (carry.rt < bucket·W <= leftTime, so the
-  *     carry needs no extra time guard), and the join picks the latest.
+  *     candidates plus the carries are exactly the rows a left row in
+  *     that bucket can match (backward carry rt < bucket·W <= leftTime
+  *     and forward carry rt >= (bucket+1)·W > leftTime, so the carries
+  *     need no extra time guard), and the join picks per its direction.
   *
   * Scale analysis: the per-partition work for the hottest (key, bucket)
-  * group is O(left rows in that time bucket + right rows in it + 1) —
+  * group is O(left rows in that time bucket + right rows in it + 2) —
   * the operator converts an unbounded per-KEY straggler into a
   * per-(key × bucketWidth) bound the caller controls. Measured (round
   * 15, local[32], warm): 5M left rows with ONE key holding 4M of them ×
   * 50k right rows — plain sort-merge 2.8–3.6 s (one straggler partition
   * does 80% of the merge) vs bucketed 0.9–1.2 s (~3×); the ratio tracks
-  * the hot key's share times the partition count at larger scales. The carry window
-  * partitions by key over |right| + |distinct (key, bucket)| rows: the
-  * skew assumption is that the HUGE side is the left (events); a right
-  * side that is itself hot-keyed would move the straggler there, not
-  * remove it. Backward direction only: forward/nearest would need the
-  * mirrored carry from FUTURE buckets (not built — fail fast instead).
+  * the hot key's share times the partition count at larger scales. The
+  * carry window partitions by key over |right| + |distinct (key,
+  * bucket)| rows: the skew assumption is that the HUGE side is the left
+  * (events); a right side that is itself hot-keyed would move the
+  * straggler there, not remove it.
   */
 object SkewAsOfJoin {
 
@@ -52,15 +54,17 @@ object SkewAsOfJoin {
   private def floorDivCol(t: Column, w: Long): Column =
     ((t - pmod(t, lit(w))) / lit(w)).cast("long")
 
-  /** As-of join `left` to `right` on `key`, latest `rightTime <=
-    * leftTime` (backward), with per-time-bucket skew splitting. The
-    * time columns must be int/long/timestamp; `bucketWidth` is in the
+  /** As-of join `left` to `right` on `key` with per-time-bucket skew
+    * splitting; all three directions and `within` supported — pandas
+    * `merge_asof` semantics, same contracts as [[NativeAsOfJoin.asOf]].
+    * Time columns must be int/long/timestamp; `bucketWidth` is in the
     * column's own units (micros for timestamps).
     */
   def asOfBucketed(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, payloadCols: Seq[String],
       bucketWidth: Long,
-      joinType: JoinType = LeftOuter, within: Option[Long] = None): DataFrame = {
+      joinType: JoinType = LeftOuter, within: Option[Long] = None,
+      direction: AsOfDirection = AsOfDirection.Backward): DataFrame = {
     require(bucketWidth > 0, s"asOfBucketed: bucketWidth must be > 0, got $bucketWidth")
     val reserved = Seq("__graft_bucket", "__graft_tag", "__graft_carrier")
     reserved.foreach { n =>
@@ -86,38 +90,55 @@ object SkewAsOfJoin {
       .withColumn("__graft_bucket",
         floorDivCol(asLong(col(rightTime), rDt), bucketWidth))
 
-    // carry-in rows: per (key, left-side bucket), the latest right row
-    // of any strictly earlier bucket. Markers (tag 0) sort before the
-    // same bucket's right rows (tag 1), so the running last(...) at a
-    // marker has seen exactly the earlier-bucket rows.
+    val carrierFields = Seq(rightTime) ++ payloadCols.filterNot(_ == rightTime)
     val targets = leftB
       .filter(col(key).isNotNull && col("__graft_bucket").isNotNull)
       .select(col(key), col("__graft_bucket")).distinct()
     val rights = rightB
       .filter(col(key).isNotNull && col(rightTime).isNotNull)
       .withColumn("__graft_tag", lit(1))
-      .withColumn("__graft_carrier",
-        struct((Seq(rightTime) ++ payloadCols.filterNot(_ == rightTime)).map(col): _*))
+      .withColumn("__graft_carrier", struct(carrierFields.map(col): _*))
       .select(col(key), col("__graft_bucket"), col("__graft_tag"), col("__graft_carrier"))
     val carrierType = rights.schema("__graft_carrier").dataType
     val marks = targets
       .withColumn("__graft_tag", lit(0))
       .withColumn("__graft_carrier", lit(null).cast(carrierType))
       .select(col(key), col("__graft_bucket"), col("__graft_tag"), col("__graft_carrier"))
-    val w = Window.partitionBy(col(key))
-      .orderBy(col("__graft_bucket"), col("__graft_tag"),
-        col("__graft_carrier").getField(rightTime))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carries = rights.unionByName(marks)
-      .withColumn("__graft_carrier", last(col("__graft_carrier"), ignoreNulls = true).over(w))
-      .filter(col("__graft_tag") === 0 && col("__graft_carrier").isNotNull)
-      .select(Seq(col(key), col("__graft_bucket")) ++
-        (Seq(rightTime) ++ payloadCols.filterNot(_ == rightTime)).map(n =>
-          col("__graft_carrier").getField(n).as(n)): _*)
+    val unioned = rights.unionByName(marks)
+
+    /** Carry rows per (key, target bucket): markers (tag 0) sort before
+      * the same bucket's right rows in BOTH scan orders, so the running
+      * last(...) at a marker has seen exactly the other-bucket rows —
+      * strictly earlier buckets under the ascending scan (backward
+      * carry: latest right row before the bucket), strictly later under
+      * the descending scan with rt descending (forward carry: earliest
+      * right row after it).
+      */
+    def carriesFor(dir: AsOfDirection): DataFrame = {
+      val rtInCarrier = col("__graft_carrier").getField(rightTime)
+      val w = (dir match {
+        case AsOfDirection.Backward => Window.partitionBy(col(key))
+          .orderBy(col("__graft_bucket").asc, col("__graft_tag").asc, rtInCarrier.asc_nulls_first)
+        case AsOfDirection.Forward => Window.partitionBy(col(key))
+          .orderBy(col("__graft_bucket").desc, col("__graft_tag").asc, rtInCarrier.desc_nulls_first)
+        case AsOfDirection.Nearest => throw new IllegalStateException("per-side only")
+      }).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      unioned
+        .withColumn("__graft_carrier", last(col("__graft_carrier"), ignoreNulls = true).over(w))
+        .filter(col("__graft_tag") === 0 && col("__graft_carrier").isNotNull)
+        .select(Seq(col(key), col("__graft_bucket")) ++
+          carrierFields.map(n => col("__graft_carrier").getField(n).as(n)): _*)
+    }
+
+    val carries = direction match {
+      case AsOfDirection.Backward => carriesFor(AsOfDirection.Backward)
+      case AsOfDirection.Forward => carriesFor(AsOfDirection.Forward)
+      case AsOfDirection.Nearest =>
+        carriesFor(AsOfDirection.Backward).unionByName(carriesFor(AsOfDirection.Forward))
+    }
 
     val augmented = rightB
-      .select(Seq(col(key), col("__graft_bucket")) ++
-        (Seq(rightTime) ++ payloadCols.filterNot(_ == rightTime)).map(col): _*)
+      .select(Seq(col(key), col("__graft_bucket")) ++ carrierFields.map(col): _*)
       .unionByName(carries)
 
     NativeAsOfJoin.asOfKeys(leftB, augmented, keys = Seq(key, "__graft_bucket"),
@@ -125,7 +146,7 @@ object SkewAsOfJoin {
         payloadCols = payloadCols, // augmented carries rightTime, so a
         joinType = joinType,       // rightTime-in-payload request (same
         within = within,           // contract as NativeAsOfJoin) resolves
-        direction = AsOfDirection.Backward)
+        direction = direction)
       .drop("__graft_bucket")
   }
 }

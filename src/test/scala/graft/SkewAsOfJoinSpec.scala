@@ -61,6 +61,25 @@ class SkewAsOfJoinSpec extends SparkSpec {
     assert(bucketedTol === plainTol)
   }
 
+  test("forward and nearest directions == plain native (mirror / double carry)") {
+    import graft.plans.AsOfDirection
+    Seq(AsOfDirection.Forward, AsOfDirection.Nearest).foreach { dir =>
+      val plain = collectMap(NativeAsOfJoin.asOf(
+        left, right, "k", "t", "rt", Seq("v"), direction = dir))
+      Seq(37L, 100L, 5000L).foreach { w =>
+        val b = collectMap(SkewAsOfJoin.asOfBucketed(
+          left, right, "k", "t", "rt", Seq("v"), bucketWidth = w, direction = dir))
+        assert(b === plain, s"dir=$dir width=$w")
+      }
+      val plainTol = collectMap(NativeAsOfJoin.asOf(
+        left, right, "k", "t", "rt", Seq("v"), direction = dir, within = Some(60L)))
+      val bTol = collectMap(SkewAsOfJoin.asOfBucketed(
+        left, right, "k", "t", "rt", Seq("v"), bucketWidth = 100L,
+        direction = dir, within = Some(60L)))
+      assert(bTol === plainTol, s"dir=$dir with tolerance")
+    }
+  }
+
   test("bucket width not dividing the time range / width 1 / huge width all agree") {
     val plain = collectMap(NativeAsOfJoin.asOf(left, right, "k", "t", "rt", Seq("v")))
     Seq(1L, 37L, 1000000L).foreach { w =>

@@ -100,4 +100,35 @@ class NativeAsOfJoinPropSpec extends SparkSpec {
       }
     }
   }
+
+  test("skew-bucketed operator == reference model across directions, modes, tolerances") {
+    val rng = new Rng(0x0ddba11L)
+    // the bucketed rewrite (carry-in rows + composite-key join) must
+    // match the same reference model the native execs do — widths that
+    // do and don't divide the 0..40 time range, including width 1
+    val configs = for {
+      dir <- Seq(AsOfDirection.Backward, AsOfDirection.Forward, AsOfDirection.Nearest)
+      inner <- Seq(false, true)
+      tol <- Seq(None, Some(7L))
+      width <- Seq(1L, 7L, 100L)
+    } yield (dir, inner, tol, width)
+    (1 to 3).foreach { caseNo =>
+      val (l, r) = genCase(rng)
+      val lDf = l.map(x => (x.k, x.t, x.id)).toDF("k", "t", "id")
+      val rDf = r.map(x => (x.k, x.t, x.v)).toDF("k", "rt", "v")
+      configs.foreach { case (dir, inner, tol, width) =>
+        val got = graft.operators.SkewAsOfJoin.asOfBucketed(lDf, rDf, key = "k",
+            leftTime = "t", rightTime = "rt", payloadCols = Seq("v"),
+            bucketWidth = width,
+            joinType = if (inner) Inner else LeftOuter,
+            within = tol, direction = dir)
+          .select($"id", $"v").collect()
+          .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getDouble(1))))
+          .sortBy(_._1).toSeq
+        val want = reference(l, r, inner, tol, dir).sortBy(_._1)
+        assert(got === want,
+          s"case $caseNo dir=$dir inner=$inner tol=$tol width=$width\nleft=$l\nright=$r")
+      }
+    }
+  }
 }

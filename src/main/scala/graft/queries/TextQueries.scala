@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Boilerplate, BpeApply, BpeMerges, ChiSquareKeywords, Chunking, Contamination, CorpusPacking, Dedup, DupSpans, HybridRetrieval, LengthBatching, LexicalStats, MixtureSampler, Multimodal, NegativeSampler, NgramLanguageModel, PostingsIndex, RepetitionScore, SimilaritySearch, DupSourceMatrix, SnapshotDiff, SpanCorruption, SparseSimilarity, StratifiedSampler, TopK}
+import graft.operators.{Boilerplate, BpeApply, BpeMerges, ChiSquareKeywords, Chunking, Contamination, CorpusPacking, Dedup, DupSpans, HybridRetrieval, IncrementalDedup, LengthBatching, LexicalStats, MixtureSampler, Multimodal, NegativeSampler, NgramLanguageModel, PostingsIndex, RepetitionScore, SimilaritySearch, DupSourceMatrix, SnapshotDiff, SpanCorruption, SparseSimilarity, StratifiedSampler, TopK}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -2053,6 +2053,29 @@ object TextQueries {
     // trainer input. The vocab ranking is a global row_number over the
     // vocab-sized aggregate only; the id join broadcasts it.
     bpeIdsQ,
+
+    // X205 INCREMENTAL ingestion dedup against a STORED fingerprint
+    // index (operators/IncrementalDedup.scala): the accumulated corpus
+    // (doc_id % 10 != 3) writes a fingerprints-only index partitioned
+    // by fingerprint prefix; the "new batch" (doc_id % 10 == 3) probes
+    // it — corpus text is never re-read, the probe shuffles 32-char
+    // keys only. Oracle recomputes both sides' fingerprints directly.
+    Q("q_dedup_incremental",
+      s"""WITH fp AS (
+         |  SELECT doc_id,
+         |         md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fingerprint
+         |  FROM documents),
+         |idx AS (SELECT fingerprint, cast(min(doc_id) AS bigint) AS dup_of
+         |        FROM fp WHERE doc_id % 10 <> 3 GROUP BY fingerprint)
+         |SELECT f.doc_id, i.dup_of, f.fingerprint
+         |FROM fp f JOIN idx i USING (fingerprint)
+         |WHERE f.doc_id % 10 = 3
+         |ORDER BY f.doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_fpidx_${Integer.toHexString(dir.hashCode)}"
+      IncrementalDedup.writeIndex(docs.filter(col("doc_id") % 10 =!= 3), path)
+      IncrementalDedup.probe(s, docs.filter(col("doc_id") % 10 === 3), path)
+    },
 
     // X203 length-bucketed micro-batching (the NMT/pretraining padding
     // cut): whitespace token counts bucketed at fixed edges, batched

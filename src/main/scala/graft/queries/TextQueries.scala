@@ -2054,6 +2054,11 @@ object TextQueries {
     // vocab-sized aggregate only; the id join broadcasts it.
     bpeIdsQ,
 
+    // X206 the VOCAB artifact itself (sym, tok_id, cnt) — the table a
+    // decoder needs to map X201's ids back to text; same deterministic
+    // ranking, exported standalone.
+    bpeVocabQ,
+
     // X205 INCREMENTAL ingestion dedup against a STORED fingerprint
     // index (operators/IncrementalDedup.scala): the accumulated corpus
     // (doc_id % 10 != 3) writes a fingerprints-only index partitioned
@@ -2200,6 +2205,28 @@ object TextQueries {
        |ORDER BY doc_id, word_pos""".stripMargin) { (s, dir) =>
     BpeApply.tokenIds(
       BpeApply.encodeWords(t(s, dir, "documents"), bpeMerges, maxWords = 5))
+  }
+
+  private lazy val bpeVocabQ: Q = Q("q_text_bpe_vocab",
+    s"""$bpeOracleEnc,
+       |toks AS (
+       |  SELECT sy[CAST(i AS INT) + 1] AS sym
+       |  FROM (SELECT string_split(encoded, ' ') AS sy,
+       |               unnest(range(0, len(string_split(encoded, ' ')))) AS i
+       |        FROM done)),
+       |vocab AS (SELECT sym, count(*) AS cnt FROM toks GROUP BY sym)
+       |SELECT sym,
+       |       CAST(row_number() OVER (ORDER BY cnt DESC, sym) AS BIGINT) AS tok_id,
+       |       CAST(cnt AS BIGINT) AS cnt
+       |FROM vocab ORDER BY tok_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    BpeApply.encodeWords(t(s, dir, "documents"), bpeMerges, maxWords = 5)
+      .select(explode(split(col("encoded"), " ")).as("sym"))
+      .groupBy(col("sym")).agg(count(lit(1)).as("cnt"))
+      .withColumn("tok_id",
+        row_number().over(Window.orderBy(col("cnt").desc, col("sym"))).cast("long"))
+      .select(col("sym"), col("tok_id"), col("cnt"))
+      .orderBy(col("tok_id"))
   }
 
   private lazy val bpePackQ: Q = Q("q_text_pack_bins_bpe",

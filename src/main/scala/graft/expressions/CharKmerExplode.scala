@@ -38,13 +38,30 @@ case class CharKmerExplode(child: Expression, k: Int)
     val v = child.eval(input)
     if (v == null) Nil
     else {
-      // CHARACTER offsets (not bytes): both engines' substr() is
-      // character-addressed, which keeps replay identical under
-      // multibyte text
+      // CODE-POINT offsets (not bytes, not UTF-16 code units): both
+      // engines' substr() is code-point-addressed, so replay stays
+      // identical under multibyte text INCLUDING supplementary-plane
+      // characters (emoji) — UTF-16 indexing would shift every span
+      // after the first surrogate pair and could split pairs into
+      // invalid k-mers. cpStarts(i) is the code-unit start of the i-th
+      // code point; the k-mer at pos i spans code units
+      // [cpStarts(i), cpStarts(i + k)).
       val s = v.asInstanceOf[UTF8String].toString
-      if (s.length < k) Nil
-      else (0 to s.length - k).iterator.map { i =>
-        InternalRow(i, UTF8String.fromString(s.substring(i, i + k)))
+      val n = s.codePointCount(0, s.length)
+      if (n < k) Nil
+      else {
+        val cpStarts = new Array[Int](n + 1)
+        var cu = 0
+        var i = 0
+        while (i < n) {
+          cpStarts(i) = cu
+          cu += Character.charCount(s.codePointAt(cu))
+          i += 1
+        }
+        cpStarts(n) = s.length
+        (0 to n - k).iterator.map { p =>
+          InternalRow(p, UTF8String.fromString(s.substring(cpStarts(p), cpStarts(p + k))))
+        }
       }
     }
   }

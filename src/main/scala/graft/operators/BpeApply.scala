@@ -101,14 +101,23 @@ object BpeApply {
     * vocab-sized aggregate only (distinct symbols, ≤ ~100k for real
     * tokenizers), never the corpus; the join back broadcasts it.
     */
-  def tokenIds(enc: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val toks = enc.select(col(idCol), col("word_pos"),
-      posexplode(split(col("encoded"), " ")).as(Seq("ti", "sym")))
-    val vocab = toks.groupBy(col("sym")).agg(count(lit(1)).as("cnt"))
+  /** The deterministic fitted vocab of an [[encodeWords]] output —
+    * (sym, tok_id long), ranked count desc then symbol asc. The ranking
+    * window runs over the vocab-sized aggregate only (distinct symbols,
+    * ≤ ~100k for real tokenizers), never the corpus.
+    */
+  def vocabOf(enc: DataFrame): DataFrame =
+    enc.select(explode(split(col("encoded"), " ")).as("sym"))
+      .groupBy(col("sym")).agg(count(lit(1)).as("cnt"))
       .withColumn("tok_id", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("cnt").desc, col("sym"))).cast("long"))
       .select(col("sym"), col("tok_id"))
+
+  def tokenIds(enc: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val toks = enc.select(col(idCol), col("word_pos"),
+      posexplode(split(col("encoded"), " ")).as(Seq("ti", "sym")))
+    val vocab = vocabOf(enc)
     toks.join(broadcast(vocab), Seq("sym"))
       .groupBy(col(idCol), col("word_pos"))
       .agg(
@@ -118,6 +127,34 @@ object BpeApply {
         count(lit(1)).as("n_tokens"))
       .orderBy(col(idCol), col("word_pos"))
   }
+
+  /** DECODE closure — ids → text, the guarantee a trainer actually
+    * needs from a tokenizer artifact: each id in `ids_csv` joins back
+    * through the exported vocab (tok_id → sym) and the per-word symbol
+    * sequence reassembles IN ORDER with no separator. BPE symbols
+    * partition the word's characters, so `decoded_word` must equal the
+    * encoder's input word exactly (pinned per-row by
+    * `q_text_bpe_decode` and by the randomized
+    * decode(encode(w)) == w property in `BpeApplySpec`).
+    * Output: (idCol, word_pos, decoded_word, n_tokens long). The vocab
+    * join broadcasts — decode is map-side except the per-word
+    * reassembly groupBy.
+    */
+  def decodeIds(ids: DataFrame, vocab: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    ids
+      .select(col(idCol), col("word_pos"),
+        posexplode(split(col("ids_csv"), ",")).as(Seq("ti", "tid")))
+      .select(col(idCol), col("word_pos"), col("ti"),
+        col("tid").cast("long").as("tok_id"))
+      .join(broadcast(vocab.select(col("tok_id"), col("sym"))), Seq("tok_id"))
+      .groupBy(col(idCol), col("word_pos"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("ti"), col("sym")))),
+          x => x.getField("sym")), "").as("decoded_word"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy(col(idCol), col("word_pos"))
 
   /** DuckDB oracle SQL fragments for the SAME merge list: a recursive
     * CTE that splices ONE merge occurrence per step, always the

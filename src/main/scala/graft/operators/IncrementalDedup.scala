@@ -50,4 +50,31 @@ object IncrementalDedup {
       .select(col(idCol), col("dup_of"), col("fingerprint"))
       .orderBy(col(idCol))
   }
+
+  /** Merge a batch's NOVEL fingerprints into the stored index — the
+    * post-gate step of the daily loop (probe gates, refresh admits).
+    * Partition-aligned parquet APPEND: history files are never
+    * rewritten, each novel row lands in its `fp_prefix` partition
+    * directory. IDEMPOTENT: novelty is an anti-join against the index
+    * as read before the append, so refreshing the same batch twice
+    * appends nothing the second time (pinned by content hash in
+    * `IncrementalDedupSpec`). `dup_of` for a novel cluster is the
+    * batch's own min id — the same canonical-id policy as
+    * [[writeIndex]].
+    *
+    * Concurrency contract (same as any parquet-append pipeline): one
+    * refresh at a time per index path; the read's file listing is
+    * snapshotted before the write begins, so a single refresh never
+    * reads its own appends.
+    */
+  def refreshIndex(spark: SparkSession, batch: DataFrame, path: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val existing = spark.read.parquet(path).select(col("fingerprint"))
+    batch
+      .select(col(idCol), TextFunctions.tokenSetFingerprint(col(textCol)).as("fingerprint"))
+      .groupBy(col("fingerprint")).agg(min(col(idCol)).as("dup_of"))
+      .join(existing, Seq("fingerprint"), "left_anti")
+      .select(col("fingerprint"), col("dup_of"), prefixCol)
+      .write.mode("append").partitionBy("fp_prefix").parquet(path)
+  }
 }

@@ -45,6 +45,140 @@ import org.apache.spark.sql.functions._
   */
 object SkewAsOfJoin {
 
+  /** What [[asOfAuto]] decided, exposed for specs and pipeline audit
+    * logs: the hot keys routed through the bucketed rewrite (empty →
+    * everything took the plain native path), the derived bucket width,
+    * and whether the broadcast short-circuit fired instead.
+    */
+  final case class AutoDecision(
+      hotKeys: Seq[Any], bucketWidth: Option[Long], viaBroadcast: Boolean) {
+    def usedBucketing: Boolean = hotKeys.nonEmpty
+  }
+
+  /** Skew-AWARE as-of join: closes the selection loop the way
+    * `SaltedJoin.deriveSalts` does for equi-joins — the caller no
+    * longer needs to know their key histogram. Decision ladder:
+    *
+    *  1. small right side (stats under
+    *     `spark.sql.autoBroadcastJoinThreshold`, `allowBroadcast`) →
+    *     plain [[NativeAsOfJoin.asOf]]: the strategy picks the
+    *     broadcast exec, which has NO per-key straggler at all (left
+    *     rows probe in place, nothing clusters by key);
+    *  2. otherwise ONE map-side-combined aggregate over the left
+    *     builds the per-key histogram (count + time span — the
+    *     [[SkewDiagnostics.heavyHitters]] shape, plus the span the
+    *     width derivation needs). Keys holding ≥ `hotShareThreshold`
+    *     of all rows (capped at `maxHotKeys`, counted against a
+    *     driver-scalar total) are HOT;
+    *  3. no hot keys → plain native as-of (sort-merge — the uniform
+    *     corpus needs no rewrite and the bucketing's carry pass would
+    *     be pure overhead);
+    *  4. hot keys → the left splits by `isin(hot)`: hot rows ride
+    *     [[asOfBucketed]] with `bucketWidth` derived from the hottest
+    *     keys' time spans (per hot key: span / ceil(cnt /
+    *     targetRowsPerBucket); the MINIMUM across hot keys, so every
+    *     hot key's densest bucket lands ≈ `targetRowsPerBucket`
+    *     assuming time-uniform arrival), cold + null-key rows ride the
+    *     plain native exec, and the two legs union.
+    *
+    * 100 TB cost accounting: the histogram is one extra pass over the
+    * left — a map-side-combined (key → 3 longs) aggregate plus a
+    * driver-scalar total and a top-k collect of ≤ `maxHotKeys` rows;
+    * nothing key-ordered, nothing corpus-sized reaches the driver. The
+    * split adds one `isin` filter per side (pushed to the scans).
+    * Semantics are direction/tolerance/joinType-identical to
+    * [[NativeAsOfJoin.asOf]] — pinned by `SkewAsOfJoinSpec`
+    * differentials and the independent DuckDB ASOF oracle
+    * (`q_join_asof_auto`).
+    */
+  def asOfAuto(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, payloadCols: Seq[String],
+      joinType: JoinType = LeftOuter, within: Option[Long] = None,
+      direction: AsOfDirection = AsOfDirection.Backward,
+      hotShareThreshold: Double = 0.1, targetRowsPerBucket: Long = 1000000L,
+      maxHotKeys: Int = 32, allowBroadcast: Boolean = true): DataFrame =
+    asOfAutoWithDecision(left, right, key, leftTime, rightTime, payloadCols,
+      joinType, within, direction, hotShareThreshold, targetRowsPerBucket,
+      maxHotKeys, allowBroadcast)._1
+
+  /** [[asOfAuto]] plus the [[AutoDecision]] it took. */
+  def asOfAutoWithDecision(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, payloadCols: Seq[String],
+      joinType: JoinType = LeftOuter, within: Option[Long] = None,
+      direction: AsOfDirection = AsOfDirection.Backward,
+      hotShareThreshold: Double = 0.1, targetRowsPerBucket: Long = 1000000L,
+      maxHotKeys: Int = 32, allowBroadcast: Boolean = true)
+      : (DataFrame, AutoDecision) = {
+    require(hotShareThreshold > 0 && hotShareThreshold <= 1,
+      s"asOfAuto: hotShareThreshold must be in (0, 1], got $hotShareThreshold")
+    require(targetRowsPerBucket > 0,
+      s"asOfAuto: targetRowsPerBucket must be > 0, got $targetRowsPerBucket")
+    def plain = NativeAsOfJoin.asOf(left, right, key, leftTime, rightTime,
+      payloadCols, joinType, within, direction)
+
+    // ladder rung 1: a broadcast-able right side has no skew problem —
+    // same stats test AsOfJoinStrategy applies
+    val thr = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+    val rightSmall = thr > 0 &&
+      right.queryExecution.optimizedPlan.stats.sizeInBytes <= thr
+    if (allowBroadcast && rightSmall)
+      return (plain, AutoDecision(Nil, None, viaBroadcast = true))
+
+    // rung 2: ONE aggregate pass over the left — per-key count + time
+    // span, with the grand total folded into the SAME job as the
+    // rollup() super-aggregate row (null keys are pre-filtered, so the
+    // one null-key output row IS the total, and it sorts first because
+    // total >= every per-key count): histogram + total + top-k = one
+    // map-side-combined aggregate and a TakeOrdered of maxHotKeys+1
+    // rows — no second pass, nothing corpus-sized near the driver.
+    def asLong(c: Column, dt: org.apache.spark.sql.types.DataType): Column = dt match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => unix_micros(c)
+      case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+        c.cast("long")
+      case other => throw new IllegalArgumentException(
+        s"asOfAuto: time column must be int/long/timestamp, got ${other.sql}")
+    }
+    val lDt = left.schema(leftTime).dataType
+    val top = left
+      .filter(col(key).isNotNull && col(leftTime).isNotNull)
+      .select(col(key), asLong(col(leftTime), lDt).as("__t"))
+      .rollup(col(key)).agg(
+        count(lit(1)).as("__cnt"), min(col("__t")).as("__tmin"), max(col("__t")).as("__tmax"))
+      .orderBy(col("__cnt").desc, col(key).asc_nulls_last).limit(maxHotKeys + 1)
+      .collect()
+    val total = top.find(_.isNullAt(0)).map(_.getLong(1)).getOrElse(0L)
+    val hot = top.filter { r =>
+      !r.isNullAt(0) && total > 0 &&
+        r.getLong(1).toDouble / total.toDouble >= hotShareThreshold
+    }
+
+    // rung 3: uniform corpus — no key dominates; the plain operator's
+    // one-shuffle-per-side plan is already the right one
+    if (hot.isEmpty) return (plain, AutoDecision(Nil, None, viaBroadcast = false))
+
+    // rung 4: derive the width from the hot keys themselves — min
+    // across hot keys of span / ceil(cnt / target) keeps EVERY hot
+    // key's expected bucket at ≈ targetRowsPerBucket
+    val width = hot.map { r =>
+      val (cnt, tmin, tmax) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val nBuckets = ((cnt + targetRowsPerBucket - 1) / targetRowsPerBucket).max(1L)
+      ((tmax - tmin) / nBuckets).max(1L)
+    }.min
+    val hotVals = hot.map(_.get(0)).toSeq
+    val hotLeft = left.filter(col(key).isin(hotVals: _*))
+    val coldLeft = left.filter(col(key).isNull || !col(key).isin(hotVals: _*))
+    // right null keys match nothing under any path, so dropping them on
+    // the cold leg preserves semantics
+    val hotRight = right.filter(col(key).isin(hotVals: _*))
+    val coldRight = right.filter(!col(key).isin(hotVals: _*))
+    val joined = asOfBucketed(hotLeft, hotRight, key, leftTime, rightTime,
+        payloadCols, bucketWidth = width, joinType, within, direction)
+      .unionByName(NativeAsOfJoin.asOf(coldLeft, coldRight, key, leftTime,
+        rightTime, payloadCols, joinType, within, direction))
+    (joined, AutoDecision(hotVals, Some(width), viaBroadcast = false))
+  }
+
   /** Exact integer floor(t / w) as a column, without `div`'s
     * truncate-toward-zero bias on negatives: pmod is non-negative, so
     * (t - pmod(t, w)) is an exact multiple of w, and the double
@@ -66,6 +200,13 @@ object SkewAsOfJoin {
       joinType: JoinType = LeftOuter, within: Option[Long] = None,
       direction: AsOfDirection = AsOfDirection.Backward): DataFrame = {
     require(bucketWidth > 0, s"asOfBucketed: bucketWidth must be > 0, got $bucketWidth")
+    // fail by name, not with a downstream duplicate-column analysis
+    // error: a key in the payload would ride the carrier struct AND the
+    // group key into the unionByName selects (and NativeAsOfJoin would
+    // reject it anyway — it collides with the left's key column)
+    require(!payloadCols.contains(key),
+      s"asOfBucketed: payload column $key is the join key — it is already on " +
+        "every left row; drop it from payloadCols")
     val reserved = Seq("__graft_bucket", "__graft_tag", "__graft_carrier")
     reserved.foreach { n =>
       require(!left.columns.contains(n) && !right.columns.contains(n),

@@ -477,8 +477,13 @@ case class BroadcastAsOfJoinExec(
     // orderable time types stay correct — same contract as AsOfJoinExec.
     val needGaps = tol.isDefined || dir == AsOfDirection.Nearest
     val rBroadcast = right.executeBroadcast[Array[InternalRow]]()
+    // the signature must carry needGaps (and the time dtype feeding
+    // timeAsLong): two as-of joins reusing the SAME broadcast exchange —
+    // one plain Backward, one with tolerance/Nearest — would otherwise
+    // share a cache slot, and a no-gap index (empty timesLong) hit by a
+    // gap-needing probe throws AIOOBE at g.timesLong(idx)
     val indexSig = (rks.map(_.exprId.id) ++ Seq(rt.exprId.id) ++ pay.map(_.exprId.id))
-      .mkString(",")
+      .mkString(",") + s":gaps=$needGaps:t=${rt.dataType.simpleString}"
     left.execute().mapPartitions({ lIter =>
       val index = BroadcastAsOfJoinExec.cachedIndex(
         rBroadcast.id, indexSig, rBroadcast.value,

@@ -62,23 +62,35 @@ case class IntervalJoinNode(
   /** Stats propagation — same rationale as [[AsOfJoinNode.stats]]: the
     * visitor default for an unknown BinaryNode is the PRODUCT of child
     * sizes, which starves every operator above of usable estimates.
-    * This join is 1:N (a point can land in several intervals), so the
-    * left-row-count forward is a LOWER-bound heuristic; without
-    * per-key interval-concurrency stats it is still far closer than the
-    * product, and errs toward sort-merge (the safe side) above.
+    * This join is 1:N (a point can land in several intervals), so a
+    * plain left-row-count forward would be a LOWER bound — and an
+    * UNDER-estimate is the UNSAFE direction here: it makes joins above
+    * more likely to broadcast the interval-join output (potential
+    * executor OOM when points match many intervals). Scale by a small
+    * fan-out factor so upstream broadcast decisions err conservative;
+    * still orders of magnitude closer than the product default.
     */
   override def stats: org.apache.spark.sql.catalyst.plans.logical.Statistics = {
     val l = left.stats
     val lWidth = BigInt((1 max left.output.map(_.dataType.defaultSize).sum).toLong)
     val outWidth = lWidth + payload.map(_.dataType.defaultSize).sum
     org.apache.spark.sql.catalyst.plans.logical.Statistics(
-      sizeInBytes = (l.sizeInBytes * outWidth / lWidth).max(1),
-      rowCount = l.rowCount)
+      sizeInBytes = (l.sizeInBytes * outWidth * IntervalJoinNode.statsFanOut / lWidth).max(1),
+      rowCount = l.rowCount.map(_ * IntervalJoinNode.statsFanOut))
   }
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): IntervalJoinNode =
     copy(left = newLeft, right = newRight)
+}
+
+object IntervalJoinNode {
+  /** Assumed average intervals-per-point for stats when no real
+    * concurrency estimate exists: biases upstream broadcast decisions
+    * conservative (never makes a plan wrong, only less eager to
+    * broadcast a 1:N output).
+    */
+  val statsFanOut = 4
 }
 
 /** Plans [[IntervalJoinNode]] as [[IntervalJoinExec]] (sort-merge,

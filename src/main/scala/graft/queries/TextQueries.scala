@@ -2059,6 +2059,10 @@ object TextQueries {
     // ranking, exported standalone.
     bpeVocabQ,
 
+    // X208 the DECODE closure: X201 ids → X206 vocab → text, pinned
+    // equal to the encoder's input words per row.
+    bpeDecodeQ,
+
     // X205 INCREMENTAL ingestion dedup against a STORED fingerprint
     // index (operators/IncrementalDedup.scala): the accumulated corpus
     // (doc_id % 10 != 3) writes a fingerprints-only index partitioned
@@ -2077,9 +2081,47 @@ object TextQueries {
          |WHERE f.doc_id % 10 = 3
          |ORDER BY f.doc_id""".stripMargin) { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_fpidx_${Integer.toHexString(dir.hashCode)}"
+      // a fresh per-run temp dir: hashCode-keyed paths can collide
+      // across data dirs, and a shared fixed path races concurrent
+      // runs (bench + correctness) over the same dir
+      val path = java.nio.file.Files.createTempDirectory("graft_fpidx_")
+        .resolve("index").toString
       IncrementalDedup.writeIndex(docs.filter(col("doc_id") % 10 =!= 3), path)
       IncrementalDedup.probe(s, docs.filter(col("doc_id") % 10 === 3), path)
+    },
+
+    // X205 part 2: IDEMPOTENT index refresh — the batch's novel
+    // fingerprints are anti-joined against the stored index and
+    // appended partition-aligned (no history rewrite). The query runs
+    // the refresh TWICE on the same batch before reading the index
+    // back: hash-equality with the oracle (which unions corpus and
+    // novel-batch clusters exactly once) proves the second refresh was
+    // a no-op — run-twice ≡ run-once.
+    Q("q_dedup_incremental_refresh",
+      s"""WITH fp AS (
+         |  SELECT doc_id,
+         |         md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fingerprint
+         |  FROM documents),
+         |corpus AS (SELECT fingerprint, cast(min(doc_id) AS bigint) AS dup_of
+         |           FROM fp WHERE doc_id % 10 <> 3 GROUP BY fingerprint),
+         |novel AS (SELECT f.fingerprint, cast(min(f.doc_id) AS bigint) AS dup_of
+         |          FROM fp f
+         |          WHERE f.doc_id % 10 = 3 AND NOT EXISTS (
+         |            SELECT 1 FROM corpus c WHERE c.fingerprint = f.fingerprint)
+         |          GROUP BY f.fingerprint)
+         |SELECT fingerprint, dup_of
+         |FROM (SELECT * FROM corpus UNION ALL SELECT * FROM novel)
+         |ORDER BY fingerprint""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val path = java.nio.file.Files.createTempDirectory("graft_fpidx_")
+        .resolve("index").toString
+      val batch = docs.filter(col("doc_id") % 10 === 3)
+      IncrementalDedup.writeIndex(docs.filter(col("doc_id") % 10 =!= 3), path)
+      IncrementalDedup.refreshIndex(s, batch, path)
+      IncrementalDedup.refreshIndex(s, batch, path) // idempotent: appends nothing
+      s.read.parquet(path)
+        .select(col("fingerprint"), col("dup_of"))
+        .orderBy(col("fingerprint"))
     },
 
     // X203 length-bucketed micro-batching (the NMT/pretraining padding
@@ -2227,6 +2269,48 @@ object TextQueries {
         row_number().over(Window.orderBy(col("cnt").desc, col("sym"))).cast("long"))
       .select(col("sym"), col("tok_id"), col("cnt"))
       .orderBy(col("tok_id"))
+  }
+
+  /** X208 BPE DECODE closure: X201's token ids round-trip back to text
+    * through X206's vocab artifact — ids explode, join tok_id → sym,
+    * symbols reassemble in order with no separator. `decoded_word` is
+    * emitted NEXT TO the encoder's input `word`: hash equality with the
+    * oracle (which performs the same id → sym join + ordered
+    * string_agg, and selects the original word from its own encoding
+    * CTE) pins decode(encode(w)) == w per row — the guarantee a trainer
+    * needs before shipping ids instead of text.
+    */
+  private lazy val bpeDecodeQ: Q = Q("q_text_bpe_decode",
+    s"""$bpeOracleEnc,
+       |toks AS (
+       |  SELECT doc_id, word_pos, CAST(i AS INT) AS ti,
+       |         sy[CAST(i AS INT) + 1] AS sym
+       |  FROM (SELECT doc_id, word_pos, string_split(encoded, ' ') AS sy,
+       |               unnest(range(0, len(string_split(encoded, ' ')))) AS i
+       |        FROM done)),
+       |vocab AS (SELECT sym, count(*) AS cnt FROM toks GROUP BY sym),
+       |ranked AS (SELECT sym,
+       |                  CAST(row_number() OVER (ORDER BY cnt DESC, sym) AS BIGINT)
+       |                    AS tok_id
+       |           FROM vocab),
+       |j AS (SELECT t.doc_id, t.word_pos, t.ti, r.tok_id
+       |      FROM toks t JOIN ranked r USING (sym)),
+       |dec AS (SELECT j.doc_id, j.word_pos,
+       |               string_agg(r2.sym, '' ORDER BY j.ti) AS decoded_word,
+       |               CAST(count(*) AS BIGINT) AS n_tokens
+       |        FROM j JOIN ranked r2 USING (tok_id)
+       |        GROUP BY j.doc_id, j.word_pos)
+       |SELECT d.doc_id, d.word_pos, w.word, d.decoded_word, d.n_tokens
+       |FROM dec d JOIN done w USING (doc_id, word_pos)
+       |ORDER BY doc_id, word_pos""".stripMargin) { (s, dir) =>
+    val enc = BpeApply.encodeWords(t(s, dir, "documents"), bpeMerges, maxWords = 5)
+    val decoded = BpeApply.decodeIds(BpeApply.tokenIds(enc), BpeApply.vocabOf(enc))
+    decoded
+      .join(enc.select(col("doc_id"), col("word_pos"), col("word")),
+        Seq("doc_id", "word_pos"))
+      .select(col("doc_id"), col("word_pos"), col("word"),
+        col("decoded_word"), col("n_tokens"))
+      .orderBy(col("doc_id"), col("word_pos"))
   }
 
   private lazy val bpePackQ: Q = Q("q_text_pack_bins_bpe",

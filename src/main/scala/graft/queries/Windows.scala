@@ -658,6 +658,42 @@ object Windows {
         .orderBy(col("purchase_id"))
     },
 
+    // X207 skew-AWARE as-of join (SkewAsOfJoin.asOfAuto): the selection
+    // loop closed — ONE map-side-combined rollup over the left derives
+    // the key histogram + grand total in a single job, keys above the
+    // share threshold route through the X195 bucketed rewrite (width
+    // derived from each hot key's time span / target bucket rows), the
+    // cold rest rides the plain native exec, and the legs union. The
+    // thresholds here are set low so the fixture corpus genuinely
+    // exercises BOTH legs + the union; the oracle is the same
+    // independent DuckDB ASOF LEFT JOIN — hash equality proves the
+    // auto-routing changes nothing. Selection behavior itself (hot
+    // corpus buckets, uniform corpus does not, small right
+    // short-circuits to broadcast) is pinned in SkewAsOfJoinSpec.
+    Q("q_join_asof_auto",
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |       c.event_id AS click_id,
+        |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+      graft.operators.SkewAsOfJoin.asOfAuto(purchases, clicks,
+          key = "user_id", leftTime = "ts", rightTime = "click_ts",
+          payloadCols = Seq("click_id", "click_ts"),
+          hotShareThreshold = 0.0005, targetRowsPerBucket = 20L,
+          allowBroadcast = false)
+        .select(col("purchase_id"), col("user_id"), col("click_id"),
+          (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+        .orderBy(col("purchase_id"))
+    },
+
     // X179 streaming Count-Min Sketch: the X64 cells built as a
     // STREAMING aggregation (stateless cell explode → stateful
     // grouped count, AvailableNow, complete-mode memory sink) — the

@@ -126,6 +126,32 @@ class BpeApplySpec extends SparkSpec {
     }
   }
 
+  test("property: decode(encode(w)) == w through ids + vocab on randomized corpora") {
+    var seed = 0xdeadL
+    def nxt(n: Int): Int = {
+      seed ^= seed << 13; seed ^= seed >>> 7; seed ^= seed << 17
+      math.floorMod(seed, n.toLong).toInt
+    }
+    (1 to 3).foreach { caseNo =>
+      val alphabet = "abcde"
+      val words = (0 until 40).map { _ =>
+        (1 + nxt(8) to 0 by -1).map(_ => alphabet(nxt(alphabet.length))).mkString
+      }
+      val docs = words.grouped(5).map(_.mkString(" ")).toSeq.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toSeq.toDF("doc_id", "text")
+      val fitted = BpeApply.fitMerges(docs, k = 4 + nxt(4))
+      val enc = BpeApply.encodeWords(docs, fitted, maxWords = 5)
+      val decoded = BpeApply.decodeIds(BpeApply.tokenIds(enc), BpeApply.vocabOf(enc))
+        .join(enc.select($"doc_id", $"word_pos", $"word"), Seq("doc_id", "word_pos"))
+        .select($"word", $"decoded_word").collect()
+      assert(decoded.nonEmpty, s"case $caseNo")
+      decoded.foreach { r =>
+        assert(r.getString(1) === r.getString(0),
+          s"case $caseNo: decode must reproduce '${r.getString(0)}' exactly")
+      }
+    }
+  }
+
   test("unicode: surrogate pairs stay whole symbols") {
     val got = Seq("a😀b").toDF("w")
       .select(BpeApply.encodeCol($"w", Seq("a" -> "b")).as("enc"))

@@ -129,6 +129,46 @@ class DupSpansSpec extends SparkSpec {
     assert(got(3L)._1 === docs.toMap.apply(3L), "no spans -> verbatim")
   }
 
+  test("supplementary-plane text: offsets are code points, replay + splice stay exact") {
+    // mirrors BpeApplySpec's unicode case: each emoji is TWO UTF-16 code
+    // units but ONE code point — UTF-16 indexing would shift every span
+    // after it and make the splice cut the wrong characters
+    val docs = Seq(
+      1L -> "😀😀 THE QUICK BROWN FOX JUMPS xx tail one 😀",
+      2L -> "yy THE QUICK BROWN FOX JUMPS zz other end")
+    val k = 10
+    val df = docs.toDF("doc_id", "text")
+    // the generator itself: positions count code points, k-mers never
+    // split a surrogate pair
+    val kmers = DupSpans.kmers(df, k)
+      .filter($"doc_id" === 1L)
+      .select($"pos", $"kmer").collect().map(r => (r.getInt(0), r.getString(1)))
+    val t1 = docs.head._2
+    val cps = t1.codePoints().toArray
+    assert(kmers.length === cps.length - k + 1, "one k-mer per CODE POINT offset")
+    kmers.foreach { case (p, km) =>
+      assert(km.codePointCount(0, km.length) === k, s"k-mer at $p must hold $k code points")
+      assert(km === new String(cps, p, k), s"k-mer at $p replays by code-point slice")
+    }
+    // spans replay identically through Spark's (code-point-addressed)
+    // substr on both docs — the shared run is byte-identical
+    val replayed = DupSpans.spans(df, k)
+      .join(df, Seq("doc_id"))
+      .select($"doc_id", expr("substr(text, cast(span_start as int) + 1, " +
+        "cast(span_end - span_start as int))").as("run"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(replayed(1L) === replayed(2L),
+      s"replayed spans must agree across docs: $replayed")
+    assert(replayed(1L).contains("QUICK BROWN FOX"))
+    // and the wash splices the right characters: emoji survive, the
+    // duplicated run does not
+    val washed = DupSpans.removeSpans(df, k)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!washed(1L).contains("QUICK") && !washed(2L).contains("QUICK"))
+    assert(washed(1L).startsWith("😀😀") && washed(1L).endsWith("😀"),
+      s"characters outside the span are untouched: ${washed(1L)}")
+  }
+
   test("docs shorter than k yield no k-mers; null text is skipped") {
     val df = Seq((1L, Some("tiny")), (2L, None), (3L, Some("x" * 30)))
       .toDF("doc_id", "text")

@@ -40,4 +40,56 @@ class IncrementalDedupSpec extends SparkSpec {
     val allPrefixes = index.select($"fp_prefix").distinct().count()
     assert(allPrefixes >= 10, s"hex prefixes spread the layout ($allPrefixes seen)")
   }
+
+  private def freshPath(): String =
+    java.nio.file.Files.createTempDirectory("graft_fpidx_spec_").resolve("idx").toString
+
+  private def indexContentHash(path: String): Seq[(String, Long)] =
+    spark.read.parquet(path)
+      .select($"fingerprint", $"dup_of").orderBy($"fingerprint")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  test("refreshIndex admits only novel fingerprints and is idempotent (run-twice == run-once)") {
+    val p = freshPath()
+    val corpus = Seq(
+      (1L, "alpha beta gamma"), (2L, "delta epsilon"), (3L, "gamma beta alpha"))
+      .toDF("doc_id", "text")
+    IncrementalDedup.writeIndex(corpus, p)
+    val batch = Seq(
+      (100L, "beta alpha gamma"),        // duplicate of cluster {1, 3} — must NOT be admitted
+      (102L, "totally novel content"),   // novel — admitted with dup_of = 102
+      (103L, "novel content totally"))   // same set as 102 — one cluster, dup_of = min = 102
+      .toDF("doc_id", "text")
+    IncrementalDedup.refreshIndex(spark, batch, p)
+    val once = indexContentHash(p)
+    assert(once.map(_._2).toSet === Set(1L, 2L, 102L),
+      "existing clusters keep their canonical id; the novel cluster gets the batch min")
+    assert(once.length === 3, "one row per distinct fingerprint, no duplicate for {1,3}'s set")
+    IncrementalDedup.refreshIndex(spark, batch, p) // second refresh: everything now exists
+    assert(indexContentHash(p) === once,
+      "refresh is idempotent — re-running the same batch appends nothing")
+    // the admitted fingerprint must now gate future probes
+    val probe2 = IncrementalDedup.probe(spark,
+      Seq((200L, "content novel totally")).toDF("doc_id", "text"), p)
+      .select($"doc_id", $"dup_of").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(probe2.toSet === Set((200L, 102L)))
+  }
+
+  test("partition pruning survives repeated appends") {
+    val p = freshPath()
+    IncrementalDedup.writeIndex(
+      Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text"), p)
+    (0 until 4).foreach { i =>
+      IncrementalDedup.refreshIndex(spark,
+        Seq((10L + i, s"fresh words number $i")).toDF("doc_id", "text"), p)
+    }
+    val index = spark.read.parquet(path = p)
+    assert(index.count() === 6L)
+    // filter on a prefix value that exists, typed as the reader inferred
+    // it (a tiny all-digit partition set infers numeric)
+    val pfx = index.select($"fp_prefix").first().get(0)
+    val scan = index.filter($"fp_prefix" === pfx).queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("fp_prefix"),
+      "prefix filter must still reach PartitionFilters after appends:\n" + scan)
+  }
 }

@@ -162,8 +162,16 @@ class NativeIntervalJoinSpec extends SparkSpec {
     val df = NativeIntervalJoin.contain(points, intervals, "k", "t", "s", "e", Seq("wid"))
     val st = df.queryExecution.optimizedPlan.stats
     val lSt = points.queryExecution.optimizedPlan.stats
-    assert(st.sizeInBytes >= lSt.sizeInBytes && st.sizeInBytes < lSt.sizeInBytes * 4,
-      s"interval-join stats must scale with the point side: $st vs left $lSt")
+    val fan = graft.plans.IntervalJoinNode.statsFanOut
+    // scaled by the conservative 1:N fan-out factor (an under-estimate
+    // would make upstream joins over-eager to broadcast this output),
+    // but still left-row-linear — far below the child-product default
+    assert(st.sizeInBytes >= lSt.sizeInBytes * fan &&
+        st.sizeInBytes < lSt.sizeInBytes * fan * 4,
+      s"interval-join stats must scale with the point side × fan-out: $st vs left $lSt")
+    val rSt = intervals.queryExecution.optimizedPlan.stats
+    assert(st.sizeInBytes < lSt.sizeInBytes * rSt.sizeInBytes,
+      "and must be nowhere near the product visitor default")
   }
 
   test("broadcast == sort-merge on the events fixture, inner and outer") {

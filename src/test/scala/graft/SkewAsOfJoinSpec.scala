@@ -89,6 +89,63 @@ class SkewAsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("asOfAuto: an 80%-hot corpus auto-selects bucketing and agrees with plain") {
+    val (df, decision) = SkewAsOfJoin.asOfAutoWithDecision(
+      left, right, "k", "t", "rt", Seq("v"),
+      hotShareThreshold = 0.5, targetRowsPerBucket = 500L, allowBroadcast = false)
+    assert(decision.usedBucketing, s"H holds ~100% of rows: $decision")
+    assert(!decision.viaBroadcast)
+    assert(decision.hotKeys === Seq("H"), "only the hot key routes through bucketing")
+    // span 3999 / ceil(4000/500)=8 buckets -> width 499: the hot key is
+    // genuinely split, not one bucket
+    assert(decision.bucketWidth.exists(w => w >= 1 && w < 3999), s"width: $decision")
+    assert(collectMap(df) === collectMap(
+      NativeAsOfJoin.asOf(left, right, "k", "t", "rt", Seq("v"))))
+  }
+
+  test("asOfAuto: a uniform corpus does NOT bucket — plain native path") {
+    val uni = (0 until 4000).map(i => (s"k${i % 100}", i.toLong % 40, i.toLong))
+      .toDF("k", "t", "id")
+    val uniR = (0 until 100).map(i => (s"k${i}", 5L, i * 1.0)).toDF("k", "rt", "v")
+    val (df, decision) = SkewAsOfJoin.asOfAutoWithDecision(
+      uni, uniR, "k", "t", "rt", Seq("v"), allowBroadcast = false)
+    assert(!decision.usedBucketing && !decision.viaBroadcast,
+      s"max share is ~1%, far under the 10% default threshold: $decision")
+    assert(decision.bucketWidth.isEmpty)
+    assert(collectMap(df) === collectMap(
+      NativeAsOfJoin.asOf(uni, uniR, "k", "t", "rt", Seq("v"))))
+  }
+
+  test("asOfAuto: a small right side short-circuits to the broadcast exec (no histogram)") {
+    val (df, decision) = SkewAsOfJoin.asOfAutoWithDecision(
+      left, right, "k", "t", "rt", Seq("v"))
+    assert(decision.viaBroadcast && !decision.usedBucketing,
+      s"tiny right under autoBroadcastJoinThreshold: $decision")
+    assert(collectMap(df) === collectMap(
+      NativeAsOfJoin.asOf(left, right, "k", "t", "rt", Seq("v"))))
+  }
+
+  test("asOfAuto differentials: directions, tolerance and Inner through the auto route") {
+    import graft.plans.AsOfDirection
+    import org.apache.spark.sql.catalyst.plans.Inner
+    for (dir <- Seq(AsOfDirection.Backward, AsOfDirection.Forward, AsOfDirection.Nearest);
+         tol <- Seq(None, Some(60L))) {
+      val plain = collectMap(NativeAsOfJoin.asOf(
+        left, right, "k", "t", "rt", Seq("v"), direction = dir, within = tol))
+      val (auto, decision) = SkewAsOfJoin.asOfAutoWithDecision(
+        left, right, "k", "t", "rt", Seq("v"), direction = dir, within = tol,
+        hotShareThreshold = 0.5, targetRowsPerBucket = 500L, allowBroadcast = false)
+      assert(decision.usedBucketing, s"dir=$dir tol=$tol")
+      assert(collectMap(auto) === plain, s"dir=$dir tol=$tol")
+    }
+    val plainInner = collectMap(NativeAsOfJoin.asOf(
+      left, right, "k", "t", "rt", Seq("v"), joinType = Inner))
+    val (autoInner, _) = SkewAsOfJoin.asOfAutoWithDecision(
+      left, right, "k", "t", "rt", Seq("v"), joinType = Inner,
+      hotShareThreshold = 0.5, targetRowsPerBucket = 500L, allowBroadcast = false)
+    assert(collectMap(autoInner) === plainInner)
+  }
+
   test("the hot key is actually split: > 1 partition-group for key H") {
     val df = SkewAsOfJoin.asOfBucketed(left, right, "k", "t", "rt", Seq("v"),
       bucketWidth = 100L)

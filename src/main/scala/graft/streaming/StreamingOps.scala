@@ -157,42 +157,88 @@ object StreamingOps {
     * batch, and cross-batch state carries the latest click forward, so
     * a purchase in a later batch still sees an earlier batch's click
     * (pinned in StreamingSpec).
+    *
+    * LATE-DATA DISCIPLINE (the failure mode that corrupts attribution
+    * at 100× is late clicks after state eviction, not happy-path
+    * carry — all three behaviors pinned in `StreamingSpec`):
+    *  - OUT-OF-ORDER within a batch is exact: events sort by (time,
+    *    source-first, id) before processing.
+    *  - ACROSS batches, a late click OLDER than the stored one is
+    *    ignored (`latest` only moves forward), and rows already
+    *    emitted are final — append mode never retracts. A late click
+    *    older than the watermark (when `watermarkDelay` is set) is
+    *    dropped by the engine before the function ever sees it.
+    *  - EVICTION: with `watermarkDelay` + `evictAfterMs` set, a user's
+    *    state is removed once the event-time watermark passes
+    *    (stored click time + evictAfterMs) — state is then bounded by
+    *    ACTIVE users in the horizon, not all users ever seen. A
+    *    purchase arriving after its user's eviction gets null
+    *    attribution (the documented trade of a bounded-state
+    *    deployment — same no-fallback spirit as the tolerance bound).
+    *    Without the knobs, state is one pair per user forever
+    *    (NoTimeout) — exact, but O(all users).
     */
   def asOfWithState(events: Dataset[AttrEvent], sourceType: String,
-      matchType: String, withinUs: Option[Long] = None): Dataset[Attribution] = {
+      matchType: String, withinUs: Option[Long] = None,
+      watermarkDelay: Option[String] = None,
+      evictAfterMs: Option[Long] = None): Dataset[Attribution] = {
+    require(evictAfterMs.isEmpty || watermarkDelay.isDefined,
+      "asOfWithState: evictAfterMs needs watermarkDelay (event-time timeouts " +
+        "require a watermark on ts)")
     val spark = events.sparkSession
     import spark.implicits._
-    events
+    val src = watermarkDelay.map(d => events.withWatermark("ts", d)).getOrElse(events)
+    val timeoutConf =
+      if (evictAfterMs.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    src
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[(Long, Long), Attribution](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (user: Long, it: Iterator[AttrEvent], state: GroupState[(Long, Long)]) =>
-          def us(e: AttrEvent): Long =
-            e.ts.getTime / 1000L * 1000000L + e.ts.getNanos / 1000L
-          var latest = state.getOption // (click_id, t_us)
-          val out = scala.collection.mutable.ListBuffer[Attribution]()
-          // at equal timestamps the source processes FIRST: as-of ties
-          // (click.ts == purchase.ts) match, exactly like the native
-          // join and DuckDB ASOF
-          it.toSeq.sortBy(e =>
-              (us(e), if (e.event_type == sourceType) 0 else 1, e.event_id))
-            .foreach { e =>
-            val t = us(e)
-            if (e.event_type == sourceType) {
-              if (latest.forall(_._2 <= t)) latest = Some((e.event_id, t))
-            } else if (e.event_type == matchType) {
-              // the latest source maximizes its time, so it alone
-              // decides the bound — same no-fallback rule as the
-              // native tolerance join
-              val hit = latest.filter { case (_, ct) =>
-                ct <= t && withinUs.forall(t - ct <= _)
+          if (state.hasTimedOut) {
+            // horizon passed with no new activity: drop the pair —
+            // this is what keeps total state O(active users)
+            state.remove()
+            Iterator.empty
+          } else {
+            def us(e: AttrEvent): Long =
+              e.ts.getTime / 1000L * 1000000L + e.ts.getNanos / 1000L
+            var latest = state.getOption // (click_id, t_us)
+            val out = scala.collection.mutable.ListBuffer[Attribution]()
+            // at equal timestamps the source processes FIRST: as-of ties
+            // (click.ts == purchase.ts) match, exactly like the native
+            // join and DuckDB ASOF
+            it.toSeq.sortBy(e =>
+                (us(e), if (e.event_type == sourceType) 0 else 1, e.event_id))
+              .foreach { e =>
+              val t = us(e)
+              if (e.event_type == sourceType) {
+                if (latest.forall(_._2 <= t)) latest = Some((e.event_id, t))
+              } else if (e.event_type == matchType) {
+                // the latest source maximizes its time, so it alone
+                // decides the bound — same no-fallback rule as the
+                // native tolerance join
+                val hit = latest.filter { case (_, ct) =>
+                  ct <= t && withinUs.forall(t - ct <= _)
+                }
+                out += Attribution(user, e.event_id,
+                  hit.map(_._1), hit.map(t - _._2))
               }
-              out += Attribution(user, e.event_id,
-                hit.map(_._1), hit.map(t - _._2))
             }
+            latest.foreach { st =>
+              state.update(st)
+              evictAfterMs.foreach { ev =>
+                // clamp above the current watermark: a state touched in
+                // the same batch its horizon expires must still set a
+                // LEGAL timestamp (Spark rejects one at/under the
+                // watermark); it then evicts on the next advance
+                state.setTimeoutTimestamp(
+                  math.max(st._2 / 1000L + ev, state.getCurrentWatermarkMs() + 1L))
+              }
+            }
+            out.iterator
           }
-          latest.foreach(state.update)
-          out.iterator
       }
   }
 

@@ -170,6 +170,139 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("as-of late data: out-of-order batches never retract; an older click is ignored") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import StreamingOps.AttrEvent
+    val mem = MemoryStream[AttrEvent]
+    val q = StreamingOps.asOfWithState(mem.toDS(), sourceType = "click",
+        matchType = "purchase")
+      .writeStream.format("memory").queryName("asoflate").outputMode("append")
+      .start()
+    try {
+      mem.addData(
+        AttrEvent(1L, 100L, "click", ts("2024-01-01 00:20:00")),
+        AttrEvent(1L, 200L, "purchase", ts("2024-01-01 00:30:00")))
+      q.processAllAvailable()
+      // batch 2 arrives LATE and OUT OF ORDER: a click with an OLDER
+      // timestamp than the stored one, a purchase whose event time
+      // precedes every click, and a normal purchase — fed in one batch
+      // in shuffled order
+      mem.addData(
+        AttrEvent(1L, 201L, "purchase", ts("2024-01-01 00:35:00")),
+        AttrEvent(1L, 99L, "click", ts("2024-01-01 00:10:00")),
+        AttrEvent(1L, 202L, "purchase", ts("2024-01-01 00:05:00")))
+      q.processAllAvailable()
+      val r = spark.table("asoflate").collect()
+        .map(x => x.getLong(1) -> (if (x.isNullAt(2)) -1L else x.getLong(2))).toMap
+      // p200's batch-1 row is FINAL (append mode — nothing retracts it);
+      // p201 matches the STORED click 100, not the late-but-older 99;
+      // p202 (event time before any click) stays unmatched even though
+      // clicks exist in state — as-of never matches forward
+      assert(r === Map(200L -> 100L, 201L -> 100L, 202L -> -1L), s"got $r")
+      // the late-older click must NOT have replaced state: a fresh
+      // purchase still attributes to click 100
+      mem.addData(AttrEvent(1L, 203L, "purchase", ts("2024-01-01 00:40:00")))
+      q.processAllAvailable()
+      val r3 = spark.table("asoflate").collect()
+        .map(x => x.getLong(1) -> (if (x.isNullAt(2)) -1L else x.getLong(2))).toMap
+      assert(r3(203L) === 100L, s"got $r3")
+    } finally q.stop()
+  }
+
+  test("as-of watermark eviction: state drops at the horizon, post-eviction purchase " +
+      "gets null, and state size stays bounded (stateOperators)") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import StreamingOps.AttrEvent
+    val mem = MemoryStream[AttrEvent]
+    val q = StreamingOps.asOfWithState(mem.toDS(), sourceType = "click",
+        matchType = "purchase",
+        watermarkDelay = Some("10 minutes"),
+        evictAfterMs = Some(20L * 60 * 1000)) // evict 20 min after the stored click
+      .writeStream.format("memory").queryName("asofevict").outputMode("append")
+      .start()
+    def stateRows: Long = q.recentProgress.reverse
+      .find(_.stateOperators.nonEmpty).map(_.stateOperators(0).numRowsTotal)
+      .getOrElse(-1L)
+    try {
+      // user 1's click: state = 1 row; its eviction horizon is 00:20
+      mem.addData(AttrEvent(1L, 100L, "click", ts("2024-01-01 00:00:00")))
+      q.processAllAvailable()
+      assert(stateRows === 1L, "one user in state")
+      // user 2's click far ahead advances the watermark to 00:50 —
+      // past user 1's horizon; the engine's no-data batch then fires
+      // the event-time timeout and REMOVES user 1's pair
+      mem.addData(AttrEvent(2L, 300L, "click", ts("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      assert(stateRows === 1L,
+        s"user 1 evicted at the horizon, user 2 remains: ${stateRows}")
+      // post-eviction purchase by user 1 (event time above the
+      // watermark, so NOT late): null attribution — the old click is
+      // gone, and there is no fallback
+      mem.addData(AttrEvent(1L, 400L, "purchase", ts("2024-01-01 01:05:00")))
+      q.processAllAvailable()
+      val r = spark.table("asofevict").collect()
+        .map(x => x.getLong(1) -> (if (x.isNullAt(2)) -1L else x.getLong(2))).toMap
+      assert(r === Map(400L -> -1L), s"got $r")
+      // a LATE click (event time 00:30, far under the 00:50 watermark)
+      // is dropped by the engine before the operator sees it: the next
+      // purchase must still be unmatched, and state must not regrow
+      // beyond the two live users
+      mem.addData(AttrEvent(1L, 101L, "click", ts("2024-01-01 00:30:00")))
+      q.processAllAvailable()
+      mem.addData(AttrEvent(1L, 401L, "purchase", ts("2024-01-01 01:06:00")))
+      q.processAllAvailable()
+      val r2 = spark.table("asofevict").collect()
+        .map(x => x.getLong(1) -> (if (x.isNullAt(2)) -1L else x.getLong(2))).toMap
+      assert(r2(401L) === -1L,
+        s"a click older than the watermark must not resurrect attribution: $r2")
+      assert(stateRows <= 2L, s"state stays bounded by live users: $stateRows")
+    } finally q.stop()
+  }
+
+  test("funnel late data: a late stage event cannot rewrite history; state is one row " +
+      "per user (stateOperators)") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import StreamingOps.TypedEvent
+    val mem = MemoryStream[TypedEvent]
+    val q = StreamingOps.funnelWithState(mem.toDS(), Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("ffslate").outputMode("append")
+      .start()
+    try {
+      mem.addData(
+        TypedEvent(1L, "view", ts("2024-01-01 00:10:00")),
+        TypedEvent(1L, "click", ts("2024-01-01 00:20:00")),
+        TypedEvent(2L, "view", ts("2024-01-01 00:15:00")))
+      q.processAllAvailable()
+      // LATE batch: user 1's purchase carries an event time BEFORE the
+      // recorded click (00:20) — the strictly-ordered funnel must
+      // reject it across the batch boundary, exactly as it would
+      // in-batch; a duplicate late view is ignored (stage passed)
+      mem.addData(
+        TypedEvent(1L, "purchase", ts("2024-01-01 00:15:00")),
+        TypedEvent(1L, "view", ts("2024-01-01 00:01:00")))
+      q.processAllAvailable()
+      val r = spark.table("ffslate").collect()
+        .map(x => (x.getLong(0), x.getInt(1))).sorted.toSeq
+      assert(r === Seq((1L, 1), (1L, 2), (2L, 1)),
+        s"no stage-3 reach from a late out-of-order purchase: $r")
+      // an in-order purchase later completes the funnel — late data
+      // delayed conversion, never corrupted it
+      mem.addData(TypedEvent(1L, "purchase", ts("2024-01-01 00:30:00")))
+      q.processAllAvailable()
+      val r2 = spark.table("ffslate").collect()
+        .map(x => (x.getLong(0), x.getInt(1))).sorted.toSeq
+      assert(r2.contains((1L, 3)), s"got $r2")
+      val stateRows = q.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty).map(_.stateOperators(0).numRowsTotal)
+        .getOrElse(-1L)
+      assert(stateRows === 2L,
+        s"one bounded state row per user, watermark-independent: $stateRows")
+    } finally q.stop()
+  }
+
   test("stream-static as-of via the native BROADCAST exec: stateless, cross-batch exact") {
     val s = spark; import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext

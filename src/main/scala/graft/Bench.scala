@@ -33,6 +33,44 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    // Fixed-cost CANARY (round-14 judge ask): pure compute, zero I/O,
+    // independent of every operator in the repo — its time moves with
+    // HOST speed (CPU contention, thermal state) and nothing else, so
+    // `value * (CANARY_REF / canary_sec)` separates environment drift
+    // from real plan regressions.
+    //
+    // Round-15 evidence showed the ~2 s canary ADDED noise instead of
+    // removing it (raw intra-round spread 3.9% vs normalized 5.5%; the
+    // canary itself jittered 7%): a short denominator amplifies its own
+    // jitter into every normalized total. Round-16 fix: ~10 s of fixed
+    // work (60e9 ids, 5× the old volume), FIVE measured executions, and
+    // the TRIMMED MEAN (drop min and max, average the middle three) as
+    // the denominator — min-of-N tracks the single luckiest scheduling
+    // outcome and still spread ~5% across back-to-back probes, while
+    // the trimmed mean landed 9.65–9.84 s (<2%). CANARY_REF is this
+    // box's warm trimmed-mean baseline, re-pinned when the canary grew.
+    val CANARY_REF = 9.76
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(60000000000L).selectExpr("bit_xor(xxhash64(id)) AS h").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    canaryOnce() // warm-up, unmeasured
+    val canaries = Seq.fill(5)(canaryOnce())
+    val canarySec = {
+      val mid = canaries.sorted.slice(1, canaries.length - 1)
+      mid.sum / mid.length
+    }
+    // probe mode: print the canary line and exit — lets a round pin or
+    // audit CANARY_REF without paying a full bench run
+    if (sys.env.get("SPARK_GRAFT_CANARY_ONLY").contains("1")) {
+      val cj = canaries.map(c => math.rint(c * 1000) / 1000).mkString("[", ",", "]")
+      println(s"""{"metric":"canary","canary_sec":${math.rint(canarySec * 1000) / 1000},"canary_runs":$cj,"canary_ref":$CANARY_REF}""")
+      spark.stop()
+      return
+    }
+
     // warm-up: full query set at the smallest SF (codegen + classloading),
     // then the measured SF's parquet footers.
     ordered.foreach { case (name, fn) =>
@@ -43,23 +81,6 @@ object Bench {
       try Tables.load(spark, sfDir, n).count()
       catch { case e: Throwable => System.err.println(s"[bench-warm] $n: ${e.getMessage}") }
     }
-
-    // Fixed-cost CANARY (round-14 judge ask): pure compute, zero I/O,
-    // independent of every operator in the repo — its time moves with
-    // HOST speed (CPU contention, thermal state) and nothing else, so
-    // `value * (CANARY_REF / canary_sec)` separates environment drift
-    // from real plan regressions. Measured min-of-3 warm (one unmeasured
-    // warm-up absorbs the range-codegen compile). CANARY_REF is this
-    // box's warm baseline, pinned when the canary was introduced.
-    val CANARY_REF = 2.0
-    def canaryOnce(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(12000000000L).selectExpr("bit_xor(xxhash64(id)) AS h").collect()
-      (System.nanoTime() - t0) / 1e9
-    }
-    canaryOnce() // warm-up, unmeasured
-    val canaries = Seq.fill(3)(canaryOnce())
-    val canarySec = canaries.min
 
     // THREE measured passes, report the per-query MIN. Round-5 bench showed
     // untouched 0.5-s queries reading 4-8 s in-suite while staying fast in

@@ -1,0 +1,228 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Scale-curve harness (round-15 judge ask): turns the "100×-safe"
+  * plan claims from scaladoc micro-probes into a COMMITTED, re-runnable
+  * artifact. One `runMain graft.ScaleCurve` re-derives `SCALE.md`.
+  *
+  * Method: the sf0.1 fixture is amplified ×4 and ×16 as a union of
+  * id-shifted replicas (testdata is read-only, so replicas materialize
+  * under java.io.tmpdir in the same parquet layout and queries run
+  * against the temp dir unchanged). Replication is FK-consistent —
+  * every key column shifts by the same per-replica offset on both
+  * sides of every join — and content-decorrelated where content drives
+  * pairing: `documents.text` words are salted per replica and
+  * `embeddings` flip a deterministic per-(dim, replica) sign pattern,
+  * because 16 byte-identical copies of a corpus would make every
+  * near-dup/cosine operator quadratic in REPLICA MULTIPLICITY — a
+  * property of copy-amplification, not of the operator, and not of a
+  * real 16× corpus (which grows mostly-new content).
+  *
+  * For each of the 12 most expensive non-ML-fit queries (BENCH_r15
+  * ranking), the query runs at ×1/×4/×16 and the scaling exponent is
+  * the least-squares slope of log t vs log n. Exponent ≤ ~1.2 ≈
+  * linear-to-n-log-n (job overhead at ×1 biases the fit DOWN, so the
+  * threshold carries headroom); anything above flags in SCALE.md.
+  *
+  * Exclusions (stated in the artifact): MLlib fit queries (rf / gbt /
+  * cv / tvs / pipeline_accidents) — their cost is the iterative fit,
+  * not a data-plan property — and q_ml_label_agreement_brute, the
+  * DELIBERATE brute-force calibration oracle whose production sibling
+  * (q_ml_label_agreement, IVF) is the scale path.
+  */
+object ScaleCurve {
+
+  /** The 12 most expensive non-ML-fit queries of BENCH_r15. */
+  val queriesUnderTest: Seq[String] = Seq(
+    "q_graph_pagerank", "q_graph_pagerank_dangling", "q_graph_khop",
+    "q_text_cosine_pairs", "q_graph_ppr", "q_graph_kcore",
+    "q_diag_join_size", "q_graph_modularity", "q_dedup_canonical",
+    "q_graph_link_prediction", "q_ml_group_split", "q_basket_rules")
+
+  /** Per-table key columns to shift per replica. Int-typed dimension
+    * keys (nation/region) shift by 1000 per replica, long fact keys by
+    * 1e9 — both far above any fixture key range, so replicas never
+    * collide and never cross-join.
+    */
+  private val intShift = 1000L
+  private val longShift = 1000000000L
+  private val keyCols: Map[String, Seq[String]] = Map(
+    "region" -> Seq("r_regionkey"),
+    "nation" -> Seq("n_nationkey", "n_regionkey"),
+    "customer" -> Seq("c_custkey", "c_nationkey"),
+    "supplier" -> Seq("s_suppkey", "s_nationkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  /** One replica of `name` with every key shifted; replica 0 is the
+    * identity, so ×1 ⊂ ×4 ⊂ ×16 row-wise.
+    */
+  private def replica(df: DataFrame, name: String, r: Int): DataFrame = {
+    if (r == 0) return df
+    val shifted = keyCols(name).foldLeft(df) { (d, k) =>
+      val isInt = d.schema(k).dataType == org.apache.spark.sql.types.IntegerType
+      val off = if (isInt) intShift * r else longShift * r
+      d.withColumn(k, (col(k) + lit(off)).cast(d.schema(k).dataType))
+    }
+    name match {
+      case "documents" =>
+        // salt every word: within-replica duplicate structure is
+        // preserved, cross-replica content is disjoint — the corpus
+        // grows NEW text, like a real corpus does
+        shifted
+          .withColumn("text", when(col("text").isNull, lit(null: String))
+            .otherwise(array_join(
+              transform(split(col("text"), " "), w => concat(w, lit(s"_r$r"))), " ")))
+          .withColumn("n_chars", when(col("text").isNull, lit(null).cast("long"))
+            .otherwise(length(col("text")).cast("long")))
+      case "embeddings" =>
+        // deterministic per-(dim, replica) sign flip: norms unchanged,
+        // replicas decorrelated (E[cos] ≈ 0 across replicas), within-
+        // replica geometry exactly preserved
+        shifted.withColumn("embedding",
+          transform(col("embedding"), (x, i) =>
+            when(pmod(hash(i, lit(r)), lit(2)) === 0, x).otherwise(-x)))
+      case _ => shifted
+    }
+  }
+
+  /** Materialize the ×k amplification of `srcDir` under `outDir` in the
+    * standard `<table>.parquet` layout.
+    */
+  def amplify(spark: SparkSession, srcDir: String, outDir: String, k: Int): Unit =
+    Tables.names.foreach { name =>
+      val base = Tables.load(spark, srcDir, name)
+      val amped = (0 until k).map(r => replica(base, name, r)).reduce(_.unionByName(_))
+      amped.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    }
+
+  /** Least-squares slope of log t vs log n. */
+  private def exponent(points: Seq[(Double, Double)]): Double = {
+    val xs = points.map(p => math.log(p._1)); val ys = points.map(p => math.log(p._2))
+    val (mx, my) = (xs.sum / xs.length, ys.sum / ys.length)
+    val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val varx = xs.map(x => (x - mx) * (x - mx)).sum
+    cov / varx
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE.md")
+    val tmp = System.getProperty("java.io.tmpdir")
+    val spark = Sessions.local(appName = "graft-scale")
+    spark.sparkContext.setLogLevel("WARN")
+
+    val qs = SparkEntry.queries
+    // filter knob for probing one offender without paying the full
+    // matrix (SCALE.md only refreshes on an unfiltered run)
+    val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
+    val underTest = queriesUnderTest.filter(q => only.forall(_.contains(q)))
+    val skipAmp = sys.env.get("SPARK_GRAFT_SCALE_REUSE").contains("1")
+    val factors = Seq(1, 4, 16)
+    val dirs: Map[Int, String] = factors.map {
+      case 1 => 1 -> srcDir
+      case k =>
+        val d = s"$tmp/graft_scale_x$k"
+        if (!skipAmp) {
+          System.err.println(s"[scale] materializing x$k under $d")
+          amplify(spark, srcDir, d, k)
+        }
+        k -> d
+    }.toMap
+
+    // warm codegen/classloading once per query at the smallest SF
+    underTest.foreach { q =>
+      try qs(q)(spark, warmDir).count()
+      catch { case e: Throwable => System.err.println(s"[scale-warm] $q: ${e.getMessage}") }
+    }
+
+    // diagnostic knob: override autoBroadcastJoinThreshold for a probe
+    sys.env.get("SPARK_GRAFT_SCALE_BCAST").foreach { v =>
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+    }
+    val basePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // min-of-N per (query, factor): single executions of the iterative
+    // graph queries at ×16 spread 2-3× run-to-run (GC / scheduling
+    // noise on a shared box); the min is the same noise filter Bench
+    // uses, and the exponent fit needs stable points far more than it
+    // needs average-case points
+    val passes = sys.env.get("SPARK_GRAFT_SCALE_RUNS").map(_.toInt).getOrElse(2)
+    val rows = underTest.map { q =>
+      val times = factors.map { k =>
+        // partition count stays the session default at every factor:
+        // probed alternatives (initial partitions × k, "constant
+        // per-partition size") drowned the iterative queries in
+        // task-scheduling overhead on a 32-core box (khop ×4 read
+        // SLOWER than ×16) — on a real cluster the core count grows
+        // with the data and absorbs the extra partitions; here the
+        // fixed-width box IS the measurement device, and ×16 of sf0.1
+        // stays far inside per-partition memory at width 32
+        val dt = (1 to passes).map { _ =>
+          spark.sharedState.cacheManager.clearCache()
+          System.gc()
+          val t0 = System.nanoTime()
+          qs(q)(spark, dirs(k)).count()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        System.err.println(f"[scale] $q x$k%-2d ${dt}%.2f s (min of $passes)")
+        k -> dt
+      }
+      val e = exponent(times.map { case (k, t) => (k.toDouble, t) })
+      // the TAIL slope (×4→×16) is the scale-relevant number: the ×1
+      // point sits on the job-overhead floor and drags the overall fit
+      // down, which could hide superlinearity that only shows once
+      // data dominates overhead
+      val tail = math.log(times(2)._2 / times(1)._2) / math.log(4.0)
+      (q, times, e, tail)
+    }
+
+    val flagged = rows.filter(r => r._3 > 1.2 || r._4 > 1.2)
+    val sb = new StringBuilder
+    sb.append("# SCALE — empirical scaling curves\n\n")
+    sb.append(s"Generated by `sbt \"runMain graft.ScaleCurve\"` (re-runnable; " +
+      s"source sf dir: `$srcDir`).\n\n")
+    sb.append("Method: the sf0.1 fixture amplified ×4 and ×16 as FK-consistent\n")
+    sb.append("id-shifted replicas (documents word-salted, embeddings sign-flipped\n")
+    sb.append("per replica so content-driven pair operators see NEW content, the\n")
+    sb.append("way a real bigger corpus would — 16 byte-identical copies would\n")
+    sb.append("measure copy multiplicity, not operator scaling). Exponent =\n")
+    sb.append("least-squares slope of log t vs log n over n ∈ {1, 4, 16};\n")
+    sb.append("≤ ~1.2 ≈ linear/n-log-n (the ×1 job-overhead floor biases the\n")
+    sb.append("slope down, giving the threshold headroom).\n\n")
+    sb.append("Excluded: MLlib fit queries (q_ml_rf/gbt/cv/tvs, q_pipeline_accidents\n")
+    sb.append("— cost is the iterative fit, not a data plan) and\n")
+    sb.append("q_ml_label_agreement_brute (the deliberate brute-force calibration\n")
+    sb.append("oracle; its production sibling q_ml_label_agreement is the IVF scale\n")
+    sb.append("path).\n\n")
+    sb.append(s"Each cell is the MIN of $passes executions (single runs of the\n")
+    sb.append("iterative graph queries spread 2-3x at x16 from GC/scheduling\n")
+    sb.append("noise; min filters it, as in Bench). Shuffle partitions stay at\n")
+    sb.append("the session default for every factor: scaling them with the data\n")
+    sb.append("was probed and drowned iterative queries in task-scheduling\n")
+    sb.append("overhead on this fixed 32-core box (a real cluster grows cores\n")
+    sb.append("with data; here the box is the measurement device).\n\n")
+    sb.append("| query | ×1 s | ×4 s | ×16 s | exponent | tail (×4→×16) | verdict |\n")
+    sb.append("|---|---|---|---|---|---|---|\n")
+    rows.foreach { case (q, times, e, tail) =>
+      val t = times.toMap
+      val verdict = if (e <= 1.2 && tail <= 1.2) "OK" else "**FLAG**"
+      sb.append(f"| $q | ${t(1)}%.2f | ${t(4)}%.2f | ${t(16)}%.2f | ${e}%.2f | ${tail}%.2f | $verdict |\n")
+    }
+    sb.append(f"\n${rows.size - flagged.size}/${rows.size} at exponent <= 1.2 " +
+      f"(overall AND tail); " +
+      f"flagged: ${if (flagged.isEmpty) "none" else flagged.map(_._1).mkString(", ")}\n")
+    if (only.isEmpty) Files.writeString(Paths.get(outPath), sb.toString)
+    else System.err.println(sb.toString)
+    println(s"SCALE_DONE flagged=${flagged.size} out=$outPath")
+    spark.stop()
+  }
+}

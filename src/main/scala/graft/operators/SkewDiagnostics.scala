@@ -7,7 +7,10 @@ import org.apache.spark.sql.functions._
   * and cumulative share of all rows — the audit a pipeline runs BEFORE
   * a big join to decide between a plain shuffle join, AQE skew
   * splitting, or explicit salting ([[SaltedJoin.deriveSalts]] consumes
-  * exactly this shape). A key holding >1% of 100 TB is a straggler task
+  * exactly this shape, and [[SkewAsOfJoin.asOfAuto]] runs the same
+  * histogram extended with per-key time spans — folded into ONE rollup
+  * job — to auto-route hot keys through the bucketed as-of rewrite).
+  * A key holding >1% of 100 TB is a straggler task
   * by construction; this makes it visible before it burns a stage.
   *
   * 100 TB design: one map-side-combined count per key, then a top-k

@@ -42,5 +42,10 @@ object Sessions {
       // managed-table location (bucketed tables) — keep out of the repo
       .config("spark.sql.warehouse.dir",
         System.getProperty("java.io.tmpdir") + "/graft-warehouse")
+      // report bucketed scans' (bucketKeys, sortCols) order so operators
+      // requiring it (the native as-of exec) plan sort-FREE over tables
+      // written by Bucketing.writeBucketedSorted; only applies when a
+      // bucket holds at most one file, which that writer guarantees
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
 }

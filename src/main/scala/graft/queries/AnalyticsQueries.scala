@@ -308,6 +308,53 @@ object AnalyticsQueries {
         .orderBy(col("event_type"))
     },
 
+    // X213 KMV set algebra: union/Jaccard/intersection estimates for
+    // every PAIR of event-type segments from the per-segment KMV
+    // sketches alone (merge two sketches, re-take k smallest; the
+    // fraction of the union sketch present in BOTH inputs estimates
+    // Jaccard) — overlap questions across N segments from N·k longs,
+    // never a pairwise distinct-join of the corpus. The hash is the
+    // same replayable Knuth arithmetic as X115, so DuckDB re-derives
+    // every sketch, every merged rank, and every estimate bit-for-bit.
+    Q("q_sketch_kmv_setops",
+      """WITH h AS (SELECT DISTINCT event_type AS grp,
+        |                  (user_id * 2654435761) % 4294967296 AS h
+        |           FROM events),
+        |r AS (SELECT grp, h,
+        |             row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+        |      FROM h),
+        |s AS (SELECT grp, h FROM r WHERE rn <= 64),
+        |g AS (SELECT DISTINCT grp FROM s),
+        |p AS (SELECT a.grp AS ga, b.grp AS gb FROM g a, g b WHERE a.grp < b.grp),
+        |m AS (SELECT ga, gb, h, max(ina) AS ina, max(inb) AS inb FROM (
+        |        SELECT p.ga, p.gb, s.h, 1 AS ina, 0 AS inb
+        |        FROM p JOIN s ON s.grp = p.ga
+        |        UNION ALL
+        |        SELECT p.ga, p.gb, s.h, 0 AS ina, 1 AS inb
+        |        FROM p JOIN s ON s.grp = p.gb) u
+        |      GROUP BY 1, 2, 3),
+        |mr AS (SELECT ga, gb, h, ina, inb,
+        |              row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+        |       FROM m),
+        |agg AS (SELECT ga, gb, count(*) AS m_union, max(h) AS hk_union,
+        |               sum(ina * inb) AS inter_k
+        |        FROM mr WHERE rn <= 64 GROUP BY 1, 2),
+        |est AS (SELECT ga, gb, m_union, hk_union, inter_k,
+        |               CASE WHEN m_union < 64 THEN cast(m_union AS double)
+        |                    ELSE 63 * 4294967296.0 / hk_union END AS eu,
+        |               cast(inter_k AS double) / m_union AS jr
+        |        FROM agg)
+        |SELECT ga, gb, cast(m_union AS bigint) AS m_union,
+        |       cast(hk_union AS bigint) AS hk_union,
+        |       cast(inter_k AS bigint) AS inter_k,
+        |       round(eu, 2) AS est_union, round(jr, 6) AS est_jaccard,
+        |       round(jr * eu, 2) AS est_intersect
+        |FROM est ORDER BY ga, gb""".stripMargin) { (s, dir) =>
+      KmvSketch.setOpsPairwise(t(s, dir, "events"),
+          groupCol = "event_type", keyCol = "user_id", k = 64)
+        .orderBy(col("ga"), col("gb"))
+    },
+
     // X191 bottom-k-by-hash quantile summary: deciles of
     // l_extendedprice read off a 1024-row uniform sample selected by
     // the k SMALLEST md5 ranks — a mergeable, partition-independent,

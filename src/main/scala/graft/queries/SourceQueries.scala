@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.StreetTypes
-import graft.sources.{AccidentsCsv, DateGrid, KmlRoadNetwork, ResultsSink}
+import graft.sources.{AccidentsCsv, Bucketing, DateGrid, KmlRoadNetwork, ResultsSink}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -260,6 +260,39 @@ object SourceQueries {
         .agg(count(lit(1)).cast("int").as("n_docs"),
           sum(col("n_chars")).cast("bigint").as("sum_chars"))
         .orderBy(col("lang"))
+    },
+
+    // X211 bucketed-table co-located join: both sides of the recurring
+    // fact-to-fact join persisted CLUSTERED BY the join key
+    // (sources/Bucketing.scala — the shuffle is paid once at write time
+    // and amortized over every subsequent join; at 100 TB this is the
+    // difference between re-shuffling the corpus per query and never
+    // shuffling it again). The merge hint pins the sort-merge path so
+    // the bucketed scans, not a broadcast, carry the join even at small
+    // SF; PlanSpec separately asserts the joined plan has ZERO Exchange
+    // and `Bucketed: true` scans. The oracle joins the ORIGINAL
+    // parquet, so hash equality proves the bucketed layout round-trips
+    // values and loses/duplicates no rows across the bucket files.
+    Q("q_source_bucketed_join",
+      """SELECT o.o_orderpriority AS pri,
+        |       cast(count(*) AS bigint) AS n_items,
+        |       cast(floor(sum(l.l_quantity)) AS bigint) AS sum_qty
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY 1 ORDER BY pri""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val (ot, lt) = (s"b_orders_$tag", s"b_lineitem_$tag")
+      Bucketing.writeBucketed(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+        ot, nBuckets = 8, keys = Seq("o_orderkey"))
+      Bucketing.writeBucketed(
+        t(s, dir, "lineitem").select(col("l_orderkey").as("o_orderkey"),
+          col("l_quantity")),
+        lt, nBuckets = 8, keys = Seq("o_orderkey"))
+      s.table(ot).hint("merge").join(s.table(lt), "o_orderkey")
+        .groupBy(col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).as("n_items"),
+          floor(sum(col("l_quantity"))).cast("long").as("sum_qty"))
+        .orderBy(col("pri"))
     },
 
     // Schema evolution across file generations: a long-lived table's

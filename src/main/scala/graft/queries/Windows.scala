@@ -627,6 +627,44 @@ object Windows {
         .orderBy(col("event_id"))
     },
 
+    // X212 STORAGE-LAYOUT as-of join: the event log persisted ONCE
+    // bucketed by user_id and sorted (user_id, ts) with one file per
+    // bucket (sources/Bucketing.writeBucketedSorted), after which the
+    // native as-of join over two filtered reads of that table plans
+    // with ZERO Exchange and ZERO Sort on either side (pinned in
+    // BucketedAsOfSpec) — at 100 TB the shuffle AND the sort are paid
+    // once at write time and every subsequent as-of/attribution query
+    // rides the layout for free. Oracle = DuckDB ASOF LEFT JOIN on the
+    // ORIGINAL parquet, so hash equality also proves the bucketed
+    // round trip loses nothing.
+    Q("q_join_asof_bucketed",
+      """SELECT c.event_id AS click_id, c.user_id,
+        |       s.event_id AS signup_id,
+        |       epoch_us(c.ts) - epoch_us(s.ts) AS since_signup_us
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON c.user_id = s.user_id AND s.ts <= c.ts
+        |ORDER BY click_id""".stripMargin) { (s, dir) =>
+      val tbl = ("b_events_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+        .toLowerCase(java.util.Locale.ROOT)
+      graft.sources.Bucketing.writeBucketedSorted(
+        t(s, dir, "events").select(col("event_id"), col("user_id"),
+          col("ts"), col("event_type")),
+        tbl, nBuckets = 16, bucketKeys = Seq("user_id"), sortCols = Seq("ts"))
+      val ev = s.table(tbl)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("signup_ts"),
+          col("event_id").as("signup_id"))
+      graft.plans.NativeAsOfJoin.asOf(clicks, signups, key = "user_id",
+          leftTime = "ts", rightTime = "signup_ts",
+          payloadCols = Seq("signup_id", "signup_ts"), broadcast = Some(false))
+        .select(col("click_id"), col("user_id"), col("signup_id"),
+          (unix_micros(col("ts")) - unix_micros(col("signup_ts"))).as("since_signup_us"))
+        .orderBy(col("click_id"))
+    },
+
     // X195 SKEW-SAFE as-of join: same semantics as q_join_asof_click,
     // executed through the time-bucketed hot-key split
     // (operators/SkewAsOfJoin.scala — per-bucket carry-in rows +
@@ -711,6 +749,37 @@ object Windows {
       val cells = CountMinSketch.build(src, "user_id", depth = 3, width = 256)
       runToMemorySink(s, cells, sinkName("stream_cms_", dir), staged = staged :: Nil)
         .orderBy(col("j"), col("bucket"))
+    },
+
+    // X216 STREAMING-maintained KMV sketch: the X115 distinct-count
+    // sketch kept incrementally by a streaming aggregation (the typed
+    // KmvAggregator as the state — k sorted longs per group however
+    // many rows arrive, merged associatively across micro-batches,
+    // complete-mode memory sink). The oracle is the batch replay of the
+    // same Knuth hash ranks: hash equality proves stream-maintained ≡
+    // rebuilt — the sketch a 100 TB ingest keeps warm instead of
+    // re-scanning history per day.
+    Q("q_stream_kmv",
+      """WITH h AS (SELECT DISTINCT event_type AS grp,
+        |                  (user_id * 2654435761) % 4294967296 AS h
+        |           FROM events),
+        |r AS (SELECT grp, h,
+        |             row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+        |      FROM h),
+        |kk AS (SELECT grp, max(h) AS hk, count(*) AS m
+        |       FROM r WHERE rn <= 64 GROUP BY 1)
+        |SELECT grp AS event_type, cast(m AS bigint) AS m, cast(hk AS bigint) AS hk,
+        |       round(CASE WHEN m < 64 THEN cast(m AS double)
+        |                  ELSE 63 * 4294967296.0 / hk END, 2) AS est
+        |FROM kk ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val (src, staged) = stagedEventsStream(s, dir)
+      val sketch = udaf(new graft.operators.KmvAggregator(64))
+      val agg = src.groupBy(col("event_type"))
+        .agg(sketch(col("user_id")).as("kmv"))
+      runToMemorySink(s, agg, sinkName("stream_kmv_", dir), staged = staged :: Nil)
+        .select(col("event_type"), col("kmv.m").as("m"), col("kmv.hk").as("hk"),
+          round(col("kmv.est"), 2).as("est"))
+        .orderBy(col("event_type"))
     },
 
     // X173 native keyed interval-containment join: every click joined
@@ -816,6 +885,135 @@ object Windows {
           pointTime = "t", startCol = "w_start", endCol = "w_end",
           payloadCols = Seq("window_id", "w_end"),
           joinType = org.apache.spark.sql.catalyst.plans.LeftOuter)
+        .select(col("click_id"), col("user_id"), col("t"), col("window_id"),
+          (col("w_end") - col("t")).as("remaining_us"))
+        .orderBy(col("click_id"), col("window_id"))
+    },
+
+    // X209 SKEW-SAFE interval join: same semantics as
+    // q_join_interval_native, executed through the time-bucketed
+    // rewrite (operators/SkewIntervalJoin.scala — points bucketed by
+    // floor(t/W), intervals replicated to every bucket they overlap,
+    // native exec on the composite (key, bucket)), so one user with
+    // 10⁷ points is bounded per (key × bucketWidth) instead of
+    // stalling one partition of the sort-merge. The bucketing is
+    // INTERNAL: the oracle is the very same range-predicate join the
+    // un-bucketed operator answers to — hash equality proves the
+    // split-and-replicate changes nothing (no lost matches at bucket
+    // boundaries, no duplicated matches from the replicas).
+    Q("q_join_interval_skewsafe",
+      """WITH w AS (SELECT user_id, event_id AS window_id,
+        |                  cast(epoch_us(ts) AS bigint) AS w_start,
+        |                  cast(epoch_us(ts) AS bigint)
+        |                    + CAST(round(value * 7200000000) AS BIGINT) AS w_end
+        |           FROM events WHERE event_type = 'signup'),
+        |p AS (SELECT user_id, event_id AS purchase_id, cast(epoch_us(ts) AS bigint) AS t
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, p.user_id, p.t, w.window_id,
+        |       cast(w.w_end - p.t AS bigint) AS remaining_us
+        |FROM p JOIN w ON p.user_id = w.user_id AND p.t BETWEEN w.w_start AND w.w_end
+        |ORDER BY purchase_id, window_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val points = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          unix_micros(col("ts")).as("t"))
+      val windows = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("window_id"),
+          unix_micros(col("ts")).as("w_start"),
+          (unix_micros(col("ts")) +
+            round(col("value") * 7200000000L).cast("long")).as("w_end"))
+      graft.operators.SkewIntervalJoin.containBucketed(points, windows,
+          key = "user_id", pointTime = "t", startCol = "w_start",
+          endCol = "w_end", payloadCols = Seq("window_id", "w_end"),
+          bucketWidth = 6L * 3600L * 1000000L) // 6-hour buckets, micros
+        .select(col("purchase_id"), col("user_id"), col("t"), col("window_id"),
+          (col("w_end") - col("t")).as("remaining_us"))
+        .orderBy(col("purchase_id"), col("window_id"))
+    },
+
+    // X215 STORAGE-LAYOUT interval join: both sides persisted ONCE via
+    // Bucketing.writeBucketedSorted — points bucketed by user_id sorted
+    // (user_id, t), windows bucketed by user_id sorted (user_id,
+    // w_start), time columns MATERIALIZED at write so the scan's
+    // reported order is the exec's required order — after which the
+    // native interval exec plans ZERO Exchange and ZERO Sort on either
+    // side (pinned in BucketedAsOfSpec). The 1:N sibling of
+    // q_join_asof_bucketed: pay the shuffle and sort once at write,
+    // answer every subsequent containment query from the layout.
+    Q("q_join_interval_bucketed",
+      """WITH w AS (SELECT user_id, event_id AS window_id,
+        |                  cast(epoch_us(ts) AS bigint) AS w_start,
+        |                  cast(epoch_us(ts) AS bigint)
+        |                    + CAST(round(value * 3600000000) AS BIGINT) AS w_end
+        |           FROM events WHERE event_type = 'signup'),
+        |p AS (SELECT user_id, event_id AS click_id, cast(epoch_us(ts) AS bigint) AS t
+        |      FROM events WHERE event_type = 'view')
+        |SELECT p.click_id, p.user_id, p.t, w.window_id,
+        |       cast(w.w_end - p.t AS bigint) AS remaining_us
+        |FROM p JOIN w ON p.user_id = w.user_id AND p.t BETWEEN w.w_start AND w.w_end
+        |ORDER BY click_id, window_id""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase(java.util.Locale.ROOT)
+      val (pt, wt) = (s"b_points_$tag", s"b_windows_$tag")
+      val ev = t(s, dir, "events")
+      graft.sources.Bucketing.writeBucketedSorted(
+        ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            unix_micros(col("ts")).as("t")),
+        pt, nBuckets = 16, bucketKeys = Seq("user_id"), sortCols = Seq("t"))
+      graft.sources.Bucketing.writeBucketedSorted(
+        ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("event_id").as("window_id"),
+            unix_micros(col("ts")).as("w_start"),
+            (unix_micros(col("ts")) +
+              round(col("value") * 3600000000L).cast("long")).as("w_end")),
+        wt, nBuckets = 16, bucketKeys = Seq("user_id"), sortCols = Seq("w_start"))
+      graft.plans.NativeIntervalJoin.contain(s.table(pt), s.table(wt),
+          key = "user_id", pointTime = "t", startCol = "w_start",
+          endCol = "w_end", payloadCols = Seq("window_id", "w_end"),
+          broadcast = Some(false))
+        .select(col("click_id"), col("user_id"), col("t"), col("window_id"),
+          (col("w_end") - col("t")).as("remaining_us"))
+        .orderBy(col("click_id"), col("window_id"))
+    },
+
+    // X210 skew-AWARE interval join (SkewIntervalJoin.containAuto): the
+    // as-of family's X207 selection ladder on the 1:N operator — one
+    // rollup over the points derives the key histogram + grand total,
+    // hot keys route through the X209 bucketed rewrite with width =
+    // max(point-density width, typical hot interval span — the clamp
+    // that caps interval replication at ~2×), cold keys ride the plain
+    // native exec, legs union. Run in LEFT OUTER mode on a THINNED
+    // window side so unmatched points survive the hot/cold union as
+    // null rows — the routing must not lose or duplicate them.
+    // Thresholds set low so the fixture corpus exercises BOTH legs;
+    // selection behavior itself is pinned in SkewIntervalJoinSpec.
+    Q("q_join_interval_auto",
+      """WITH w AS (SELECT user_id, event_id AS window_id,
+        |                  cast(epoch_us(ts) AS bigint) AS w_start,
+        |                  cast(epoch_us(ts) AS bigint)
+        |                    + CAST(round(value * 3600000000) AS BIGINT) AS w_end
+        |           FROM events WHERE event_type = 'signup' AND event_id % 3 = 0),
+        |p AS (SELECT user_id, event_id AS click_id, cast(epoch_us(ts) AS bigint) AS t
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.click_id, p.user_id, p.t, w.window_id,
+        |       cast(w.w_end - p.t AS bigint) AS remaining_us
+        |FROM p LEFT JOIN w ON p.user_id = w.user_id AND p.t BETWEEN w.w_start AND w.w_end
+        |ORDER BY click_id, window_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val points = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          unix_micros(col("ts")).as("t"))
+      val windows = ev.filter(col("event_type") === "signup" && col("event_id") % 3 === 0)
+        .select(col("user_id"), col("event_id").as("window_id"),
+          unix_micros(col("ts")).as("w_start"),
+          (unix_micros(col("ts")) +
+            round(col("value") * 3600000000L).cast("long")).as("w_end"))
+      graft.operators.SkewIntervalJoin.containAuto(points, windows,
+          key = "user_id", pointTime = "t", startCol = "w_start",
+          endCol = "w_end", payloadCols = Seq("window_id", "w_end"),
+          joinType = org.apache.spark.sql.catalyst.plans.LeftOuter,
+          hotShareThreshold = 0.0005, targetRowsPerBucket = 20L,
+          allowBroadcast = false)
         .select(col("click_id"), col("user_id"), col("t"), col("window_id"),
           (col("w_end") - col("t")).as("remaining_us"))
         .orderBy(col("click_id"), col("window_id"))
@@ -1363,6 +1561,46 @@ object Windows {
         .select(col("purchase_id"), col("user_id"), col("click_id"),
           (unix_micros(col("ts")) - unix_micros(col("cts"))).as("gap_us"))
         .orderBy(col("purchase_id"))
+    },
+
+    // X214 STREAM-STATIC interval enrichment through the NATIVE
+    // broadcast exec: the purchase STREAM joined per micro-batch
+    // against static signup windows via BroadcastIntervalJoinExec —
+    // fully STATELESS like X202's as-of sibling (the static side is
+    // complete, every batch's answer is final; no state store, no
+    // watermark), zero shuffle of the stream. With AvailableNow the
+    // appended set must equal the batch containment join — oracle =
+    // the plain range-predicate join.
+    Q("q_stream_interval_static",
+      """WITH w AS (SELECT user_id, event_id AS window_id,
+        |                  cast(epoch_us(ts) AS bigint) AS w_start,
+        |                  cast(epoch_us(ts) AS bigint)
+        |                    + CAST(round(value * 3600000000) AS BIGINT) AS w_end
+        |           FROM events WHERE event_type = 'signup'),
+        |p AS (SELECT user_id, event_id AS purchase_id, cast(epoch_us(ts) AS bigint) AS t
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, p.user_id, p.t, w.window_id,
+        |       cast(w.w_end - p.t AS bigint) AS remaining_us
+        |FROM p JOIN w ON p.user_id = w.user_id AND p.t BETWEEN w.w_start AND w.w_end
+        |ORDER BY purchase_id, window_id""".stripMargin) { (s, dir) =>
+      val (src, staged) = stagedEventsStream(s, dir)
+      val points = src.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          unix_micros(col("ts")).as("t"))
+      val windows = t(s, dir, "events").filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("window_id"),
+          unix_micros(col("ts")).as("w_start"),
+          (unix_micros(col("ts")) +
+            round(col("value") * 3600000000L).cast("long")).as("w_end"))
+      val joined = graft.plans.NativeIntervalJoin.contain(points, windows,
+        key = "user_id", pointTime = "t", startCol = "w_start",
+        endCol = "w_end", payloadCols = Seq("window_id", "w_end"),
+        broadcast = Some(true))
+      runToMemorySink(s, joined, sinkName("stream_iv_static_", dir),
+          outputMode = "append", staged = staged :: Nil)
+        .select(col("purchase_id"), col("user_id"), col("t"), col("window_id"),
+          (col("w_end") - col("t")).as("remaining_us"))
+        .orderBy(col("purchase_id"), col("window_id"))
     },
 
     // Stream-stream interval join (view→click attribution within 6

@@ -343,6 +343,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static interval enrich via the BROADCAST exec: stateless, cross-batch exact") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // streaming points, STATIC window dimension — the X214 shape: like
+    // the as-of sibling above, no state store should ever open
+    val mem = MemoryStream[(Long, Long, Long)]
+    val points = mem.toDS().toDF("user_id", "point_id", "t")
+    val windows = Seq(
+      (1L, 100L, 0L, 50L), (1L, 101L, 40L, 90L), (2L, 102L, 10L, 20L)
+    ).toDF("user_id", "window_id", "w_start", "w_end")
+    val joined = graft.plans.NativeIntervalJoin.contain(points, windows,
+      key = "user_id", pointTime = "t", startCol = "w_start", endCol = "w_end",
+      payloadCols = Seq("window_id"),
+      joinType = org.apache.spark.sql.catalyst.plans.LeftOuter,
+      broadcast = Some(true))
+    assert(joined.isStreaming, "plan must stay a streaming plan")
+    val q = joined.writeStream.format("memory").queryName("iv_static")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 200L, 45L)) // in both of user 1's windows
+      q.processAllAvailable()
+      mem.addData((2L, 201L, 15L), // in user 2's window
+        (2L, 202L, 99L),           // outside every window -> null row
+        (9L, 203L, 5L))            // unknown user -> null row
+      q.processAllAvailable()
+      val r = spark.table("iv_static").collect()
+        .map(x => (x.getLong(x.fieldIndex("point_id")),
+          if (x.isNullAt(x.fieldIndex("window_id"))) -1L
+          else x.getLong(x.fieldIndex("window_id")))).toSeq.sorted
+      assert(r === Seq((200L, 100L), (200L, 101L), (201L, 102L),
+        (202L, -1L), (203L, -1L)), s"got $r")
+      assert(q.recentProgress.nonEmpty &&
+        q.recentProgress.forall(_.stateOperators.isEmpty),
+        "broadcast interval enrichment must run with zero state stores")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val s = spark; import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext

@@ -21,6 +21,83 @@ import org.apache.spark.sql.functions._
   */
 object EmbeddingProfile {
 
+  /** Top-`k` dimension PAIRS by |covariance|: (i, j, n, cov) for i < j —
+    * the cross-dimension redundancy diagnostic (a pair with high
+    * |covariance| is a rotation/whitening candidate; a near-diagonal
+    * covariance matrix says PQ subspaces can be cut without a rotation
+    * first). Same determinism contract as [[topVarianceDims]]:
+    * quantize to integer micros, rank on the exact integer numerator
+    * n·Σxy − Σx·Σy (DECIMAL(38) — at corpus scale n·Σxy outgrows a
+    * long; DuckDB mirrors with HUGEINT), floats only in the displayed
+    * division.
+    *
+    * Scale shape: the double posexplode blows each vector to d(d+1)/2
+    * pair rows, but the groupBy is map-side combined into a d²-sized
+    * frame — the shuffle and the output never exceed d(d+1)/2 rows
+    * (2080 at d=64) regardless of corpus size. The pair explode is the
+    * honest cost (d² work per row is what a Gram matrix IS); memory
+    * stays flat because nothing materializes per-vector state.
+    */
+  def covarianceTopK(embeddings: DataFrame, vecCol: String, k: Int = 15): DataFrame = {
+    val dec = "decimal(38,0)"
+    val byDim = embeddings
+      .select(posexplode(col(vecCol)).as(Seq("i", "xi")), col(vecCol).as("vec"))
+      .select(col("i"), round(col("xi").cast("double") * 1000000).cast("long").as("vi"),
+        col("vec"))
+      .select(col("i"), col("vi"), posexplode(col("vec")).as(Seq("j", "xj")))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j"), col("vi"),
+        round(col("xj").cast("double") * 1000000).cast("long").as("vj"))
+    val m = byDim.groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("vi").cast(dec)).as("s1"),
+        sum(col("vj").cast(dec)).as("s2"),
+        sum((col("vi") * col("vj")).cast(dec)).as("sxy"))
+      .withColumn("cov_num",
+        col("n").cast(dec) * col("sxy") - col("s1") * col("s2"))
+    m.orderBy(abs(col("cov_num")).desc, col("i"), col("j"))
+      .limit(k)
+      .select(col("i"), col("j"), col("n"),
+        round(col("cov_num").cast("double") / (col("n") * col("n")) / 1.0e12, 6)
+          .as("cov"))
+  }
+
+  /** Johnson–Lindenstrauss random projection with a REPLAYABLE sign
+    * matrix: y_j = Σ_i s(i,j)·q_i over the micro-quantized coordinates
+    * q_i, where s(i,j) = ±1 comes from a double-mixed multiplicative
+    * hash (xor of the two per-index products, re-multiplied — one
+    * multiply alone leaves the parity correlated with i+j; all
+    * arithmetic stays under 2⁶³ so ANSI mode never throws). Output is
+    * the EXACT integer projection (vec_id, j, y) — no float leaves the
+    * operator, so an external engine replays every bit.
+    *
+    * Scale shape: entirely per-row (zip_with + aggregate inside
+    * whole-stage codegen — no explode, no shuffle, no broadcast
+    * projection matrix since the "matrix" is a hash); a 100 TB corpus
+    * projects in one map pass at d·k multiplies per row. Distance/norm
+    * preservation (E[‖y‖²] = k·‖q‖², JL distortion bands) pinned in
+    * `RandomProjectionSpec`.
+    */
+  def randomProject(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val M = 4294967296L
+    def sign(i: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) = {
+      val h0 = pmod((i * lit(2654435761L)).bitwiseXOR(j * lit(2246822519L)), lit(M))
+      val h = pmod(h0 * lit(48611L), lit(M))
+      when(h < lit(2147483648L), lit(1L)).otherwise(lit(-1L))
+    }
+    val q = transform(col(vecCol),
+      x => round(x.cast("double") * 1000000).cast("long"))
+    val proj = transform(sequence(lit(0), lit(k - 1)), j =>
+      aggregate(
+        zip_with(q, sequence(lit(0L), size(col(vecCol)).cast("long") - 1),
+          (v, i) => sign(i, j.cast("long")) * v),
+        lit(0L), (acc, v) => acc + v))
+    embeddings
+      .select(col(idCol).as("vec_id"), posexplode(proj).as(Seq("j", "y")))
+  }
+
   /** Top-`k` dimensions by variance: (dim, n, mean, variance), ties on
     * the integer variance numerator break to the lower dim index.
     */

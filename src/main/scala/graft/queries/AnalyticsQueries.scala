@@ -820,6 +820,56 @@ object AnalyticsQueries {
         vecCol = "embedding", k = 10)
     },
 
+    // X217 cross-dimension covariance top-k: the redundancy diagnostic
+    // next to X130's per-dim variance — pairs with high |covariance|
+    // are rotation/whitening candidates before PQ. Micro-quantized
+    // exact arithmetic; the RANKING compares the exact integer
+    // numerator n·Σxy − Σx·Σy in DECIMAL(38)/HUGEINT (a long overflows
+    // at corpus scale), floats only in the displayed division.
+    Q("q_embed_covariance",
+      """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+        |                  cast(round(unnest(embedding::DOUBLE[]) * 1000000) AS BIGINT) AS v
+        |           FROM embeddings),
+        |p AS (SELECT a.i AS i, b.i AS j, a.v AS vi, b.v AS vj
+        |      FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i < b.i),
+        |m AS (SELECT i, j, count(*) AS n,
+        |             sum(cast(vi AS HUGEINT)) AS s1, sum(cast(vj AS HUGEINT)) AS s2,
+        |             sum(cast(vi AS HUGEINT) * vj) AS sxy
+        |      FROM p GROUP BY 1, 2),
+        |c AS (SELECT i, j, n, cast(n AS HUGEINT) * sxy - s1 * s2 AS cov_num FROM m)
+        |SELECT cast(i AS int) AS i, cast(j AS int) AS j, cast(n AS bigint) AS n,
+        |       round(cast(cov_num AS double) / (n * n) / 1.0e12, 6) AS cov
+        |FROM c ORDER BY abs(cov_num) DESC, i, j LIMIT 15""".stripMargin) { (s, dir) =>
+      EmbeddingProfile.covarianceTopK(
+        t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        vecCol = "embedding", k = 15)
+    },
+
+    // X218 Johnson–Lindenstrauss random projection with a REPLAYABLE
+    // hash sign matrix: 64 dims → 16, one codegen'd map pass per row
+    // (zip_with + aggregate — no explode, no shuffle, no broadcast
+    // matrix), output the EXACT integer projections so DuckDB replays
+    // every bit. Distortion bands pinned in RandomProjectionSpec; the
+    // projected table is the cheap first stage for ANN prefiltering
+    // at 100 TB (16/64 of the bytes, distances preserved to O(1/√k)).
+    Q("q_embed_randproj",
+      """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+        |                  cast(round(unnest(embedding::DOUBLE[]) * 1000000) AS BIGINT) AS v
+        |           FROM embeddings),
+        |js AS (SELECT unnest(range(0, 16)) AS j),
+        |s AS (SELECT vec_id, j,
+        |             sum(CASE WHEN ((xor(i * 2654435761, j * 2246822519)
+        |                             % 4294967296) * 48611) % 4294967296
+        |                        < 2147483648 THEN v ELSE -v END) AS y
+        |      FROM e CROSS JOIN js GROUP BY 1, 2)
+        |SELECT vec_id, cast(j AS int) AS j, cast(y AS bigint) AS y
+        |FROM s ORDER BY vec_id, j""".stripMargin) { (s, dir) =>
+      EmbeddingProfile.randomProject(
+          t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+          idCol = "vec_id", vecCol = "embedding", k = 16)
+        .orderBy(col("vec_id"), col("j"))
+    },
+
     // X131 Nelson–Aalen conversion-hazard curve: signup → first
     // purchase with right censoring at the observation edge — the
     // estimator that keeps the users still waiting, which plain mean

@@ -110,6 +110,44 @@ class SkewIntervalJoinSpec extends SparkSpec {
     assert(bDec.viaBroadcast && !bDec.usedBucketing)
   }
 
+  test("randomized differential: bucketed and auto == plain on skewed corpora") {
+    // seeded corpora with a zipf-ish hot key, NEGATIVE times (the
+    // floor-division path pmod guards), inverted/null bounds, and spans
+    // straddling many buckets; every (width × joinType) pairing must
+    // reproduce the plain native operator's multiset exactly
+    Seq(7L, 23L, 91L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      def key(): Option[String] =
+        if (rnd.nextInt(20) == 0) None
+        else if (rnd.nextInt(10) < 7) Some("H") else Some(s"k${rnd.nextInt(8)}")
+      val pts = (0 until 1500).map { i =>
+        val t = if (rnd.nextInt(25) == 0) None else Some(rnd.nextLong(10000L) - 5000L)
+        (key(), t, seed * 1000000L + i)
+      }.toDF("k", "t", "id")
+      val ivs = (0 until 250).map { w =>
+        val s0 = rnd.nextLong(10000L) - 5000L
+        val span = rnd.nextLong(800L) - 40L // ~5% inverted
+        val s = if (rnd.nextInt(30) == 0) None else Some(s0)
+        val e = if (rnd.nextInt(30) == 0) None else Some(s0 + span)
+        (key(), s, e, seed * 1000L + w)
+      }.toDF("k", "s", "e", "wid")
+      Seq(org.apache.spark.sql.catalyst.plans.Inner, LeftOuter).foreach { jt =>
+        val plain = pairs(NativeIntervalJoin.contain(
+          pts, ivs, "k", "t", "s", "e", Seq("wid"), joinType = jt))
+        Seq(77L, 1000L).foreach { w =>
+          val bucketed = pairs(SkewIntervalJoin.containBucketed(
+            pts, ivs, "k", "t", "s", "e", Seq("wid"), bucketWidth = w, joinType = jt))
+          assert(bucketed === plain, s"seed=$seed width=$w joinType=$jt")
+        }
+        val auto = pairs(SkewIntervalJoin.containAuto(
+          pts, ivs, "k", "t", "s", "e", Seq("wid"), joinType = jt,
+          hotShareThreshold = 0.3, targetRowsPerBucket = 100L,
+          allowBroadcast = false))
+        assert(auto === plain, s"seed=$seed auto joinType=$jt")
+      }
+    }
+  }
+
   test("auto (LeftOuter) == plain across the hot/cold union") {
     val plain = pairs(NativeIntervalJoin.contain(
       points, intervals, "k", "t", "s", "e", Seq("wid"), joinType = LeftOuter))

@@ -103,6 +103,85 @@ object ScaleCurve {
       amped.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
     }
 
+  /** SKEW PROBE: the one scale risk the query matrix above cannot
+    * show — sf0.1's key distribution is benign, so the per-key
+    * straggler of the sort-merge as-of never fires there. This probe
+    * builds a synthetic hot corpus (80% of all left rows on ONE key,
+    * the rest over 1024 cold keys, right side 50k rows with the same
+    * 80/20 split) at three sizes and times the three execution paths
+    * of the same join: plain native sort-merge (the straggler victim),
+    * the X195 bucketed rewrite, and X207's auto-selection (whose
+    * histogram pass is visible as its overhead). A `sum(v)`
+    * differential across the three paths guards the measurement —
+    * a fast-but-wrong rewrite fails the probe, not just the spec.
+    * Replayable data (spark.range + hash arithmetic), no files.
+    */
+  private def skewProbe(spark: SparkSession, passes: Int): String = {
+    import graft.operators.SkewAsOfJoin
+    import graft.plans.NativeAsOfJoin
+    val day = 86400000000L
+    def corpus(n: Long): (DataFrame, DataFrame) = {
+      val hot = n * 8 / 10
+      val left = spark.range(n).select(
+        when(col("id") < hot, lit("H"))
+          .otherwise(concat(lit("k"), pmod(col("id"), lit(1024L)))).as("k"),
+        pmod(col("id") * lit(2654435761L), lit(day)).as("t"),
+        col("id"))
+      val right = spark.range(50000L).select(
+        when(col("id") < 40000L, lit("H"))
+          .otherwise(concat(lit("k"), pmod(col("id"), lit(1024L)))).as("k"),
+        pmod(col("id") * lit(40503L), lit(day)).as("rt"),
+        (col("id") * 3L).as("v"))
+      (left, right)
+    }
+    // (match-sum, matched-count, total rows): sum alone is blind to
+    // lost/duplicated UNMATCHED rows — LeftOuter nulls vanish in sum()
+    def checksum(df: DataFrame): (Long, Long, Long) = {
+      val r = df.agg(sum(col("v")), count(col("v")), count(lit(1))).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    def time(f: => Unit): Double = (1 to passes).map { _ =>
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }.min
+    val sizes = Seq(1000000L, 4000000L, 16000000L)
+    val rows = sizes.map { n =>
+      val (l, r) = corpus(n)
+      def plainDf = NativeAsOfJoin.asOf(l, r, "k", "t", "rt", Seq("v"),
+        broadcast = Some(false))
+      def buckDf = SkewAsOfJoin.asOfBucketed(l, r, "k", "t", "rt", Seq("v"),
+        bucketWidth = day / 256)
+      def autoDf = SkewAsOfJoin.asOfAuto(l, r, "k", "t", "rt", Seq("v"),
+        allowBroadcast = false)
+      val (cp, cb, ca) = (checksum(plainDf), checksum(buckDf), checksum(autoDf))
+      require(cp == cb && cp == ca,
+        s"skew probe differential broke at n=$n: plain=$cp bucketed=$cb auto=$ca")
+      val tp = time(plainDf.count()); val tb = time(buckDf.count())
+      val ta = time(autoDf.count())
+      System.err.println(f"[skew] n=$n%-9d plain=$tp%.2f bucketed=$tb%.2f auto=$ta%.2f")
+      (n, tp, tb, ta)
+    }
+    val sb = new StringBuilder
+    sb.append("\n## Skew probe — the hot-key straggler, measured\n\n")
+    sb.append("Synthetic corpus: 80% of left rows on ONE key, the rest over 1024\n")
+    sb.append("cold keys; right side 50k rows, same split; a (sum(v), matched\n")
+    sb.append("count, row count) checksum pinned equal across all three paths\n")
+    sb.append("before timing. `plain` = native\n")
+    sb.append("sort-merge exec (one partition carries the hot key), `bucketed` =\n")
+    sb.append("the (key x time-bucket) rewrite, `auto` = histogram-driven routing\n")
+    sb.append(s"(its extra rollup pass is included in its time). Min of $passes.\n\n")
+    sb.append("| left rows | plain s | bucketed s | auto s | plain/bucketed |\n")
+    sb.append("|---|---|---|---|---|\n")
+    rows.foreach { case (n, tp, tb, ta) =>
+      sb.append(f"| $n%,d | $tp%.2f | $tb%.2f | $ta%.2f | ${tp / tb}%.1f× |\n")
+    }
+    sb.append("\nThe plain/bucketed ratio GROWS with size — the straggler partition\n")
+    sb.append("is serial in the hot key's rows while the rewrite spreads them over\n")
+    sb.append("time buckets — which is exactly the claim the bucketed/auto paths\n")
+    sb.append("exist to fix (SkewAsOfJoin scaladoc; same construction as the\n")
+    sb.append("interval-side SkewIntervalJoin).\n")
+    sb.toString
+  }
+
   /** Least-squares slope of log t vs log n. */
   private def exponent(points: Seq[(Double, Double)]): Double = {
     val xs = points.map(p => math.log(p._1)); val ys = points.map(p => math.log(p._2))
@@ -220,8 +299,10 @@ object ScaleCurve {
     sb.append(f"\n${rows.size - flagged.size}/${rows.size} at exponent <= 1.2 " +
       f"(overall AND tail); " +
       f"flagged: ${if (flagged.isEmpty) "none" else flagged.map(_._1).mkString(", ")}\n")
-    if (only.isEmpty) Files.writeString(Paths.get(outPath), sb.toString)
-    else System.err.println(sb.toString)
+    if (only.isEmpty) {
+      sb.append(skewProbe(spark, passes))
+      Files.writeString(Paths.get(outPath), sb.toString)
+    } else System.err.println(sb.toString)
     println(s"SCALE_DONE flagged=${flagged.size} out=$outPath")
     spark.stop()
   }

@@ -58,8 +58,10 @@ object EmbeddingProfile {
     m.orderBy(abs(col("cov_num")).desc, col("i"), col("j"))
       .limit(k)
       .select(col("i"), col("j"), col("n"),
-        round(col("cov_num").cast("double") / (col("n") * col("n")) / 1.0e12, 6)
-          .as("cov"))
+        // n as double BEFORE squaring: a long n² wraps past ~3.0e9 rows,
+        // exactly the corpus scale this operator's exactness story targets
+        round(col("cov_num").cast("double") /
+          (col("n").cast("double") * col("n")) / 1.0e12, 6).as("cov"))
   }
 
   /** Johnson–Lindenstrauss random projection with a REPLAYABLE sign
@@ -113,7 +115,8 @@ object EmbeddingProfile {
       .limit(k)
       .select(col("dim"), col("n"),
         round(col("s1").cast("double") / col("n") / 1000000.0, 6).as("mean"),
-        round(col("var_num").cast("double") / (col("n") * col("n")) / 1.0e12, 6)
-          .as("variance"))
+        // same n²-overflow guard as covarianceTopK
+        round(col("var_num").cast("double") /
+          (col("n").cast("double") * col("n")) / 1.0e12, 6).as("variance"))
   }
 }

@@ -27,6 +27,29 @@ object KmvSketch {
 
   private val M = 4294967296L // 2^32 hash space
 
+  /** The shared sketch builder: (grp, h) rows, at most k per group —
+    * distinct Knuth hashes ranked ascending through WindowGroupLimit.
+    * NULL keys are dropped HERE: a null hash would rank FIRST under
+    * Spark's nulls-first ascending sort and displace a real hash from
+    * the sketch, while an external replay's NULLS LAST would exclude
+    * it — the one ordering divergence between engines, closed at the
+    * source (SQL count-distinct semantics ignore nulls anyway).
+    */
+  private def sketchOf(df: DataFrame, groupCol: String, keyCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"k=$k must be >= 2")
+    val hashes = df
+      .filter(col(keyCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        pmod(col(keyCol).cast("long") * 2654435761L, lit(M)).as("h"))
+      .distinct()
+    val wRank = Window.partitionBy(col("grp")).orderBy(col("h"))
+    hashes
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= k)
+      .select(col("grp"), col("h"))
+  }
+
   /** Per-group (grp, n_exact, est, rel_err): KMV estimate vs exact
     * distinct count of `keyCol`. Groups with fewer than k distinct
     * hashes report their exact set size (the sketch is lossless below
@@ -34,15 +57,7 @@ object KmvSketch {
     */
   def distinctEstimate(df: DataFrame, groupCol: String, keyCol: String,
       k: Int = 64): DataFrame = {
-    require(k >= 2, s"k=$k must be >= 2")
-    val hashes = df
-      .select(col(groupCol).as("grp"),
-        pmod(col(keyCol).cast("long") * 2654435761L, lit(M)).as("h"))
-      .distinct()
-    val wRank = Window.partitionBy(col("grp")).orderBy(col("h"))
-    val sketch = hashes
-      .withColumn("rn", row_number().over(wRank))
-      .filter(col("rn") <= k)
+    val sketch = sketchOf(df, groupCol, keyCol, k)
       .groupBy(col("grp")).agg(max(col("h")).as("hk"), count(lit(1)).as("m"))
     val exact = df.groupBy(col(groupCol).as("grp"))
       .agg(countDistinct(col(keyCol)).as("n_exact"))
@@ -79,16 +94,7 @@ object KmvSketch {
     */
   def setOpsPairwise(df: DataFrame, groupCol: String, keyCol: String,
       k: Int = 64): DataFrame = {
-    require(k >= 2, s"k=$k must be >= 2")
-    val hashes = df
-      .select(col(groupCol).as("grp"),
-        pmod(col(keyCol).cast("long") * 2654435761L, lit(M)).as("h"))
-      .distinct()
-    val wRank = Window.partitionBy(col("grp")).orderBy(col("h"))
-    val sketch = hashes
-      .withColumn("rn", row_number().over(wRank))
-      .filter(col("rn") <= k)
-      .select(col("grp"), col("h"))
+    val sketch = sketchOf(df, groupCol, keyCol, k)
     val groups = sketch.select(col("grp")).distinct()
     // the pair grid is |groups|² — broadcast-scalar by construction
     val pairs = groups.select(col("grp").as("ga"))

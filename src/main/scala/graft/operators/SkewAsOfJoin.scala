@@ -109,8 +109,6 @@ object SkewAsOfJoin {
       hotShareThreshold: Double = 0.1, targetRowsPerBucket: Long = 1000000L,
       maxHotKeys: Int = 32, allowBroadcast: Boolean = true)
       : (DataFrame, AutoDecision) = {
-    require(hotShareThreshold > 0 && hotShareThreshold <= 1,
-      s"asOfAuto: hotShareThreshold must be in (0, 1], got $hotShareThreshold")
     require(targetRowsPerBucket > 0,
       s"asOfAuto: targetRowsPerBucket must be > 0, got $targetRowsPerBucket")
     def plain = NativeAsOfJoin.asOf(left, right, key, leftTime, rightTime,
@@ -125,33 +123,11 @@ object SkewAsOfJoin {
       return (plain, AutoDecision(Nil, None, viaBroadcast = true))
 
     // rung 2: ONE aggregate pass over the left — per-key count + time
-    // span, with the grand total folded into the SAME job as the
-    // rollup() super-aggregate row (null keys are pre-filtered, so the
-    // one null-key output row IS the total, and it sorts first because
-    // total >= every per-key count): histogram + total + top-k = one
-    // map-side-combined aggregate and a TakeOrdered of maxHotKeys+1
-    // rows — no second pass, nothing corpus-sized near the driver.
-    def asLong(c: Column, dt: org.apache.spark.sql.types.DataType): Column = dt match {
-      case org.apache.spark.sql.types.TimestampType |
-           org.apache.spark.sql.types.TimestampNTZType => unix_micros(c)
-      case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
-        c.cast("long")
-      case other => throw new IllegalArgumentException(
-        s"asOfAuto: time column must be int/long/timestamp, got ${other.sql}")
-    }
-    val lDt = left.schema(leftTime).dataType
-    val top = left
-      .filter(col(key).isNotNull && col(leftTime).isNotNull)
-      .select(col(key), asLong(col(leftTime), lDt).as("__t"))
-      .rollup(col(key)).agg(
-        count(lit(1)).as("__cnt"), min(col("__t")).as("__tmin"), max(col("__t")).as("__tmax"))
-      .orderBy(col("__cnt").desc, col(key).asc_nulls_last).limit(maxHotKeys + 1)
-      .collect()
-    val total = top.find(_.isNullAt(0)).map(_.getLong(1)).getOrElse(0L)
-    val hot = top.filter { r =>
-      !r.isNullAt(0) && total > 0 &&
-        r.getLong(1).toDouble / total.toDouble >= hotShareThreshold
-    }
+    // span + grand total in a single job (SkewSupport.hotKeyHistogram,
+    // shared with the interval operator so the selection semantics
+    // cannot drift between the two)
+    val (hot, _) = SkewSupport.hotKeyHistogram(left, key, leftTime,
+      hotShareThreshold, maxHotKeys, "asOfAuto")
 
     // rung 3: uniform corpus — no key dominates; the plain operator's
     // one-shuffle-per-side plan is already the right one
@@ -160,11 +136,7 @@ object SkewAsOfJoin {
     // rung 4: derive the width from the hot keys themselves — min
     // across hot keys of span / ceil(cnt / target) keeps EVERY hot
     // key's expected bucket at ≈ targetRowsPerBucket
-    val width = hot.map { r =>
-      val (cnt, tmin, tmax) = (r.getLong(1), r.getLong(2), r.getLong(3))
-      val nBuckets = ((cnt + targetRowsPerBucket - 1) / targetRowsPerBucket).max(1L)
-      ((tmax - tmin) / nBuckets).max(1L)
-    }.min
+    val width = SkewSupport.densityWidth(hot, targetRowsPerBucket)
     val hotVals = hot.map(_.get(0)).toSeq
     val hotLeft = left.filter(col(key).isin(hotVals: _*))
     val coldLeft = left.filter(col(key).isNull || !col(key).isin(hotVals: _*))
@@ -179,14 +151,8 @@ object SkewAsOfJoin {
     (joined, AutoDecision(hotVals, Some(width), viaBroadcast = false))
   }
 
-  /** Exact integer floor(t / w) as a column, without `div`'s
-    * truncate-toward-zero bias on negatives: pmod is non-negative, so
-    * (t - pmod(t, w)) is an exact multiple of w, and the double
-    * division of exact multiples is exact for |t| < 2^53 (micros until
-    * year ~2255).
-    */
   private def floorDivCol(t: Column, w: Long): Column =
-    ((t - pmod(t, lit(w))) / lit(w)).cast("long")
+    SkewSupport.floorDivCol(t, w)
 
   /** As-of join `left` to `right` on `key` with per-time-bucket skew
     * splitting; all three directions and `within` supported — pandas
@@ -213,14 +179,8 @@ object SkewAsOfJoin {
         s"asOfBucketed: column name $n is reserved")
     }
 
-    def asLong(c: Column, dt: org.apache.spark.sql.types.DataType): Column = dt match {
-      case org.apache.spark.sql.types.TimestampType |
-           org.apache.spark.sql.types.TimestampNTZType => unix_micros(c)
-      case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
-        c.cast("long")
-      case other => throw new IllegalArgumentException(
-        s"asOfBucketed: time column must be int/long/timestamp, got ${other.sql}")
-    }
+    def asLong(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+      SkewSupport.asLong(c, dt, "asOfBucketed")
     val lDt = left.schema(leftTime).dataType
     val rDt = right.schema(rightTime).dataType
 

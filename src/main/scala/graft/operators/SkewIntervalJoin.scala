@@ -99,8 +99,6 @@ object SkewIntervalJoin {
       hotShareThreshold: Double = 0.1, targetRowsPerBucket: Long = 1000000L,
       maxHotKeys: Int = 32, maxReplication: Int = 4096,
       allowBroadcast: Boolean = true): (DataFrame, AutoDecision) = {
-    require(hotShareThreshold > 0 && hotShareThreshold <= 1,
-      s"containAuto: hotShareThreshold must be in (0, 1], got $hotShareThreshold")
     require(targetRowsPerBucket > 0,
       s"containAuto: targetRowsPerBucket must be > 0, got $targetRowsPerBucket")
     def plain = NativeIntervalJoin.contain(points, intervals, key, pointTime,
@@ -114,22 +112,11 @@ object SkewIntervalJoin {
     if (allowBroadcast && rightSmall)
       return (plain, AutoDecision(Nil, None, viaBroadcast = true))
 
-    // rung 2: per-key count + time span with the grand total folded into
-    // the SAME job as the rollup() super-aggregate row (see
-    // SkewAsOfJoin.asOfAutoWithDecision for the mechanics)
-    val lDt = points.schema(pointTime).dataType
-    val top = points
-      .filter(col(key).isNotNull && col(pointTime).isNotNull)
-      .select(col(key), asLong(col(pointTime), lDt, "containAuto").as("__t"))
-      .rollup(col(key)).agg(
-        count(lit(1)).as("__cnt"), min(col("__t")).as("__tmin"), max(col("__t")).as("__tmax"))
-      .orderBy(col("__cnt").desc, col(key).asc_nulls_last).limit(maxHotKeys + 1)
-      .collect()
-    val total = top.find(_.isNullAt(0)).map(_.getLong(1)).getOrElse(0L)
-    val hot = top.filter { r =>
-      !r.isNullAt(0) && total > 0 &&
-        r.getLong(1).toDouble / total.toDouble >= hotShareThreshold
-    }
+    // rung 2: per-key count + time span + grand total in a single job
+    // (SkewSupport.hotKeyHistogram — shared with the as-of operator so
+    // the selection semantics cannot drift between the two)
+    val (hot, _) = SkewSupport.hotKeyHistogram(points, key, pointTime,
+      hotShareThreshold, maxHotKeys, "containAuto")
 
     // rung 3: uniform corpus — no key dominates
     if (hot.isEmpty) return (plain, AutoDecision(Nil, None, viaBroadcast = false))
@@ -137,11 +124,7 @@ object SkewIntervalJoin {
     // rung 4: point-density width, clamped UP to the typical hot
     // interval span so the replication factor for the typical interval
     // stays ≤ ~2 (the knob the as-of rewrite does not need)
-    val densityWidth = hot.map { r =>
-      val (cnt, tmin, tmax) = (r.getLong(1), r.getLong(2), r.getLong(3))
-      val nBuckets = ((cnt + targetRowsPerBucket - 1) / targetRowsPerBucket).max(1L)
-      ((tmax - tmin) / nBuckets).max(1L)
-    }.min
+    val densityWidth = SkewSupport.densityWidth(hot, targetRowsPerBucket)
     val hotVals = hot.map(_.get(0)).toSeq
     val sDt = intervals.schema(startCol).dataType
     val spanRow = intervals
@@ -219,19 +202,9 @@ object SkewIntervalJoin {
       .drop("__graft_bucket")
   }
 
-  /** Exact integer floor(t / w) — see [[SkewAsOfJoin]] for the pmod
-    * rationale (no truncate-toward-zero bias on negatives).
-    */
   private def floorDivCol(t: Column, w: Long): Column =
-    ((t - pmod(t, lit(w))) / lit(w)).cast("long")
+    SkewSupport.floorDivCol(t, w)
 
   private def asLong(c: Column, dt: org.apache.spark.sql.types.DataType,
-      who: String): Column = dt match {
-    case org.apache.spark.sql.types.TimestampType |
-         org.apache.spark.sql.types.TimestampNTZType => unix_micros(c)
-    case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
-      c.cast("long")
-    case other => throw new IllegalArgumentException(
-      s"$who: time column must be int/long/timestamp, got ${other.sql}")
-  }
+      who: String): Column = SkewSupport.asLong(c, dt, who)
 }

@@ -287,7 +287,7 @@ object AnalyticsQueries {
     Q("q_sketch_kmv_distinct",
       """WITH h AS (SELECT DISTINCT event_type AS grp,
         |                  (user_id * 2654435761) % 4294967296 AS h
-        |           FROM events),
+        |           FROM events WHERE user_id IS NOT NULL),
         |r AS (SELECT grp, h,
         |             row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
         |      FROM h),
@@ -319,7 +319,7 @@ object AnalyticsQueries {
     Q("q_sketch_kmv_setops",
       """WITH h AS (SELECT DISTINCT event_type AS grp,
         |                  (user_id * 2654435761) % 4294967296 AS h
-        |           FROM events),
+        |           FROM events WHERE user_id IS NOT NULL),
         |r AS (SELECT grp, h,
         |             row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
         |      FROM h),
@@ -813,7 +813,7 @@ object AnalyticsQueries {
         |r AS (SELECT dim, n, s1, s2, n * s2 - s1 * s1 AS var_num FROM m)
         |SELECT cast(dim AS int) AS dim, cast(n AS bigint) AS n,
         |       round(cast(s1 AS double) / n / 1000000.0, 6) AS mean,
-        |       round(cast(var_num AS double) / (n * n) / 1.0e12, 6) AS variance
+        |       round(cast(var_num AS double) / (n::DOUBLE * n) / 1.0e12, 6) AS variance
         |FROM r ORDER BY var_num DESC, dim LIMIT 10""".stripMargin) { (s, dir) =>
       EmbeddingProfile.topVarianceDims(
         t(s, dir, "embeddings").select(col("embedding")),
@@ -838,7 +838,7 @@ object AnalyticsQueries {
         |      FROM p GROUP BY 1, 2),
         |c AS (SELECT i, j, n, cast(n AS HUGEINT) * sxy - s1 * s2 AS cov_num FROM m)
         |SELECT cast(i AS int) AS i, cast(j AS int) AS j, cast(n AS bigint) AS n,
-        |       round(cast(cov_num AS double) / (n * n) / 1.0e12, 6) AS cov
+        |       round(cast(cov_num AS double) / (n::DOUBLE * n) / 1.0e12, 6) AS cov
         |FROM c ORDER BY abs(cov_num) DESC, i, j LIMIT 15""".stripMargin) { (s, dir) =>
       EmbeddingProfile.covarianceTopK(
         t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),

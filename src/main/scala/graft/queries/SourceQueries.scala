@@ -279,7 +279,9 @@ object SourceQueries {
         |       cast(floor(sum(l.l_quantity)) AS bigint) AS sum_qty
         |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         |GROUP BY 1 ORDER BY pri""".stripMargin) { (s, dir) =>
-      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      // per-JVM nonce: concurrent processes over the same dir must not
+      // share a table name (resetTable would race their scans)
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + Bucketing.runTag
       val (ot, lt) = (s"b_orders_$tag", s"b_lineitem_$tag")
       Bucketing.writeBucketed(
         t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),

@@ -19,6 +19,19 @@ object TextQueries {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
 
+  /** Stored-fingerprint-index path for the X205 queries: ONE temp root
+    * per JVM (re-executions in the same process reuse and overwrite it
+    * — writeIndex is a static overwrite, so reuse is clean and a bench
+    * run's 4+ executions don't accrete 4+ full index copies in /tmp),
+    * keyed inside by the full sanitized data dir + query tag (two
+    * datasets or the two X205 queries never share an index; two
+    * PROCESSES get distinct roots from createTempDirectory).
+    */
+  private lazy val fpIndexRoot: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft_fpidx_")
+  private def fpIndexPath(dir: String, tag: String): String =
+    fpIndexRoot.resolve(dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + tag).toString
+
   private val enStop = Seq("the", "and", "of", "is", "with")
   private val enStopSql = "['the', 'and', 'of', 'is', 'with']"
   private val toksSql = "regexp_split_to_array(lower(text), '\\s+')"
@@ -2081,11 +2094,7 @@ object TextQueries {
          |WHERE f.doc_id % 10 = 3
          |ORDER BY f.doc_id""".stripMargin) { (s, dir) =>
       val docs = t(s, dir, "documents")
-      // a fresh per-run temp dir: hashCode-keyed paths can collide
-      // across data dirs, and a shared fixed path races concurrent
-      // runs (bench + correctness) over the same dir
-      val path = java.nio.file.Files.createTempDirectory("graft_fpidx_")
-        .resolve("index").toString
+      val path = fpIndexPath(dir, "probe")
       IncrementalDedup.writeIndex(docs.filter(col("doc_id") % 10 =!= 3), path)
       IncrementalDedup.probe(s, docs.filter(col("doc_id") % 10 === 3), path)
     },
@@ -2113,8 +2122,7 @@ object TextQueries {
          |FROM (SELECT * FROM corpus UNION ALL SELECT * FROM novel)
          |ORDER BY fingerprint""".stripMargin) { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val path = java.nio.file.Files.createTempDirectory("graft_fpidx_")
-        .resolve("index").toString
+      val path = fpIndexPath(dir, "refresh")
       val batch = docs.filter(col("doc_id") % 10 === 3)
       IncrementalDedup.writeIndex(docs.filter(col("doc_id") % 10 =!= 3), path)
       IncrementalDedup.refreshIndex(s, batch, path)

@@ -645,8 +645,9 @@ object Windows {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         |  ON c.user_id = s.user_id AND s.ts <= c.ts
         |ORDER BY click_id""".stripMargin) { (s, dir) =>
-      val tbl = ("b_events_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
-        .toLowerCase(java.util.Locale.ROOT)
+      // per-JVM nonce in the name: see q_source_bucketed_join
+      val tbl = ("b_events_" + dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+        graft.sources.Bucketing.runTag).toLowerCase(java.util.Locale.ROOT)
       graft.sources.Bucketing.writeBucketedSorted(
         t(s, dir, "events").select(col("event_id"), col("user_id"),
           col("ts"), col("event_type")),
@@ -952,7 +953,8 @@ object Windows {
         |       cast(w.w_end - p.t AS bigint) AS remaining_us
         |FROM p JOIN w ON p.user_id = w.user_id AND p.t BETWEEN w.w_start AND w.w_end
         |ORDER BY click_id, window_id""".stripMargin) { (s, dir) =>
-      val tag = dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase(java.util.Locale.ROOT)
+      val tag = (dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+        graft.sources.Bucketing.runTag).toLowerCase(java.util.Locale.ROOT)
       val (pt, wt) = (s"b_points_$tag", s"b_windows_$tag")
       val ev = t(s, dir, "events")
       graft.sources.Bucketing.writeBucketedSorted(

@@ -13,6 +13,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
+  /** Per-JVM nonce for derived table names: two PROCESSES running the
+    * same query over the same data dir (bench + correctness is the real
+    * scenario) must not share a catalog table name, or one process's
+    * [[resetTable]] deletes the location mid-scan of the other. Within
+    * one JVM the name is stable, so re-runs reuse/overwrite cleanly.
+    */
+  lazy val runTag: String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+
   /** Drop `table` and clear its managed location. A leftover warehouse
     * directory from a previous JVM (the in-memory catalog dies with the
     * session, the files do not) makes the next `saveAsTable` fail with

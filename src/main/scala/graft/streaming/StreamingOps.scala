@@ -205,6 +205,16 @@ object StreamingOps {
             def us(e: AttrEvent): Long =
               e.ts.getTime / 1000L * 1000000L + e.ts.getNanos / 1000L
             var latest = state.getOption // (click_id, t_us)
+            // the horizon is enforced at PROCESSING time too, not only
+            // via the timeout: a user with activity in every batch never
+            // times out (hasTimedOut needs a silent batch) and the
+            // re-armed timeout keeps sliding forward — without this
+            // check such a user's purchases would keep attributing to a
+            // click arbitrarily older than evictAfterMs, and whether
+            // they did would depend on batch boundaries
+            evictAfterMs.foreach { ev =>
+              latest = latest.filter(_._2 / 1000L + ev > state.getCurrentWatermarkMs())
+            }
             val out = scala.collection.mutable.ListBuffer[Attribution]()
             // at equal timestamps the source processes FIRST: as-of ties
             // (click.ts == purchase.ts) match, exactly like the native
@@ -226,16 +236,22 @@ object StreamingOps {
                   hit.map(_._1), hit.map(t - _._2))
               }
             }
-            latest.foreach { st =>
-              state.update(st)
-              evictAfterMs.foreach { ev =>
-                // clamp above the current watermark: a state touched in
-                // the same batch its horizon expires must still set a
-                // LEGAL timestamp (Spark rejects one at/under the
-                // watermark); it then evicts on the next advance
-                state.setTimeoutTimestamp(
-                  math.max(st._2 / 1000L + ev, state.getCurrentWatermarkMs() + 1L))
-              }
+            latest match {
+              case Some(st) =>
+                state.update(st)
+                evictAfterMs.foreach { ev =>
+                  // clamp above the current watermark: a state touched in
+                  // the same batch its horizon expires must still set a
+                  // LEGAL timestamp (Spark rejects one at/under the
+                  // watermark); it then evicts on the next advance
+                  state.setTimeoutTimestamp(
+                    math.max(st._2 / 1000L + ev, state.getCurrentWatermarkMs() + 1L))
+                }
+              case None =>
+                // the stored click fell past the horizon this batch and
+                // no fresh one replaced it — drop the row now instead of
+                // waiting for a silent batch to fire the timeout
+                if (state.exists) state.remove()
             }
             out.iterator
           }

@@ -303,6 +303,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("as-of eviction holds under ONGOING activity: a busy user cannot ride a " +
+      "stale click past the horizon") {
+    // hasTimedOut only fires for groups with a SILENT batch, and the
+    // re-armed timeout slides forward — so the horizon must also be
+    // enforced at processing time, or a user active in every batch
+    // attributes to a click arbitrarily older than evictAfterMs
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import StreamingOps.AttrEvent
+    val mem = MemoryStream[AttrEvent]
+    val q = StreamingOps.asOfWithState(mem.toDS(), sourceType = "click",
+        matchType = "purchase",
+        watermarkDelay = Some("10 minutes"),
+        evictAfterMs = Some(20L * 60 * 1000))
+      .writeStream.format("memory").queryName("asofbusy").outputMode("append")
+      .start()
+    def stateRows: Long = q.recentProgress.reverse
+      .find(_.stateOperators.nonEmpty).map(_.stateOperators(0).numRowsTotal)
+      .getOrElse(-1L)
+    try {
+      // user 1 clicks at 00:00 (horizon 00:20); user 2's click at 01:00
+      // pushes the NEXT batch's watermark to 00:50 — past the horizon
+      mem.addData(AttrEvent(1L, 100L, "click", ts("2024-01-01 00:00:00")),
+        AttrEvent(2L, 300L, "click", ts("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      // user 1 purchases in the very next batch: the group HAS data, so
+      // no timeout fires — the processing-time horizon check must null
+      // the attribution and drop the pair anyway
+      mem.addData(AttrEvent(1L, 400L, "purchase", ts("2024-01-01 01:05:00")))
+      q.processAllAvailable()
+      val r = spark.table("asofbusy").collect()
+        .map(x => x.getLong(1) -> (if (x.isNullAt(2)) -1L else x.getLong(2))).toMap
+      assert(r === Map(400L -> -1L),
+        s"busy user must not attribute past the horizon: $r")
+      assert(stateRows <= 1L,
+        s"user 1's stale pair dropped at processing time, only user 2 remains: $stateRows")
+      // and staying busy never resurrects it
+      mem.addData(AttrEvent(1L, 401L, "purchase", ts("2024-01-01 01:06:00")))
+      q.processAllAvailable()
+      val r2 = spark.table("asofbusy").collect()
+        .map(x => x.getLong(1) -> (if (x.isNullAt(2)) -1L else x.getLong(2))).toMap
+      assert(r2(401L) === -1L, s"got $r2")
+    } finally q.stop()
+  }
+
   test("stream-static as-of via the native BROADCAST exec: stateless, cross-batch exact") {
     val s = spark; import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext

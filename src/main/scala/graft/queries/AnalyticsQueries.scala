@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Bootstrap, CdcMerge, ChangePoint, CohortLtv, Concentration, EmbeddingProfile, GridCluster, GroupRegression, KmvAggregator, KmvSketch, KsTest, MultiTouchAttribution, NoveltyRate, PhraseSearch, Resample, RollingOrigin, Seasonal, SimilaritySearch, Skyline, Survival, TopK, WaterFill, WeightedMedian, Winsorizer}
+import graft.operators.{AsOfJoin, Bootstrap, CdcMerge, ChangePoint, CohortLtv, Concentration, EmbeddingProfile, GridCluster, GroupRegression, KmvAggregator, KmvSketch, KsTest, MultiTouchAttribution, MutualInfo, NoveltyRate, PhraseSearch, Resample, RollingOrigin, Seasonal, SimilaritySearch, Skyline, Survival, TopK, WaterFill, WeightedMedian, Winsorizer}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -818,6 +818,40 @@ object AnalyticsQueries {
       EmbeddingProfile.topVarianceDims(
         t(s, dir, "embeddings").select(col("embedding")),
         vecCol = "embedding", k = 10)
+    },
+
+    // X219 per-dimension LABEL-LEAKAGE screen: mutual information
+    // between each binned embedding coordinate and the class label —
+    // the audit that finds dimensions encoding the label (target
+    // leakage / memorized supervision) before training. All
+    // probabilities are ratios of exact integer counts (micro-quantized
+    // coords, exact pmod floor-division bins); ln only in the final
+    // displayed terms, and the ranking orders by the ROUNDED score so
+    // the replay cannot disagree below displayed precision.
+    Q("q_embed_label_mi",
+      """WITH e AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+        |                  cast(round(unnest(embedding::DOUBLE[]) * 1000000) AS BIGINT) AS v
+        |           FROM embeddings WHERE label IS NOT NULL),
+        |b AS (SELECT dim, label,
+        |             (v - ((v % 100000 + 100000) % 100000)) / 100000 AS bin
+        |      FROM e),
+        |c AS (SELECT dim, bin, label, count(*) AS nbl FROM b GROUP BY 1, 2, 3),
+        |tb AS (SELECT dim, bin, sum(nbl) AS nb FROM c GROUP BY 1, 2),
+        |tl AS (SELECT dim, label, sum(nbl) AS nl FROM c GROUP BY 1, 2),
+        |tn AS (SELECT dim, sum(nbl) AS n FROM c GROUP BY 1),
+        |mi AS (SELECT c.dim,
+        |              max(n) AS n,
+        |              sum((nbl::DOUBLE / n) *
+        |                  ln(nbl::DOUBLE * n / (nb::DOUBLE * nl))) AS mi_raw
+        |       FROM c JOIN tb USING (dim, bin) JOIN tl USING (dim, label)
+        |              JOIN tn USING (dim)
+        |       GROUP BY 1)
+        |SELECT cast(dim AS int) AS dim, cast(n AS bigint) AS n,
+        |       round(mi_raw, 6) AS mi
+        |FROM mi ORDER BY round(mi_raw, 6) DESC, dim""".stripMargin) { (s, dir) =>
+      MutualInfo.labelLeakage(
+        t(s, dir, "embeddings").select(col("embedding"), col("label")),
+        vecCol = "embedding", labelCol = "label")
     },
 
     // X217 cross-dimension covariance top-k: the redundancy diagnostic

@@ -355,6 +355,65 @@ object AnalyticsQueries {
         .orderBy(col("ga"), col("gb"))
     },
 
+    // X220 DIRECTIONAL containment from sketches: what fraction of
+    // segment A's users also appear in B (and vice versa) — the
+    // asymmetric overlap question (funnel leakage, cross-surface
+    // audience containment) Jaccard alone cannot answer, estimated
+    // entirely from the X213 pair sketches joined to the X115
+    // per-segment estimates: cont(A⊆B) = est|A∩B| / est|A|, clamped to
+    // 1 (estimators can overshoot). Still N·k longs total — never a
+    // pairwise distinct-join of the corpus.
+    Q("q_sketch_kmv_containment",
+      """WITH h AS (SELECT DISTINCT event_type AS grp,
+        |                  (user_id * 2654435761) % 4294967296 AS h
+        |           FROM events WHERE user_id IS NOT NULL),
+        |r AS (SELECT grp, h,
+        |             row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+        |      FROM h),
+        |s AS (SELECT grp, h FROM r WHERE rn <= 64),
+        |kk AS (SELECT grp, max(h) AS hk, count(*) AS m FROM s GROUP BY 1),
+        |eg AS (SELECT grp, round(CASE WHEN m < 64 THEN cast(m AS double)
+        |                              ELSE 63 * 4294967296.0 / hk END, 2) AS est
+        |       FROM kk),
+        |g AS (SELECT DISTINCT grp FROM s),
+        |p AS (SELECT a.grp AS ga, b.grp AS gb FROM g a, g b WHERE a.grp < b.grp),
+        |m2 AS (SELECT ga, gb, h, max(ina) AS ina, max(inb) AS inb FROM (
+        |         SELECT p.ga, p.gb, s.h, 1 AS ina, 0 AS inb
+        |         FROM p JOIN s ON s.grp = p.ga
+        |         UNION ALL
+        |         SELECT p.ga, p.gb, s.h, 0 AS ina, 1 AS inb
+        |         FROM p JOIN s ON s.grp = p.gb) u
+        |       GROUP BY 1, 2, 3),
+        |mr AS (SELECT ga, gb, h, ina, inb,
+        |              row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+        |       FROM m2),
+        |agg AS (SELECT ga, gb, count(*) AS m_union, max(h) AS hk_union,
+        |               sum(ina * inb) AS inter_k
+        |        FROM mr WHERE rn <= 64 GROUP BY 1, 2),
+        |sel AS (SELECT ga, gb,
+        |               round((cast(inter_k AS double) / m_union) *
+        |                     (CASE WHEN m_union < 64 THEN cast(m_union AS double)
+        |                           ELSE 63 * 4294967296.0 / hk_union END), 2) AS ei
+        |        FROM agg)
+        |SELECT ga, gb, ea.est AS est_a, eb.est AS est_b,
+        |       round(least(1.0, ei / ea.est), 6) AS cont_a,
+        |       round(least(1.0, ei / eb.est), 6) AS cont_b
+        |FROM sel JOIN eg ea ON ea.grp = sel.ga
+        |         JOIN eg eb ON eb.grp = sel.gb
+        |ORDER BY ga, gb""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val pairs = KmvSketch.setOpsPairwise(ev, "event_type", "user_id", k = 64)
+      val ests = KmvSketch.distinctEstimate(ev, "event_type", "user_id", k = 64)
+        .select(col("grp"), col("est"))
+      pairs
+        .join(ests.select(col("grp").as("ga"), col("est").as("est_a")), Seq("ga"))
+        .join(ests.select(col("grp").as("gb"), col("est").as("est_b")), Seq("gb"))
+        .select(col("ga"), col("gb"), col("est_a"), col("est_b"),
+          round(least(lit(1.0), col("est_intersect") / col("est_a")), 6).as("cont_a"),
+          round(least(lit(1.0), col("est_intersect") / col("est_b")), 6).as("cont_b"))
+        .orderBy(col("ga"), col("gb"))
+    },
+
     // X191 bottom-k-by-hash quantile summary: deciles of
     // l_extendedprice read off a 1024-row uniform sample selected by
     // the k SMALLEST md5 ranks — a mergeable, partition-independent,

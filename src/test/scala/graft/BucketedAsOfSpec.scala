@@ -80,6 +80,30 @@ class BucketedAsOfSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("contract boundary: a DERIVED time column forfeits the sort elimination " +
+      "(Exchange still absent)") {
+    written
+    // unix_micros(ts) is not an alias of the stored sort column, so the
+    // exec's (key, time) ordering requirement is no longer satisfied by
+    // the scan — the Sort must come back, while the bucket-provided
+    // distribution still kills the Exchange. This pins WHY
+    // writeBucketedSorted materializes time columns at write.
+    val src = spark.table(table)
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        unix_micros(col("ts")).as("t"))
+    val signups = src.filter(col("event_type") === "signup")
+      .select(col("user_id"), unix_micros(col("ts")).as("signup_t"),
+        col("event_id").as("signup_id"))
+    val df = NativeAsOfJoin.asOf(clicks, signups, key = "user_id",
+      leftTime = "t", rightTime = "signup_t",
+      payloadCols = Seq("signup_id"), broadcast = Some(false))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), "bucket distribution still holds:\n" + p)
+    assert(p.contains("Sort ["), "derived time must re-sort — if this ever " +
+      "passes sort-free, the materialize-at-write advice is stale:\n" + p)
+  }
+
   test("writeBucketedSorted lays down exactly one file per bucket") {
     written
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")

@@ -66,6 +66,12 @@ object GraftExtensions {
     // ... and the native keyed interval-containment join, same ladder.
     ext.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushFiltersThroughIntervalJoin)
+    // AQE skew-splitting for both native sort-merge execs — the mirror
+    // of Spark's OptimizeSkewedJoin (which matches SMJ/SHJ by class and
+    // cannot see custom execs), running in the builtin rule's own slot
+    // (queryStagePreparationRules, right after it).
+    ext.injectQueryStagePrepRule(_ =>
+      org.apache.spark.sql.graftbridge.OptimizeSkewedGraftJoin)
     // SQL front door for both native joins: TVFs plant unresolved
     // placeholders; the resolution rule rewrites them into the real
     // nodes once their inputs resolve (graft.plans.SqlFrontDoor).

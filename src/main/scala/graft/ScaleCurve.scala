@@ -206,11 +206,20 @@ object ScaleCurve {
       .map(_.split(",").map(_.trim).toSet)
     val underTest = queriesUnderTest.filter(q => only.forall(_.contains(q)))
     val skipAmp = sys.env.get("SPARK_GRAFT_SCALE_REUSE").contains("1")
+    // amplification dirs live under a caller-overridable base; REUSE=1
+    // implies a fixed path by design (the point is reusing a previous
+    // run's replicas), but a fresh materialization gets a per-JVM nonce
+    // so two concurrent ScaleCurve runs never clobber each other's
+    // replicas mid-read (the same race Bucketing.runTag guards)
+    val scaleBase = sys.env.get("SPARK_GRAFT_SCALE_DIR").getOrElse {
+      if (skipAmp) s"$tmp/graft_scale"
+      else s"$tmp/graft_scale_${java.lang.management.ManagementFactory.getRuntimeMXBean.getPid}"
+    }
     val factors = Seq(1, 4, 16)
     val dirs: Map[Int, String] = factors.map {
       case 1 => 1 -> srcDir
       case k =>
-        val d = s"$tmp/graft_scale_x$k"
+        val d = s"${scaleBase}_x$k"
         if (!skipAmp) {
           System.err.println(s"[scale] materializing x$k under $d")
           amplify(spark, srcDir, d, k)

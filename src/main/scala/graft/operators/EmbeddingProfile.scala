@@ -97,6 +97,10 @@ object EmbeddingProfile {
           (v, i) => sign(i, j.cast("long")) * v),
         lit(0L), (acc, v) => acc + v))
     embeddings
+      // a size-0 vector would make sequence(0, -1) auto-step to [0, -1]
+      // and zip_with pad — k spurious null-y rows; an empty embedding has
+      // no projection, matching the oracle's empty per-dim expansion
+      .filter(size(col(vecCol)) > 0)
       .select(col(idCol).as("vec_id"), posexplode(proj).as(Seq("j", "y")))
   }
 

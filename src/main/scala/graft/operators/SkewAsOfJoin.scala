@@ -6,11 +6,16 @@ import org.apache.spark.sql.catalyst.plans.{JoinType, LeftOuter}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Skew-safe as-of join: the hot-key mitigation for the native operator
-  * (the documented straggler bound of [[graft.plans.AsOfJoinExec]] — a
-  * single key with 10⁷ left rows lands in ONE partition of the
-  * sort-merge zip, and the zip contract forbids AQE's skew splitting
-  * from rescuing it).
+/** Skew-safe as-of join: the hot-key mitigation for the native operator.
+  * Since the AQE skew rule landed
+  * ([[org.apache.spark.sql.graftbridge.OptimizeSkewedGraftJoin]] splits
+  * a hot LEFT partition of [[graft.plans.AsOfJoinExec]] into map-range
+  * slices at runtime), this rewrite is an OPTIMIZATION rather than a
+  * correctness necessity for left-side skew; it remains the only
+  * answer to RIGHT-side skew (a key with 10⁷ history rows — the AQE
+  * rule can never split the right side, because as-of picks one best
+  * candidate per left row), and it also helps when AQE is off or the
+  * skew only materializes past the conf thresholds.
   *
   * Construction (semantics identical to `NativeAsOfJoin.asOf`, verified
   * against it per direction on a synthetic hot key in

@@ -129,7 +129,12 @@ object SkewIntervalJoin {
     val sDt = intervals.schema(startCol).dataType
     val spanRow = intervals
       .filter(col(key).isin(hotVals: _*) &&
-        col(startCol).isNotNull && col(endCol).isNotNull)
+        col(startCol).isNotNull && col(endCol).isNotNull &&
+        // inverted intervals (s > e) never replicate in containBucketed —
+        // letting their negative spans into the mean would shrink the
+        // derived width below the real typical span and inflate
+        // replication for the intervals that DO
+        col(startCol) <= col(endCol))
       .agg(avg(asLong(col(endCol), sDt, "containAuto") -
         asLong(col(startCol), sDt, "containAuto")).as("__span"))
       .collect()(0)

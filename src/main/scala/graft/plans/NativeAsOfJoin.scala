@@ -43,11 +43,18 @@ import org.apache.spark.sql.graftbridge.Bridge
   * key and `requiredChildOrdering` asks for (key, time) — so Catalyst's
   * EnsureRequirements plans exactly ONE hash shuffle + sort per side
   * (the sort-merge-join shape). The per-partition merge zips the two
-  * children, which requires EQUAL partition counts; verified (round
-  * 14, 2M×10 skewed probe): AQE does not partition-coalesce around
-  * this node even when one side is tiny — both exchanges keep the
-  * full `spark.sql.shuffle.partitions` count, so the zip contract
-  * holds by construction. The merge itself is
+  * children pairwise — the same consumption pattern as Spark's own
+  * `SortMergeJoinExec`; alignment is the framework's planning-time
+  * guarantee (EnsureRequirements plans both exchanges from the
+  * required distributions, ValidateRequirements re-checks after every
+  * AQE rewrite, and `zipPartitions` itself rejects unequal counts).
+  * Under AQE, [[org.apache.spark.sql.graftbridge.OptimizeSkewedGraftJoin]]
+  * (the engine's mirror of Spark's `OptimizeSkewedJoin`, injected as a
+  * query-stage-prep rule) splits a skewed LEFT partition into map-range
+  * slices and duplicates the matching right partition per slice —
+  * `isSkewJoin = true` then relaxes the distribution requirement
+  * exactly like `SortMergeJoinExec(isSkewJoin = true)`, so a hot key
+  * no longer creates a straggler task. The merge itself is
   * a streaming single pass per partition holding ONE buffered right row
   * group — O(|L|+|R|) with O(1) memory, regardless of history depth. The
   * compositional union+window form moves |L|+|R| rows through one
@@ -204,7 +211,8 @@ case class AsOfJoinExec(
     leftTime: Attribute, rightTime: Attribute,
     payload: Seq[Attribute], joinType: JoinType,
     tolerance: Option[Long], direction: AsOfDirection,
-    left: SparkPlan, right: SparkPlan) extends SparkPlan with BinaryExecNode {
+    left: SparkPlan, right: SparkPlan,
+    isSkewJoin: Boolean = false) extends SparkPlan with BinaryExecNode {
 
   // the same dark-spot problem as any exec without metrics: at scale
   // the Spark UI shows every builtin join's row counts — this operator
@@ -221,16 +229,31 @@ case class AsOfJoinExec(
     if (joinType == LeftOuter) left.output ++ payload.map(_.withNullability(true))
     else left.output ++ payload
 
+  // isSkewJoin: OptimizeSkewedGraftJoin has already re-arranged the
+  // shuffle reads into aligned (left-slice, full-right) pairs — the
+  // children no longer satisfy ClusteredDistribution (a hot key spans
+  // several left slices) and must not be re-exchanged; the same
+  // contract as SortMergeJoinExec(isSkewJoin = true).
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+    if (isSkewJoin) UnspecifiedDistribution :: UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
     rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
 
   // Left rows pass through in their sorted order, one output row each.
-  override def outputPartitioning: Partitioning = left.outputPartitioning
+  // Under skew-splitting a key spans several output partitions, so the
+  // clustered partitioning no longer holds for operators above.
+  override def outputPartitioning: Partitioning =
+    if (isSkewJoin)
+      org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning(
+        left.outputPartitioning.numPartitions)
+    else left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override def nodeName: String =
+    if (isSkewJoin) super.nodeName + "(skew=true)" else super.nodeName
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
@@ -253,24 +276,14 @@ case class AsOfJoinExec(
       case org.apache.spark.sql.types.IntegerType => r => r.getInt(0).toLong
       case _ => r => r.getLong(0) // LongType / TimestampType(_NTZ) micros
     }
-    val lRdd = left.execute()
-    val rRdd = right.execute()
-    // Runtime zip-contract guard ([[ZipContract]]): the merge zips child
-    // partitions pairwise, which is only correct when EnsureRequirements
-    // gave both sides co-aligned hash partitionings (round-14 probes
-    // verified AQE never coalesces around this node). If a future
-    // planner/AQE change breaks that, fail loudly by name here —
-    // RDD.zipPartitions would also throw on a count mismatch, but deep
-    // in getPartitions with a message that doesn't say which operator or
-    // what contract broke, and it would NOT catch misaligned hash keys.
-    ZipContract.violation(left.outputPartitioning, right.outputPartitioning,
-        lRdd.getNumPartitions, rRdd.getNumPartitions, lks, rks).foreach { why =>
-      throw new IllegalStateException(
-        s"GRAFT_ASOF_ZIP_CONTRACT violated: $why. A planner/AQE change has " +
-          "re-partitioned around AsOfJoinExec; the pairwise merge would join " +
-          "wrong partitions.")
-    }
-    lRdd.zipPartitions(rRdd) { (lIter, rIter) =>
+    // Pairwise partition zip — the same consumption pattern as Spark's
+    // SortMergeJoinExec. Alignment is the framework's guarantee:
+    // EnsureRequirements plans both exchanges from the required
+    // distributions in child order, ValidateRequirements re-checks the
+    // plan after every AQE rewrite, OptimizeSkewedGraftJoin constructs
+    // its slice/duplicate spec lists pairwise-aligned by construction,
+    // and zipPartitions itself rejects unequal partition counts.
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lks, leftOut)
       val rKeyProj = UnsafeProjection.create(rks, rightOut)
       val lTimeProj = UnsafeProjection.create(Seq(lt), leftOut)

@@ -157,21 +157,36 @@ case class IntervalJoinExec(
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTime: Attribute, rightStart: Attribute, rightEnd: Attribute,
     payload: Seq[Attribute], joinType: JoinType,
-    left: SparkPlan, right: SparkPlan) extends SparkPlan with BinaryExecNode {
+    left: SparkPlan, right: SparkPlan,
+    isSkewJoin: Boolean = false) extends SparkPlan with BinaryExecNode {
 
   override def output: Seq[Attribute] =
     if (joinType == LeftOuter) left.output ++ payload.map(_.withNullability(true))
     else left.output ++ payload
 
+  // isSkewJoin: OptimizeSkewedGraftJoin has re-arranged the shuffle
+  // reads into aligned slice pairs (INNER may split both sides — the
+  // all-pairs-within-key semantics make slice×slice a disjoint cover;
+  // LEFT OUTER splits only the left); the children no longer satisfy
+  // ClusteredDistribution and must not be re-exchanged — the same
+  // contract as SortMergeJoinExec(isSkewJoin = true).
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+    if (isSkewJoin) UnspecifiedDistribution :: UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
     rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightStart, Ascending))
 
-  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputPartitioning: Partitioning =
+    if (isSkewJoin)
+      org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning(
+        left.outputPartitioning.numPartitions)
+    else left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override def nodeName: String =
+    if (isSkewJoin) super.nodeName + "(skew=true)" else super.nodeName
 
   // UI visibility at scale — every builtin join reports row counts;
   // this exec must not be the one dark node (reference: SortMergeJoinExec)
@@ -197,20 +212,11 @@ case class IntervalJoinExec(
     val numOutputRows = longMetric("numOutputRows")
     val numMatched = longMetric("numMatchedPoints")
     val numUnmatched = longMetric("numUnmatchedPoints")
-    val lRdd = left.execute()
-    val rRdd = right.execute()
-    // Runtime zip-contract guard ([[ZipContract]]) — same contract and
-    // rationale as AsOfJoinExec: pairwise partition zip is only correct
-    // under co-aligned hash partitioning; fail by name instead of
-    // mis-zipping or surfacing a generic zipPartitions error.
-    ZipContract.violation(left.outputPartitioning, right.outputPartitioning,
-        lRdd.getNumPartitions, rRdd.getNumPartitions, lks, rks).foreach { why =>
-      throw new IllegalStateException(
-        s"GRAFT_INTERVAL_ZIP_CONTRACT violated: $why. A planner/AQE change has " +
-          "re-partitioned around IntervalJoinExec; the pairwise merge would join " +
-          "wrong partitions.")
-    }
-    lRdd.zipPartitions(rRdd) { (lIter, rIter) =>
+    // Pairwise partition zip — alignment is the framework's guarantee
+    // (EnsureRequirements + ValidateRequirements + the pairwise-aligned
+    // specs OptimizeSkewedGraftJoin constructs); zipPartitions itself
+    // rejects unequal partition counts. Same rationale as AsOfJoinExec.
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lks, leftOut)
       val rKeyProj = UnsafeProjection.create(rks, rightOut)
       val lTimeProj = UnsafeProjection.create(Seq(lt), leftOut)

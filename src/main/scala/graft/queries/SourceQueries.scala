@@ -428,5 +428,26 @@ object SourceQueries {
       s.read.parquet(path).filter(pred)
         .select(col("c_custkey"), col("cx"), col("cy"), col("z"))
         .orderBy(col("c_custkey"))
+    },
+
+    // X221 manifest file-skipping SCAN (the read path of the X168
+    // audit): documents staged range-clustered by n_chars into 8 files
+    // + a per-file min/max manifest (sources/ManifestScan); the range
+    // query consults ONLY the manifest to pick overlapping files and
+    // scans just those. The oracle is the FULL-scan filter over the
+    // original table, so hash equality proves skipping loses no rows;
+    // PlanSpec pins that the pruned scan reads strictly fewer files.
+    Q("q_source_manifest_scan",
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE n_chars BETWEEN 200 AND 400 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.sources.ManifestScan
+      val path = tmp(dir, "mscan")
+      t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        .repartitionByRange(8, col("n_chars"))
+        .write.mode("overwrite").parquet(path)
+      ManifestScan.buildManifest(s, path, Seq("n_chars"))
+      ManifestScan.readRange(s, path, "n_chars", 200, 400)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
     })
 }

@@ -763,7 +763,7 @@ object Windows {
     Q("q_stream_kmv",
       """WITH h AS (SELECT DISTINCT event_type AS grp,
         |                  (user_id * 2654435761) % 4294967296 AS h
-        |           FROM events),
+        |           FROM events WHERE user_id IS NOT NULL),
         |r AS (SELECT grp, h,
         |             row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
         |      FROM h),
@@ -775,7 +775,10 @@ object Windows {
         |FROM kk ORDER BY event_type""".stripMargin) { (s, dir) =>
       val (src, staged) = stagedEventsStream(s, dir)
       val sketch = udaf(new graft.operators.KmvAggregator(64))
-      val agg = src.groupBy(col("event_type"))
+      // null keys never enter the sketch (KmvSketch.sketchOf's contract —
+      // the primitive-Long typed Aggregator would decode a null as 0L and
+      // insert hash(0) as a spurious minimum); the oracle filters too
+      val agg = src.filter(col("user_id").isNotNull).groupBy(col("event_type"))
         .agg(sketch(col("user_id")).as("kmv"))
       runToMemorySink(s, agg, sinkName("stream_kmv_", dir), staged = staged :: Nil)
         .select(col("event_type"), col("kmv.m").as("m"), col("kmv.hk").as("hk"),

@@ -1,0 +1,106 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-skipping scan over a parquet directory via a per-file min/max
+  * manifest — the READ path that makes the X168 audit
+  * ([[graft.operators.ManifestPrune]], the payoff METER) an actual
+  * I/O saving: the audit measures how many files a range predicate
+  * could skip; this scan consults a stored manifest and never opens
+  * them.
+  *
+  * Layout: the manifest lives at `<path>/_graft_manifest` — a leading
+  * underscore keeps Spark's parquet FileIndex from picking it up as
+  * data (the `_SUCCESS`/`_delta_log` convention), so `<path>` stays a
+  * perfectly ordinary parquet directory for full scans.
+  *
+  * Contract: the manifest stores per (file, column) `[min, max]` over
+  * LONG-valued stats columns. [[prunedFiles]] keeps a file iff its
+  * range OVERLAPS the query range — skipping is conservative (a kept
+  * file may still hold zero hits; a skipped file provably holds none),
+  * so [[readRange]] re-applies the predicate and is exactly
+  * full-scan-filter equivalent, pinned hash-green by
+  * `q_source_manifest_scan` against a DuckDB full-scan oracle.
+  *
+  * Scale shape (100 TB): the manifest is metadata-scale (one row per
+  * file — millions of rows for a petabyte lake, a single-executor
+  * job); building it is ONE map-side-combined aggregate over the data
+  * keyed by `input_file_name()`, done once per layout write and
+  * appendable incrementally (new files → new manifest rows, the
+  * [[graft.operators.IncrementalDedup]] pattern). The pruning decision
+  * itself never touches data files; the selected list feeds a direct
+  * multi-path parquet scan, so a selective predicate over a
+  * range-clustered layout does O(overlapping files) I/O instead of
+  * O(all files) — the same file-skipping contract Delta/Iceberg derive
+  * from their logs, here as an explicit, engine-owned manifest. In a
+  * real lake the min/max would come free from parquet footers; the
+  * explicit manifest keeps the decision one metadata read instead of
+  * N footer reads.
+  */
+object ManifestScan {
+
+  /** Manifest subdirectory name (underscore-prefixed: invisible to the
+    * parquet reader of `<path>` itself).
+    */
+  val ManifestDir = "_graft_manifest"
+
+  private def manifestPath(path: String) = s"$path/$ManifestDir"
+
+  /** Build (or rebuild) the manifest for `path`: one row per data file
+    * with `n_rows` and `<col>_min`/`<col>_max` for each stats column
+    * (long-valued). One aggregate pass over the data, metadata-scale
+    * output.
+    */
+  def buildManifest(spark: SparkSession, path: String, statsCols: Seq[String]): Unit = {
+    require(statsCols.nonEmpty, "buildManifest: need at least one stats column")
+    val aggs = count(lit(1)).as("n_rows") +:
+      statsCols.flatMap { c =>
+        Seq(min(col(c)).cast("long").as(s"${c}_min"),
+          max(col(c)).cast("long").as(s"${c}_max"))
+      }
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1) // metadata-scale: one row per data file
+      .write.mode("overwrite").parquet(manifestPath(path))
+  }
+
+  /** (files overlapping [lo, hi] on `valueCol`, total file count) from
+    * the stored manifest — a metadata-only decision, no data file I/O.
+    * Files whose stats range is entirely below `lo` or above `hi`
+    * provably hold no matching row (min/max are exact, not estimates)
+    * and are skipped; everything else is kept.
+    */
+  def prunedFiles(spark: SparkSession, path: String, valueCol: String,
+      lo: Long, hi: Long): (Seq[String], Int) = {
+    require(lo <= hi, s"prunedFiles: lo=$lo must be <= hi=$hi")
+    val m = spark.read.parquet(manifestPath(path))
+      .select(col("file"), col(s"${valueCol}_min").as("mn"), col(s"${valueCol}_max").as("mx"))
+      .collect()
+    val kept = m.filter { r =>
+      // null stats (all-null column in that file) can never match a
+      // range predicate; skipping such a file is exact, not heuristic
+      !r.isNullAt(1) && !r.isNullAt(2) && r.getLong(2) >= lo && r.getLong(1) <= hi
+    }.map(_.getString(0)).toSeq
+    (kept, m.length)
+  }
+
+  /** Range scan through the manifest: read ONLY the overlapping files,
+    * then re-apply the predicate (skipping is conservative — kept
+    * files may still hold non-matching rows). Semantically identical
+    * to `spark.read.parquet(path).filter(valueCol between lo and hi)`;
+    * physically O(overlapping files).
+    */
+  def readRange(spark: SparkSession, path: String, valueCol: String,
+      lo: Long, hi: Long): DataFrame = {
+    val (files, _) = prunedFiles(spark, path, valueCol, lo, hi)
+    if (files.isEmpty)
+      // provably-empty result: keep the scan's schema without reading a
+      // row group (the pushed-down false predicate skips them all)
+      spark.read.parquet(path).filter(lit(false))
+    else
+      spark.read.parquet(files: _*)
+        .filter(col(valueCol) >= lo && col(valueCol) <= hi)
+  }
+}

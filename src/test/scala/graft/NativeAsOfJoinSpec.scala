@@ -306,29 +306,6 @@ class NativeAsOfJoinSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
-  test("zip-contract guard: mismatched child partition counts fail loudly by name") {
-    import org.apache.spark.sql.catalyst.plans.LeftOuter
-    val lDf = Seq(("A", 10L, 1L)).toDF("k", "t", "id").repartition(4)
-    val rDf = Seq(("A", 5L, 2.0)).toDF("k", "rt", "px").repartition(2)
-    val lAttrs = lDf.queryExecution.analyzed.output
-    val rAttrs = rDf.queryExecution.analyzed.output
-    def leaf(df: org.apache.spark.sql.DataFrame) = {
-      val rdd = df.queryExecution.toRdd
-      val attrs = df.queryExecution.analyzed.output
-      TestLeafPlan(attrs, rdd)
-    }
-    val asOf = graft.plans.AsOfJoinExec(
-      Seq(lAttrs(0)), Seq(rAttrs(0)), lAttrs(1), rAttrs(1), Seq(rAttrs(2)),
-      LeftOuter, None, graft.plans.AsOfDirection.Backward, leaf(lDf), leaf(rDf))
-    val e1 = intercept[IllegalStateException] { asOf.execute() }
-    assert(e1.getMessage.contains("GRAFT_ASOF_ZIP_CONTRACT"), e1.getMessage)
-    val interval = graft.plans.IntervalJoinExec(
-      Seq(lAttrs(0)), Seq(rAttrs(0)), lAttrs(1), rAttrs(1), rAttrs(1), Seq(rAttrs(2)),
-      org.apache.spark.sql.catalyst.plans.Inner, leaf(lDf), leaf(rDf))
-    val e2 = intercept[IllegalStateException] { interval.execute() }
-    assert(e2.getMessage.contains("GRAFT_INTERVAL_ZIP_CONTRACT"), e2.getMessage)
-  }
-
   test("mismatched key or time dtypes fail fast instead of silently miscomparing") {
     val l = Seq((1, ts(10), 1L)).toDF("k", "t", "id") // int key
     val r = Seq((1L, ts(5), 7.0)).toDF("k", "t", "px") // bigint key
@@ -427,16 +404,4 @@ class NativeAsOfJoinSpec extends SparkSpec {
     assert(node.right.output.map(_.name).toSet === Set("user_id", "cts", "click_id"),
       "unused right columns must not reach the exec: " + node.right.output)
   }
-}
-
-/** Minimal leaf exec over a pre-materialized row RDD — hands the native
-  * execs mismatched-partition children directly, bypassing
-  * EnsureRequirements, to exercise the runtime zip-contract guard.
-  */
-case class TestLeafPlan(
-    output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
-    rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow])
-  extends org.apache.spark.sql.execution.LeafExecNode {
-  override protected def doExecute()
-      : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] = rdd
 }

@@ -284,6 +284,51 @@ class PlanSpec extends SparkSpec {
       || p.toLowerCase.contains("fullouter"), "merge must full-outer join:\n" + p)
   }
 
+  test("manifest scan reads strictly fewer files than the full layout") {
+    import graft.sources.ManifestScan
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.load(spark, TestSpark.sf0001, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val tmpBase = System.getProperty("java.io.tmpdir")
+
+    // by-VALUE layout (range-clustered on the predicate column): a
+    // selective range must skip most files
+    val byValue = s"$tmpBase/graft_mscan_plan_value"
+    docs.repartitionByRange(8, col("n_chars")).write.mode("overwrite").parquet(byValue)
+    ManifestScan.buildManifest(spark, byValue, Seq("n_chars"))
+    val (keptV, totalV) = ManifestScan.prunedFiles(spark, byValue, "n_chars", 200, 260)
+    assert(totalV >= 8, s"staging must produce >= 8 files, got $totalV")
+    assert(keptV.nonEmpty && keptV.length < totalV,
+      s"range-clustered layout must skip files: kept ${keptV.length} of $totalV")
+    // the scan itself must open exactly the kept files, nothing more
+    val scanned = ManifestScan.readRange(spark, byValue, "n_chars", 200, 260)
+    assert(scanned.inputFiles.toSet == keptV.toSet,
+      "the pruned scan must read exactly the manifest-selected files")
+
+    // by-KEY layout (clustered on doc_id — uncorrelated with n_chars):
+    // every file overlaps the range, the meter's "re-cluster me" signal
+    val byKey = s"$tmpBase/graft_mscan_plan_key"
+    docs.repartitionByRange(8, col("doc_id")).write.mode("overwrite").parquet(byKey)
+    ManifestScan.buildManifest(spark, byKey, Seq("n_chars"))
+    val (keptK, totalK) = ManifestScan.prunedFiles(spark, byKey, "n_chars", 200, 260)
+    assert(keptK.length == totalK,
+      s"uncorrelated layout skips nothing: kept ${keptK.length} of $totalK")
+
+    // correctness floor: pruned scan ≡ full-scan filter, both layouts
+    val expect = docs.filter(col("n_chars").between(200, 260))
+      .collect().map(_.mkString("|")).sorted.toSeq
+    Seq(byValue, byKey).foreach { p =>
+      val got = ManifestScan.readRange(spark, p, "n_chars", 200, 260)
+        .collect().map(_.mkString("|")).sorted.toSeq
+      assert(got == expect, s"manifest scan over $p must equal the full-scan filter")
+    }
+
+    // empty selection: a range outside every file's stats yields zero
+    // rows with the data schema intact and no file reads
+    val none = ManifestScan.readRange(spark, byValue, "n_chars", 100000, 200000)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("doc_id", "n_chars"))
+  }
+
   test("budget selection sorts three narrow columns only (no payload in the sort)") {
     val df = SparkEntry.queries("q_sample_budget")(spark, TestSpark.sf0001)
     val p = df.queryExecution.executedPlan.toString

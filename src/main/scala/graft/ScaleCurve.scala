@@ -215,7 +215,13 @@ object ScaleCurve {
       if (skipAmp) s"$tmp/graft_scale"
       else s"$tmp/graft_scale_${java.lang.management.ManagementFactory.getRuntimeMXBean.getPid}"
     }
-    val factors = Seq(1, 4, 16)
+    // SPARK_GRAFT_SCALE_X4=1: the per-round drift tracker — run ONLY
+    // the ×4 point of the same 12 queries and append one `scale_x4`
+    // line to BENCH_HISTORY.jsonl, so a scaling-exponent regression
+    // between rounds is visible without re-running the full matrix
+    // (SCALE.md stays the committed full artifact to diff against).
+    val x4Only = sys.env.get("SPARK_GRAFT_SCALE_X4").contains("1")
+    val factors = if (x4Only) Seq(4) else Seq(1, 4, 16)
     val dirs: Map[Int, String] = factors.map {
       case 1 => 1 -> srcDir
       case k =>
@@ -244,6 +250,32 @@ object ScaleCurve {
     // uses, and the exponent fit needs stable points far more than it
     // needs average-case points
     val passes = sys.env.get("SPARK_GRAFT_SCALE_RUNS").map(_.toInt).getOrElse(2)
+
+    if (x4Only) {
+      val x4 = underTest.map { q =>
+        val dt = (1 to passes).map { _ =>
+          spark.sharedState.cacheManager.clearCache()
+          System.gc()
+          val t0 = System.nanoTime()
+          qs(q)(spark, dirs(4)).count()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        System.err.println(f"[scale-x4] $q ${dt}%.2f s (min of $passes)")
+        q -> dt
+      }
+      val histPath = Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "BENCH_HISTORY.jsonl"))
+      val line = s"""{"epoch_ms":${System.currentTimeMillis()},""" +
+        s""""kind":"scale_x4","sf":"$srcDir","agg":"min_of_$passes",""" +
+        f""""total":${x4.map(_._2).sum}%.3f,""" +
+        s""""queries":{${x4.map { case (q, t) => s""""$q":${f"$t%.3f"}""" }.mkString(",")}}}""" + "\n"
+      Files.writeString(histPath, line,
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+      println(s"SCALE_X4_DONE total=${f"${x4.map(_._2).sum}%.2f"} hist=$histPath")
+      spark.stop()
+      return
+    }
+
     val rows = underTest.map { q =>
       val times = factors.map { k =>
         // partition count stays the session default at every factor:

@@ -25,9 +25,14 @@ object Sessions {
     */
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
         Runtime.getRuntime.availableProcessors().toString),
-      appName: String = "graft"): SparkSession =
-    configure(SparkSession.builder().master(s"local[$cpus]").appName(appName), cpus)
+      appName: String = "graft", maxTaskFailures: Int = 1): SparkSession = {
+    // local-mode masters fix maxFailures at 1 unless spelled
+    // local[N,F] — a cluster gets 4 by default; tests that exercise
+    // task-retry determinism (RetrySpec) need F >= 2 here too
+    val master = if (maxTaskFailures > 1) s"local[$cpus,$maxTaskFailures]" else s"local[$cpus]"
+    configure(SparkSession.builder().master(master).appName(appName), cpus)
       .getOrCreate()
+  }
 
   /** Apply the engine configuration to any builder (cluster or local). */
   def configure(b: SparkSession.Builder, shufflePartitions: String): SparkSession.Builder =

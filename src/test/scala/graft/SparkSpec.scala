@@ -8,7 +8,10 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 object TestSpark {
   lazy val spark: SparkSession = {
-    val s = Sessions.local(cpus = "4", appName = "graft-test")
+    // maxTaskFailures = 2 (master local[4,2]): lets RetrySpec exercise
+    // real task retries; a genuinely-broken task still fails the test
+    // (it throws on every attempt), so no failure is masked
+    val s = Sessions.local(cpus = "4", appName = "graft-test", maxTaskFailures = 2)
     s.sparkContext.setLogLevel("ERROR")
     s
   }

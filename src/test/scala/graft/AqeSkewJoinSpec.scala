@@ -3,6 +3,7 @@ package graft
 import graft.plans.{AsOfJoinExec, IntervalJoinExec, NativeAsOfJoin, NativeIntervalJoin}
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graftbridge.GraftSkewProbe
 
 /** AQE skew-splitting on the native sort-merge joins
@@ -141,6 +142,40 @@ class AqeSkewJoinSpec extends SparkSpec {
         .getOrElse(fail("no AsOfJoinExec in:\n" + joined.queryExecution.executedPlan))
       assert(!exec.isSkewJoin, "a uniform corpus must keep the plain plan")
     }
+  }
+
+  test("runtime stats re-route the as-of to the BROADCAST exec under AQE " +
+      "(DynamicJoinSelection for the native join)") {
+    // a right side whose STATIC size estimate is far above the
+    // broadcast threshold but whose RUNTIME (post-filter) bytes are far
+    // below it: initial planning picks the sort-merge exec; once the
+    // right shuffle stage materializes, AQE re-plans from the logical
+    // plan with LogicalQueryStage runtime stats and AsOfJoinStrategy
+    // must switch to BroadcastAsOfJoinExec — the huge-left-side win
+    // (no left exchange) arriving at runtime, like Spark's own
+    // DynamicJoinSelection.
+    val l = skewedLeft(hot = 2000)
+    val rBig = rightSide()
+    // static stats: Filter keeps the child's size estimate (no CBO
+    // selectivity), so this filtered side "looks big" until it runs
+    val r = rBig.filter(col("k") === "H")
+    val staticBytes = r.queryExecution.optimizedPlan.stats.sizeInBytes
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (staticBytes / 2).toString)
+    try {
+      val joined = NativeAsOfJoin.asOf(l, r, key = "k", leftTime = "t",
+        rightTime = "rt", payloadCols = Seq("px")) // broadcast knob UNSET: auto
+      val rows = sortedRows(joined)
+      val bcast = TestSpark.findExec[graft.plans.BroadcastAsOfJoinExec](
+        joined.queryExecution.executedPlan)
+      assert(bcast.isDefined,
+        "runtime-small right must re-route to the broadcast exec:\n" +
+          joined.queryExecution.executedPlan)
+      // ground truth: the forced sort-merge plan on the same inputs
+      val expect = sortedRows(NativeAsOfJoin.asOf(l, r, key = "k", leftTime = "t",
+        rightTime = "rt", payloadCols = Seq("px"), broadcast = Some(false)))
+      assert(rows == expect, "re-routed plan must produce identical results")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
   test("skewJoin.enabled=false keeps the plain plan even under skew") {

@@ -175,6 +175,16 @@ class AqeSkewJoinSpec extends SparkSpec {
       val expect = sortedRows(NativeAsOfJoin.asOf(l, r, key = "k", leftTime = "t",
         rightTime = "rt", payloadCols = Seq("px"), broadcast = Some(false)))
       assert(rows == expect, "re-routed plan must produce identical results")
+
+      // same contract on the interval join (shared strategy ladder)
+      val rInt = intervalsSide().filter(col("k") === "H")
+      val joinedInt = NativeIntervalJoin.contain(l, rInt, key = "k",
+        pointTime = "t", startCol = "s", endCol = "e", payloadCols = Seq("px"))
+      joinedInt.collect()
+      assert(TestSpark.findExec[graft.plans.BroadcastIntervalJoinExec](
+        joinedInt.queryExecution.executedPlan).isDefined,
+        "runtime-small interval side must re-route to the broadcast exec:\n" +
+          joinedInt.queryExecution.executedPlan)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 

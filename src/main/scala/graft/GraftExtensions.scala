@@ -72,6 +72,11 @@ object GraftExtensions {
     // (queryStagePreparationRules, right after it).
     ext.injectQueryStagePrepRule(_ =>
       org.apache.spark.sql.graftbridge.OptimizeSkewedGraftJoin)
+    // Automatic stats-based file skipping over `_graft_manifest`
+    // layouts: a range filter over a manifested parquet directory
+    // replans to read only the overlapping files (conservative — the
+    // filter stays; see graft.plans.ManifestFileSkipping).
+    ext.injectOptimizerRule(_ => graft.plans.ManifestFileSkipping)
     // SQL front door for both native joins: TVFs plant unresolved
     // placeholders; the resolution rule rewrites them into the real
     // nodes once their inputs resolve (graft.plans.SqlFrontDoor).

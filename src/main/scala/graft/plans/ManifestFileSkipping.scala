@@ -1,0 +1,287 @@
+package graft.plans
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
+import org.apache.spark.sql.types._
+
+import scala.collection.concurrent.TrieMap
+import scala.util.control.NonFatal
+
+/** AUTOMATIC stats-based file skipping: the optimizer-rule form of
+  * [[graft.sources.ManifestScan.readRange]]. Where that API asks the
+  * caller to route reads through an explicit method, this rule makes
+  * the plain declarative form — `spark.read.parquet(path).filter(col
+  * BETWEEN lo AND hi)` — consult the stored `_graft_manifest` during
+  * optimization and replace the scan's [[FileIndex]] with one that
+  * never lists the provably-empty files. The same transparent
+  * data-skipping contract Delta/Iceberg derive from their commit logs,
+  * here as a `Rule[LogicalPlan]` over an engine-owned manifest,
+  * installed by [[graft.GraftExtensions]] (`injectOptimizerRule`) and
+  * switchable per session via `spark.graft.manifestSkip.enabled`.
+  *
+  * Safety contract (all directions conservative):
+  *   - a file is skipped ONLY when its manifest row proves no value in
+  *     the queried range (max < lo, min > hi, or an all-null stats
+  *     column) — min/max are exact, not estimates;
+  *   - files the manifest does not mention are always kept (a stale
+  *     manifest after appends loses skipping, never rows — and a
+  *     REWRITTEN layout gets fresh part-file names, so stale skip
+  *     entries match nothing at all);
+  *   - the original Filter stays above the pruned scan, so kept files
+  *     are still row-filtered: the rewrite is plan-only, never
+  *     semantic. `q_source_manifest_auto` pins rule-on ≡ DuckDB
+  *     full-scan; ManifestRuleSpec pins rule-on ≡ rule-off.
+  *
+  * Bounds come from the filter's CONJUNCTS over integral columns read
+  * directly off the scan (`>=`, `>`, `<=`, `<`, `=`, `<=>`, IN,
+  * literal on either side); disjunctions and cast-wrapped columns
+  * contribute nothing (kept conservative). Multiple conjuncts on one
+  * column intersect; an infeasible intersection (lo > hi) skips every
+  * manifested file — the provably-empty scan.
+  *
+  * Scale shape (100 TB): the decision is metadata-only — one driver
+  * read of the manifest (one row per data file), cached per path and
+  * invalidated by the manifest files' (name, length, mtime) signature,
+  * so repeated queries over a stable layout pay zero I/O to plan. The
+  * manifest is read with parquet-hadoop directly rather than a nested
+  * Spark job: optimization never launches jobs. Partitioned (hive
+  * layout) relations are left alone — partition pruning already covers
+  * them; this rule is the file-grain sibling for range-clustered
+  * UNPARTITIONED layouts, where Spark's own pruning has nothing to
+  * hold on to.
+  */
+object ManifestFileSkipping extends Rule[LogicalPlan] with PredicateHelper {
+
+  val EnabledKey = "spark.graft.manifestSkip.enabled"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (conf.getConfString(EnabledKey, "true") != "true") return plan
+    plan.transform {
+      case f @ Filter(cond, l: LogicalRelation) =>
+        l.relation match {
+          case hfs: HadoopFsRelation
+              if hfs.partitionSchema.isEmpty &&
+                hfs.location.rootPaths.size == 1 &&
+                !hfs.location.isInstanceOf[ManifestPrunedFileIndex] =>
+            val bounds = extractBounds(cond, l.outputSet)
+            if (bounds.isEmpty) f
+            else {
+              val spark = hfs.sparkSession
+              ManifestCache.load(spark.sessionState.newHadoopConf(),
+                hfs.location.rootPaths.head) match {
+                case Some(m) =>
+                  val usable = bounds.filter { case (c, _) => m.statsCols.contains(c) }
+                  if (usable.isEmpty) f
+                  else {
+                    val skip = m.rows.iterator
+                      .filterNot(r => overlaps(r, usable)).map(_.fileName).toSet
+                    if (skip.isEmpty) f
+                    else f.copy(child =
+                      l.copy(relation = hfs.copy(
+                        location = new ManifestPrunedFileIndex(hfs.location, skip))(spark)))
+                  }
+                case None => f
+              }
+            }
+          case _ => f
+        }
+    }
+  }
+
+  /** Closed long interval; one-sided predicates leave the other end at
+    * its sentinel. `x > Long.MaxValue`-style saturation keeps the
+    * interval a superset of the predicate — always safe to prune by.
+    */
+  private case class Bound(lo: Long, hi: Long)
+
+  private def isIntegral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  private def litLong(v: Any): Option[Long] = v match {
+    case n: java.lang.Number => Some(n.longValue())
+    case _ => None
+  }
+
+  /** Per-column intersected bounds from the filter's conjuncts.
+    * Only bare integral attributes of the scan with literal
+    * comparisons count; everything else contributes no bound.
+    */
+  private def extractBounds(cond: Expression,
+      scanOutput: AttributeSet): Map[String, Bound] = {
+    val acc = scala.collection.mutable.Map.empty[String, Bound]
+    def add(a: Attribute, lo: Long, hi: Long): Unit =
+      if (scanOutput.contains(a) && isIntegral(a.dataType)) {
+        val b = acc.getOrElse(a.name, Bound(Long.MinValue, Long.MaxValue))
+        acc(a.name) = Bound(math.max(b.lo, lo), math.min(b.hi, hi))
+      }
+    splitConjunctivePredicates(cond).foreach {
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) =>
+        litLong(v).foreach(x => add(a, x, Long.MaxValue))
+      case GreaterThan(a: AttributeReference, Literal(v, _)) =>
+        litLong(v).foreach(x => add(a, if (x == Long.MaxValue) x else x + 1, Long.MaxValue))
+      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) =>
+        litLong(v).foreach(x => add(a, Long.MinValue, x))
+      case LessThan(a: AttributeReference, Literal(v, _)) =>
+        litLong(v).foreach(x => add(a, Long.MinValue, if (x == Long.MinValue) x else x - 1))
+      case EqualTo(a: AttributeReference, Literal(v, _)) =>
+        litLong(v).foreach(x => add(a, x, x))
+      case EqualNullSafe(a: AttributeReference, Literal(v, _)) if v != null =>
+        litLong(v).foreach(x => add(a, x, x))
+      // mirrored literal-on-left forms
+      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) =>
+        litLong(v).foreach(x => add(a, Long.MinValue, x))
+      case GreaterThan(Literal(v, _), a: AttributeReference) =>
+        litLong(v).foreach(x => add(a, Long.MinValue, if (x == Long.MinValue) x else x - 1))
+      case LessThanOrEqual(Literal(v, _), a: AttributeReference) =>
+        litLong(v).foreach(x => add(a, x, Long.MaxValue))
+      case LessThan(Literal(v, _), a: AttributeReference) =>
+        litLong(v).foreach(x => add(a, if (x == Long.MaxValue) x else x + 1, Long.MaxValue))
+      case EqualTo(Literal(v, _), a: AttributeReference) =>
+        litLong(v).foreach(x => add(a, x, x))
+      case In(a: AttributeReference, vs) if vs.nonEmpty &&
+          vs.forall { case Literal(v, _) => v != null && litLong(v).isDefined; case _ => false } =>
+        val xs = vs.map { case Literal(v, _) => litLong(v).get }
+        add(a, xs.min, xs.max)
+      case _ => // no bound from this conjunct (conservative)
+    }
+    acc.toMap
+  }
+
+  /** Could this manifest row's file hold a row matching EVERY bound?
+    * Unknown columns (no stats in the row) count as overlapping; a
+    * stats pair that is all-null means the column has no values in the
+    * file, so no range predicate can match there.
+    */
+  private def overlaps(r: ManifestRow, bounds: Map[String, Bound]): Boolean =
+    bounds.forall { case (c, b) =>
+      r.stats.get(c) match {
+        case Some((Some(mn), Some(mx))) => mx >= b.lo && mn <= b.hi
+        case Some((None, None)) => false // all-null column: provably no match
+        case _ => true // absent/partial stats: keep (conservative)
+      }
+    }
+
+  /** Per-file long min/max stats keyed by column base name; `fileName`
+    * is the part-file NAME (manifests store full `input_file_name()`
+    * URIs; names are unique within the single root directory and
+    * immune to scheme/authority spelling differences).
+    */
+  final case class ManifestRow(fileName: String,
+      stats: Map[String, (Option[Long], Option[Long])])
+  final case class ManifestInfo(rows: Vector[ManifestRow], statsCols: Set[String])
+
+  /** Driver-side manifest loader, cached per data-root path and
+    * invalidated by the manifest part files' (name, len, mtime)
+    * signature — a stable layout plans with zero manifest I/O after
+    * the first query. Any read failure degrades to None (no skipping),
+    * never to an error.
+    */
+  private object ManifestCache {
+    private val cache = TrieMap.empty[String, (String, Option[ManifestInfo])]
+
+    def load(conf: Configuration, root: Path): Option[ManifestInfo] = {
+      val parts =
+        try {
+          val fs = root.getFileSystem(conf)
+          if (!fs.getFileStatus(root).isDirectory) return None
+          val mdir = new Path(root, graft.sources.ManifestScan.ManifestDir)
+          if (!fs.exists(mdir)) return None
+          fs.listStatus(mdir)
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            .sortBy(_.getPath.getName).toSeq
+        } catch { case NonFatal(_) => return None }
+      if (parts.isEmpty) return None
+      val sig = parts.map(s =>
+        s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}").mkString(";")
+      cache.get(root.toString) match {
+        case Some((s, v)) if s == sig => v
+        case _ =>
+          val v =
+            try Some(readAll(conf, parts.map(_.getPath)))
+            catch { case NonFatal(_) => None }
+          cache.put(root.toString, (sig, v))
+          v
+      }
+    }
+
+    private def readAll(conf: Configuration, paths: Seq[Path]): ManifestInfo = {
+      val rows = Vector.newBuilder[ManifestRow]
+      val cols = Set.newBuilder[String]
+      paths.foreach { p =>
+        val reader: ParquetReader[Group] =
+          ParquetReader.builder(new GroupReadSupport(), p).withConf(conf).build()
+        try {
+          var g = reader.read()
+          while (g != null) {
+            val t = g.getType
+            var fileName: String = null
+            val mins = scala.collection.mutable.Map.empty[String, Option[Long]]
+            val maxs = scala.collection.mutable.Map.empty[String, Option[Long]]
+            (0 until t.getFieldCount).foreach { i =>
+              val ft = t.getType(i)
+              val name = ft.getName
+              if (name == "file" && g.getFieldRepetitionCount(i) > 0)
+                fileName = new Path(g.getString(i, 0)).getName
+              else if ((name.endsWith("_min") || name.endsWith("_max")) &&
+                  ft.isPrimitive &&
+                  ft.asPrimitiveType.getPrimitiveTypeName == PrimitiveTypeName.INT64) {
+                val base = name.dropRight(4)
+                val v = if (g.getFieldRepetitionCount(i) > 0) Some(g.getLong(i, 0)) else None
+                if (name.endsWith("_min")) mins(base) = v else maxs(base) = v
+                cols += base
+              }
+            }
+            if (fileName != null) {
+              val stats = (mins.keySet ++ maxs.keySet).iterator.map { c =>
+                c -> ((mins.getOrElse(c, None), maxs.getOrElse(c, None)))
+              }.toMap
+              rows += ManifestRow(fileName, stats)
+            }
+            g = reader.read()
+          }
+        } finally reader.close()
+      }
+      ManifestInfo(rows.result(), cols.result())
+    }
+  }
+}
+
+/** [[FileIndex]] that delegates to the relation's original index and
+  * drops the manifest-proven-empty files by NAME — listing, input-file
+  * reporting, and size stats all see the pruned view, so downstream
+  * planning (AQE sizing, maxPartitionBytes packing) works from the
+  * bytes actually read. Also the rule's idempotence marker: an
+  * already-pruned relation is never re-pruned.
+  */
+final class ManifestPrunedFileIndex(underlying: FileIndex, skip: Set[String])
+    extends FileIndex {
+  /** Exposed for plan assertions: how many files the manifest removed. */
+  def skippedCount: Int = skip.size
+
+  override def rootPaths: Seq[Path] = underlying.rootPaths
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+    underlying.listFiles(partitionFilters, dataFilters)
+      .map(pd => pd.copy(files = pd.files.filterNot(f => skip.contains(f.getPath.getName))))
+
+  override def inputFiles: Array[String] =
+    underlying.inputFiles.filterNot(p => skip.contains(new Path(p).getName))
+
+  override def refresh(): Unit = underlying.refresh()
+
+  override lazy val sizeInBytes: Long =
+    listFiles(Nil, Nil).iterator.flatMap(_.files).map(_.getLen).sum
+
+  override def partitionSchema: StructType = underlying.partitionSchema
+}

@@ -449,5 +449,27 @@ object SourceQueries {
       ManifestScan.readRange(s, path, "n_chars", 200, 400)
         .select(col("doc_id"), col("n_chars"))
         .orderBy(col("doc_id"))
+    },
+
+    // X222 AUTOMATIC file skipping: the SAME manifest consulted by a
+    // Rule[LogicalPlan] (graft.plans.ManifestFileSkipping) instead of
+    // an explicit readRange call — the query below is the PLAIN
+    // declarative form (read.parquet + filter) and still opens only
+    // the overlapping files of the range-clustered layout (pruning
+    // pinned in ManifestRuleSpec; this row pins end-to-end equality
+    // with the DuckDB full scan, i.e. skipping never loses rows).
+    Q("q_source_manifest_auto",
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE n_chars BETWEEN 250 AND 450 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.sources.ManifestScan
+      val path = tmp(dir, "mscan_auto")
+      t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        .repartitionByRange(8, col("n_chars"))
+        .write.mode("overwrite").parquet(path)
+      ManifestScan.buildManifest(s, path, Seq("n_chars"))
+      s.read.parquet(path)
+        .filter(col("n_chars") >= 250L && col("n_chars") <= 450L)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
     })
 }

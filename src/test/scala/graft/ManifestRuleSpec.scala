@@ -1,0 +1,126 @@
+package graft
+
+import graft.plans.ManifestPrunedFileIndex
+import graft.sources.ManifestScan
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions.col
+
+/** The AUTOMATIC file-skipping rule (graft.plans.ManifestFileSkipping):
+  * a plain `read.parquet(path).filter(range)` over a `_graft_manifest`
+  * layout must open only the overlapping files — and must never change
+  * results, whatever the manifest knows or doesn't.
+  */
+class ManifestRuleSpec extends SparkSpec {
+
+  private val tmpBase = System.getProperty("java.io.tmpdir")
+
+  private def docs = Tables.load(spark, TestSpark.sf0001, "documents")
+    .select(col("doc_id"), col("n_chars"))
+
+  /** The executed scan's FileIndex, descending through AQE wrappers. */
+  private def scanIndex(df: DataFrame) =
+    TestSpark.findExec[FileSourceScanExec](df.queryExecution.executedPlan)
+      .getOrElse(fail("no FileSourceScanExec in the executed plan"))
+      .relation.location
+
+  private def dataFilesOnDisk(path: String): Int =
+    new java.io.File(path).listFiles().count(f =>
+      f.isFile && f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).sorted.toSeq
+
+  // range-clustered layout: files partition the n_chars axis, so a
+  // selective range must prune
+  private lazy val byValue: String = {
+    val p = s"$tmpBase/graft_mrule_value"
+    docs.repartitionByRange(8, col("n_chars")).write.mode("overwrite").parquet(p)
+    ManifestScan.buildManifest(spark, p, Seq("n_chars"))
+    p
+  }
+
+  test("declarative range filter prunes files through the stored manifest") {
+    val total = dataFilesOnDisk(byValue)
+    assert(total >= 8, s"staging must produce >= 8 files, got $total")
+    val df = spark.read.parquet(byValue)
+      .filter(col("n_chars") >= 200L && col("n_chars") <= 260L)
+    val idx = scanIndex(df)
+    assert(idx.isInstanceOf[ManifestPrunedFileIndex],
+      s"scan must plan over the pruned index, got ${idx.getClass.getSimpleName}")
+    val read = idx.listFiles(Nil, Nil).map(_.files.size).sum
+    assert(read > 0 && read < total,
+      s"selective range must read strictly fewer files: $read of $total")
+    // and the rewrite is plan-only: rule-on ≡ rule-off, row for row
+    val got = rows(df)
+    spark.conf.set(plans.ManifestFileSkipping.EnabledKey, "false")
+    val expect = try rows(spark.read.parquet(byValue)
+      .filter(col("n_chars") >= 200L && col("n_chars") <= 260L))
+    finally spark.conf.unset(plans.ManifestFileSkipping.EnabledKey)
+    assert(got == expect, "pruned scan must equal the unpruned scan")
+    assert(expect == rows(docs.filter(col("n_chars").between(200, 260))),
+      "both must equal the source-of-truth filter")
+  }
+
+  test("one-sided strict bound prunes; uncorrelated predicate plans unwrapped") {
+    // n_chars > hi-edge: strict one-sided bound still skips low files
+    val strict = spark.read.parquet(byValue).filter(col("n_chars") > 600L)
+    val idx = scanIndex(strict)
+    assert(idx.isInstanceOf[ManifestPrunedFileIndex], "strict > must prune")
+    assert(rows(strict) == rows(docs.filter(col("n_chars") > 600)))
+
+    // doc_id has no stats in this manifest: no pruning, and the plan
+    // keeps the ORIGINAL index (no pointless wrapper)
+    val uncorr = spark.read.parquet(byValue).filter(col("doc_id") <= 50L)
+    assert(!scanIndex(uncorr).isInstanceOf[ManifestPrunedFileIndex],
+      "a predicate without manifest stats must leave the scan untouched")
+    assert(rows(uncorr) == rows(docs.filter(col("doc_id") <= 50)))
+  }
+
+  test("infeasible and out-of-range predicates read zero files, schema intact") {
+    Seq(
+      // disjoint conjuncts: lo > hi after intersection
+      spark.read.parquet(byValue).filter(col("n_chars") >= 500L && col("n_chars") <= 100L),
+      // beyond every file's max
+      spark.read.parquet(byValue).filter(col("n_chars") >= 1000000L)
+    ).foreach { df =>
+      assert(df.count() == 0)
+      assert(df.columns.toSeq == Seq("doc_id", "n_chars"))
+      val idx = scanIndex(df)
+      if (idx.isInstanceOf[ManifestPrunedFileIndex])
+        assert(idx.listFiles(Nil, Nil).map(_.files.size).sum == 0,
+          "provably-empty range must list zero files")
+    }
+  }
+
+  test("files appended after the manifest build are always kept (stale-safe)") {
+    val p = s"$tmpBase/graft_mrule_stale"
+    docs.filter(col("doc_id") % 2 === 0)
+      .repartitionByRange(4, col("n_chars")).write.mode("overwrite").parquet(p)
+    ManifestScan.buildManifest(spark, p, Seq("n_chars"))
+    // append the odd half AFTER the manifest: unknown to it, must never
+    // be skipped, whatever the predicate
+    docs.filter(col("doc_id") % 2 === 1)
+      .repartition(2).write.mode("append").parquet(p)
+    val got = rows(spark.read.parquet(p)
+      .filter(col("n_chars") >= 200L && col("n_chars") <= 400L))
+    assert(got == rows(docs.filter(col("n_chars").between(200, 400))),
+      "appended (unmanifested) files must survive pruning")
+  }
+
+  test("unmanifested layouts and disabled sessions plan unchanged") {
+    val p = s"$tmpBase/graft_mrule_plain"
+    docs.repartitionByRange(4, col("n_chars")).write.mode("overwrite").parquet(p)
+    val plain = spark.read.parquet(p).filter(col("n_chars") >= 200L && col("n_chars") <= 260L)
+    assert(!scanIndex(plain).isInstanceOf[ManifestPrunedFileIndex],
+      "no manifest -> no rewrite")
+
+    spark.conf.set(plans.ManifestFileSkipping.EnabledKey, "false")
+    try {
+      val off = spark.read.parquet(byValue)
+        .filter(col("n_chars") >= 200L && col("n_chars") <= 260L)
+      assert(!scanIndex(off).isInstanceOf[ManifestPrunedFileIndex],
+        "disabled session -> no rewrite")
+    } finally spark.conf.unset(plans.ManifestFileSkipping.EnabledKey)
+  }
+}

@@ -471,5 +471,34 @@ object SourceQueries {
         .filter(col("n_chars") >= 250L && col("n_chars") <= 450L)
         .select(col("doc_id"), col("n_chars"))
         .orderBy(col("doc_id"))
+    },
+
+    // X223 JOIN-DRIVEN dynamic file skipping: the fact layout is
+    // manifested on its join key; the selective dim side's distinct
+    // keys (a bounded collect — the build side of a star join is small
+    // by construction) decide at RUNTIME which fact files can hold a
+    // match, the file-grain analogue of dynamic partition pruning.
+    // readForJoin returns a conservative superset (kept files, band +
+    // key-set re-filter); the join enforces exactness, so hash
+    // equality against the plain-join oracle proves the skipping is
+    // I/O-only. Pruned file counts pinned in ManifestRuleSpec.
+    Q("q_join_dynamic_prune",
+      """SELECT c.c_custkey, c.c_acctbal, o.o_orderkey, o.o_totalprice
+        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |WHERE c.c_acctbal BETWEEN 9900 AND 9999
+        |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin) { (s, dir) =>
+      import graft.sources.ManifestScan
+      val path = tmp(dir, "dynprune")
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .repartitionByRange(16, col("o_custkey"))
+        .write.mode("overwrite").parquet(path)
+      ManifestScan.buildManifest(s, path, Seq("o_custkey"))
+      val dim = t(s, dir, "customer")
+        .filter(col("c_acctbal").between(9900.0, 9999.0))
+        .select(col("c_custkey"), col("c_acctbal"))
+      val fact = ManifestScan.readForJoin(s, path, "o_custkey", dim.select(col("c_custkey")))
+      dim.join(fact, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_acctbal"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("c_custkey"), col("o_orderkey"))
     })
 }

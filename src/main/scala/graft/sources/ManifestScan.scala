@@ -86,6 +86,79 @@ object ManifestScan {
     (kept, m.length)
   }
 
+  /** Files that could contain ANY of `keys` on `valueCol`, per the
+    * stored manifest — the point-set analogue of [[prunedFiles]]: a
+    * file is kept iff at least one key lands inside its [min, max]
+    * (binary search per file over the sorted key set). All-null stats
+    * provably match no key; skipping stays exact.
+    */
+  def prunedFilesForKeys(spark: SparkSession, path: String, valueCol: String,
+      keys: Seq[Long]): (Seq[String], Int) = {
+    val sorted = keys.distinct.sorted.toArray
+    val m = spark.read.parquet(manifestPath(path))
+      .select(col("file"), col(s"${valueCol}_min").as("mn"), col(s"${valueCol}_max").as("mx"))
+      .collect()
+    val kept = m.filter { r =>
+      !r.isNullAt(1) && !r.isNullAt(2) && sorted.nonEmpty && {
+        val (mn, mx) = (r.getLong(1), r.getLong(2))
+        val i = java.util.Arrays.binarySearch(sorted, mn)
+        i >= 0 || { val ip = -i - 1; ip < sorted.length && sorted(ip) <= mx }
+      }
+    }.map(_.getString(0)).toSeq
+    (kept, m.length)
+  }
+
+  /** JOIN-DRIVEN dynamic file skipping — the runtime sibling of
+    * [[readRange]], and the file-grain analogue of dynamic partition
+    * pruning: before scanning a fact layout manifested on its join
+    * key, collect the (already-filtered) build side's distinct keys
+    * with a bounded driver action and open only the files whose
+    * [min, max] could hold one of them. Returns a conservative
+    * SUPERSET of the fact rows whose `valueCol` is in `dimKeys` (kept
+    * files re-filtered to the keys' [min, max] band, plus an exact
+    * key-set filter when the set is small) — the caller's join
+    * enforces exactness, so the whole rewrite is I/O-only.
+    *
+    * Scale shape (100 TB): the build side of a selective star join is
+    * small by construction (that is why Spark broadcasts it); its
+    * distinct key set is one bounded collect, capped at `maxKeys`.
+    * Over the cap, the method degrades to [[readRange]] over the TRUE
+    * key min/max (computed by aggregate, not from the truncated
+    * sample) — band pruning instead of point pruning, never wrong.
+    * Like [[readRange]], assumes the manifest covers the layout
+    * (build it after writing; the automatic rule in
+    * [[graft.plans.ManifestFileSkipping]] is the appends-tolerant
+    * path).
+    */
+  def readForJoin(spark: SparkSession, path: String, valueCol: String,
+      dimKeys: org.apache.spark.sql.DataFrame, maxKeys: Int = 100000): DataFrame = {
+    require(dimKeys.columns.length == 1, "readForJoin: dimKeys must be a single key column")
+    val distinctKeys = dimKeys
+      .select(col(dimKeys.columns.head).cast("long").as("k"))
+      .na.drop().distinct()
+    val sample = distinctKeys.limit(maxKeys + 1).collect().map(_.getLong(0))
+    if (sample.isEmpty)
+      spark.read.parquet(path).filter(lit(false)) // no keys: provably empty, schema kept
+    else if (sample.length > maxKeys) {
+      // over budget: true band from ONE aggregate (the sample is
+      // truncated — its extremes would under-cover the key set)
+      val r = distinctKeys.agg(min(col("k")), max(col("k"))).head
+      readRange(spark, path, valueCol, r.getLong(0), r.getLong(1))
+    } else {
+      val (files, _) = prunedFilesForKeys(spark, path, valueCol, sample.toSeq)
+      if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else {
+        val banded = spark.read.parquet(files: _*)
+          .filter(col(valueCol) >= sample.min && col(valueCol) <= sample.max)
+        // small key sets also row-filter exactly (drives parquet
+        // row-group skipping); big ones stay band-only — either way a
+        // superset of the matching rows
+        if (sample.length <= 10000) banded.filter(col(valueCol).isin(sample.toSeq: _*))
+        else banded
+      }
+    }
+  }
+
   /** Range scan through the manifest: read ONLY the overlapping files,
     * then re-apply the predicate (skipping is conservative — kept
     * files may still hold non-matching rows). Semantically identical

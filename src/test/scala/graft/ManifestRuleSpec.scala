@@ -108,6 +108,47 @@ class ManifestRuleSpec extends SparkSpec {
       "appended (unmanifested) files must survive pruning")
   }
 
+  test("join-driven dynamic skipping opens only the key-overlapping files") {
+    import org.apache.spark.sql.functions.lit
+    val orders = Tables.load(spark, TestSpark.sf0001, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val p = s"$tmpBase/graft_mrule_dyn"
+    orders.repartitionByRange(8, col("o_custkey")).write.mode("overwrite").parquet(p)
+    ManifestScan.buildManifest(spark, p, Seq("o_custkey"))
+    val total = dataFilesOnDisk(p)
+    assert(total >= 8, s"staging must produce >= 8 files, got $total")
+
+    // two keys from opposite ends of the clustered axis: at most two
+    // files can hold them
+    val Array(kLo, kHi) = orders.agg(
+      org.apache.spark.sql.functions.min("o_custkey"),
+      org.apache.spark.sql.functions.max("o_custkey")).head() match {
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    val dim = spark.range(2).select(
+      org.apache.spark.sql.functions.when(col("id") === 0, kLo).otherwise(kHi).as("k"))
+    val pruned = ManifestScan.readForJoin(spark, p, "o_custkey", dim)
+    assert(pruned.inputFiles.length >= 1 && pruned.inputFiles.length <= 2,
+      s"two point keys must open at most two of $total files, opened ${pruned.inputFiles.length}")
+    assert(rows(pruned.select(col("o_orderkey"), col("o_custkey"))) ==
+      rows(orders.filter(col("o_custkey").isin(kLo, kHi))
+        .select(col("o_orderkey"), col("o_custkey"))),
+      "point-pruned read must hold exactly the matching rows (superset re-filtered)")
+
+    // over-budget degrade: maxKeys=1 with two keys must fall back to
+    // the TRUE [min,max] band (computed by aggregate) — a superset
+    val band = ManifestScan.readForJoin(spark, p, "o_custkey", dim, maxKeys = 1)
+    val bandKeys = band.select(col("o_custkey")).distinct().collect().map(_.getLong(0))
+    assert(bandKeys.contains(kLo) && bandKeys.contains(kHi),
+      "band fallback must cover both keys (truncated-sample extremes would not)")
+
+    // empty dim: provably-empty scan, schema intact
+    val none = ManifestScan.readForJoin(spark, p, "o_custkey",
+      dim.filter(lit(false)))
+    assert(none.count() == 0 &&
+      none.columns.toSeq == Seq("o_orderkey", "o_custkey", "o_totalprice"))
+  }
+
   test("unmanifested layouts and disabled sessions plan unchanged") {
     val p = s"$tmpBase/graft_mrule_plain"
     docs.repartitionByRange(4, col("n_chars")).write.mode("overwrite").parquet(p)

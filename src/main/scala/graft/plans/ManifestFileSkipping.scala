@@ -72,17 +72,20 @@ object ManifestFileSkipping extends Rule[LogicalPlan] with PredicateHelper {
                 hfs.location.rootPaths.size == 1 &&
                 !hfs.location.isInstanceOf[ManifestPrunedFileIndex] =>
             val bounds = extractBounds(cond, l.outputSet)
-            if (bounds.isEmpty) f
+            val points = extractPoints(cond, l.outputSet)
+            if (bounds.isEmpty && points.isEmpty) f
             else {
               val spark = hfs.sparkSession
               ManifestCache.load(spark.sessionState.newHadoopConf(),
                 hfs.location.rootPaths.head) match {
                 case Some(m) =>
-                  val usable = bounds.filter { case (c, _) => m.statsCols.contains(c) }
-                  if (usable.isEmpty) f
+                  val ub = bounds.filter { case (c, _) => m.statsCols.contains(c) }
+                  val up = points.filter { case (c, _) => m.bloomCols.contains(c) }
+                  if (ub.isEmpty && up.isEmpty) f
                   else {
                     val skip = m.rows.iterator
-                      .filterNot(r => overlaps(r, usable)).map(_.fileName).toSet
+                      .filterNot(r => overlaps(r, ub) && maybeMatchesPoints(r, up))
+                      .map(_.fileName).toSet
                     if (skip.isEmpty) f
                     else f.copy(child =
                       l.copy(relation = hfs.copy(
@@ -157,6 +160,35 @@ object ManifestFileSkipping extends Rule[LogicalPlan] with PredicateHelper {
     acc.toMap
   }
 
+  /** Exact point sets per column from the filter's EQUALITY conjuncts
+    * (`=`, `<=>` non-null, IN of literals) — the probes for per-file
+    * bloom skipping, where a band is useless (a high-cardinality key's
+    * [min, max] spans every file of an unclustered layout). Repeated
+    * point conjuncts on one column intersect; an empty intersection
+    * (`c = 5 AND c = 6`) matches nothing, so every manifested file is
+    * provably skippable.
+    */
+  private def extractPoints(cond: Expression,
+      scanOutput: AttributeSet): Map[String, Set[Long]] = {
+    val acc = scala.collection.mutable.Map.empty[String, Set[Long]]
+    def add(a: Attribute, s: Set[Long]): Unit =
+      if (scanOutput.contains(a) && isIntegral(a.dataType))
+        acc(a.name) = acc.get(a.name).map(_ intersect s).getOrElse(s)
+    splitConjunctivePredicates(cond).foreach {
+      case EqualTo(a: AttributeReference, Literal(v, _)) =>
+        litLong(v).foreach(x => add(a, Set(x)))
+      case EqualTo(Literal(v, _), a: AttributeReference) =>
+        litLong(v).foreach(x => add(a, Set(x)))
+      case EqualNullSafe(a: AttributeReference, Literal(v, _)) if v != null =>
+        litLong(v).foreach(x => add(a, Set(x)))
+      case In(a: AttributeReference, vs) if vs.nonEmpty && vs.length <= 1000 &&
+          vs.forall { case Literal(v, _) => v != null && litLong(v).isDefined; case _ => false } =>
+        add(a, vs.map { case Literal(v, _) => litLong(v).get }.toSet)
+      case _ => // no points from this conjunct (conservative)
+    }
+    acc.toMap
+  }
+
   /** Could this manifest row's file hold a row matching EVERY bound?
     * Unknown columns (no stats in the row) count as overlapping; a
     * stats pair that is all-null means the column has no values in the
@@ -171,14 +203,36 @@ object ManifestFileSkipping extends Rule[LogicalPlan] with PredicateHelper {
       }
     }
 
+  /** Could this file's blooms hold ANY probed key, for every
+    * point-constrained column? Bloom "no" is definitive (no false
+    * negatives by construction); a column without bloom data in this
+    * row keeps the file. An empty point set matches nothing.
+    */
+  private def maybeMatchesPoints(r: ManifestRow,
+      points: Map[String, Set[Long]]): Boolean =
+    points.forall { case (c, pts) =>
+      r.blooms.get(c) match {
+        case Some(b) => pts.exists(key => graft.sources.ManifestScan
+          .bloomMaybeContains(key.toString, b.k, b.m, b.widx, b.words))
+        case None => true // no bloom for this column: keep (conservative)
+      }
+    }
+
+  /** Sparse per-file bloom over one column: `widx` sorted word
+    * indices, `words` the matching 32-bits-per-long packed words.
+    */
+  final case class BloomStats(k: Int, m: Int, widx: Array[Long], words: Array[Long])
+
   /** Per-file long min/max stats keyed by column base name; `fileName`
     * is the part-file NAME (manifests store full `input_file_name()`
     * URIs; names are unique within the single root directory and
     * immune to scheme/authority spelling differences).
     */
   final case class ManifestRow(fileName: String,
-      stats: Map[String, (Option[Long], Option[Long])])
-  final case class ManifestInfo(rows: Vector[ManifestRow], statsCols: Set[String])
+      stats: Map[String, (Option[Long], Option[Long])],
+      blooms: Map[String, BloomStats] = Map.empty)
+  final case class ManifestInfo(rows: Vector[ManifestRow], statsCols: Set[String],
+      bloomCols: Set[String] = Set.empty)
 
   /** Driver-side manifest loader, cached per data-root path and
     * invalidated by the manifest part files' (name, len, mtime)
@@ -214,9 +268,30 @@ object ManifestFileSkipping extends Rule[LogicalPlan] with PredicateHelper {
       }
     }
 
+    /** Standard 3-level parquet LIST<INT64> → long array; None on any
+      * shape surprise (null list, null element, legacy encoding) — the
+      * caller degrades to "no bloom for this row", never to an error.
+      */
+    private def readLongList(g: Group, i: Int): Option[Array[Long]] =
+      try {
+        if (g.getFieldRepetitionCount(i) == 0) return None
+        val outer = g.getGroup(i, 0) // the repeated "list" wrapper
+        val n = outer.getFieldRepetitionCount(0)
+        val arr = new Array[Long](n)
+        var j = 0
+        while (j < n) {
+          val el = outer.getGroup(0, j)
+          if (el.getFieldRepetitionCount(0) == 0) return None // null element
+          arr(j) = el.getLong(0, 0)
+          j += 1
+        }
+        Some(arr)
+      } catch { case NonFatal(_) => None }
+
     private def readAll(conf: Configuration, paths: Seq[Path]): ManifestInfo = {
       val rows = Vector.newBuilder[ManifestRow]
       val cols = Set.newBuilder[String]
+      val bloomColsB = Set.newBuilder[String]
       paths.foreach { p =>
         val reader: ParquetReader[Group] =
           ParquetReader.builder(new GroupReadSupport(), p).withConf(conf).build()
@@ -227,11 +302,27 @@ object ManifestFileSkipping extends Rule[LogicalPlan] with PredicateHelper {
             var fileName: String = null
             val mins = scala.collection.mutable.Map.empty[String, Option[Long]]
             val maxs = scala.collection.mutable.Map.empty[String, Option[Long]]
+            val bK = scala.collection.mutable.Map.empty[String, Int]
+            val bM = scala.collection.mutable.Map.empty[String, Int]
+            val bWidx = scala.collection.mutable.Map.empty[String, Array[Long]]
+            val bWord = scala.collection.mutable.Map.empty[String, Array[Long]]
             (0 until t.getFieldCount).foreach { i =>
               val ft = t.getType(i)
               val name = ft.getName
               if (name == "file" && g.getFieldRepetitionCount(i) > 0)
                 fileName = new Path(g.getString(i, 0)).getName
+              else if (name.endsWith("_bloom_k") || name.endsWith("_bloom_m")) {
+                if (ft.isPrimitive &&
+                    ft.asPrimitiveType.getPrimitiveTypeName == PrimitiveTypeName.INT32 &&
+                    g.getFieldRepetitionCount(i) > 0) {
+                  val base = name.dropRight(8)
+                  if (name.endsWith("_k")) bK(base) = g.getInteger(i, 0)
+                  else bM(base) = g.getInteger(i, 0)
+                }
+              } else if (name.endsWith("_bloom_widx"))
+                readLongList(g, i).foreach(bWidx(name.dropRight(11)) = _)
+              else if (name.endsWith("_bloom_word"))
+                readLongList(g, i).foreach(bWord(name.dropRight(11)) = _)
               else if ((name.endsWith("_min") || name.endsWith("_max")) &&
                   ft.isPrimitive &&
                   ft.asPrimitiveType.getPrimitiveTypeName == PrimitiveTypeName.INT64) {
@@ -245,13 +336,25 @@ object ManifestFileSkipping extends Rule[LogicalPlan] with PredicateHelper {
               val stats = (mins.keySet ++ maxs.keySet).iterator.map { c =>
                 c -> ((mins.getOrElse(c, None), maxs.getOrElse(c, None)))
               }.toMap
-              rows += ManifestRow(fileName, stats)
+              // a usable bloom needs all four fields; parallel arrays
+              // must agree in length (defensive — the build writes them
+              // from one struct list)
+              val blooms = bK.keySet.iterator.flatMap { c =>
+                (bM.get(c), bWidx.get(c), bWord.get(c)) match {
+                  case (Some(m), Some(wi), Some(wo))
+                      if wi.length == wo.length && bK(c) >= 1 && m >= 32 =>
+                    bloomColsB += c
+                    Some(c -> BloomStats(bK(c), m, wi, wo))
+                  case _ => None
+                }
+              }.toMap
+              rows += ManifestRow(fileName, stats, blooms)
             }
             g = reader.read()
           }
         } finally reader.close()
       }
-      ManifestInfo(rows.result(), cols.result())
+      ManifestInfo(rows.result(), cols.result(), bloomColsB.result())
     }
   }
 }

@@ -500,5 +500,28 @@ object SourceQueries {
       dim.join(fact, col("o_custkey") === col("c_custkey"))
         .select(col("c_custkey"), col("c_acctbal"), col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("c_custkey"), col("o_orderkey"))
+    },
+
+    // X224 BLOOM file skipping: the layout is clustered by the WRONG
+    // column for this lookup (n_chars), so every file's doc_id
+    // [min, max] band spans the whole domain and min/max skipping is
+    // useless — but the per-file blooms stored in the same manifest
+    // pin the ≤3 files that can actually hold the probed ids. The
+    // query is the PLAIN declarative form (read.parquet + IN filter);
+    // the optimizer rule consults the blooms. Needle lookups without
+    // re-clustering; pruned file counts pinned in ManifestRuleSpec.
+    Q("q_source_bloom_lookup",
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id IN (7, 77, 142) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.sources.ManifestScan
+      val path = tmp(dir, "bloomlk")
+      t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        .repartitionByRange(16, col("n_chars"))
+        .write.mode("overwrite").parquet(path)
+      ManifestScan.buildManifest(s, path, Seq("n_chars"), Seq("doc_id"))
+      s.read.parquet(path)
+        .filter(col("doc_id").isin(7L, 77L, 142L))
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
     })
 }

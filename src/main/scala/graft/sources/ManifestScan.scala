@@ -52,18 +52,128 @@ object ManifestScan {
     * (long-valued). One aggregate pass over the data, metadata-scale
     * output.
     */
-  def buildManifest(spark: SparkSession, path: String, statsCols: Seq[String]): Unit = {
-    require(statsCols.nonEmpty, "buildManifest: need at least one stats column")
+  def buildManifest(spark: SparkSession, path: String, statsCols: Seq[String]): Unit =
+    buildManifest(spark, path, statsCols, Nil)
+
+  /** Build (or rebuild) the manifest with optional PER-FILE BLOOM
+    * FILTERS over `bloomCols` — the point-lookup complement to the
+    * min/max bands: on a layout clustered by some OTHER column, every
+    * file's [min, max] on a high-cardinality key spans the whole
+    * domain (band skipping is useless), but a per-file bloom pins the
+    * handful of files that can actually hold a probed key — needle
+    * lookups without re-clustering, the same role as parquet's
+    * column-index bloom filters, engine-owned and externally
+    * replayable (the [[graft.operators.CountMinSketch.cellHash]] md5
+    * family, packed 32 bits per long word like
+    * [[graft.operators.BloomFilter]]).
+    *
+    * Stored sparse per (file, column): `<c>_bloom_widx`/`<c>_bloom_word`
+    * parallel long arrays sorted by word index, plus `<c>_bloom_k`/
+    * `<c>_bloom_m` so readers need no out-of-band parameters. A file
+    * whose column is all-null gets EMPTY arrays — membership is
+    * definitively false there, which is exact for point equality.
+    * Size: ≤ m/32 words per file per column (2 KB at the 16384-bit
+    * default) — still metadata-scale.
+    */
+  def buildManifest(spark: SparkSession, path: String, statsCols: Seq[String],
+      bloomCols: Seq[String], bloomBits: Int = 16384, bloomK: Int = 3): Unit = {
+    require(statsCols.nonEmpty || bloomCols.nonEmpty,
+      "buildManifest: need at least one stats or bloom column")
+    require(bloomK >= 1 && bloomK <= 12 && bloomBits >= 32 && bloomBits % 32 == 0,
+      s"buildManifest: bloomK=$bloomK bloomBits=$bloomBits")
+    val data = spark.read.parquet(path)
     val aggs = count(lit(1)).as("n_rows") +:
       statsCols.flatMap { c =>
         Seq(min(col(c)).cast("long").as(s"${c}_min"),
           max(col(c)).cast("long").as(s"${c}_max"))
       }
-    spark.read.parquet(path)
-      .groupBy(input_file_name().as("file"))
+    val base = data.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
+    val emptyArr = expr("CAST(array() AS array<bigint>)")
+    val withBlooms = bloomCols.foldLeft(base) { (acc, c) =>
+      import graft.operators.CountMinSketch
+      val words = data.filter(col(c).isNotNull)
+        .select(input_file_name().as("file"),
+          explode(array((0 until bloomK).map(j =>
+            CountMinSketch.cellHash(col(c), j, bloomBits)): _*)).as("pos"))
+        .select(col("file"), (col("pos") / 32).cast("long").as("widx"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").as("bit"))
+        .groupBy(col("file"), col("widx")).agg(bit_or(col("bit")).as("word"))
+        .groupBy(col("file"))
+        .agg(sort_array(collect_list(struct(col("widx"), col("word")))).as("_bw"))
+        .select(col("file"),
+          expr("transform(_bw, x -> x.widx)").as(s"${c}_bloom_widx"),
+          expr("transform(_bw, x -> x.word)").as(s"${c}_bloom_word"))
+      acc.join(words, Seq("file"), "left")
+        .withColumn(s"${c}_bloom_widx", coalesce(col(s"${c}_bloom_widx"), emptyArr))
+        .withColumn(s"${c}_bloom_word", coalesce(col(s"${c}_bloom_word"), emptyArr))
+        .withColumn(s"${c}_bloom_k", lit(bloomK))
+        .withColumn(s"${c}_bloom_m", lit(bloomBits))
+    }
+    withBlooms
       .coalesce(1) // metadata-scale: one row per data file
       .write.mode("overwrite").parquet(manifestPath(path))
+  }
+
+  /** Driver-side replica of [[graft.operators.CountMinSketch.cellHash]]
+    * — the SAME md5-split hash evaluated without a Spark job, so the
+    * pruning decision can probe stored blooms at plan-build time.
+    * Pinned bit-identical to the SQL evaluation in ManifestRuleSpec.
+    */
+  private[graft] def cellHashLocal(key: String, j: Int, width: Int): Long = {
+    val input = if (j < 4) key else s"$key:${j / 4}"
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(input.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(8 * (j % 4), 8 * (j % 4) + 8), 16) % width
+  }
+
+  /** May this sparse per-file bloom contain `key`? False is
+    * definitive (no false negatives by construction); true may be a
+    * false positive. Keys are probed through their canonical string
+    * form — the build hashes `CAST(col AS STRING)`.
+    */
+  private[graft] def bloomMaybeContains(key: String, k: Int, m: Int,
+      widx: Array[Long], words: Array[Long]): Boolean =
+    (0 until k).forall { j =>
+      val pos = cellHashLocal(key, j, m)
+      val i = java.util.Arrays.binarySearch(widx, pos / 32)
+      i >= 0 && ((words(i) >> (pos % 32).toInt) & 1L) == 1L
+    }
+
+  /** (files that could contain ANY of `keys` per the stored per-file
+    * blooms, total file count) — the point-lookup sibling of
+    * [[prunedFiles]], effective on layouts where the key's min/max
+    * band spans every file. Metadata-only, no data file I/O.
+    */
+  def prunedFilesForPointKeys(spark: SparkSession, path: String, valueCol: String,
+      keys: Seq[Long]): (Seq[String], Int) = {
+    val m = spark.read.parquet(manifestPath(path))
+      .select(col("file"),
+        col(s"${valueCol}_bloom_k").as("k"), col(s"${valueCol}_bloom_m").as("m"),
+        col(s"${valueCol}_bloom_widx").as("widx"), col(s"${valueCol}_bloom_word").as("word"))
+      .collect()
+    val kept = m.filter { r =>
+      !r.isNullAt(1) && !r.isNullAt(3) && {
+        val (k, mm) = (r.getInt(1), r.getInt(2))
+        val widx = r.getSeq[Long](3).toArray
+        val words = r.getSeq[Long](4).toArray
+        keys.exists(key => bloomMaybeContains(key.toString, k, mm, widx, words))
+      }
+    }.map(_.getString(0)).toSeq
+    (kept, m.length)
+  }
+
+  /** Point lookup through the per-file blooms: open only the files
+    * that might hold one of `keys`, then apply the EXACT key filter —
+    * result ≡ `read.parquet(path).filter(col IN keys)` (false
+    * positives die at the row filter; no false negatives exist).
+    */
+  def readPointLookup(spark: SparkSession, path: String, valueCol: String,
+      keys: Seq[Long]): DataFrame = {
+    val (files, _) = prunedFilesForPointKeys(spark, path, valueCol, keys)
+    if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
+    else spark.read.parquet(files: _*).filter(col(valueCol).isin(keys: _*))
   }
 
   /** (files overlapping [lo, hi] on `valueCol`, total file count) from

@@ -149,6 +149,69 @@ class ManifestRuleSpec extends SparkSpec {
       none.columns.toSeq == Seq("o_orderkey", "o_custkey", "o_totalprice"))
   }
 
+  test("driver-side cell hash replays the SQL hash family bit for bit") {
+    import org.apache.spark.sql.functions.lit
+    val keys = Seq(0L, 1L, 7L, -42L, 499L, 123456789L, Long.MaxValue, Long.MinValue + 1)
+    (0 until 6).foreach { j =>
+      val sql = spark.range(1).select(
+        keys.map(k => graft.operators.CountMinSketch.cellHash(lit(k), j, 16384)): _*)
+        .head().toSeq.map(_.asInstanceOf[Long])
+      val local = keys.map(k => ManifestScan.cellHashLocal(k.toString, j, 16384))
+      assert(sql == local, s"j=$j: SQL $sql != local $local")
+    }
+  }
+
+  test("bloom point lookup skips to the key-holding files on a mis-clustered layout") {
+    // clustered by n_chars: every file's doc_id band spans the whole
+    // domain — min/max skipping can do NOTHING here, blooms must
+    val p = s"$tmpBase/graft_mrule_bloom"
+    docs.repartitionByRange(16, col("n_chars")).write.mode("overwrite").parquet(p)
+    ManifestScan.buildManifest(spark, p, Seq("n_chars"), Seq("doc_id"))
+    val total = dataFilesOnDisk(p)
+    assert(total >= 16, s"staging must produce >= 16 files, got $total")
+
+    // declarative form through the optimizer rule
+    val df = spark.read.parquet(p).filter(col("doc_id").isin(7L, 77L, 142L))
+    val idx = scanIndex(df)
+    assert(idx.isInstanceOf[ManifestPrunedFileIndex],
+      "IN over a bloomed column must prune through the rule")
+    val read = idx.listFiles(Nil, Nil).map(_.files.size).sum
+    assert(read >= 1 && read <= 3,
+      s"three point keys must open at most three of $total files, opened $read")
+    assert(rows(df) == rows(docs.filter(col("doc_id").isin(7L, 77L, 142L))),
+      "bloom-pruned scan must equal the full-scan filter")
+
+    // the explicit API agrees with the rule
+    val api = ManifestScan.readPointLookup(spark, p, "doc_id", Seq(7L, 77L, 142L))
+    assert(api.inputFiles.length == read, "API and rule must keep the same files")
+    assert(rows(api) == rows(df))
+
+    // equality conjunct: one key, at most one file
+    val one = spark.read.parquet(p).filter(col("doc_id") === 142L)
+    val oneIdx = scanIndex(one)
+    assert(oneIdx.isInstanceOf[ManifestPrunedFileIndex] &&
+      oneIdx.listFiles(Nil, Nil).map(_.files.size).sum <= 1,
+      "a single equality key must open at most one file")
+    assert(rows(one) == rows(docs.filter(col("doc_id") === 142L)))
+
+    // absent key: no rows, and (modulo bloom false positives) no files
+    val absent = ManifestScan.readPointLookup(spark, p, "doc_id", Seq(999999L))
+    assert(absent.count() == 0)
+
+    // disjoint IN lists: Catalyst's ConstantPropagation folds plain
+    // contradictory EQUALITIES to an empty LocalRelation before this
+    // rule runs, but leaves IN∩IN to us — the empty point
+    // intersection must prove every manifested file skippable
+    val contra = spark.read.parquet(p)
+      .filter(col("doc_id").isin(7L, 8L) && col("doc_id").isin(77L, 88L))
+    assert(contra.count() == 0)
+    val cIdx = scanIndex(contra)
+    assert(cIdx.isInstanceOf[ManifestPrunedFileIndex],
+      "disjoint IN lists must prune through the rule")
+    assert(cIdx.listFiles(Nil, Nil).map(_.files.size).sum == 0,
+      "an empty point intersection must list zero files")
+  }
+
   test("unmanifested layouts and disabled sessions plan unchanged") {
     val p = s"$tmpBase/graft_mrule_plain"
     docs.repartitionByRange(4, col("n_chars")).write.mode("overwrite").parquet(p)

@@ -40,12 +40,20 @@ import scala.util.control.NonFatal
   *     semantic. `q_source_manifest_auto` pins rule-on ≡ DuckDB
   *     full-scan; ManifestRuleSpec pins rule-on ≡ rule-off.
   *
-  * Bounds come from the filter's CONJUNCTS over integral columns read
-  * directly off the scan (`>=`, `>`, `<=`, `<`, `=`, `<=>`, IN,
-  * literal on either side); disjunctions and cast-wrapped columns
-  * contribute nothing (kept conservative). Multiple conjuncts on one
-  * column intersect; an infeasible intersection (lo > hi) skips every
-  * manifested file — the provably-empty scan.
+  * Each filter CONJUNCT over a bare integral scan column becomes an
+  * INTERVAL-SET constraint (`>=`, `>`, `<=`, `<`, `=`, `<=>`, literal
+  * on either side; IN as singleton intervals; same-column Or as
+  * interval union and nested And as intersection — so an index probe's
+  * `z BETWEEN .. OR z BETWEEN ..` disjunction, the shape
+  * [[graft.operators.ZOrder.zQueryRanges]] emits, prunes at file
+  * grain). A file must overlap at least one interval of EVERY
+  * constraint; an infeasible conjunct (empty intersection) skips every
+  * manifested file — the provably-empty scan. Cast-wrapped columns and
+  * cross-column disjunctions contribute nothing (kept conservative);
+  * point equalities additionally probe stored per-file BLOOM filters
+  * where the manifest carries them (see
+  * [[graft.sources.ManifestScan.buildManifest]]), covering layouts
+  * clustered by a different column where every band overlaps.
   *
   * Scale shape (100 TB): the decision is metadata-only — one driver
   * read of the manifest (one row per data file), cached per path and
@@ -71,15 +79,15 @@ object ManifestFileSkipping extends Rule[LogicalPlan] with PredicateHelper {
               if hfs.partitionSchema.isEmpty &&
                 hfs.location.rootPaths.size == 1 &&
                 !hfs.location.isInstanceOf[ManifestPrunedFileIndex] =>
-            val bounds = extractBounds(cond, l.outputSet)
+            val ranges = extractConstraints(cond, l.outputSet)
             val points = extractPoints(cond, l.outputSet)
-            if (bounds.isEmpty && points.isEmpty) f
+            if (ranges.isEmpty && points.isEmpty) f
             else {
               val spark = hfs.sparkSession
               ManifestCache.load(spark.sessionState.newHadoopConf(),
                 hfs.location.rootPaths.head) match {
                 case Some(m) =>
-                  val ub = bounds.filter { case (c, _) => m.statsCols.contains(c) }
+                  val ub = ranges.filter { case (c, _) => m.statsCols.contains(c) }
                   val up = points.filter { case (c, _) => m.bloomCols.contains(c) }
                   if (ub.isEmpty && up.isEmpty) f
                   else {
@@ -115,50 +123,95 @@ object ManifestFileSkipping extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
-  /** Per-column intersected bounds from the filter's conjuncts.
-    * Only bare integral attributes of the scan with literal
-    * comparisons count; everything else contributes no bound.
+  /** Interval-set blowup cap: beyond it a set collapses to its
+    * envelope [min lo, max hi] — a relaxation, so pruning stays safe.
     */
-  private def extractBounds(cond: Expression,
-      scanOutput: AttributeSet): Map[String, Bound] = {
-    val acc = scala.collection.mutable.Map.empty[String, Bound]
-    def add(a: Attribute, lo: Long, hi: Long): Unit =
-      if (scanOutput.contains(a) && isIntegral(a.dataType)) {
-        val b = acc.getOrElse(a.name, Bound(Long.MinValue, Long.MaxValue))
-        acc(a.name) = Bound(math.max(b.lo, lo), math.min(b.hi, hi))
-      }
-    splitConjunctivePredicates(cond).foreach {
-      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) =>
-        litLong(v).foreach(x => add(a, x, Long.MaxValue))
-      case GreaterThan(a: AttributeReference, Literal(v, _)) =>
-        litLong(v).foreach(x => add(a, if (x == Long.MaxValue) x else x + 1, Long.MaxValue))
-      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) =>
-        litLong(v).foreach(x => add(a, Long.MinValue, x))
-      case LessThan(a: AttributeReference, Literal(v, _)) =>
-        litLong(v).foreach(x => add(a, Long.MinValue, if (x == Long.MinValue) x else x - 1))
-      case EqualTo(a: AttributeReference, Literal(v, _)) =>
-        litLong(v).foreach(x => add(a, x, x))
-      case EqualNullSafe(a: AttributeReference, Literal(v, _)) if v != null =>
-        litLong(v).foreach(x => add(a, x, x))
+  private val MaxIntervals = 256
+
+  private def capped(s: Seq[Bound]): Seq[Bound] =
+    if (s.isEmpty || s.length <= MaxIntervals) s
+    else Seq(Bound(s.iterator.map(_.lo).min, s.iterator.map(_.hi).max))
+
+  /** One comparison → one interval on a bare integral scan column. */
+  private def baseBound(e: Expression,
+      scanOutput: AttributeSet): Option[(String, Bound)] = {
+    def ok(a: Attribute): Boolean =
+      scanOutput.contains(a) && isIntegral(a.dataType)
+    val r = e match {
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) if ok(a) =>
+        litLong(v).map(x => a.name -> Bound(x, Long.MaxValue))
+      case GreaterThan(a: AttributeReference, Literal(v, _)) if ok(a) =>
+        litLong(v).map(x => a.name -> Bound(if (x == Long.MaxValue) x else x + 1, Long.MaxValue))
+      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) if ok(a) =>
+        litLong(v).map(x => a.name -> Bound(Long.MinValue, x))
+      case LessThan(a: AttributeReference, Literal(v, _)) if ok(a) =>
+        litLong(v).map(x => a.name -> Bound(Long.MinValue, if (x == Long.MinValue) x else x - 1))
+      case EqualTo(a: AttributeReference, Literal(v, _)) if ok(a) =>
+        litLong(v).map(x => a.name -> Bound(x, x))
+      case EqualNullSafe(a: AttributeReference, Literal(v, _)) if v != null && ok(a) =>
+        litLong(v).map(x => a.name -> Bound(x, x))
       // mirrored literal-on-left forms
-      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) =>
-        litLong(v).foreach(x => add(a, Long.MinValue, x))
-      case GreaterThan(Literal(v, _), a: AttributeReference) =>
-        litLong(v).foreach(x => add(a, Long.MinValue, if (x == Long.MinValue) x else x - 1))
-      case LessThanOrEqual(Literal(v, _), a: AttributeReference) =>
-        litLong(v).foreach(x => add(a, x, Long.MaxValue))
-      case LessThan(Literal(v, _), a: AttributeReference) =>
-        litLong(v).foreach(x => add(a, if (x == Long.MaxValue) x else x + 1, Long.MaxValue))
-      case EqualTo(Literal(v, _), a: AttributeReference) =>
-        litLong(v).foreach(x => add(a, x, x))
-      case In(a: AttributeReference, vs) if vs.nonEmpty &&
-          vs.forall { case Literal(v, _) => v != null && litLong(v).isDefined; case _ => false } =>
-        val xs = vs.map { case Literal(v, _) => litLong(v).get }
-        add(a, xs.min, xs.max)
-      case _ => // no bound from this conjunct (conservative)
+      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) if ok(a) =>
+        litLong(v).map(x => a.name -> Bound(Long.MinValue, x))
+      case GreaterThan(Literal(v, _), a: AttributeReference) if ok(a) =>
+        litLong(v).map(x => a.name -> Bound(Long.MinValue, if (x == Long.MinValue) x else x - 1))
+      case LessThanOrEqual(Literal(v, _), a: AttributeReference) if ok(a) =>
+        litLong(v).map(x => a.name -> Bound(x, Long.MaxValue))
+      case LessThan(Literal(v, _), a: AttributeReference) if ok(a) =>
+        litLong(v).map(x => a.name -> Bound(if (x == Long.MaxValue) x else x + 1, Long.MaxValue))
+      case EqualTo(Literal(v, _), a: AttributeReference) if ok(a) =>
+        litLong(v).map(x => a.name -> Bound(x, x))
+      case _ => None
     }
-    acc.toMap
+    r
   }
+
+  /** Interpret an expression as "this ONE column lies in one of these
+    * intervals". Handles the disjunctive shapes index probes emit —
+    * e.g. a z-order box decomposed to `z BETWEEN .. OR z BETWEEN ..`
+    * ([[graft.operators.ZOrder.zQueryRanges]]) — plus IN as singleton
+    * intervals (tighter than its [min, max] band on clustered
+    * layouts):
+    *   - And: same column → interval intersection; only one side
+    *     interpretable → that side alone (dropping a conjunct is a
+    *     relaxation — pruning stays conservative);
+    *   - Or: BOTH branches must constrain the SAME column (an
+    *     uninterpretable branch admits anything) → interval union.
+    */
+  private def intervalsOf(e: Expression,
+      scanOutput: AttributeSet): Option[(String, Seq[Bound])] = e match {
+    case And(l, r) =>
+      (intervalsOf(l, scanOutput), intervalsOf(r, scanOutput)) match {
+        case (Some((c1, s1)), Some((c2, s2))) if c1 == c2 =>
+          val inter = for { a <- s1; b <- s2; lo = math.max(a.lo, b.lo);
+            hi = math.min(a.hi, b.hi); if lo <= hi } yield Bound(lo, hi)
+          Some((c1, capped(inter))) // may be empty: provably no match
+        case (Some(x), None) => Some(x)
+        case (None, Some(y)) => Some(y)
+        case (Some(x), Some(_)) => Some(x) // different columns: either alone is valid
+        case _ => None
+      }
+    case Or(l, r) =>
+      (intervalsOf(l, scanOutput), intervalsOf(r, scanOutput)) match {
+        case (Some((c1, s1)), Some((c2, s2))) if c1 == c2 => Some((c1, capped(s1 ++ s2)))
+        case _ => None
+      }
+    case In(a: AttributeReference, vs)
+        if scanOutput.contains(a) && isIntegral(a.dataType) &&
+          vs.nonEmpty && vs.length <= 1000 &&
+          vs.forall { case Literal(v, _) => v != null && litLong(v).isDefined; case _ => false } =>
+      Some((a.name, capped(
+        vs.map { case Literal(v, _) => val x = litLong(v).get; Bound(x, x) })))
+    case _ => baseBound(e, scanOutput).map { case (c, b) => (c, Seq(b)) }
+  }
+
+  /** One interval-set constraint per interpretable conjunct; a file
+    * must satisfy EVERY constraint (conjunction) by overlapping AT
+    * LEAST ONE interval of each (disjunction).
+    */
+  private def extractConstraints(cond: Expression,
+      scanOutput: AttributeSet): Seq[(String, Seq[Bound])] =
+    splitConjunctivePredicates(cond).flatMap(intervalsOf(_, scanOutput))
 
   /** Exact point sets per column from the filter's EQUALITY conjuncts
     * (`=`, `<=>` non-null, IN of literals) — the probes for per-file
@@ -189,15 +242,18 @@ object ManifestFileSkipping extends Rule[LogicalPlan] with PredicateHelper {
     acc.toMap
   }
 
-  /** Could this manifest row's file hold a row matching EVERY bound?
-    * Unknown columns (no stats in the row) count as overlapping; a
+  /** Could this manifest row's file hold a row matching EVERY
+    * constraint? Per constraint the file's [min, max] must overlap AT
+    * LEAST ONE interval (binary search over the lo-sorted set). An
+    * empty interval set is an infeasible conjunct — no file matches. A
     * stats pair that is all-null means the column has no values in the
-    * file, so no range predicate can match there.
+    * file, so no comparison can match there; absent/partial stats keep
+    * the file (conservative).
     */
-  private def overlaps(r: ManifestRow, bounds: Map[String, Bound]): Boolean =
-    bounds.forall { case (c, b) =>
+  private def overlaps(r: ManifestRow, constraints: Seq[(String, Seq[Bound])]): Boolean =
+    constraints.forall { case (c, ivs) =>
       r.stats.get(c) match {
-        case Some((Some(mn), Some(mx))) => mx >= b.lo && mn <= b.hi
+        case Some((Some(mn), Some(mx))) => ivs.exists(b => mx >= b.lo && mn <= b.hi)
         case Some((None, None)) => false // all-null column: provably no match
         case _ => true // absent/partial stats: keep (conservative)
       }

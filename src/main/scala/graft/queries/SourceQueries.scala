@@ -523,5 +523,47 @@ object SourceQueries {
         .filter(col("doc_id").isin(7L, 77L, 142L))
         .select(col("doc_id"), col("n_chars"))
         .orderBy(col("doc_id"))
+    },
+
+    // X225 z-order box query through MANIFEST file skipping: X155's
+    // quadtree decomposition (a 2-D box → exact covering z-ranges, an
+    // OR of BETWEENs) over a z-SORTED manifested layout — the
+    // optimizer rule interprets the same-column disjunction as an
+    // interval-set constraint and opens only the files whose z range
+    // intersects SOME covering range, closing the loop from spatial
+    // predicate to file-grain I/O (row-group stats already pruned
+    // within files; this prunes the file list itself). Oracle filters
+    // by the RAW box, so hash equality proves decomposition + skipping
+    // lose nothing. File counts pinned in ManifestRuleSpec.
+    Q("q_source_zorder_manifest", {
+      val zTerms = (0 until 8).map(i =>
+        s"(((cx >> $i) & 1) << ${2 * i}) + (((cy >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH c AS (
+         |  SELECT c_custkey,
+         |         CAST(least(greatest(floor((c_acctbal + 1000) / 11000 * 256), 0), 255)
+         |              AS BIGINT) AS cx,
+         |         (c_custkey * 53 % 4096) // 16 AS cy
+         |  FROM customer)
+         |SELECT c_custkey, cx, cy, $zTerms AS z
+         |FROM c WHERE cx BETWEEN 60 AND 140 AND cy BETWEEN 30 AND 100
+         |ORDER BY c_custkey""".stripMargin
+    }) { (s, dir) =>
+      import graft.operators.ZOrder
+      import graft.sources.ManifestScan
+      val path = tmp(dir, "zmanifest")
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          ZOrder.cellId(col("c_acctbal"), -1000, 10000, 8).as("cx"),
+          expr("(c_custkey * 53 % 4096) div 16").as("cy"))
+        .withColumn("z", ZOrder.interleave(col("cx"), col("cy"), 8))
+        .repartitionByRange(16, col("z")).sortWithinPartitions(col("z"))
+        .write.mode("overwrite").parquet(path)
+      ManifestScan.buildManifest(s, path, Seq("z"))
+      val pred = ZOrder.zQueryRanges(60, 140, 30, 100, bits = 8)
+        .map { case (lo, hi) => col("z").between(lo, hi) }.reduce(_ || _)
+      s.read.parquet(path).filter(pred)
+        .select(col("c_custkey"), col("cx"), col("cy"), col("z"))
+        .orderBy(col("c_custkey"))
     })
 }

@@ -212,6 +212,39 @@ class ManifestRuleSpec extends SparkSpec {
       "an empty point intersection must list zero files")
   }
 
+  test("z-order box disjunction prunes files as an interval-set constraint") {
+    import graft.operators.ZOrder
+    import org.apache.spark.sql.functions.expr
+    val staged = Tables.load(spark, TestSpark.sf0001, "customer")
+      .select(col("c_custkey"),
+        ZOrder.cellId(col("c_acctbal"), -1000, 10000, 8).as("cx"),
+        expr("(c_custkey * 53 % 4096) div 16").as("cy"))
+      .withColumn("z", ZOrder.interleave(col("cx"), col("cy"), 8))
+    val p = s"$tmpBase/graft_mrule_zbox"
+    staged.repartitionByRange(16, col("z")).sortWithinPartitions(col("z"))
+      .write.mode("overwrite").parquet(p)
+    ManifestScan.buildManifest(spark, p, Seq("z"))
+    val total = dataFilesOnDisk(p)
+    assert(total >= 8, s"staging must produce >= 8 files, got $total")
+
+    // quadrant-aligned box: 3 covering z-ranges spanning ~9% of the
+    // z domain — most z-sorted files must provably miss all three
+    val ranges = ZOrder.zQueryRanges(32, 95, 64, 127, bits = 8)
+    assert(ranges.length <= 8, s"probe box must stay small: ${ranges.length} ranges")
+    val pred = ranges.map { case (lo, hi) => col("z").between(lo, hi) }.reduce(_ || _)
+    val df = spark.read.parquet(p).filter(pred)
+    val idx = scanIndex(df)
+    assert(idx.isInstanceOf[ManifestPrunedFileIndex],
+      "a same-column OR of BETWEENs must prune through the rule")
+    val read = idx.listFiles(Nil, Nil).map(_.files.size).sum
+    assert(read < total, s"box probe must skip z-sorted files: read $read of $total")
+    // decomposition + skipping together still answer the RAW box
+    assert(rows(df.select(col("c_custkey"))) ==
+      rows(staged.filter(col("cx").between(32, 95) && col("cy").between(64, 127))
+        .select(col("c_custkey"))),
+      "pruned z-range scan must equal the raw box filter")
+  }
+
   test("unmanifested layouts and disabled sessions plan unchanged") {
     val p = s"$tmpBase/graft_mrule_plain"
     docs.repartitionByRange(4, col("n_chars")).write.mode("overwrite").parquet(p)

@@ -91,8 +91,13 @@ object ManifestFileSkipping extends Rule[LogicalPlan] with PredicateHelper {
                   val up = points.filter { case (c, _) => m.bloomCols.contains(c) }
                   if (ub.isEmpty && up.isEmpty) f
                   else {
+                    // memoize bloom probe positions per (key, k, m):
+                    // they are file-independent, and recomputing the
+                    // md5 family per FILE would cost keys×k digests ×
+                    // a million files on a real lake
+                    val posCache = new PositionCache
                     val skip = m.rows.iterator
-                      .filterNot(r => overlaps(r, ub) && maybeMatchesPoints(r, up))
+                      .filterNot(r => overlaps(r, ub) && maybeMatchesPoints(r, up, posCache))
                       .map(_.fileName).toSet
                     if (skip.isEmpty) f
                     else f.copy(child =
@@ -259,17 +264,27 @@ object ManifestFileSkipping extends Rule[LogicalPlan] with PredicateHelper {
       }
     }
 
+  /** Bloom probe positions per (key, k, m) — computed once per skip
+    * decision, shared across every file row probing the same key.
+    */
+  private final class PositionCache {
+    private val cache = scala.collection.mutable.Map.empty[(Long, Int, Int), Array[Long]]
+    def positions(key: Long, k: Int, m: Int): Array[Long] =
+      cache.getOrElseUpdate((key, k, m),
+        graft.sources.ManifestScan.bloomPositions(key, k, m))
+  }
+
   /** Could this file's blooms hold ANY probed key, for every
     * point-constrained column? Bloom "no" is definitive (no false
     * negatives by construction); a column without bloom data in this
     * row keeps the file. An empty point set matches nothing.
     */
   private def maybeMatchesPoints(r: ManifestRow,
-      points: Map[String, Set[Long]]): Boolean =
+      points: Map[String, Set[Long]], posCache: PositionCache): Boolean =
     points.forall { case (c, pts) =>
       r.blooms.get(c) match {
         case Some(b) => pts.exists(key => graft.sources.ManifestScan
-          .bloomMaybeContains(key.toString, b.k, b.m, b.widx, b.words))
+          .bloomHitsAll(posCache.positions(key, b.k, b.m), b.widx, b.words))
         case None => true // no bloom for this column: keep (conservative)
       }
     }
@@ -297,7 +312,14 @@ object ManifestFileSkipping extends Rule[LogicalPlan] with PredicateHelper {
     * never to an error.
     */
   private object ManifestCache {
-    private val cache = TrieMap.empty[String, (String, Option[ManifestInfo])]
+    // SoftReference values: a long-lived session scanning MANY
+    // manifested layouts (a lake has thousands) must not pin every
+    // manifest — with per-file blooms those are MBs each — on the
+    // driver heap forever; the GC reclaims under pressure and the next
+    // query re-reads. Same discipline as the broadcast as-of index
+    // cache. A cleared reference is indistinguishable from a miss.
+    private val cache =
+      TrieMap.empty[String, java.lang.ref.SoftReference[(String, Option[ManifestInfo])]]
 
     def load(conf: Configuration, root: Path): Option[ManifestInfo] = {
       val parts =
@@ -313,13 +335,15 @@ object ManifestFileSkipping extends Rule[LogicalPlan] with PredicateHelper {
       if (parts.isEmpty) return None
       val sig = parts.map(s =>
         s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}").mkString(";")
-      cache.get(root.toString) match {
+      cache.get(root.toString).flatMap(r => Option(r.get())) match {
         case Some((s, v)) if s == sig => v
         case _ =>
+          // purge slots the GC cleared so dead layouts don't accrete
+          cache.foreach { case (k, r) => if (r.get() == null) cache.remove(k, r) }
           val v =
             try Some(readAll(conf, parts.map(_.getPath)))
             catch { case NonFatal(_) => None }
-          cache.put(root.toString, (sig, v))
+          cache.put(root.toString, new java.lang.ref.SoftReference((sig, v)))
           v
       }
     }

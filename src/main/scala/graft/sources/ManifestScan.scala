@@ -128,17 +128,22 @@ object ManifestScan {
     java.lang.Long.parseLong(hex.substring(8 * (j % 4), 8 * (j % 4) + 8), 16) % width
   }
 
-  /** May this sparse per-file bloom contain `key`? False is
-    * definitive (no false negatives by construction); true may be a
-    * false positive. Keys are probed through their canonical string
-    * form — the build hashes `CAST(col AS STRING)`.
+  /** Probe positions for one key — `k` cell hashes over the key's
+    * canonical string form (the build hashes `CAST(col AS STRING)`).
+    * File-independent: compute once per key, probe every file with it.
     */
-  private[graft] def bloomMaybeContains(key: String, k: Int, m: Int,
+  private[graft] def bloomPositions(key: Long, k: Int, m: Int): Array[Long] =
+    Array.tabulate(k)(j => cellHashLocal(key.toString, j, m))
+
+  /** Are ALL probe positions set in this sparse per-file bloom? False
+    * is definitive (no false negatives by construction); true may be a
+    * false positive.
+    */
+  private[graft] def bloomHitsAll(pos: Array[Long],
       widx: Array[Long], words: Array[Long]): Boolean =
-    (0 until k).forall { j =>
-      val pos = cellHashLocal(key, j, m)
-      val i = java.util.Arrays.binarySearch(widx, pos / 32)
-      i >= 0 && ((words(i) >> (pos % 32).toInt) & 1L) == 1L
+    pos.forall { p =>
+      val i = java.util.Arrays.binarySearch(widx, p / 32)
+      i >= 0 && ((words(i) >> (p % 32).toInt) & 1L) == 1L
     }
 
   /** (files that could contain ANY of `keys` per the stored per-file
@@ -153,12 +158,18 @@ object ManifestScan {
         col(s"${valueCol}_bloom_k").as("k"), col(s"${valueCol}_bloom_m").as("m"),
         col(s"${valueCol}_bloom_widx").as("widx"), col(s"${valueCol}_bloom_word").as("word"))
       .collect()
+    // positions depend only on (key, k, m) — compute once per key,
+    // not once per (key, file): a lake manifest has millions of rows
+    val posCache = scala.collection.mutable.Map.empty[(Long, Int, Int), Array[Long]]
     val kept = m.filter { r =>
       !r.isNullAt(1) && !r.isNullAt(3) && {
         val (k, mm) = (r.getInt(1), r.getInt(2))
         val widx = r.getSeq[Long](3).toArray
         val words = r.getSeq[Long](4).toArray
-        keys.exists(key => bloomMaybeContains(key.toString, k, mm, widx, words))
+        keys.exists { key =>
+          bloomHitsAll(posCache.getOrElseUpdate((key, k, mm),
+            bloomPositions(key, k, mm)), widx, words)
+        }
       }
     }.map(_.getString(0)).toSeq
     (kept, m.length)

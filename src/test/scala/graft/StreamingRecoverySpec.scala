@@ -102,6 +102,70 @@ class StreamingRecoverySpec extends SparkSpec {
         s"got ${(out1 ++ out2).sorted}\nref $ref")
   }
 
+  test("as-of recovery holds under the RocksDB state store (state beyond heap)") {
+    // At 100 TB the keyed state of a long-running attribution job
+    // outgrows executor heaps; Spark's answer is the RocksDB provider
+    // (state on local SSD, incremental checkpoint uploads). The
+    // operators must not care: same output, same recovery, same
+    // bounded state — pinned here by re-running the stop/restart
+    // sequence under RocksDB and checking its metrics actually flowed
+    // (no silent fallback to the in-memory HDFS provider).
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import StreamingOps.{AttrEvent, Attribution}
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_rocks_").toString
+      val batch1 = Seq(
+        AttrEvent(1L, 100L, "click", ts("2024-01-01 00:00:00")),
+        AttrEvent(1L, 200L, "purchase", ts("2024-01-01 00:10:00")),
+        AttrEvent(2L, 110L, "click", ts("2024-01-01 00:05:00")))
+      val batch2 = Seq(
+        AttrEvent(1L, 201L, "purchase", ts("2024-01-01 00:20:00")),
+        AttrEvent(2L, 111L, "click", ts("2024-01-01 00:40:00")))
+      val batch3 = Seq(AttrEvent(2L, 211L, "purchase", ts("2024-01-01 00:45:00")))
+
+      val mem = MemoryStream[AttrEvent]
+      val sink = new scala.collection.concurrent.TrieMap[Long, Seq[String]]
+      def start() =
+        StreamingOps.asOfWithState(mem.toDS(), sourceType = "click", matchType = "purchase")
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (df: Dataset[Attribution], id: Long) =>
+            sink.put(id, df.collect().map(_.productIterator.mkString("|")).toSeq); ()
+          }
+          .start()
+
+      val q1 = start()
+      try { mem.addData(batch1: _*); q1.processAllAvailable() } finally q1.stop()
+      mem.addData(batch2: _*) // lands while the query is down
+      val q2 = start()
+      val progress = try {
+        q2.processAllAvailable()
+        mem.addData(batch3: _*)
+        q2.processAllAvailable()
+        q2.recentProgress.reverse.find(_.stateOperators.nonEmpty)
+      } finally q2.stop()
+      val out = sink.values.flatten.toSeq.sorted
+
+      // recovered-state carry across the RocksDB checkpoint restore
+      assert(out.exists(_.startsWith("1|201|Some(100)")),
+        s"post-restart purchase must match the pre-stop click under RocksDB: $out")
+      assert(out.exists(_.startsWith("2|211|Some(111)")), s"got $out")
+      val op = progress.map(_.stateOperators(0))
+      assert(op.exists(_.numRowsTotal == 2L),
+        s"state must stay one row per group, got ${op.map(_.numRowsTotal)}")
+      // the provider proof: RocksDB custom metrics flowed through the
+      // progress API — absent entirely under the default provider
+      val metricKeys = op.map(_.customMetrics.keySet.toArray.map(_.toString).toSet)
+        .getOrElse(Set.empty)
+      assert(metricKeys.exists(_.toLowerCase.contains("rocksdb")),
+        s"expected rocksdb custom metrics in state operator progress, got $metricKeys")
+    } finally s.conf.unset(provKey)
+  }
+
   test("funnel stage state survives stop/restart from checkpoint") {
     val s = spark; import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext

@@ -80,8 +80,8 @@ object ManifestFileSkipping extends Rule[LogicalPlan] with PredicateHelper {
                 hfs.location.rootPaths.size == 1 &&
                 !hfs.location.isInstanceOf[ManifestPrunedFileIndex] =>
             val ranges = extractConstraints(cond, l.outputSet)
-            val points = extractPoints(cond, l.outputSet)
-            if (ranges.isEmpty && points.isEmpty) f
+            val points = pointsFrom(ranges)
+            if (ranges.isEmpty) f
             else {
               val spark = hfs.sparkSession
               ManifestCache.load(spark.sessionState.newHadoopConf(),
@@ -166,6 +166,8 @@ object ManifestFileSkipping extends Rule[LogicalPlan] with PredicateHelper {
         litLong(v).map(x => a.name -> Bound(if (x == Long.MaxValue) x else x + 1, Long.MaxValue))
       case EqualTo(Literal(v, _), a: AttributeReference) if ok(a) =>
         litLong(v).map(x => a.name -> Bound(x, x))
+      case EqualNullSafe(Literal(v, _), a: AttributeReference) if v != null && ok(a) =>
+        litLong(v).map(x => a.name -> Bound(x, x))
       case _ => None
     }
     r
@@ -207,6 +209,16 @@ object ManifestFileSkipping extends Rule[LogicalPlan] with PredicateHelper {
           vs.forall { case Literal(v, _) => v != null && litLong(v).isDefined; case _ => false } =>
       Some((a.name, capped(
         vs.map { case Literal(v, _) => val x = litLong(v).get; Bound(x, x) })))
+    // OptimizeIn (same fixed-point batch) rewrites IN lists past
+    // spark.sql.optimizer.inSetConversionThreshold (default 10) to
+    // InSet before this rule sees them — without this case, skipping
+    // would silently stop at 11+ keys
+    case InSet(a: AttributeReference, hset)
+        if scanOutput.contains(a) && isIntegral(a.dataType) &&
+          hset.nonEmpty && hset.size <= 1000 &&
+          hset.forall(v => v != null && litLong(v).isDefined) =>
+      Some((a.name, capped(
+        hset.toSeq.map { v => val x = litLong(v).get; Bound(x, x) })))
     case _ => baseBound(e, scanOutput).map { case (c, b) => (c, Seq(b)) }
   }
 
@@ -218,34 +230,23 @@ object ManifestFileSkipping extends Rule[LogicalPlan] with PredicateHelper {
       scanOutput: AttributeSet): Seq[(String, Seq[Bound])] =
     splitConjunctivePredicates(cond).flatMap(intervalsOf(_, scanOutput))
 
-  /** Exact point sets per column from the filter's EQUALITY conjuncts
-    * (`=`, `<=>` non-null, IN of literals) — the probes for per-file
-    * bloom skipping, where a band is useless (a high-cardinality key's
-    * [min, max] spans every file of an unclustered layout). Repeated
-    * point conjuncts on one column intersect; an empty intersection
-    * (`c = 5 AND c = 6`) matches nothing, so every manifested file is
-    * provably skippable.
+  /** Point sets derived from the interval constraints: a conjunct
+    * whose every interval is a SINGLETON (`=`, `<=>`, IN/InSet,
+    * same-column ORs of equalities) is an exact point set — the probes
+    * for per-file bloom skipping, where a band is useless (a
+    * high-cardinality key's [min, max] spans every file of an
+    * unclustered layout). Deriving from [[extractConstraints]] keeps
+    * ONE literal-parsing path for ranges and blooms. Point conjuncts
+    * on one column intersect; an empty intersection matches nothing,
+    * so every manifested file is provably skippable (an infeasible
+    * EMPTY interval set also derives the empty point set — same
+    * verdict either way).
     */
-  private def extractPoints(cond: Expression,
-      scanOutput: AttributeSet): Map[String, Set[Long]] = {
-    val acc = scala.collection.mutable.Map.empty[String, Set[Long]]
-    def add(a: Attribute, s: Set[Long]): Unit =
-      if (scanOutput.contains(a) && isIntegral(a.dataType))
-        acc(a.name) = acc.get(a.name).map(_ intersect s).getOrElse(s)
-    splitConjunctivePredicates(cond).foreach {
-      case EqualTo(a: AttributeReference, Literal(v, _)) =>
-        litLong(v).foreach(x => add(a, Set(x)))
-      case EqualTo(Literal(v, _), a: AttributeReference) =>
-        litLong(v).foreach(x => add(a, Set(x)))
-      case EqualNullSafe(a: AttributeReference, Literal(v, _)) if v != null =>
-        litLong(v).foreach(x => add(a, Set(x)))
-      case In(a: AttributeReference, vs) if vs.nonEmpty && vs.length <= 1000 &&
-          vs.forall { case Literal(v, _) => v != null && litLong(v).isDefined; case _ => false } =>
-        add(a, vs.map { case Literal(v, _) => litLong(v).get }.toSet)
-      case _ => // no points from this conjunct (conservative)
-    }
-    acc.toMap
-  }
+  private def pointsFrom(
+      constraints: Seq[(String, Seq[Bound])]): Map[String, Set[Long]] =
+    constraints
+      .filter { case (_, ivs) => ivs.forall(b => b.lo == b.hi) }
+      .groupMapReduce(_._1)(c => c._2.iterator.map(_.lo).toSet)(_ intersect _)
 
   /** Could this manifest row's file hold a row matching EVERY
     * constraint? Per constraint the file's [min, max] must overlap AT
@@ -321,18 +322,38 @@ object ManifestFileSkipping extends Rule[LogicalPlan] with PredicateHelper {
     private val cache =
       TrieMap.empty[String, java.lang.ref.SoftReference[(String, Option[ManifestInfo])]]
 
+    // Negative cache with a short TTL: the rule sits in a fixed-point
+    // batch and fires on EVERY filtered parquet scan session-wide, so
+    // an ordinary (un-manifested) lake directory would otherwise pay
+    // getFileStatus + exists metadata RPCs on every optimizer pass of
+    // every query, forever. The TTL (not permanence) keeps a manifest
+    // built LATER in the same session discoverable within a minute —
+    // object stores have no parent-dir mtime to invalidate on.
+    private val NegativeTtlMs = 60000L
+    private val noManifestUntil = TrieMap.empty[String, Long]
+
     def load(conf: Configuration, root: Path): Option[ManifestInfo] = {
+      val now = System.currentTimeMillis()
+      noManifestUntil.get(root.toString) match {
+        case Some(deadline) if now < deadline => return None
+        case Some(_) => noManifestUntil.remove(root.toString)
+        case None =>
+      }
+      def negative(): Option[ManifestInfo] = {
+        noManifestUntil.put(root.toString, now + NegativeTtlMs)
+        None
+      }
       val parts =
         try {
           val fs = root.getFileSystem(conf)
-          if (!fs.getFileStatus(root).isDirectory) return None
+          if (!fs.getFileStatus(root).isDirectory) return negative()
           val mdir = new Path(root, graft.sources.ManifestScan.ManifestDir)
-          if (!fs.exists(mdir)) return None
+          if (!fs.exists(mdir)) return negative()
           fs.listStatus(mdir)
             .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
             .sortBy(_.getPath.getName).toSeq
-        } catch { case NonFatal(_) => return None }
-      if (parts.isEmpty) return None
+        } catch { case NonFatal(_) => return negative() }
+      if (parts.isEmpty) return negative()
       val sig = parts.map(s =>
         s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}").mkString(";")
       cache.get(root.toString).flatMap(r => Option(r.get())) match {
@@ -446,10 +467,22 @@ object ManifestFileSkipping extends Rule[LogicalPlan] with PredicateHelper {
   * bytes actually read. Also the rule's idempotence marker: an
   * already-pruned relation is never re-pruned.
   */
-final class ManifestPrunedFileIndex(underlying: FileIndex, skip: Set[String])
+final class ManifestPrunedFileIndex(
+    private val underlying: FileIndex, private val skip: Set[String])
     extends FileIndex {
   /** Exposed for plan assertions: how many files the manifest removed. */
   def skippedCount: Int = skip.size
+
+  // Value equality over (underlying, skip): HadoopFsRelation is a case
+  // class comparing its location field, so two independently-pruned
+  // scans of the same relation (a self-join, both sides filtered the
+  // same way) must compare equal or ReuseExchange/ReuseSubquery can
+  // never dedupe them.
+  override def equals(other: Any): Boolean = other match {
+    case o: ManifestPrunedFileIndex => underlying == o.underlying && skip == o.skip
+    case _ => false
+  }
+  override def hashCode(): Int = 31 * underlying.hashCode() + skip.hashCode()
 
   override def rootPaths: Seq[Path] = underlying.rootPaths
 

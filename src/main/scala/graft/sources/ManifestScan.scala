@@ -82,6 +82,19 @@ object ManifestScan {
     require(bloomK >= 1 && bloomK <= 12 && bloomBits >= 32 && bloomBits % 32 == 0,
       s"buildManifest: bloomK=$bloomK bloomBits=$bloomBits")
     val data = spark.read.parquet(path)
+    // blooms are probed through the key's canonical LONG string form
+    // (bloomPositions); a non-integral column would hash "7.0" at
+    // build but "7" at probe — a silent false negative, the one thing
+    // a bloom must never produce. Refuse instead.
+    bloomCols.foreach { c =>
+      val dt = data.schema(c).dataType
+      require(dt == org.apache.spark.sql.types.LongType ||
+        dt == org.apache.spark.sql.types.IntegerType ||
+        dt == org.apache.spark.sql.types.ShortType ||
+        dt == org.apache.spark.sql.types.ByteType,
+        s"buildManifest: bloom column $c must be integral (probe hashes the " +
+          s"long's decimal string), got $dt")
+    }
     val aggs = count(lit(1)).as("n_rows") +:
       statsCols.flatMap { c =>
         Seq(min(col(c)).cast("long").as(s"${c}_min"),
@@ -90,25 +103,35 @@ object ManifestScan {
     val base = data.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
     val emptyArr = expr("CAST(array() AS array<bigint>)")
-    val withBlooms = bloomCols.foldLeft(base) { (acc, c) =>
+    val withBlooms = if (bloomCols.isEmpty) base else {
       import graft.operators.CountMinSketch
-      val words = data.filter(col(c).isNotNull)
-        .select(input_file_name().as("file"),
-          explode(array((0 until bloomK).map(j =>
-            CountMinSketch.cellHash(col(c), j, bloomBits)): _*)).as("pos"))
-        .select(col("file"), (col("pos") / 32).cast("long").as("widx"),
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").as("bit"))
-        .groupBy(col("file"), col("widx")).agg(bit_or(col("bit")).as("word"))
-        .groupBy(col("file"))
+      // ONE data pass for every bloom column: (column, position)
+      // pairs exploded together, null keys dropping out as null
+      // positions (md5(null) is null end to end)
+      val tagged = data.select(input_file_name().as("file"),
+          explode(array(bloomCols.flatMap(c => (0 until bloomK).map(j =>
+            struct(lit(c).as("c"),
+              CountMinSketch.cellHash(col(c), j, bloomBits).as("pos")))): _*)).as("e"))
+        .filter(col("e.pos").isNotNull)
+        .select(col("file"), col("e.c").as("c"),
+          (col("e.pos") / 32).cast("long").as("widx"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(`e`.`pos` % 32 AS INT))").as("bit"))
+        .groupBy(col("file"), col("c"), col("widx")).agg(bit_or(col("bit")).as("word"))
+        .groupBy(col("file"), col("c"))
         .agg(sort_array(collect_list(struct(col("widx"), col("word")))).as("_bw"))
-        .select(col("file"),
-          expr("transform(_bw, x -> x.widx)").as(s"${c}_bloom_widx"),
-          expr("transform(_bw, x -> x.word)").as(s"${c}_bloom_word"))
-      acc.join(words, Seq("file"), "left")
-        .withColumn(s"${c}_bloom_widx", coalesce(col(s"${c}_bloom_widx"), emptyArr))
-        .withColumn(s"${c}_bloom_word", coalesce(col(s"${c}_bloom_word"), emptyArr))
-        .withColumn(s"${c}_bloom_k", lit(bloomK))
-        .withColumn(s"${c}_bloom_m", lit(bloomBits))
+        .groupBy(col("file")).pivot("c", bloomCols)
+        .agg(first(expr("transform(_bw, x -> x.widx)")).as("widx"),
+          first(expr("transform(_bw, x -> x.word)")).as("word"))
+      // pivot names columns `<c>_widx`/`<c>_word` (single-agg pivots
+      // would drop the suffix; two aggs keep it)
+      bloomCols.foldLeft(base.join(tagged, Seq("file"), "left")) { (acc, c) =>
+        acc
+          .withColumn(s"${c}_bloom_widx", coalesce(col(s"${c}_widx"), emptyArr))
+          .withColumn(s"${c}_bloom_word", coalesce(col(s"${c}_word"), emptyArr))
+          .drop(s"${c}_widx", s"${c}_word")
+          .withColumn(s"${c}_bloom_k", lit(bloomK))
+          .withColumn(s"${c}_bloom_m", lit(bloomBits))
+      }
     }
     withBlooms
       .coalesce(1) // metadata-scale: one row per data file

@@ -198,6 +198,18 @@ class ManifestRuleSpec extends SparkSpec {
     val absent = ManifestScan.readPointLookup(spark, p, "doc_id", Seq(999999L))
     assert(absent.count() == 0)
 
+    // 12 keys: past spark.sql.optimizer.inSetConversionThreshold (10),
+    // OptimizeIn rewrites In -> InSet in the same fixed-point batch —
+    // skipping must survive the rewrite (the InSet case in intervalsOf)
+    val manyKeys = (1L to 12L).map(_ * 37L)
+    val inset = spark.read.parquet(p).filter(col("doc_id").isin(manyKeys: _*))
+    val inIdx = scanIndex(inset)
+    assert(inIdx.isInstanceOf[ManifestPrunedFileIndex],
+      "a 12-key IN (rewritten to InSet) must still prune through the rule")
+    assert(inIdx.listFiles(Nil, Nil).map(_.files.size).sum <= manyKeys.length,
+      "12 point keys must open at most 12 files")
+    assert(rows(inset) == rows(docs.filter(col("doc_id").isin(manyKeys: _*))))
+
     // disjoint IN lists: Catalyst's ConstantPropagation folds plain
     // contradictory EQUALITIES to an empty LocalRelation before this
     // rule runs, but leaves IN∩IN to us — the empty point

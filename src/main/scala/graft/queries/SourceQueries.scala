@@ -565,5 +565,36 @@ object SourceQueries {
       s.read.parquet(path).filter(pred)
         .select(col("c_custkey"), col("cx"), col("cy"), col("z"))
         .orderBy(col("c_custkey"))
+    },
+
+    // X226 INCREMENTAL manifest maintenance: the streaming-ingestion
+    // shape — a first generation written + manifested, a second
+    // generation APPENDED, then refreshManifest covers only the new
+    // files (one stats pass over them, appended manifest rows; the
+    // run-twice ≡ run-once idempotence of the X205b index refresh).
+    // The declarative range read then prunes across BOTH generations
+    // through the automatic rule; hash equality against the full-scan
+    // oracle proves refresh covered the appends exactly (a missed file
+    // would KEEP rows — appends are stale-safe — but a wrong manifest
+    // row would lose them). Refresh idempotence + strictly-fewer-files
+    // pinned in ManifestRuleSpec.
+    Q("q_source_manifest_incremental",
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE n_chars BETWEEN 300 AND 500 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.sources.ManifestScan
+      val path = tmp(dir, "mrefresh")
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      docs.filter(col("doc_id") % 2 === 0)
+        .repartitionByRange(8, col("n_chars"))
+        .write.mode("overwrite").parquet(path)
+      ManifestScan.buildManifest(s, path, Seq("n_chars"))
+      docs.filter(col("doc_id") % 2 === 1)
+        .repartitionByRange(8, col("n_chars"))
+        .write.mode("append").parquet(path)
+      ManifestScan.refreshManifest(s, path, Seq("n_chars"))
+      s.read.parquet(path)
+        .filter(col("n_chars") >= 300L && col("n_chars") <= 500L)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
     })
 }

@@ -76,12 +76,66 @@ object ManifestScan {
     * default) — still metadata-scale.
     */
   def buildManifest(spark: SparkSession, path: String, statsCols: Seq[String],
-      bloomCols: Seq[String], bloomBits: Int = 16384, bloomK: Int = 3): Unit = {
+      bloomCols: Seq[String], bloomBits: Int = 16384, bloomK: Int = 3): Unit =
+    manifestFrame(spark.read.parquet(path), statsCols, bloomCols, bloomBits, bloomK)
+      .coalesce(1) // metadata-scale: one row per data file
+      .write.mode("overwrite").parquet(manifestPath(path))
+
+  /** Incrementally extend the manifest to data files appended AFTER
+    * the last build/refresh — the streaming-ingestion shape: appends
+    * land, the manifest gains their rows, skipping stays effective
+    * without rescanning covered files. (Without a refresh the
+    * automatic rule still returns correct results — unknown files are
+    * always kept — it just stops skipping the new ones.) One stats
+    * pass over ONLY the new files, appended as new manifest part
+    * files; per-row self-describing bloom k/m means refresh params
+    * could even differ per generation. Idempotent: a second call finds
+    * nothing new and appends nothing — same run-twice ≡ run-once
+    * contract as the X205b fingerprint-index refresh.
+    *
+    * @return number of newly covered data files.
+    */
+  def refreshManifest(spark: SparkSession, path: String, statsCols: Seq[String],
+      bloomCols: Seq[String] = Nil, bloomBits: Int = 16384, bloomK: Int = 3): Int = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hconf)
+    val dataFiles = fs.listStatus(root)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      .map(_.getPath).toSeq
+    val mdir = new org.apache.hadoop.fs.Path(root, ManifestDir)
+    val covered: Set[String] =
+      if (!fs.exists(mdir)) Set.empty
+      else spark.read.parquet(manifestPath(path)).select(col("file")).collect()
+        .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName).toSet
+    val fresh = dataFiles.filterNot(p => covered.contains(p.getName))
+    if (fresh.isEmpty) return 0
+    val frame = manifestFrame(
+      spark.read.parquet(fresh.map(_.toString): _*), statsCols, bloomCols, bloomBits, bloomK)
+    if (covered.nonEmpty) {
+      // appending into an existing manifest: the column sets must
+      // agree or readers would see a mixed schema (k/m VALUES may
+      // differ — rows are self-describing — but the shape may not)
+      val existing = spark.read.parquet(manifestPath(path)).schema.fieldNames.sorted.toSeq
+      val incoming = frame.schema.fieldNames.sorted.toSeq
+      require(existing == incoming,
+        s"refreshManifest: stats/bloom columns must match the existing manifest " +
+          s"(existing $existing, incoming $incoming) — rebuild with buildManifest to change them")
+    }
+    frame.coalesce(1).write.mode("append").parquet(manifestPath(path))
+    fresh.size
+  }
+
+  /** The manifest frame for `data`: one row per file with n_rows,
+    * per-column long min/max, and optional sparse per-file blooms.
+    */
+  private def manifestFrame(data: DataFrame, statsCols: Seq[String],
+      bloomCols: Seq[String], bloomBits: Int, bloomK: Int): DataFrame = {
     require(statsCols.nonEmpty || bloomCols.nonEmpty,
       "buildManifest: need at least one stats or bloom column")
     require(bloomK >= 1 && bloomK <= 12 && bloomBits >= 32 && bloomBits % 32 == 0,
       s"buildManifest: bloomK=$bloomK bloomBits=$bloomBits")
-    val data = spark.read.parquet(path)
     // blooms are probed through the key's canonical LONG string form
     // (bloomPositions); a non-integral column would hash "7.0" at
     // build but "7" at probe — a silent false negative, the one thing
@@ -134,8 +188,6 @@ object ManifestScan {
       }
     }
     withBlooms
-      .coalesce(1) // metadata-scale: one row per data file
-      .write.mode("overwrite").parquet(manifestPath(path))
   }
 
   /** Driver-side replica of [[graft.operators.CountMinSketch.cellHash]]

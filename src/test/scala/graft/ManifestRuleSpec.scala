@@ -257,6 +257,44 @@ class ManifestRuleSpec extends SparkSpec {
       "pruned z-range scan must equal the raw box filter")
   }
 
+  test("incremental manifest refresh covers appends; run-twice appends nothing") {
+    val p = s"$tmpBase/graft_mrule_refresh"
+    docs.filter(col("doc_id") % 2 === 0)
+      .repartitionByRange(6, col("n_chars")).write.mode("overwrite").parquet(p)
+    ManifestScan.buildManifest(spark, p, Seq("n_chars"))
+    val gen1Rows = spark.read.parquet(s"$p/${ManifestScan.ManifestDir}").count()
+
+    docs.filter(col("doc_id") % 2 === 1)
+      .repartitionByRange(6, col("n_chars")).write.mode("append").parquet(p)
+    val covered = ManifestScan.refreshManifest(spark, p, Seq("n_chars"))
+    assert(covered >= 6, s"refresh must cover the appended generation, got $covered")
+    val gen2Rows = spark.read.parquet(s"$p/${ManifestScan.ManifestDir}").count()
+    assert(gen2Rows == gen1Rows + covered, "one manifest row per new data file")
+
+    // idempotence: nothing new -> nothing appended
+    assert(ManifestScan.refreshManifest(spark, p, Seq("n_chars")) == 0)
+    assert(spark.read.parquet(s"$p/${ManifestScan.ManifestDir}").count() == gen2Rows,
+      "run-twice must equal run-once")
+
+    // the refreshed manifest prunes across BOTH generations and the
+    // read equals the source-of-truth filter
+    val df = spark.read.parquet(p)
+      .filter(col("n_chars") >= 300L && col("n_chars") <= 400L)
+    val idx = scanIndex(df)
+    assert(idx.isInstanceOf[ManifestPrunedFileIndex],
+      "the refreshed manifest must drive pruning")
+    val total = dataFilesOnDisk(p)
+    val read = idx.listFiles(Nil, Nil).map(_.files.size).sum
+    assert(read < total, s"selective range must skip files of both generations: $read of $total")
+    assert(rows(df) == rows(docs.filter(col("n_chars").between(300, 400))))
+
+    // changing the column set mid-manifest is refused (mixed schema)
+    docs.limit(10).repartition(1).write.mode("append").parquet(p)
+    intercept[IllegalArgumentException] {
+      ManifestScan.refreshManifest(spark, p, Seq("n_chars"), bloomCols = Seq("doc_id"))
+    }
+  }
+
   test("unmanifested layouts and disabled sessions plan unchanged") {
     val p = s"$tmpBase/graft_mrule_plain"
     docs.repartitionByRange(4, col("n_chars")).write.mode("overwrite").parquet(p)

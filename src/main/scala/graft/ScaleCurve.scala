@@ -206,6 +206,90 @@ object ScaleCurve {
     sb.toString
   }
 
+  /** File-skipping probe: the manifest subsystem's I/O claim, measured
+    * — files opened and wall time for a 1%-band range query over a
+    * value-clustered layout and a 3-needle point lookup over the SAME
+    * layout (where the needle column's per-file [min,max] bands are
+    * useless and only the per-file blooms can skip), with the
+    * automatic rule on vs off, at growing layout sizes. Correctness is
+    * re-checked before timing: rule-on ≡ rule-off row count + sum.
+    */
+  private def skipProbe(spark: SparkSession, passes: Int): String = {
+    import graft.sources.ManifestScan
+    val tmp = System.getProperty("java.io.tmpdir")
+    val nonce = java.lang.management.ManagementFactory.getRuntimeMXBean.getPid
+    def time(f: => Unit): Double = (1 to passes).map { _ =>
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }.min
+    // Dataset.inputFiles reads the ANALYZED plan (pre-optimizer) and
+    // would never see the rule's pruning — count through the executed
+    // scan's FileIndex instead
+    def openedFiles(df: DataFrame): Int =
+      df.queryExecution.executedPlan.collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.inputFiles.length
+      }.getOrElse(sys.error("skip probe: no FileSourceScanExec in plan"))
+    def check(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(col("id"))).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    val sizes = Seq(1000000L, 4000000L, 16000000L)
+    val files = 64
+    val rows = sizes.map { n =>
+      val path = s"$tmp/graft_skip_${nonce}_$n"
+      // v = multiplicative-hash of id scaled to [0, 1e6): the layout
+      // clusters by v, so ids scatter uniformly across every file —
+      // the exact shape where range skipping works for v and ONLY the
+      // blooms work for id
+      spark.range(n).select(col("id"),
+          pmod(col("id") * lit(2654435761L), lit(1000000L)).as("v"))
+        .repartitionByRange(files, col("v"))
+        .write.mode("overwrite").parquet(path)
+      ManifestScan.buildManifest(spark, path, Seq("v"), Seq("id"))
+      def rangeDf = spark.read.parquet(path)
+        .filter(col("v") >= 100000L && col("v") <= 110000L) // 1% band
+      def pointDf = spark.read.parquet(path)
+        .filter(col("id").isin(3L, n / 2, n - 3L))
+      def ruleOff[T](f: => T): T = {
+        spark.conf.set(graft.plans.ManifestFileSkipping.EnabledKey, "false")
+        try f finally spark.conf.unset(graft.plans.ManifestFileSkipping.EnabledKey)
+      }
+      require(check(rangeDf) == ruleOff(check(rangeDf)) &&
+        check(pointDf) == ruleOff(check(pointDf)),
+        s"skip probe differential broke at n=$n")
+      val (rOn, rOff) = (openedFiles(rangeDf), ruleOff(openedFiles(rangeDf)))
+      val (pOn, pOff) = (openedFiles(pointDf), ruleOff(openedFiles(pointDf)))
+      val trOn = time(rangeDf.count()); val trOff = ruleOff(time(rangeDf.count()))
+      val tpOn = time(pointDf.count()); val tpOff = ruleOff(time(pointDf.count()))
+      System.err.println(f"[skip] n=$n%-9d range $rOn/$rOff files " +
+        f"$trOn%.2f/$trOff%.2f s; point $pOn/$pOff files $tpOn%.2f/$tpOff%.2f s")
+      (n, rOn, rOff, trOn, trOff, pOn, pOff, tpOn, tpOff)
+    }
+    val sb = new StringBuilder
+    sb.append("\n## File-skipping probe — manifest pruning, measured\n\n")
+    sb.append(s"Synthetic layout: (id, v = hash(id) scaled to [0, 1e6)) written\n")
+    sb.append(s"range-clustered by v into $files files, manifest with v min/max\n")
+    sb.append("bands + per-file id blooms (AUTO-SIZED to ~10 bits per key per\n")
+    sb.append("file, clamped at 2^21 — a fixed-size bloom saturates at these\n")
+    sb.append("per-file key counts and silently stops skipping, which is exactly\n")
+    sb.append("what the first run of this probe caught). `range` = a 1% v-band\n")
+    sb.append("(band skipping applies); `point` = a 3-needle id lookup — ids\n")
+    sb.append("scatter uniformly over every file, so every per-file id band\n")
+    sb.append("overlaps and ONLY the blooms can skip; at 16M rows the clamp\n")
+    sb.append("leaves ~2.7% fpp, so a few false-positive files stay open by\n")
+    sb.append("design. Counts are files OPENED (rule on/off); times are\n")
+    sb.append(s"count() wall seconds, min of $passes; rule-on ≡ rule-off checksums\n")
+    sb.append("pinned before timing. Absolute wins are bounded on this warm local\n")
+    sb.append("box (OS page cache, no object-store latency); at 100 TB the\n")
+    sb.append("skipped files are network reads that never happen.\n\n")
+    sb.append("| rows | range files on/off | range s on/off | point files on/off | point s on/off |\n")
+    sb.append("|---|---|---|---|---|\n")
+    rows.foreach { case (n, rOn, rOff, trOn, trOff, pOn, pOff, tpOn, tpOff) =>
+      sb.append(f"| $n%,d | $rOn/$rOff | $trOn%.2f/$trOff%.2f | $pOn/$pOff | $tpOn%.2f/$tpOff%.2f |\n")
+    }
+    sb.toString
+  }
+
   /** Least-squares slope of log t vs log n. */
   private def exponent(points: Seq[(Double, Double)]): Double = {
     val xs = points.map(p => math.log(p._1)); val ys = points.map(p => math.log(p._2))
@@ -366,6 +450,7 @@ object ScaleCurve {
       f"flagged: ${if (flagged.isEmpty) "none" else flagged.map(_._1).mkString(", ")}\n")
     if (only.isEmpty) {
       sb.append(skewProbe(spark, passes))
+      sb.append(skipProbe(spark, passes))
       Files.writeString(Paths.get(outPath), sb.toString)
     } else System.err.println(sb.toString)
     println(s"SCALE_DONE flagged=${flagged.size} out=$outPath")

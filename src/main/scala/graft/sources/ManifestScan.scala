@@ -72,11 +72,15 @@ object ManifestScan {
     * `<c>_bloom_m` so readers need no out-of-band parameters. A file
     * whose column is all-null gets EMPTY arrays — membership is
     * definitively false there, which is exact for point equality.
-    * Size: ≤ m/32 words per file per column (2 KB at the 16384-bit
-    * default) — still metadata-scale.
+    * Size: ≤ m/32 words per file per column. `bloomBits = 0` (the
+    * default) AUTO-SIZES m to ~10 bits per expected key per file
+    * (one cheap (rows, files) pre-pass; clamped [512, 2^21]) — an
+    * undersized bloom SATURATES and silently stops skipping, the
+    * trap the SCALE.md skip probe measures; pass an explicit m only
+    * when the per-file key count is known better than rows/files.
     */
   def buildManifest(spark: SparkSession, path: String, statsCols: Seq[String],
-      bloomCols: Seq[String], bloomBits: Int = 16384, bloomK: Int = 3): Unit =
+      bloomCols: Seq[String], bloomBits: Int = 0, bloomK: Int = 3): Unit =
     manifestFrame(spark.read.parquet(path), statsCols, bloomCols, bloomBits, bloomK)
       .coalesce(1) // metadata-scale: one row per data file
       .write.mode("overwrite").parquet(manifestPath(path))
@@ -96,7 +100,7 @@ object ManifestScan {
     * @return number of newly covered data files.
     */
   def refreshManifest(spark: SparkSession, path: String, statsCols: Seq[String],
-      bloomCols: Seq[String] = Nil, bloomBits: Int = 16384, bloomK: Int = 3): Int = {
+      bloomCols: Seq[String] = Nil, bloomBits: Int = 0, bloomK: Int = 3): Int = {
     val hconf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(hconf)
@@ -131,11 +135,29 @@ object ManifestScan {
     * per-column long min/max, and optional sparse per-file blooms.
     */
   private def manifestFrame(data: DataFrame, statsCols: Seq[String],
-      bloomCols: Seq[String], bloomBits: Int, bloomK: Int): DataFrame = {
+      bloomCols: Seq[String], bloomBitsIn: Int, bloomK: Int): DataFrame = {
     require(statsCols.nonEmpty || bloomCols.nonEmpty,
       "buildManifest: need at least one stats or bloom column")
-    require(bloomK >= 1 && bloomK <= 12 && bloomBits >= 32 && bloomBits % 32 == 0,
-      s"buildManifest: bloomK=$bloomK bloomBits=$bloomBits")
+    require(bloomK >= 1 && bloomK <= 12 &&
+      (bloomBitsIn == 0 || (bloomBitsIn >= 32 && bloomBitsIn % 32 == 0)),
+      s"buildManifest: bloomK=$bloomK bloomBits=$bloomBitsIn (0 = auto)")
+    // AUTO-SIZING (bloomBits = 0): a bloom sized below its key count
+    // SATURATES — every bit set, every file kept, skipping silently
+    // gone (there is no error signal; a saturated bloom is merely
+    // useless). Target ~10 bits per expected key per file (fpp ≈ 3%
+    // at k=3), from one cheap (rows, files) pre-pass; per-row
+    // self-describing k/m means mixed generations stay probeable.
+    val bloomBits =
+      if (bloomBitsIn != 0 || bloomCols.isEmpty) bloomBitsIn
+      else {
+        // input_file_name is non-deterministic: project it first (ANSI
+        // analyzer rejects it directly inside an aggregate function)
+        val r = data.select(input_file_name().as("_f"))
+          .agg(count(lit(1)), countDistinct(col("_f"))).collect()(0)
+        val perFile = math.max(1L, r.getLong(0) / math.max(1L, r.getLong(1)))
+        val target = 10L * perFile
+        math.min(1L << 21, math.max(512L, ((target + 31) / 32) * 32)).toInt
+      }
     // blooms are probed through the key's canonical LONG string form
     // (bloomPositions); a non-integral column would hash "7.0" at
     // build but "7" at probe — a silent false negative, the one thing

@@ -257,6 +257,30 @@ class ManifestRuleSpec extends SparkSpec {
       "pruned z-range scan must equal the raw box filter")
   }
 
+  test("auto-sized blooms keep skipping at per-file key counts that saturate a fixed m") {
+    // 200k uniform ids over 8 files = 25k keys/file: a fixed 16384-bit
+    // bloom holds 75k set bits' worth of hashing — saturated, every
+    // file kept. Auto-sizing (~10 bits/key) must keep point skipping
+    // alive. Layout clustered by the hash column so id bands are
+    // useless (the bloom is the only signal).
+    import org.apache.spark.sql.functions.pmod
+    val p = s"$tmpBase/graft_mrule_autosize"
+    spark.range(200000L).select(col("id"),
+        pmod(col("id") * org.apache.spark.sql.functions.lit(2654435761L),
+          org.apache.spark.sql.functions.lit(1000000L)).as("v"))
+      .repartitionByRange(8, col("v")).write.mode("overwrite").parquet(p)
+    ManifestScan.buildManifest(spark, p, Seq("v"), Seq("id")) // bloomBits = 0 -> auto
+    val total = dataFilesOnDisk(p)
+    val df = spark.read.parquet(p).filter(col("id").isin(3L, 100000L, 199997L))
+    val idx = scanIndex(df)
+    assert(idx.isInstanceOf[ManifestPrunedFileIndex],
+      "auto-sized blooms must prune a saturating key count")
+    val read = idx.listFiles(Nil, Nil).map(_.files.size).sum
+    assert(read < total,
+      s"3 needles over 25k-key files must not open everything: $read of $total")
+    assert(df.count() == 3)
+  }
+
   test("incremental manifest refresh covers appends; run-twice appends nothing") {
     val p = s"$tmpBase/graft_mrule_refresh"
     docs.filter(col("doc_id") % 2 === 0)

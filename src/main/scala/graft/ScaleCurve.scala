@@ -263,14 +263,19 @@ object ScaleCurve {
       val tpOn = time(pointDf.count()); val tpOff = ruleOff(time(pointDf.count()))
       System.err.println(f"[skip] n=$n%-9d range $rOn/$rOff files " +
         f"$trOn%.2f/$trOff%.2f s; point $pOn/$pOff files $tpOn%.2f/$tpOff%.2f s")
+      // probe layouts are single-use (PID-keyed): delete as we go so
+      // repeated ScaleCurve runs don't accrete hundreds of MB in /tmp
+      val fsDel = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fsDel.delete(new org.apache.hadoop.fs.Path(path), true)
       (n, rOn, rOff, trOn, trOff, pOn, pOff, tpOn, tpOff)
     }
     val sb = new StringBuilder
     sb.append("\n## File-skipping probe — manifest pruning, measured\n\n")
     sb.append(s"Synthetic layout: (id, v = hash(id) scaled to [0, 1e6)) written\n")
     sb.append(s"range-clustered by v into $files files, manifest with v min/max\n")
-    sb.append("bands + per-file id blooms (AUTO-SIZED to ~10 bits per key per\n")
-    sb.append("file, clamped at 2^21 — a fixed-size bloom saturates at these\n")
+    sb.append("bands + per-file id blooms (AUTO-SIZED to ~10 bits per key of the\n")
+    sb.append("largest file, clamped at 2^21 — a fixed-size bloom saturates at these\n")
     sb.append("per-file key counts and silently stops skipping, which is exactly\n")
     sb.append("what the first run of this probe caught). `range` = a 1% v-band\n")
     sb.append("(band skipping applies); `point` = a 3-needle id lookup — ids\n")

@@ -80,10 +80,68 @@ object ManifestScan {
     * when the per-file key count is known better than rows/files.
     */
   def buildManifest(spark: SparkSession, path: String, statsCols: Seq[String],
-      bloomCols: Seq[String], bloomBits: Int = 0, bloomK: Int = 3): Unit =
-    manifestFrame(spark.read.parquet(path), statsCols, bloomCols, bloomBits, bloomK)
+      bloomCols: Seq[String], bloomBits: Int = 0, bloomK: Int = 3): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    completeFrame(spark,
+      manifestFrame(spark.read.parquet(path), statsCols, bloomCols, bloomBits, bloomK),
+      listDataFiles(fs, root))
       .coalesce(1) // metadata-scale: one row per data file
       .write.mode("overwrite").parquet(manifestPath(path))
+  }
+
+  /** Recursive data-file listing (skipping `_`/`.`-prefixed names at
+    * every level): buildManifest covers files through
+    * `spark.read.parquet(path)`, which descends into partition
+    * subdirectories — the refresh walk must see the same set or
+    * nested appends would silently never be covered.
+    */
+  private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+    val (dirs, files) = fs.listStatus(dir).partition(_.isDirectory)
+    val here = files.iterator.map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") &&
+        !p.getName.startsWith("_") && !p.getName.startsWith("."))
+    val below = dirs.iterator.map(_.getPath)
+      .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+      .flatMap(listDataFiles(fs, _))
+    (here ++ below).toSeq
+  }
+
+  /** Add explicit rows for ZERO-ROW data files: `manifestFrame` groups
+    * by `input_file_name()` and so never emits a row for a file with
+    * no rows — which would leave it outside the covered set forever
+    * (every refresh re-listing it as fresh, breaking run-twice ≡
+    * run-once) and merely "unknown" to the rule. A synthesized row
+    * (n_rows = 0, all-null stats, empty blooms) is EXACT: an empty
+    * file provably matches no predicate, so the rule skips it.
+    */
+  private def completeFrame(spark: SparkSession, frame: DataFrame,
+      all: Seq[org.apache.hadoop.fs.Path]): DataFrame = {
+    val produced = frame.select(col("file")).collect()
+      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName).toSet
+    val missing = all.filterNot(p => produced.contains(p.getName))
+    if (missing.isEmpty) frame
+    else {
+      val schema = frame.schema
+      val rows: java.util.List[org.apache.spark.sql.Row] = new java.util.ArrayList()
+      missing.foreach { p =>
+        val vals: Array[Any] = schema.fields.map { f =>
+          f.name match {
+            case "file" => p.toString
+            case "n_rows" => 0L
+            case n if n.endsWith("_bloom_widx") || n.endsWith("_bloom_word") =>
+              Seq.empty[Long]
+            case n if n.endsWith("_bloom_k") => 3
+            case n if n.endsWith("_bloom_m") => 512
+            case _ => null // *_min / *_max: all-null stats
+          }
+        }
+        rows.add(org.apache.spark.sql.Row(vals: _*))
+      }
+      frame.unionByName(spark.createDataFrame(rows, schema))
+    }
+  }
 
   /** Incrementally extend the manifest to data files appended AFTER
     * the last build/refresh — the streaming-ingestion shape: appends
@@ -104,29 +162,35 @@ object ManifestScan {
     val hconf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(hconf)
-    val dataFiles = fs.listStatus(root)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
-        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-      .map(_.getPath).toSeq
+    val dataFiles = listDataFiles(fs, root)
     val mdir = new org.apache.hadoop.fs.Path(root, ManifestDir)
-    val covered: Set[String] =
-      if (!fs.exists(mdir)) Set.empty
-      else spark.read.parquet(manifestPath(path)).select(col("file")).collect()
-        .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName).toSet
-    val fresh = dataFiles.filterNot(p => covered.contains(p.getName))
-    if (fresh.isEmpty) return 0
-    val frame = manifestFrame(
-      spark.read.parquet(fresh.map(_.toString): _*), statsCols, bloomCols, bloomBits, bloomK)
-    if (covered.nonEmpty) {
+    // ONE manifest read serves both the schema check and the covered
+    // set; the check runs BEFORE any job over the new data, so a
+    // mixed-column-set call is rejected without wasted work
+    val existing: Option[DataFrame] =
+      if (fs.exists(mdir)) Some(spark.read.parquet(manifestPath(path))) else None
+    existing.foreach { mdf =>
       // appending into an existing manifest: the column sets must
       // agree or readers would see a mixed schema (k/m VALUES may
       // differ — rows are self-describing — but the shape may not)
-      val existing = spark.read.parquet(manifestPath(path)).schema.fieldNames.sorted.toSeq
-      val incoming = frame.schema.fieldNames.sorted.toSeq
-      require(existing == incoming,
+      val expected = (Seq("file", "n_rows") ++
+        statsCols.flatMap(c => Seq(s"${c}_min", s"${c}_max")) ++
+        bloomCols.flatMap(c => Seq(s"${c}_bloom_widx", s"${c}_bloom_word",
+          s"${c}_bloom_k", s"${c}_bloom_m"))).sorted
+      val got = mdf.schema.fieldNames.sorted.toSeq
+      require(got == expected,
         s"refreshManifest: stats/bloom columns must match the existing manifest " +
-          s"(existing $existing, incoming $incoming) — rebuild with buildManifest to change them")
+          s"(existing $got, incoming $expected) — rebuild with buildManifest to change them")
     }
+    val covered: Set[String] = existing
+      .map(_.select(col("file")).collect()
+        .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName).toSet)
+      .getOrElse(Set.empty)
+    val fresh = dataFiles.filterNot(p => covered.contains(p.getName))
+    if (fresh.isEmpty) return 0
+    val frame = completeFrame(spark, manifestFrame(
+      spark.read.parquet(fresh.map(_.toString): _*), statsCols, bloomCols, bloomBits, bloomK),
+      fresh)
     frame.coalesce(1).write.mode("append").parquet(manifestPath(path))
     fresh.size
   }
@@ -144,17 +208,20 @@ object ManifestScan {
     // AUTO-SIZING (bloomBits = 0): a bloom sized below its key count
     // SATURATES — every bit set, every file kept, skipping silently
     // gone (there is no error signal; a saturated bloom is merely
-    // useless). Target ~10 bits per expected key per file (fpp ≈ 3%
-    // at k=3), from one cheap (rows, files) pre-pass; per-row
-    // self-describing k/m means mixed generations stay probeable.
+    // useless). Target ~10 bits per key in the LARGEST file (fpp ≈ 3%
+    // at k=3) — the average would leave the biggest file of a skewed
+    // layout (exactly the one worth skipping) saturated. One cheap
+    // per-file-count pre-pass; per-row self-describing k/m means
+    // mixed generations stay probeable.
     val bloomBits =
       if (bloomBitsIn != 0 || bloomCols.isEmpty) bloomBitsIn
       else {
         // input_file_name is non-deterministic: project it first (ANSI
         // analyzer rejects it directly inside an aggregate function)
         val r = data.select(input_file_name().as("_f"))
-          .agg(count(lit(1)), countDistinct(col("_f"))).collect()(0)
-        val perFile = math.max(1L, r.getLong(0) / math.max(1L, r.getLong(1)))
+          .groupBy(col("_f")).agg(count(lit(1)).as("_n"))
+          .agg(max(col("_n"))).collect()(0)
+        val perFile = if (r.isNullAt(0)) 1L else math.max(1L, r.getLong(0))
         val target = 10L * perFile
         math.min(1L << 21, math.max(512L, ((target + 31) / 32) * 32)).toInt
       }

@@ -312,11 +312,43 @@ class ManifestRuleSpec extends SparkSpec {
     assert(read < total, s"selective range must skip files of both generations: $read of $total")
     assert(rows(df) == rows(docs.filter(col("n_chars").between(300, 400))))
 
-    // changing the column set mid-manifest is refused (mixed schema)
+    // changing the column set mid-manifest is refused (mixed schema),
+    // BEFORE any job over the new data runs
     docs.limit(10).repartition(1).write.mode("append").parquet(p)
     intercept[IllegalArgumentException] {
       ManifestScan.refreshManifest(spark, p, Seq("n_chars"), bloomCols = Seq("doc_id"))
     }
+  }
+
+  test("zero-row data files get synthesized manifest rows; refresh stays idempotent") {
+    val p = s"$tmpBase/graft_mrule_emptyfile"
+    docs.repartitionByRange(4, col("n_chars")).write.mode("overwrite").parquet(p)
+    ManifestScan.buildManifest(spark, p, Seq("n_chars"))
+    // plant a ZERO-ROW part file (an empty streaming micro-batch /
+    // compaction leftover): write one elsewhere and copy it in
+    val src = s"$tmpBase/graft_mrule_emptysrc"
+    docs.limit(0).repartition(1).write.mode("overwrite").parquet(src)
+    val parts = new java.io.File(src).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(parts.nonEmpty, "staging an empty parquet write must leave a part file")
+    val target = new java.io.File(p, s"part-empty-${parts.head.getName}")
+    java.nio.file.Files.copy(parts.head.toPath, target.toPath)
+
+    val covered = ManifestScan.refreshManifest(spark, p, Seq("n_chars"))
+    assert(covered == 1, s"the empty file must be covered once, got $covered")
+    // idempotence MUST survive the zero-row file (manifestFrame alone
+    // would never emit a row for it and re-cover it forever)
+    assert(ManifestScan.refreshManifest(spark, p, Seq("n_chars")) == 0,
+      "second refresh must find nothing new")
+    // the synthesized row is exact: all-null stats -> provably skipped
+    val df = spark.read.parquet(p)
+      .filter(col("n_chars") >= 200L && col("n_chars") <= 300L)
+    assert(rows(df) == rows(docs.filter(col("n_chars").between(200, 300))))
+    val idx = scanIndex(df)
+    assert(idx.isInstanceOf[ManifestPrunedFileIndex] &&
+      !idx.listFiles(Nil, Nil).flatMap(_.files)
+        .exists(_.getPath.getName.startsWith("part-empty-")),
+      "the zero-row file must be skipped, not merely kept as unknown")
   }
 
   test("unmanifested layouts and disabled sessions plan unchanged") {

@@ -77,12 +77,24 @@ object GraftExtensions {
     // replans to read only the overlapping files (conservative — the
     // filter stays; see graft.plans.ManifestFileSkipping).
     ext.injectOptimizerRule(_ => graft.plans.ManifestFileSkipping)
+    // ... and its RUNTIME sibling: join-driven file skipping (the
+    // file-grain analogue of dynamic partition pruning) — once a
+    // broadcast build side materializes, the streamed manifested scan
+    // replans to open only the files that can hold one of the build
+    // side's actual keys.
+    ext.injectQueryStagePrepRule(_ =>
+      org.apache.spark.sql.execution.graftdpp.DynamicManifestFileSkipping)
     // SQL front door for both native joins: TVFs plant unresolved
     // placeholders; the resolution rule rewrites them into the real
     // nodes once their inputs resolve (graft.plans.SqlFrontDoor).
     ext.injectTableFunction(graft.plans.SqlFrontDoor.asOfTvf)
     ext.injectTableFunction(graft.plans.SqlFrontDoor.intervalTvf)
     ext.injectResolutionRule(_ => graft.plans.ResolveGraftJoins)
+    // Named-table SQL front door for manifested layouts:
+    // `graft.<name>` in SQL text resolves to the registered parquet
+    // path's V1 relation, so the manifest file-skipping rules apply
+    // to spark.sql users too (graft.plans.GraftTables).
+    ext.injectResolutionRule(s => new graft.plans.ResolveGraftTables(s))
     ext.injectFunction(fn("graft_dot", 2, "graft_dot(array<double>, array<double>)") {
       ch => graft.expressions.DotProduct(
         Cast(ch(0), ArrayType(DoubleType)), Cast(ch(1), ArrayType(DoubleType)))

@@ -290,6 +290,57 @@ object ManifestFileSkipping extends Rule[LogicalPlan] with PredicateHelper {
       }
     }
 
+  /** Driver-side manifest load for the DYNAMIC sibling rule
+    * ([[org.apache.spark.sql.execution.graftdpp.DynamicManifestFileSkipping]]),
+    * sharing this rule's signature-invalidated cache — both rules pay
+    * one metadata read per stable layout between them.
+    */
+  def loadManifest(conf: Configuration, root: Path): Option[ManifestInfo] =
+    ManifestCache.load(conf, root)
+
+  /** Files PROVABLY unable to hold any of the probed join keys — the
+    * skip-set computation for runtime (join-driven) file pruning.
+    * `sortedKeys` = the build side's distinct keys, ascending, when
+    * they fit the key budget; None = over budget, fall back to the
+    * true [lo, hi] band. Per file: the [min, max] band must admit at
+    * least one key (binary search), and, when the manifest carries a
+    * bloom for the column and the key set is small, the bloom must
+    * admit at least one too — both conservative, so the set is safe to
+    * drop without re-filtering (the join itself enforces exactness).
+    */
+  def dynamicSkipSet(m: ManifestInfo, column: String,
+      sortedKeys: Option[Array[Long]], lo: Long, hi: Long): Set[String] = {
+    // bloom probing costs keys × k digests once (position cache) plus
+    // a few binary searches per file; past 1000 keys the band check
+    // alone carries the decision (same limit as the static IN path)
+    val bloomKeys = sortedKeys.filter(_.length <= 1000)
+    val posCache = new PositionCache
+    m.rows.iterator.filterNot { r =>
+      val bandMaybe = r.stats.get(column) match {
+        case Some((Some(mn), Some(mx))) =>
+          sortedKeys match {
+            case Some(ks) =>
+              ks.nonEmpty && {
+                val i = java.util.Arrays.binarySearch(ks, mn)
+                i >= 0 || { val ip = -i - 1; ip < ks.length && ks(ip) <= mx }
+              }
+            case None => mx >= lo && mn <= hi
+          }
+        case Some((None, None)) => false // all-null column: provably no match
+        case _ => true // absent/partial stats: keep (conservative)
+      }
+      val bloomMaybe = bandMaybe && (bloomKeys match {
+        case Some(ks) => r.blooms.get(column) match {
+          case Some(b) => ks.exists(key => graft.sources.ManifestScan
+            .bloomHitsAll(posCache.positions(key, b.k, b.m), b.widx, b.words))
+          case None => true
+        }
+        case None => true
+      })
+      bandMaybe && bloomMaybe
+    }.map(_.fileName).toSet
+  }
+
   /** Sparse per-file bloom over one column: `widx` sorted word
     * indices, `words` the matching 32-bits-per-long packed words.
     */
@@ -334,11 +385,13 @@ object ManifestFileSkipping extends Rule[LogicalPlan] with PredicateHelper {
 
     def load(conf: Configuration, root: Path): Option[ManifestInfo] = {
       val now = System.currentTimeMillis()
-      noManifestUntil.get(root.toString) match {
-        case Some(deadline) if now < deadline => return None
-        case Some(_) => noManifestUntil.remove(root.toString)
-        case None =>
-      }
+      // opportunistic sweep on EVERY load: expired negative entries and
+      // GC-cleared soft slots would otherwise accrete indefinitely in a
+      // long-lived session filtering many distinct directories (an
+      // entry was only evicted when ITS OWN path was queried again)
+      noManifestUntil.foreach { case (k, d) => if (now >= d) noManifestUntil.remove(k, d) }
+      cache.foreach { case (k, r) => if (r.get() == null) cache.remove(k, r) }
+      if (noManifestUntil.get(root.toString).exists(now < _)) return None
       def negative(): Option[ManifestInfo] = {
         noManifestUntil.put(root.toString, now + NegativeTtlMs)
         None
@@ -359,8 +412,6 @@ object ManifestFileSkipping extends Rule[LogicalPlan] with PredicateHelper {
       cache.get(root.toString).flatMap(r => Option(r.get())) match {
         case Some((s, v)) if s == sig => v
         case _ =>
-          // purge slots the GC cleared so dead layouts don't accrete
-          cache.foreach { case (k, r) => if (r.get() == null) cache.remove(k, r) }
           val v =
             try Some(readAll(conf, parts.map(_.getPath)))
             catch { case NonFatal(_) => None }
@@ -468,7 +519,8 @@ object ManifestFileSkipping extends Rule[LogicalPlan] with PredicateHelper {
   * already-pruned relation is never re-pruned.
   */
 final class ManifestPrunedFileIndex(
-    private val underlying: FileIndex, private val skip: Set[String])
+    private val underlying: FileIndex, private val skip: Set[String],
+    val isDynamic: Boolean = false)
     extends FileIndex {
   /** Exposed for plan assertions: how many files the manifest removed. */
   def skippedCount: Int = skip.size
@@ -477,12 +529,16 @@ final class ManifestPrunedFileIndex(
   // class comparing its location field, so two independently-pruned
   // scans of the same relation (a self-join, both sides filtered the
   // same way) must compare equal or ReuseExchange/ReuseSubquery can
-  // never dedupe them.
+  // never dedupe them. `isDynamic` distinguishes the runtime rule's
+  // wrap (its idempotence marker across AQE re-plans) and rides along
+  // in equality.
   override def equals(other: Any): Boolean = other match {
-    case o: ManifestPrunedFileIndex => underlying == o.underlying && skip == o.skip
+    case o: ManifestPrunedFileIndex =>
+      underlying == o.underlying && skip == o.skip && isDynamic == o.isDynamic
     case _ => false
   }
-  override def hashCode(): Int = 31 * underlying.hashCode() + skip.hashCode()
+  override def hashCode(): Int =
+    (31 * underlying.hashCode() + skip.hashCode()) * 31 + isDynamic.hashCode()
 
   override def rootPaths: Seq[Path] = underlying.rootPaths
 

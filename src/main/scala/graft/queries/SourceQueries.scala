@@ -596,5 +596,115 @@ object SourceQueries {
         .filter(col("n_chars") >= 300L && col("n_chars") <= 500L)
         .select(col("doc_id"), col("n_chars"))
         .orderBy(col("doc_id"))
+    },
+
+    // X227 WRITE-SIDE manifest maintenance, streaming form: documents
+    // replayed through the file source into a foreachBatch sink
+    // (ManifestScan.manifestedSink) that appends each micro-batch AND
+    // refreshes `_graft_manifest` in the same call — the ingestion
+    // closure that keeps skipping effective on a live table with no
+    // separate maintenance job. The stream runs TWICE over one
+    // checkpoint (a finished AvailableNow re-run replays nothing, so
+    // run-twice ≡ run-once); the declarative range read then prunes
+    // immediately through the automatic rule. Hash equality vs the
+    // full-scan oracle proves the per-batch refresh covered exactly
+    // the streamed files; fewer-files + idempotence pinned in
+    // ManifestRuleSpec.
+    Q("q_source_manifest_stream",
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE n_chars BETWEEN 260 AND 440 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.sources.ManifestScan
+      val outPath = tmp(dir, "mstream")
+      val ckpt = tmp(dir, "mstream_ckpt")
+      // fresh run per invocation: a leftover output beside a deleted
+      // checkpoint would duplicate rows on replay
+      Seq(outPath, ckpt).foreach(deleteRec)
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val inDir = java.nio.file.Files.createTempDirectory("graft_mstream_in_")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        inDir.resolve("documents.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      def runOnce(): Unit = {
+        val sq = s.readStream.schema(schema).parquet(inDir.toString)
+          .select(col("doc_id"), col("n_chars"))
+          .writeStream
+          .foreachBatch(ManifestScan.manifestedSink(outPath, Seq("n_chars"),
+            layout = _.repartitionByRange(4, col("n_chars"))))
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        sq.awaitTermination()
+      }
+      try { runOnce(); runOnce() } finally deleteRec(inDir.toString)
+      s.read.parquet(outPath)
+        .filter(col("n_chars") >= 260L && col("n_chars") <= 440L)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
+    // X228 AUTOMATIC join-driven file skipping: the X223 decision with
+    // NO explicit API call — a plain `broadcast(dim).join(fact, key)`
+    // over a manifested fact layout, and the AQE rule
+    // (DynamicManifestFileSkipping) prunes the fact FileIndex at
+    // runtime from the materialized broadcast's ACTUAL key set, the
+    // file-grain analogue of Spark's dynamic partition pruning. The
+    // oracle is the plain join, so hash equality proves the runtime
+    // rewrite is I/O-only; strictly-fewer-files + rule-off equality
+    // pinned in ManifestRuleSpec.
+    Q("q_join_dynamic_prune_auto",
+      """SELECT c.c_custkey, c.c_acctbal, o.o_orderkey, o.o_totalprice
+        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |WHERE c.c_acctbal BETWEEN 9800 AND 9899
+        |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin) { (s, dir) =>
+      import graft.sources.ManifestScan
+      val path = tmp(dir, "dynauto")
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .repartitionByRange(16, col("o_custkey"))
+        .write.mode("overwrite").parquet(path)
+      ManifestScan.buildManifest(s, path, Seq("o_custkey"))
+      val dim = t(s, dir, "customer")
+        .filter(col("c_acctbal").between(9800.0, 9899.0))
+        .select(col("c_custkey"), col("c_acctbal"))
+      val fact = s.read.parquet(path) // PLAIN declarative read — no readForJoin
+      broadcast(dim).join(fact, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_acctbal"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("c_custkey"), col("o_orderkey"))
+    },
+
+    // X229 NAMED-TABLE SQL front door: the manifested layout registered
+    // as `graft.docs_by_chars` and queried from ONE SQL text — the
+    // resolution rule (ResolveGraftTables) plants the same V1 parquet
+    // relation as path-based access, so the static file-skipping rule
+    // prunes the file list from the WHERE clause exactly as it does
+    // for read.parquet. Completes the engine-owned story for SQL-only
+    // users the way the TVFs (X184) did for the native joins;
+    // fewer-files + path≡name hash equality pinned in ManifestRuleSpec.
+    Q("q_source_sql_table",
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE n_chars BETWEEN 220 AND 430 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.plans.GraftTables
+      import graft.sources.ManifestScan
+      val path = tmp(dir, "sqltable")
+      t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        .repartitionByRange(8, col("n_chars"))
+        .write.mode("overwrite").parquet(path)
+      ManifestScan.buildManifest(s, path, Seq("n_chars"))
+      GraftTables.register(s, "docs_by_chars", path)
+      s.sql(
+        """SELECT doc_id, n_chars FROM graft.docs_by_chars
+          |WHERE n_chars BETWEEN 220 AND 430 ORDER BY doc_id""".stripMargin)
     })
+
+  /** Recursive delete for per-invocation staging dirs (no-op when
+    * absent); walk stream closed so repeated runs don't leak handles.
+    */
+  private def deleteRec(p: String): Unit = {
+    val f = java.nio.file.Paths.get(p)
+    if (java.nio.file.Files.exists(f))
+      scala.util.Using.resource(java.nio.file.Files.walk(f)) { w =>
+        w.sorted(java.util.Comparator.reverseOrder())
+          .forEach(x => { java.nio.file.Files.deleteIfExists(x); () })
+      }
+  }
 }

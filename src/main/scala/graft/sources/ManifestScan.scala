@@ -83,11 +83,17 @@ object ManifestScan {
       bloomCols: Seq[String], bloomBits: Int = 0, bloomK: Int = 3): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    completeFrame(spark,
-      manifestFrame(spark.read.parquet(path), statsCols, bloomCols, bloomBits, bloomK),
-      listDataFiles(fs, root))
-      .coalesce(1) // metadata-scale: one row per data file
-      .write.mode("overwrite").parquet(manifestPath(path))
+    // persist around the two actions: completeFrame's collect of the
+    // produced file set and the write would otherwise each run the
+    // full stats/bloom aggregation over the data — the heaviest pass
+    // of the build, doubled on a large layout
+    val frame = manifestFrame(
+      spark.read.parquet(path), statsCols, bloomCols, bloomBits, bloomK).persist()
+    try
+      completeFrame(spark, frame, listDataFiles(fs, root))
+        .coalesce(1) // metadata-scale: one row per data file
+        .write.mode("overwrite").parquet(manifestPath(path))
+    finally frame.unpersist()
   }
 
   /** Recursive data-file listing (skipping `_`/`.`-prefixed names at
@@ -188,12 +194,66 @@ object ManifestScan {
       .getOrElse(Set.empty)
     val fresh = dataFiles.filterNot(p => covered.contains(p.getName))
     if (fresh.isEmpty) return 0
-    val frame = completeFrame(spark, manifestFrame(
-      spark.read.parquet(fresh.map(_.toString): _*), statsCols, bloomCols, bloomBits, bloomK),
-      fresh)
-    frame.coalesce(1).write.mode("append").parquet(manifestPath(path))
+    // persist for the same reason as buildManifest: completeFrame's
+    // collect and the append are two actions over the one stats pass
+    val stats = manifestFrame(
+      spark.read.parquet(fresh.map(_.toString): _*), statsCols, bloomCols, bloomBits, bloomK)
+      .persist()
+    try completeFrame(spark, stats, fresh)
+      .coalesce(1).write.mode("append").parquet(manifestPath(path))
+    finally stats.unpersist()
     fresh.size
   }
+
+  /** WRITE-side manifest maintenance: append `df` into `path` AND
+    * extend the manifest to the new files in ONE call — the ingestion
+    * closure that keeps file skipping effective on a live table
+    * without every writer remembering to refresh. Crash-safe in the
+    * skipping contract's own terms: if the process dies between the
+    * append and the refresh, the new files are merely UNKNOWN to the
+    * manifest (always kept, never lost) and the next writeAppend's
+    * refresh covers them. First write to an empty directory works too
+    * (refresh with no existing manifest covers everything).
+    *
+    * `layout` shapes each write before it lands (e.g.
+    * `_.repartitionByRange(n, col)` to keep the clustering that makes
+    * band skipping effective) — applied here so the stats pass and
+    * the data files see the same shape.
+    *
+    * @return number of data files the refresh newly covered.
+    */
+  def writeAppend(df: DataFrame, path: String, statsCols: Seq[String],
+      bloomCols: Seq[String] = Nil, bloomBits: Int = 0, bloomK: Int = 3,
+      layout: DataFrame => DataFrame = identity): Int = {
+    layout(df).write.mode("append").parquet(path)
+    refreshManifest(df.sparkSession, path, statsCols, bloomCols, bloomBits, bloomK)
+  }
+
+  /** Streaming ingestion sink: a `foreachBatch` function that appends
+    * each micro-batch through [[writeAppend]], so the manifest is
+    * refreshed batch-by-batch and a declarative read prunes files the
+    * moment the trigger completes — e.g.
+    * {{{
+    *   stream.writeStream
+    *     .foreachBatch(ManifestScan.manifestedSink(path, Seq("ts")))
+    *     .option("checkpointLocation", ckpt)
+    *     .trigger(Trigger.AvailableNow()).start()
+    * }}}
+    * Run-twice idempotence comes from the checkpoint (a finished
+    * AvailableNow re-run replays no batches, so nothing is appended
+    * and the refresh finds nothing new); a batch REPLAYED after a
+    * mid-batch crash re-appends its files — the file source's
+    * standard at-least-once foreachBatch contract — and the refresh
+    * covers them exactly once each, keeping skipping correct either
+    * way (kept files are re-filtered by every read path).
+    */
+  def manifestedSink(path: String, statsCols: Seq[String],
+      bloomCols: Seq[String] = Nil, bloomBits: Int = 0, bloomK: Int = 3,
+      layout: DataFrame => DataFrame = identity): (DataFrame, Long) => Unit =
+    (batch, _) => {
+      writeAppend(batch, path, statsCols, bloomCols, bloomBits, bloomK, layout)
+      () // discard the covered-count: foreachBatch wants Unit
+    }
 
   /** The manifest frame for `data`: one row per file with n_rows,
     * per-column long min/max, and optional sparse per-file blooms.
@@ -326,11 +386,17 @@ object ManifestScan {
     // not once per (key, file): a lake manifest has millions of rows
     val posCache = scala.collection.mutable.Map.empty[(Long, Int, Int), Array[Long]]
     val kept = m.filter { r =>
-      !r.isNullAt(1) && !r.isNullAt(3) && {
+      // a malformed or partially-written manifest row (any null field,
+      // k/m outside the build invariants, ragged parallel arrays) must
+      // degrade to "keep the file", never to an NPE or a % 0 — same
+      // shape discipline as the automatic rule's reader
+      if (r.isNullAt(1) || r.isNullAt(2) || r.isNullAt(3) || r.isNullAt(4)) true
+      else {
         val (k, mm) = (r.getInt(1), r.getInt(2))
         val widx = r.getSeq[Long](3).toArray
         val words = r.getSeq[Long](4).toArray
-        keys.exists { key =>
+        if (k < 1 || mm < 32 || widx.length != words.length) true
+        else keys.exists { key =>
           bloomHitsAll(posCache.getOrElseUpdate((key, k, mm),
             bloomPositions(key, k, mm)), widx, words)
         }
@@ -418,6 +484,23 @@ object ManifestScan {
   def readForJoin(spark: SparkSession, path: String, valueCol: String,
       dimKeys: org.apache.spark.sql.DataFrame, maxKeys: Int = 100000): DataFrame = {
     require(dimKeys.columns.length == 1, "readForJoin: dimKeys must be a single key column")
+    // the key set and the kept-file re-filter both travel as LONGs
+    // (manifest stats are long-valued): a fractional key would be
+    // silently truncated by the cast and lose matching rows — refuse,
+    // mirroring buildManifest's bloom-column check
+    def integral(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val dimType = dimKeys.schema.fields.head.dataType
+    require(integral(dimType),
+      s"readForJoin: dim key column must be integral (keys travel as longs), got $dimType")
+    val factType = spark.read.parquet(path).schema
+      .find(_.name == valueCol).map(_.dataType)
+    require(factType.exists(integral),
+      s"readForJoin: fact column $valueCol must be integral (manifest bands are " +
+        s"long-valued), got ${factType.getOrElse("<absent>")}")
     val distinctKeys = dimKeys
       .select(col(dimKeys.columns.head).cast("long").as("k"))
       .na.drop().distinct()

@@ -1,0 +1,184 @@
+package org.apache.spark.sql.execution.graftdpp
+
+import java.util.concurrent.TimeUnit
+
+import scala.annotation.tailrec
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast, Expression}
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, ProjectExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.BroadcastQueryStageExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, HashedRelation}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
+
+import graft.plans.{ManifestFileSkipping, ManifestPrunedFileIndex}
+
+/** JOIN-DRIVEN dynamic file skipping as an AQE rule — the AUTOMATIC
+  * sibling of [[graft.sources.ManifestScan.readForJoin]], and the
+  * file-grain analogue of Spark's dynamic partition pruning: a plain
+  * declarative `fact.join(dim.filter(...), key)` over a fact layout
+  * manifested on its join key opens only the files whose [min, max]
+  * band (and per-file bloom, where stored) could hold one of the
+  * build side's ACTUAL keys — keys that only exist at runtime, after
+  * the broadcast stage materializes.
+  *
+  * Injected via `injectQueryStagePrepRule` (the
+  * [[org.apache.spark.sql.graftbridge.OptimizeSkewedGraftJoin]]
+  * pattern): the rule runs at every AQE re-plan; once the build side
+  * is a materialized [[BroadcastQueryStageExec]], its
+  * [[HashedRelation]]'s key set is read DRIVER-SIDE — the same
+  * `relation.keys()` walk Spark's own `SubqueryBroadcastExec` does for
+  * DPP — and the streamed scan's [[org.apache.spark.sql.execution.datasources.FileIndex]]
+  * is replaced with a [[ManifestPrunedFileIndex]] dropping the
+  * provably-matchless files. This file lives under
+  * `org.apache.spark.sql.execution` because [[HashedRelation]] is
+  * `private[execution]`.
+  *
+  * Safety contract:
+  *   - only INNER and LEFT SEMI joins prune the streamed side (an
+  *     outer join must still emit unmatched streamed rows);
+  *   - only SINGLE-key equi-joins: the broadcast stores the REWRITTEN
+  *     key (`HashJoin.rewriteKeyExpr` packs multi-key integrals into
+  *     one long), and only the single-key form is the identity/cast
+  *     whose values can be compared against manifest bands directly;
+  *   - the key must be a bare integral scan column (possibly behind
+  *     the analyzer's widening Cast), reached from the join through
+  *     Project/Filter only — row-local operators that cannot be
+  *     changed by removing rows the join would drop anyway (a Window
+  *     or Aggregate between scan and join bails out, same discipline
+  *     as Spark's `PartitionPruning`);
+  *   - files the manifest does not mention are always kept, the skip
+  *     decision is band-overlap + bloom-membership (both conservative,
+  *     no false negatives), and the join itself re-checks every
+  *     surviving row — the rewrite is I/O-only;
+  *   - over `spark.graft.manifestSkip.dynamic.maxKeys` (default 100k)
+  *     build keys, the key set degrades to its true [min, max] band —
+  *     band pruning instead of point pruning, never wrong;
+  *   - any surprise (unexpected relation shape, a non-`HashedRelation`
+  *     broadcast, reader failure) abandons the rewrite for that join,
+  *     never errors.
+  *
+  * Scale shape (100 TB): this is the star-join I/O win DPP delivers on
+  * hive-partitioned layouts, extended to UNPARTITIONED range-clustered
+  * ones — the build side of a selective star join is small by
+  * construction (that is why Spark broadcast it), its key walk is one
+  * driver pass over an in-memory hash map, and the skip decision is
+  * metadata-only against the manifest already cached by the static
+  * rule (both rules share one signature-invalidated load per layout).
+  * Pinned in ManifestRuleSpec: declarative join opens strictly fewer
+  * files with the rule on, hash-equal to rule off;
+  * `q_join_dynamic_prune_auto` pins end-to-end equality vs the DuckDB
+  * plain-join oracle.
+  */
+object DynamicManifestFileSkipping extends Rule[SparkPlan] {
+
+  val EnabledKey = "spark.graft.manifestSkip.dynamic.enabled"
+  val MaxKeysKey = "spark.graft.manifestSkip.dynamic.maxKeys"
+
+  override def apply(plan: SparkPlan): SparkPlan = {
+    if (conf.getConfString(EnabledKey, "true") != "true") return plan
+    plan.transformUp {
+      case j: BroadcastHashJoinExec if j.joinType == Inner || j.joinType == LeftSemi =>
+        tryPrune(j).getOrElse(j)
+    }
+  }
+
+  private def isIntegral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** The scan column behind the streamed join key: a bare integral
+    * attribute, or one behind an integral-to-integral Cast (the
+    * analyzer's type widening for mixed-width equi-joins).
+    */
+  private def keyColumn(e: Expression): Option[AttributeReference] = e match {
+    case a: AttributeReference if isIntegral(a.dataType) => Some(a)
+    case c: Cast if isIntegral(c.dataType) => keyColumn(c.child)
+    case _ => None
+  }
+
+  /** Descend to the streamed scan through row-local operators ONLY —
+    * anything whose output could change when rows are removed
+    * (Window, Aggregate, another join) bails out.
+    */
+  @tailrec private def findScan(p: SparkPlan): Option[FileSourceScanExec] = p match {
+    case s: FileSourceScanExec => Some(s)
+    case p: ProjectExec => findScan(p.child)
+    case f: FilterExec => findScan(f.child)
+    case _ => None
+  }
+
+  private def tryPrune(j: BroadcastHashJoinExec): Option[BroadcastHashJoinExec] =
+    try {
+      val (buildPlan, streamedPlan, streamedKeys) = j.buildSide match {
+        case BuildRight => (j.right, j.left, j.leftKeys)
+        case BuildLeft => (j.left, j.right, j.rightKeys)
+      }
+      if (streamedKeys.length != 1) return None
+      val keyAttr = keyColumn(streamedKeys.head).getOrElse(return None)
+      val stage = buildPlan match {
+        case b: BroadcastQueryStageExec if b.isMaterialized => b
+        case _ => return None
+      }
+      val scan = findScan(streamedPlan).getOrElse(return None)
+      val relation = scan.relation
+      if (relation.partitionSchema.nonEmpty || relation.location.rootPaths.size != 1)
+        return None
+      if (!scan.output.exists(_.exprId == keyAttr.exprId)) return None
+      relation.location match {
+        // idempotence across AQE re-plans (and don't fight the static
+        // rule twice): one dynamic wrap per scan
+        case m: ManifestPrunedFileIndex if m.isDynamic => return None
+        case _ =>
+      }
+      val spark = relation.sparkSession
+      val manifest = ManifestFileSkipping.loadManifest(
+        spark.sessionState.newHadoopConf(), relation.location.rootPaths.head)
+        .getOrElse(return None)
+      if (!manifest.statsCols.contains(keyAttr.name) &&
+        !manifest.bloomCols.contains(keyAttr.name)) return None
+
+      // the materialized broadcast IS the key set — same driver-side
+      // keys() walk as Spark's SubqueryBroadcastExec (DPP)
+      val rel = stage.broadcast.relationFuture.get(0, TimeUnit.MILLISECONDS).value match {
+        case h: HashedRelation => h
+        case _ => return None
+      }
+      val maxKeys = conf.getConfString(MaxKeysKey, "100000").toInt
+      val keys = scala.collection.mutable.ArrayBuilder.make[Long]
+      var n = 0
+      var lo = Long.MaxValue
+      var hi = Long.MinValue
+      val it = rel.keys()
+      while (it.hasNext) {
+        val row = it.next()
+        if (row.numFields != 1) return None
+        if (!row.isNullAt(0)) { // a null key matches nothing under =
+          val v = row.getLong(0)
+          if (v < lo) lo = v
+          if (v > hi) hi = v
+          if (n < maxKeys) keys += v
+          n += 1
+        }
+      }
+      if (n == 0) return None // empty build side: AQE's empty-relation path owns it
+      val sortedKeys = if (n <= maxKeys) Some {
+        val a = keys.result(); java.util.Arrays.sort(a); a
+      } else None
+      val skip = ManifestFileSkipping.dynamicSkipSet(manifest, keyAttr.name, sortedKeys, lo, hi)
+      if (skip.isEmpty) return None
+      val pruned = new ManifestPrunedFileIndex(relation.location, skip, isDynamic = true)
+      val newScan = scan.copy(relation = relation.copy(location = pruned)(spark))
+      val newStreamed = streamedPlan.transformUp {
+        case s: FileSourceScanExec if s eq scan => newScan
+      }
+      Some(j.buildSide match {
+        case BuildRight => j.copy(left = newStreamed)
+        case BuildLeft => j.copy(right = newStreamed)
+      })
+    } catch { case NonFatal(_) => None }
+}

@@ -351,6 +351,135 @@ class ManifestRuleSpec extends SparkSpec {
       "the zero-row file must be skipped, not merely kept as unknown")
   }
 
+  test("broadcast join prunes manifested fact files at runtime (dynamic rule)") {
+    import org.apache.spark.sql.functions.{broadcast, when}
+    val DynRule = org.apache.spark.sql.execution.graftdpp.DynamicManifestFileSkipping
+    val orders = Tables.load(spark, TestSpark.sf0001, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val p = s"$tmpBase/graft_mrule_dynauto"
+    orders.repartitionByRange(8, col("o_custkey")).write.mode("overwrite").parquet(p)
+    ManifestScan.buildManifest(spark, p, Seq("o_custkey"))
+    val total = dataFilesOnDisk(p)
+    assert(total >= 8, s"staging must produce >= 8 files, got $total")
+
+    val r = orders.agg(
+      org.apache.spark.sql.functions.min("o_custkey"),
+      org.apache.spark.sql.functions.max("o_custkey")).head()
+    val (kLo, kHi) = (r.getLong(0), r.getLong(1))
+    def dim = spark.range(2).select(when(col("id") === 0, kLo).otherwise(kHi).as("k"))
+    // the PLAIN declarative join — no readForJoin; the AQE rule must
+    // prune once the broadcast materializes
+    def joined = broadcast(dim)
+      .join(spark.read.parquet(p), col("k") === col("o_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val df = joined
+    val got = rows(df) // execute first: AQE finalizes, broadcast keys exist
+    val scan = TestSpark.findExec[FileSourceScanExec](df.queryExecution.executedPlan)
+      .getOrElse(fail("no FileSourceScanExec in the executed plan"))
+    scan.relation.location match {
+      case m: ManifestPrunedFileIndex =>
+        assert(m.isDynamic, "the runtime rule must mark its wrap dynamic")
+        val read = m.listFiles(Nil, Nil).map(_.files.size).sum
+        assert(read >= 1 && read <= 2,
+          s"two point keys from opposite ends must open at most two of $total files, opened $read")
+      case other => fail(s"fact scan must plan over the dynamically pruned index, got ${other.getClass.getSimpleName}")
+    }
+    // the rewrite is I/O-only: rule-on ≡ rule-off ≡ source-of-truth filter
+    spark.conf.set(DynRule.EnabledKey, "false")
+    val off = try rows(joined) finally spark.conf.unset(DynRule.EnabledKey)
+    assert(got == off, "dynamic pruning must not change join results")
+    assert(got == rows(orders.filter(col("o_custkey").isin(kLo, kHi))
+      .select(col("o_orderkey"), col("o_custkey"))))
+
+    // a LEFT OUTER join must NOT prune the streamed side (unmatched
+    // fact rows survive) — safety gate, not an optimization miss
+    val outer = spark.read.parquet(p)
+      .join(broadcast(dim), col("o_custkey") === col("k"), "left_outer")
+    assert(outer.count() == orders.count(),
+      "outer join must keep every fact row")
+    TestSpark.findExec[FileSourceScanExec](outer.queryExecution.executedPlan)
+      .foreach { s =>
+        s.relation.location match {
+          case m: ManifestPrunedFileIndex =>
+            assert(!m.isDynamic, "outer join must not be dynamically pruned")
+          case _ =>
+        }
+      }
+  }
+
+  test("streaming manifested sink keeps skipping live across micro-batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    val outP = s"$tmpBase/graft_mrule_stream_out"
+    val ckpt = s"$tmpBase/graft_mrule_stream_ckpt"
+    val inP = s"$tmpBase/graft_mrule_stream_in"
+    Seq(outP, ckpt, inP).foreach { d =>
+      val f = java.nio.file.Paths.get(d)
+      if (java.nio.file.Files.exists(f))
+        scala.util.Using.resource(java.nio.file.Files.walk(f)) { w =>
+          w.sorted(java.util.Comparator.reverseOrder())
+            .forEach(x => { java.nio.file.Files.deleteIfExists(x); () })
+        }
+    }
+    // two arrival files + maxFilesPerTrigger=1 -> two micro-batches,
+    // each appended AND manifested by the foreachBatch sink
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(inP)
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.mode("append").parquet(inP)
+    val schema = spark.read.parquet(inP).schema
+    def runStream(): Unit = {
+      val sq = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inP)
+        .writeStream
+        .foreachBatch(ManifestScan.manifestedSink(outP, Seq("n_chars"),
+          layout = _.repartitionByRange(3, col("n_chars"))))
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      sq.awaitTermination()
+    }
+    runStream()
+    val mPath = s"$outP/${ManifestScan.ManifestDir}"
+    val mRows = spark.read.parquet(mPath).count()
+    val total = dataFilesOnDisk(outP)
+    assert(total >= 2, s"two micro-batches must land >= 2 data files, got $total")
+    assert(mRows == total, s"every streamed file must be manifested: $mRows of $total")
+
+    // skipping is live immediately: the declarative range read prunes
+    val df = spark.read.parquet(outP)
+      .filter(col("n_chars") >= 200L && col("n_chars") <= 300L)
+    val idx = scanIndex(df)
+    assert(idx.isInstanceOf[ManifestPrunedFileIndex],
+      "a streamed-in table must prune right after AvailableNow completes")
+    assert(idx.listFiles(Nil, Nil).map(_.files.size).sum < total,
+      "selective range must skip some streamed files")
+    assert(rows(df) == rows(docs.filter(col("n_chars").between(200, 300))),
+      "streamed+manifested table must equal the source-of-truth filter")
+
+    // run-twice ≡ run-once: the checkpointed re-run replays nothing
+    runStream()
+    assert(spark.read.parquet(mPath).count() == mRows &&
+      dataFilesOnDisk(outP) == total,
+      "a finished AvailableNow re-run must append no data and no manifest rows")
+  }
+
+  test("SQL over a registered graft table prunes through the manifest rule") {
+    graft.plans.GraftTables.register(spark, "mrule_docs", byValue)
+    val sql =
+      "SELECT doc_id, n_chars FROM graft.mrule_docs WHERE n_chars BETWEEN 200 AND 260"
+    val df = spark.sql(sql)
+    val idx = scanIndex(df)
+    assert(idx.isInstanceOf[ManifestPrunedFileIndex],
+      "named-table SQL must plan over the pruned index")
+    val total = dataFilesOnDisk(byValue)
+    assert(idx.listFiles(Nil, Nil).map(_.files.size).sum < total,
+      "named-table SQL must open fewer files")
+    // path-based and named access are ONE read path: row-identical
+    assert(rows(df) == rows(spark.read.parquet(byValue)
+      .filter(col("n_chars") >= 200L && col("n_chars") <= 260L)))
+    // unregistered names keep the ordinary analyzer error
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM graft.no_such_table").collect()
+    }
+  }
+
   test("unmanifested layouts and disabled sessions plan unchanged") {
     val p = s"$tmpBase/graft_mrule_plain"
     docs.repartitionByRange(4, col("n_chars")).write.mode("overwrite").parquet(p)

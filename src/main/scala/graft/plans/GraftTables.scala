@@ -10,7 +10,7 @@ import scala.collection.concurrent.TrieMap
 /** SQL front door for MANIFESTED layouts as named tables: register a
   * parquet directory once —
   * {{{
-  *   GraftTables.register(spark, "events", "/lake/events")
+  *   GraftTables.register("events", "/lake/events")
   *   spark.sql("SELECT * FROM graft.events WHERE ts BETWEEN 10 AND 20")
   * }}}
   * — and every `graft.<name>` reference in SQL text resolves to the
@@ -48,8 +48,11 @@ object GraftTables {
 
   private val tables = TrieMap.empty[String, String]
 
-  /** Register (or replace) `graft.<name>` -> parquet directory. */
-  def register(spark: SparkSession, name: String, path: String): Unit = {
+  /** Register (or replace) `graft.<name>` -> parquet directory. The
+    * registry is process-wide, not per-session — every session of this
+    * JVM sees the name (same scope as the manifest caches).
+    */
+  def register(name: String, path: String): Unit = {
     require(name.nonEmpty && path.nonEmpty, "GraftTables.register: empty name or path")
     tables.put(name.toLowerCase(java.util.Locale.ROOT), path)
   }

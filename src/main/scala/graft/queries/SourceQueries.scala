@@ -616,18 +616,18 @@ object SourceQueries {
       import graft.sources.ManifestScan
       val outPath = tmp(dir, "mstream")
       val ckpt = tmp(dir, "mstream_ckpt")
+      val inDir = tmp(dir, "mstream_in")
       // fresh run per invocation: a leftover output beside a deleted
       // checkpoint would duplicate rows on replay
-      Seq(outPath, ckpt).foreach(deleteRec)
-      val schema = s.read.parquet(s"$dir/documents.parquet").schema
-      val inDir = java.nio.file.Files.createTempDirectory("graft_mstream_in_")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/documents.parquet"),
-        inDir.resolve("documents.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Seq(outPath, ckpt, inDir).foreach(deleteRec)
+      // stage the arrival dir with a Spark write (not a raw file copy:
+      // the fixture could be a single file today and a part-file
+      // directory tomorrow — this works for both)
+      t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        .coalesce(1).write.mode("overwrite").parquet(inDir)
+      val schema = s.read.parquet(inDir).schema
       def runOnce(): Unit = {
-        val sq = s.readStream.schema(schema).parquet(inDir.toString)
-          .select(col("doc_id"), col("n_chars"))
+        val sq = s.readStream.schema(schema).parquet(inDir)
           .writeStream
           .foreachBatch(ManifestScan.manifestedSink(outPath, Seq("n_chars"),
             layout = _.repartitionByRange(4, col("n_chars"))))
@@ -636,7 +636,7 @@ object SourceQueries {
           .start()
         sq.awaitTermination()
       }
-      try { runOnce(); runOnce() } finally deleteRec(inDir.toString)
+      try { runOnce(); runOnce() } finally deleteRec(inDir)
       s.read.parquet(outPath)
         .filter(col("n_chars") >= 260L && col("n_chars") <= 440L)
         .select(col("doc_id"), col("n_chars"))
@@ -690,21 +690,11 @@ object SourceQueries {
         .repartitionByRange(8, col("n_chars"))
         .write.mode("overwrite").parquet(path)
       ManifestScan.buildManifest(s, path, Seq("n_chars"))
-      GraftTables.register(s, "docs_by_chars", path)
+      GraftTables.register("docs_by_chars", path)
       s.sql(
         """SELECT doc_id, n_chars FROM graft.docs_by_chars
           |WHERE n_chars BETWEEN 220 AND 430 ORDER BY doc_id""".stripMargin)
     })
 
-  /** Recursive delete for per-invocation staging dirs (no-op when
-    * absent); walk stream closed so repeated runs don't leak handles.
-    */
-  private def deleteRec(p: String): Unit = {
-    val f = java.nio.file.Paths.get(p)
-    if (java.nio.file.Files.exists(f))
-      scala.util.Using.resource(java.nio.file.Files.walk(f)) { w =>
-        w.sorted(java.util.Comparator.reverseOrder())
-          .forEach(x => { java.nio.file.Files.deleteIfExists(x); () })
-      }
-  }
+  private def deleteRec(p: String): Unit = graft.LocalFs.deleteRec(p)
 }

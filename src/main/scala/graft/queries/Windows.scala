@@ -1704,14 +1704,8 @@ object Windows {
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", prevWidth)
       // staged deletion sits in the finally so a stream that THROWS
-      // doesn't leak its per-invocation arrival copy; the walk stream is
-      // closed (Using) so long harness runs don't leak file handles
-      staged.foreach { p =>
-        scala.util.Using.resource(java.nio.file.Files.walk(p)) { w =>
-          w.sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => java.nio.file.Files.deleteIfExists(f))
-        }
-      }
+      // doesn't leak its per-invocation arrival copy
+      staged.foreach(graft.LocalFs.deleteRec)
     }
     s.table(name)
   }

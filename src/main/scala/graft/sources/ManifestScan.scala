@@ -164,7 +164,21 @@ object ManifestScan {
     * @return number of newly covered data files.
     */
   def refreshManifest(spark: SparkSession, path: String, statsCols: Seq[String],
-      bloomCols: Seq[String] = Nil, bloomBits: Int = 0, bloomK: Int = 3): Int = {
+      bloomCols: Seq[String] = Nil, bloomBits: Int = 0, bloomK: Int = 3): Int =
+    refreshInternal(spark, path, statsCols, bloomCols, bloomBits, bloomK, None)._1.size
+
+  /** [[refreshManifest]] with an optional caller-carried covered set —
+    * the amortization hook for [[manifestedSink]], whose per-batch
+    * refresh must not re-collect the manifest's full file column (O(table
+    * files) driver work per micro-batch, quadratic over a stream's
+    * lifetime). A hint is trusted only while the manifest still exists;
+    * if it vanished mid-stream the covered set rebuilds from scratch.
+    *
+    * @return (newly covered file names, full covered set after).
+    */
+  private def refreshInternal(spark: SparkSession, path: String, statsCols: Seq[String],
+      bloomCols: Seq[String], bloomBits: Int, bloomK: Int,
+      coveredHint: Option[Set[String]]): (Set[String], Set[String]) = {
     val hconf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(hconf)
@@ -188,12 +202,12 @@ object ManifestScan {
         s"refreshManifest: stats/bloom columns must match the existing manifest " +
           s"(existing $got, incoming $expected) — rebuild with buildManifest to change them")
     }
-    val covered: Set[String] = existing
-      .map(_.select(col("file")).collect()
+    val covered: Set[String] =
+      if (existing.isEmpty) Set.empty
+      else coveredHint.getOrElse(existing.get.select(col("file")).collect()
         .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName).toSet)
-      .getOrElse(Set.empty)
     val fresh = dataFiles.filterNot(p => covered.contains(p.getName))
-    if (fresh.isEmpty) return 0
+    if (fresh.isEmpty) return (Set.empty, covered)
     // persist for the same reason as buildManifest: completeFrame's
     // collect and the append are two actions over the one stats pass
     val stats = manifestFrame(
@@ -202,7 +216,8 @@ object ManifestScan {
     try completeFrame(spark, stats, fresh)
       .coalesce(1).write.mode("append").parquet(manifestPath(path))
     finally stats.unpersist()
-    fresh.size
+    val freshNames = fresh.map(_.getName).toSet
+    (freshNames, covered ++ freshNames)
   }
 
   /** WRITE-side manifest maintenance: append `df` into `path` AND
@@ -249,11 +264,23 @@ object ManifestScan {
     */
   def manifestedSink(path: String, statsCols: Seq[String],
       bloomCols: Seq[String] = Nil, bloomBits: Int = 0, bloomK: Int = 3,
-      layout: DataFrame => DataFrame = identity): (DataFrame, Long) => Unit =
+      layout: DataFrame => DataFrame = identity): (DataFrame, Long) => Unit = {
+    // covered-set carried ACROSS batches: the manifest's file column is
+    // collected once (first batch, or after a restart/manifest loss) and
+    // extended locally, so a long-lived stream pays O(new files) manifest
+    // work per batch instead of O(table files) — the directory listing
+    // that finds the new files stays, but it is pure FS metadata.
+    // Single-writer assumption (the streaming sink owns its table): a
+    // concurrent writer's refresh is invisible to the hint and its files
+    // would be covered twice.
+    var covered: Option[Set[String]] = None
     (batch, _) => {
-      writeAppend(batch, path, statsCols, bloomCols, bloomBits, bloomK, layout)
-      () // discard the covered-count: foreachBatch wants Unit
+      layout(batch).write.mode("append").parquet(path)
+      val (_, after) = refreshInternal(
+        batch.sparkSession, path, statsCols, bloomCols, bloomBits, bloomK, covered)
+      covered = Some(after)
     }
+  }
 
   /** The manifest frame for `data`: one row per file with n_rows,
     * per-column long min/max, and optional sparse per-file blooms.

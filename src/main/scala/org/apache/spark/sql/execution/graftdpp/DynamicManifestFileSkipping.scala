@@ -91,13 +91,27 @@ object DynamicManifestFileSkipping extends Rule[SparkPlan] {
     case _ => false
   }
 
+  private def integralWidth(dt: DataType): Int = dt match {
+    case ByteType => 1
+    case ShortType => 2
+    case IntegerType => 4
+    case LongType => 8
+    case _ => 0
+  }
+
   /** The scan column behind the streamed join key: a bare integral
-    * attribute, or one behind an integral-to-integral Cast (the
-    * analyzer's type widening for mixed-width equi-joins).
+    * attribute, or one behind a WIDENING integral Cast (the analyzer's
+    * type promotion for mixed-width equi-joins). Narrowing casts are
+    * refused: they wrap (non-ANSI), so `cast(col AS int) = 5` can match
+    * a row whose raw value lies outside the probed band — pruning by
+    * the raw column's stats would lose it. Every step of a cast chain
+    * must widen, so comparing the ATTRIBUTE's width at each level is
+    * sufficient (an inner narrowing step already returned None).
     */
   private def keyColumn(e: Expression): Option[AttributeReference] = e match {
     case a: AttributeReference if isIntegral(a.dataType) => Some(a)
-    case c: Cast if isIntegral(c.dataType) => keyColumn(c.child)
+    case c: Cast if isIntegral(c.dataType) =>
+      keyColumn(c.child).filter(a => integralWidth(a.dataType) <= integralWidth(c.dataType))
     case _ => None
   }
 

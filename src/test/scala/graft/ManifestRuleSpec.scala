@@ -412,14 +412,7 @@ class ManifestRuleSpec extends SparkSpec {
     val outP = s"$tmpBase/graft_mrule_stream_out"
     val ckpt = s"$tmpBase/graft_mrule_stream_ckpt"
     val inP = s"$tmpBase/graft_mrule_stream_in"
-    Seq(outP, ckpt, inP).foreach { d =>
-      val f = java.nio.file.Paths.get(d)
-      if (java.nio.file.Files.exists(f))
-        scala.util.Using.resource(java.nio.file.Files.walk(f)) { w =>
-          w.sorted(java.util.Comparator.reverseOrder())
-            .forEach(x => { java.nio.file.Files.deleteIfExists(x); () })
-        }
-    }
+    Seq(outP, ckpt, inP).foreach(LocalFs.deleteRec)
     // two arrival files + maxFilesPerTrigger=1 -> two micro-batches,
     // each appended AND manifested by the foreachBatch sink
     docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(inP)
@@ -461,7 +454,7 @@ class ManifestRuleSpec extends SparkSpec {
   }
 
   test("SQL over a registered graft table prunes through the manifest rule") {
-    graft.plans.GraftTables.register(spark, "mrule_docs", byValue)
+    graft.plans.GraftTables.register("mrule_docs", byValue)
     val sql =
       "SELECT doc_id, n_chars FROM graft.mrule_docs WHERE n_chars BETWEEN 200 AND 260"
     val df = spark.sql(sql)

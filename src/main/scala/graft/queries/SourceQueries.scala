@@ -694,6 +694,38 @@ object SourceQueries {
       s.sql(
         """SELECT doc_id, n_chars FROM graft.docs_by_chars
           |WHERE n_chars BETWEEN 220 AND 430 ORDER BY doc_id""".stripMargin)
+    },
+
+    // X230 COMPACTION of a manifested layout: the maintenance op that
+    // closes the live-table loop — streaming ingestion (X227) lands
+    // one small file per micro-batch; compact() rewrites them into few
+    // RANGE-CLUSTERED files and rebuilds the manifest, so the same
+    // declarative range read now opens fewer, bigger files (and band
+    // skipping gets sharper, since the rewrite clusters on the stats
+    // column). Staged as 8 tiny hash-sliced appends — the worst layout
+    // for both open-cost and skipping — compacted to 2 files ordered
+    // by n_chars. Hash equality against the full-scan oracle proves
+    // the rewrite preserves every row; file accounting, no-op
+    // early-exit, and post-compact pruning pinned in ManifestRuleSpec.
+    Q("q_source_manifest_compact",
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE n_chars BETWEEN 240 AND 420 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.sources.ManifestScan
+      val path = tmp(dir, "mcompact")
+      deleteRec(path)
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      // stream-shaped staging: many small uncorrelated files
+      (0 until 8).foreach { i =>
+        docs.filter(pmod(col("doc_id"), lit(8)) === i)
+          .coalesce(1).write.mode("append").parquet(path)
+      }
+      ManifestScan.buildManifest(s, path, Seq("n_chars"))
+      ManifestScan.compact(s, path, Seq("n_chars"),
+        numFiles = 2, orderBy = Some("n_chars"))
+      s.read.parquet(path)
+        .filter(col("n_chars") >= 240L && col("n_chars") <= 420L)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
     })
 
   private def deleteRec(p: String): Unit = graft.LocalFs.deleteRec(p)

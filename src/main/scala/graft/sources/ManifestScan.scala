@@ -282,6 +282,66 @@ object ManifestScan {
     }
   }
 
+  /** COMPACTION — the maintenance op that closes the live-table loop:
+    * streaming ingestion ([[manifestedSink]]) lands one small file per
+    * micro-batch, and a thousand 1 MB files cost a thousand opens,
+    * footer reads, and manifest rows for data one file could hold.
+    * Rewrite the layout into ~`numFiles` files (0 = auto-size at ~128
+    * MB per file from the current total), optionally RANGE-CLUSTERED
+    * on `orderBy` so band skipping gets sharper, then rebuild the
+    * manifest — same read semantics, strictly fewer opens.
+    *
+    * Sequencing (no commit log, so single-writer with readers
+    * quiesced — the same contract as a log-less Hive/parquet table
+    * rewrite; Delta/Iceberg OPTIMIZE needs its log for anything
+    * stronger): (1) the compacted generation is fully WRITTEN to
+    * `<path>/_graft_compact` (underscore-hidden from readers) and only
+    * then (2) old data files are deleted, (3) new files renamed in,
+    * (4) the manifest rebuilt. A crash never yields silent duplicates
+    * — the failure mode is a visibly missing/partial table with the
+    * full compacted generation intact under `_graft_compact` for
+    * recovery, which beats transiently-doubled rows that read as
+    * correct. No-op (returns unchanged counts) when the layout already
+    * has ≤ max(numFiles, 1) files.
+    *
+    * Scale shape (100 TB): one shuffle-write pass over the table (the
+    * range cluster), metadata-only renames, and a manifest rebuild
+    * that is itself one aggregate pass — the cost profile of any
+    * OPTIMIZE. Z-ordered layouts compose for free: pass the stored z
+    * column as `orderBy`.
+    *
+    * @return (data files before, data files after).
+    */
+  def compact(spark: SparkSession, path: String, statsCols: Seq[String],
+      bloomCols: Seq[String] = Nil, numFiles: Int = 0, orderBy: Option[String] = None,
+      bloomBits: Int = 0, bloomK: Int = 3): (Int, Int) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val before = listDataFiles(fs, root)
+    val totalBytes = before.map(p => fs.getFileStatus(p).getLen).sum
+    val target = math.max(1,
+      if (numFiles > 0) numFiles
+      else math.ceil(totalBytes / (128.0 * 1024 * 1024)).toInt)
+    if (before.length <= target) return (before.length, before.length)
+    val tmpDir = new org.apache.hadoop.fs.Path(root, "_graft_compact")
+    fs.delete(tmpDir, true) // leftovers of an aborted earlier attempt
+    val data = spark.read.parquet(path)
+    val shaped = orderBy match {
+      case Some(c) =>
+        data.repartitionByRange(target, col(c)).sortWithinPartitions(col(c))
+      case None => data.repartition(target)
+    }
+    shaped.write.mode("overwrite").parquet(tmpDir.toString)
+    val fresh = listDataFiles(fs, tmpDir)
+    // new generation fully on disk: retire the old one, rename in the
+    // new (fresh writes carry unique UUID part names — no collisions)
+    before.foreach(p => fs.delete(p, false))
+    fresh.foreach(p => fs.rename(p, new org.apache.hadoop.fs.Path(root, p.getName)))
+    fs.delete(tmpDir, true)
+    buildManifest(spark, path, statsCols, bloomCols, bloomBits, bloomK)
+    (before.length, fresh.length)
+  }
+
   /** The manifest frame for `data`: one row per file with n_rows,
     * per-column long min/max, and optional sparse per-file blooms.
     */

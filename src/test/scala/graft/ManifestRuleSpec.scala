@@ -453,6 +453,45 @@ class ManifestRuleSpec extends SparkSpec {
       "a finished AvailableNow re-run must append no data and no manifest rows")
   }
 
+  test("compaction rewrites small files into clustered ones and rebuilds the manifest") {
+    val p = s"$tmpBase/graft_mrule_compact"
+    LocalFs.deleteRec(p)
+    // 8 tiny hash-sliced appends: the streaming-ingestion debris shape
+    (0 until 8).foreach { i =>
+      docs.filter(col("doc_id") % 8 === i)
+        .coalesce(1).write.mode("append").parquet(p)
+    }
+    ManifestScan.buildManifest(spark, p, Seq("n_chars"))
+    val before = dataFilesOnDisk(p)
+    assert(before >= 8, s"staging must produce >= 8 files, got $before")
+    val expect = rows(docs)
+
+    val (b, a) = ManifestScan.compact(spark, p, Seq("n_chars"),
+      numFiles = 2, orderBy = Some("n_chars"))
+    assert(b == before && a == 2, s"compact must report ($before, 2), got ($b, $a)")
+    assert(dataFilesOnDisk(p) == 2, "exactly the compacted generation remains")
+    assert(!new java.io.File(p, "_graft_compact").exists(),
+      "the staging dir must be cleaned up")
+    assert(rows(spark.read.parquet(p).select(col("doc_id"), col("n_chars"))) == expect,
+      "compaction must preserve every row")
+    assert(spark.read.parquet(s"$p/${ManifestScan.ManifestDir}").count() == 2,
+      "the manifest must be rebuilt to one row per compacted file")
+
+    // the rewrite range-clusters on n_chars: a selective band now
+    // prunes even though the staged layout was uncorrelated
+    val df = spark.read.parquet(p)
+      .filter(col("n_chars") >= 200L && col("n_chars") <= 260L)
+    val idx = scanIndex(df)
+    assert(idx.isInstanceOf[ManifestPrunedFileIndex] &&
+      idx.listFiles(Nil, Nil).map(_.files.size).sum < 2,
+      "post-compact clustering must make band skipping effective")
+    assert(rows(df) == rows(docs.filter(col("n_chars").between(200, 260))))
+
+    // already-compact layouts are a no-op (returns unchanged counts)
+    assert(ManifestScan.compact(spark, p, Seq("n_chars"), numFiles = 2) == ((2, 2)))
+    assert(dataFilesOnDisk(p) == 2)
+  }
+
   test("SQL over a registered graft table prunes through the manifest rule") {
     graft.plans.GraftTables.register("mrule_docs", byValue)
     val sql =

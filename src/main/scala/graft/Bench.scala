@@ -237,8 +237,22 @@ object Bench {
       notes += s"insufficient history (${ratios.size} shared queries over " +
         s"${histLines.size} lines): drift pinned to 1, value_norm = raw"
     else {
-      if (math.abs(drift - 1.0) > 0.05)
-        notes += f"load drift x$drift%.3f vs per-query medians of ${histLines.size} history lines"
+      if (math.abs(drift - 1.0) > 0.05) {
+        // median-of-ratios cannot distinguish uniform HOST drift from a
+        // uniform CODE-level slowdown (both move most queries equally);
+        // emit the ratio spread so a human can tell them apart: host
+        // load wobbles per-query (wide IQR), a global code change moves
+        // the whole distribution tightly. A tight spread on a round
+        // that touched shared code deserves a raw-total look before
+        // trusting value_norm.
+        val sortedR = ratios.sorted
+        val q1 = sortedR((sortedR.size - 1) / 4)
+        val q3 = sortedR((sortedR.size - 1) * 3 / 4)
+        notes += f"load drift x$drift%.3f vs per-query medians of ${histLines.size} " +
+          f"history lines (ratio IQR [$q1%.3f..$q3%.3f]" +
+          (if ((q3 - q1) / drift < 0.04)
+            " - TIGHT spread: could be a code-level change, check raw total)" else ")")
+      }
       if (math.abs(canaryDrift / drift - 1.0) > 0.15)
         notes += f"NON-UNIFORM drift: canary x$canaryDrift%.3f vs load x$drift%.3f - " +
           "single-stream canary does not track the 32-thread load; value_norm uses load drift"
@@ -310,16 +324,32 @@ object Bench {
   private def selectBest(histPath: java.nio.file.Path,
       outPath: java.nio.file.Path, sfDir: String, sinceEpochMs: Long): Unit = {
     val want = SparkEntry.queries.keySet
-    final case class Cand(line: String, total: Double, norm: Double, qs: Map[String, Double])
-    val cands = cleanHistory(histPath, sfDir).flatMap { l =>
+    final case class Cand(line: String, total: Double, normOpt: Option[Double],
+        qs: Map[String, Double]) {
+      def norm: Double = normOpt.getOrElse(total)
+    }
+    val all = cleanHistory(histPath, sfDir).flatMap { l =>
       val qs = queryTimes(l)
       if (qs.keySet != want) None
       else if (!num(l, "epoch_ms").exists(_ >= sinceEpochMs)) None
-      else num(l, "total").map(t => Cand(l, t, num(l, "total_norm").getOrElse(t), qs))
+      else num(l, "total").map(t => Cand(l, t, num(l, "total_norm"), qs))
     }
-    require(cands.nonEmpty,
+    require(all.nonEmpty,
       s"bench select: no clean full-surface (${want.size}-query) lines in $histPath " +
         s"for $sfDir since epoch $sinceEpochMs")
+    // rank on ONE unit: total_norm where any line carries it (lines
+    // without the field — pre-round-18 format — are excluded from the
+    // ranking rather than letting their RAW total compete against
+    // drift-divided numbers); only when NO line carries it does raw
+    // carry the ranking. Either way the provenance note says so.
+    val (cands, rankNote) = {
+      val withNorm = all.filter(_.normOpt.isDefined)
+      if (withNorm.isEmpty) (all, Some(s"ranked on RAW totals - no total_norm lines"))
+      else if (withNorm.size < all.size)
+        (withNorm, Some(s"${all.size - withNorm.size} line(s) without total_norm " +
+          "excluded from ranking"))
+      else (withNorm, None)
+    }
     val best = cands.minBy(_.norm)
     val rawLo = cands.map(_.total).min
     val rawHi = cands.map(_.total).max
@@ -329,7 +359,7 @@ object Bench {
       .findFirstMatchIn(best.line).map(_.group(1).replaceAll("""\\(.)""", "$1"))
       .filter(_.nonEmpty)
     val note = (Seq(f"commit-best: lowest normalized total of ${cands.size} " +
-      f"full passes this round (raw spread $rawLo%.1f..$rawHi%.1f s)") ++ ownNote)
+      f"full passes this round (raw spread $rawLo%.1f..$rawHi%.1f s)") ++ rankNote ++ ownNote)
       .mkString("; ")
     val qsJson = best.qs.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")

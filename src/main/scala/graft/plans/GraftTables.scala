@@ -1,17 +1,24 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSession
+import graft.sources.{ManifestScan, VersionedTable}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graftbridge.Bridge
 
 import scala.collection.concurrent.TrieMap
+import scala.util.control.NonFatal
 
 /** SQL front door for MANIFESTED layouts as named tables: register a
   * parquet directory once —
   * {{{
   *   GraftTables.register("events", "/lake/events")
   *   spark.sql("SELECT * FROM graft.events WHERE ts BETWEEN 10 AND 20")
+  *   spark.sql("INSERT INTO graft.events SELECT * FROM staged")
   * }}}
   * — and every `graft.<name>` reference in SQL text resolves to the
   * SAME V1 parquet relation a `spark.read.parquet(path)` produces, so
@@ -21,7 +28,22 @@ import scala.collection.concurrent.TrieMap
   * ([[org.apache.spark.sql.execution.graftdpp.DynamicManifestFileSkipping]])
   * prunes it again from a broadcast join's actual keys. This closes
   * the engine-owned-planning loop for SQL-only users the same way the
-  * TVFs ([[SqlFrontDoor]]) did for the native joins.
+  * TVFs ([[SqlFrontDoor]]) did for the native joins. A name whose
+  * path is under VERSIONED management
+  * ([[graft.sources.VersionedTable]]) resolves to the CURRENT
+  * version's snapshot — the only correct read of a versioned root,
+  * since the raw directory holds every live generation.
+  *
+  * The WRITE side: `INSERT INTO graft.<name>` rewrites to
+  * [[GraftInsertCommand]], which routes through the same write paths
+  * Scala callers use — [[graft.sources.VersionedTable.append]] for
+  * versioned layouts (a real commit: new generation + pointer flip)
+  * and [[graft.sources.ManifestScan.writeAppend]] for flat manifested
+  * ones (append + refresh in one call) — so a SQL writer CANNOT
+  * forget manifest upkeep, and a declarative read prunes the moment
+  * the INSERT returns. Stats/bloom columns are inherited from the
+  * existing manifest (self-describing schema); a registered path with
+  * no manifest gets a plain parquet append.
   *
   * Deliberately NOT a DSv2 `TableCatalog`: a v2 catalog's tables plan
   * through the DataSource-v2 scan path, which bypasses the V1
@@ -37,9 +59,15 @@ import scala.collection.concurrent.TrieMap
   * TABLE_OR_VIEW_NOT_FOUND, not a graft-specific error.
   *
   * The registry is process-wide and case-insensitive (SQL identifier
-  * semantics); re-registering a name replaces its path. Metadata-only:
-  * registration stores a string, the parquet relation (schema read)
-  * is built lazily at first resolution per query.
+  * semantics); re-registering a name replaces its path. Registration
+  * stores a string; the resolved RELATION is built lazily and cached
+  * by (path, layout signature) — one schema-inference footer read per
+  * layout GENERATION, not per statement (a SQL-heavy session
+  * previously paid a footer read per query per table). The signature
+  * is the current version + its manifest listing for versioned
+  * layouts, the recursive data-file (name, len, mtime) listing for
+  * flat ones — the same invalidation discipline as the manifest
+  * cache, so appends/compactions are picked up by the next statement.
   */
 object GraftTables {
 
@@ -47,6 +75,17 @@ object GraftTables {
   val Namespace = "graft"
 
   private val tables = TrieMap.empty[String, String]
+
+  // (signature, resolved relation plan) per path; TrieMap for lock-free
+  // concurrent sessions of one JVM (same scope as the manifest caches)
+  private val relations = TrieMap.empty[String, (String, LogicalPlan)]
+  private val builds = new java.util.concurrent.atomic.AtomicLong
+
+  /** How many times a relation was actually (re)built — i.e. schema
+    * inference ran. Exposed for the cache-effectiveness pin in
+    * ManifestRuleSpec.
+    */
+  def relationBuilds: Long = builds.get()
 
   /** Register (or replace) `graft.<name>` -> parquet directory. The
     * registry is process-wide, not per-session — every session of this
@@ -62,24 +101,153 @@ object GraftTables {
 
   def lookup(name: String): Option[String] =
     tables.get(name.toLowerCase(java.util.Locale.ROOT))
+
+  /** Layout signature for cache invalidation: cheap FS metadata only
+    * (no footer reads). Any failure degrades to a unique value — i.e.
+    * an uncacheable build, never a stale relation.
+    */
+  private def signature(spark: SparkSession, path: String): String =
+    try {
+      val root = new Path(path)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      VersionedTable.currentVersion(fs, root) match {
+        case Some(v) =>
+          val vdir = new Path(new Path(root, ManifestScan.ManifestDir), s"v$v")
+          val parts = fs.listStatus(vdir).filter(_.isFile)
+            .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+            .sorted.mkString(";")
+          s"v$v;$parts"
+        case None =>
+          ManifestScan.listDataFiles(fs, root)
+            .map { p =>
+              val st = fs.getFileStatus(p)
+              s"${p.getName}:${st.getLen}:${st.getModificationTime}"
+            }.sorted.mkString(";")
+      }
+    } catch { case NonFatal(_) => s"unsig:${java.util.UUID.randomUUID()}" }
+
+  /** The V1 relation plan for a registered path — cached per layout
+    * generation. Versioned roots resolve to the CURRENT snapshot
+    * (keep-indexed single-root relation); flat roots to the plain
+    * parquet relation, the shape both manifest rules rewrite. Reuse
+    * across queries (and across both sides of a self-join) is safe:
+    * LogicalRelation is a MultiInstanceRelation, so the analyzer's
+    * DeduplicateRelations re-aliases conflicting attribute ids exactly
+    * as it does for catalog tables.
+    */
+  private[plans] def resolvedRelation(spark: SparkSession, path: String): LogicalPlan = {
+    val sig = signature(spark, path)
+    relations.get(path) match {
+      case Some((s, plan)) if s == sig => plan
+      case _ =>
+        builds.incrementAndGet()
+        val plan =
+          if (VersionedTable.isVersioned(spark, path))
+            VersionedTable.read(spark, path).queryExecution.analyzed
+          else
+            // the reader's eager resolveRelation yields the same
+            // LogicalRelation(HadoopFsRelation) as path-based access
+            spark.read.parquet(path).queryExecution.logical
+        relations.put(path, (sig, plan))
+        plan
+    }
+  }
 }
 
 /** Analyzer rule (injectResolutionRule): swap `UnresolvedRelation`s
   * named `graft`.`<registered>` for the registered path's V1 parquet
-  * relation. Fires only on the exact two-part form — one-part names,
-  * other catalogs, and unregistered names pass through untouched.
+  * relation (cached per layout generation), and rewrite
+  * `INSERT INTO graft.<registered>` into [[GraftInsertCommand]]. Fires
+  * only on the exact two-part form — one-part names, other catalogs,
+  * and unregistered names pass through untouched.
   */
 class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPlan] {
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+
+  private def registered(p: LogicalPlan): Option[(String, String)] = p match {
     case u: UnresolvedRelation
         if u.multipartIdentifier.length == 2 &&
           u.multipartIdentifier.head.equalsIgnoreCase(GraftTables.Namespace) =>
-      GraftTables.lookup(u.multipartIdentifier(1)) match {
-        // the reader's eager resolveRelation yields the same
-        // LogicalRelation(HadoopFsRelation) as path-based access —
-        // the shape the manifest rules match
-        case Some(path) => spark.read.parquet(path).queryExecution.logical
-        case None => u
-      }
+      val name = u.multipartIdentifier(1)
+      GraftTables.lookup(name).map(name -> _)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // INSERT targets must NOT be swapped for relations: resolveOperatorsUp
+    // visits the statement's table child BEFORE the statement itself, and
+    // a planted relation would turn the statement into Spark's own V1
+    // insert (InsertIntoHadoopFsRelationCommand) — a plain parquet append
+    // that silently bypasses manifest upkeep and versioned commits. Track
+    // them by identity (this traversal rebuilds parents, not the visited
+    // originals) and leave them to the statement-level rewrite.
+    val insertTargets = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    plan.foreach {
+      case i: InsertIntoStatement => insertTargets.add(i.table)
+      case _ =>
+    }
+    plan.resolveOperatorsUp {
+      // fires once the source query is fully resolved (the analyzer's
+      // fixed point resolves it across iterations first)
+      case i: InsertIntoStatement if registered(i.table).isDefined && i.query.resolved =>
+        val (name, path) = registered(i.table).get
+        if (i.overwrite || i.partitionSpec.nonEmpty || i.ifPartitionNotExists)
+          throw new UnsupportedOperationException(
+            s"graft.$name: only plain INSERT INTO is supported (append-only manifested " +
+              "layout - no OVERWRITE, no PARTITION spec); compact()/vacuum() are the " +
+              "maintenance ops")
+        if (i.userSpecifiedCols.nonEmpty)
+          throw new UnsupportedOperationException(
+            s"graft.$name: INSERT with an explicit column list is not supported - " +
+              "supply every table column in order")
+        GraftInsertCommand(name, path, i.query)
+
+      case u: UnresolvedRelation if !insertTargets.contains(u) && registered(u).isDefined =>
+        GraftTables.resolvedRelation(spark, registered(u).get._2)
+    }
+  }
+}
+
+/** `INSERT INTO graft.<name>` as a runnable command: align the query's
+  * columns to the table schema BY POSITION (cast to the table types,
+  * Spark's store-assignment shape), then append through the SAME
+  * closure Scala writers use — [[VersionedTable.append]] (a commit)
+  * when the layout is versioned, [[ManifestScan.writeAppend]]
+  * (append + manifest refresh) when it carries a flat manifest, plain
+  * parquet append otherwise. Executed eagerly by `spark.sql` like any
+  * command; returns no rows.
+  */
+final case class GraftInsertCommand(name: String, path: String, query: LogicalPlan)
+    extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = Bridge.ofRows(spark, query)
+    val versioned = VersionedTable.isVersioned(spark, path)
+    val target =
+      if (versioned) VersionedTable.read(spark, path).schema
+      else spark.read.parquet(path).schema
+    require(src.schema.length == target.length,
+      s"INSERT INTO graft.$name: query has ${src.schema.length} columns, " +
+        s"table has ${target.length}")
+    val shaped = src.toDF(target.fieldNames.toSeq: _*)
+      .select(target.fields.toSeq.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    if (versioned) {
+      VersionedTable.append(shaped, path)
+    } else {
+      val mpath = s"$path/${ManifestScan.ManifestDir}"
+      val hasManifest =
+        try {
+          val p = new Path(mpath)
+          p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+        } catch { case NonFatal(_) => false }
+      if (hasManifest) {
+        val (statsCols, bloomCols) =
+          VersionedTable.manifestColumns(spark.read.parquet(mpath).schema)
+        ManifestScan.writeAppend(shaped, path, statsCols, bloomCols)
+      } else shaped.write.mode("append").parquet(path)
+    }
+    Seq.empty
   }
 }

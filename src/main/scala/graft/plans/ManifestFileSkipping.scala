@@ -402,7 +402,24 @@ object ManifestFileSkipping extends Rule[LogicalPlan] with PredicateHelper {
           if (!fs.getFileStatus(root).isDirectory) return negative()
           val mdir = new Path(root, graft.sources.ManifestScan.ManifestDir)
           if (!fs.exists(mdir)) return negative()
-          fs.listStatus(mdir)
+          // VERSIONED layouts (graft.sources.VersionedTable) keep one
+          // manifest generation per version dir; resolve the pointer
+          // (falling back to the max committed generation) and read
+          // THAT generation — so both skipping rules always prune with
+          // the same file set the versioned read path keeps. Flat
+          // layouts read the directory itself, as before.
+          val entries = fs.listStatus(mdir)
+          val versioned = entries.filter(s =>
+            s.isDirectory && s.getPath.getName.matches("v\\d+"))
+          val listDir =
+            if (versioned.isEmpty) mdir
+            else {
+              val vs = versioned.map(_.getPath.getName.drop(1).toLong)
+              val v = graft.sources.VersionedTable.readPointer(fs, root)
+                .filter(vs.contains).getOrElse(vs.max)
+              new Path(mdir, s"v$v")
+            }
+          fs.listStatus(listDir)
             .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
             .sortBy(_.getPath.getName).toSeq
         } catch { case NonFatal(_) => return negative() }
@@ -549,6 +566,49 @@ final class ManifestPrunedFileIndex(
 
   override def inputFiles: Array[String] =
     underlying.inputFiles.filterNot(p => skip.contains(new Path(p).getName))
+
+  override def refresh(): Unit = underlying.refresh()
+
+  override lazy val sizeInBytes: Long =
+    listFiles(Nil, Nil).iterator.flatMap(_.files).map(_.getLen).sum
+
+  override def partitionSchema: StructType = underlying.partitionSchema
+}
+
+/** [[FileIndex]] restricting a versioned root to ONE generation's
+  * manifest-listed files by NAME ([[graft.sources.VersionedTable]]):
+  * the root directory holds every live generation at once, and this
+  * keep-set is what makes a snapshot read see exactly its own. The
+  * KEEP polarity (vs [[ManifestPrunedFileIndex]]'s skip) matters: a
+  * file that appears in the directory later — a concurrent writer's
+  * uncommitted generation — must stay invisible, which a skip-set
+  * computed at plan time could not guarantee. Deliberately NOT the
+  * prune index class, so the static skipping rule still fires on the
+  * versioned scan and composes its prune-wrapper on top.
+  */
+final class VersionKeepFileIndex(
+    private val underlying: FileIndex, private val keep: Set[String])
+    extends FileIndex {
+  /** Exposed for plan assertions: the generation's file count. */
+  def keptCount: Int = keep.size
+
+  // value equality for ReuseExchange/ReuseSubquery across a self-join
+  // of the same snapshot — same reasoning as ManifestPrunedFileIndex
+  override def equals(other: Any): Boolean = other match {
+    case o: VersionKeepFileIndex => underlying == o.underlying && keep == o.keep
+    case _ => false
+  }
+  override def hashCode(): Int = 31 * underlying.hashCode() + keep.hashCode()
+
+  override def rootPaths: Seq[Path] = underlying.rootPaths
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+    underlying.listFiles(partitionFilters, dataFilters)
+      .map(pd => pd.copy(files = pd.files.filter(f => keep.contains(f.getPath.getName))))
+
+  override def inputFiles: Array[String] =
+    underlying.inputFiles.filter(p => keep.contains(new Path(p).getName))
 
   override def refresh(): Unit = underlying.refresh()
 

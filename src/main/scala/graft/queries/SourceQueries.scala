@@ -726,6 +726,136 @@ object SourceQueries {
         .filter(col("n_chars") >= 240L && col("n_chars") <= 420L)
         .select(col("doc_id"), col("n_chars"))
         .orderBy(col("doc_id"))
+    },
+
+    // X231 VERSIONED manifest commits: every mutation is an immutable
+    // generation under `_graft_manifest/v<N>` plus an atomic pointer
+    // flip — the minimal commit log that makes compaction atomic for
+    // CONCURRENT READERS (X230's delete/rename demanded quiesced
+    // readers; here nothing is ever deleted until vacuum). The query
+    // stages a stream-shaped layout (v1), appends (v2), PLANS a read,
+    // and only then compacts (v3): the planned read's pinned file set
+    // survives the concurrent commit, so hash equality against the
+    // full-table oracle proves a mid-compaction reader sees a complete
+    // version, never a mid-rewrite state. Crash sequencing, CAS, and
+    // vacuum pinned in VersionedTableSpec.
+    Q("q_source_manifest_version",
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE n_chars BETWEEN 230 AND 410 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.sources.VersionedTable
+      val path = tmp(dir, "mversion")
+      deleteRec(path)
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      (0 until 6).foreach { i =>
+        docs.filter(col("doc_id") % 2 === 0 && pmod(col("doc_id"), lit(12)) === i * 2)
+          .coalesce(1).write.mode("append").parquet(path)
+      }
+      VersionedTable.init(s, path, Seq("n_chars"))
+      VersionedTable.append(docs.filter(col("doc_id") % 2 === 1), path,
+        layout = _.repartitionByRange(2, col("n_chars")))
+      // reader plans at v2 BEFORE the compact commits v3
+      val planned = VersionedTable.read(s, path)
+        .filter(col("n_chars") >= 230L && col("n_chars") <= 410L)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+      VersionedTable.compact(s, path, numFiles = 2, orderBy = Some("n_chars"))
+      planned
+    },
+
+    // X231 TIME TRAVEL over the same commit log: `snapshotAt(1)` reads
+    // the table exactly as first committed — after an append AND a
+    // compact have both moved the current pointer twice — because old
+    // generations' manifests and data files stay addressable until a
+    // vacuum whose retention keeps them. Hash equality against the
+    // evens-only oracle proves the snapshot is the v1 file set, not a
+    // filter over the current state.
+    Q("q_source_manifest_timetravel",
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.sources.VersionedTable
+      val path = tmp(dir, "mtimetravel")
+      deleteRec(path)
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      (0 until 4).foreach { i =>
+        docs.filter(col("doc_id") % 2 === 0 && pmod(col("doc_id"), lit(8)) === i * 2)
+          .coalesce(1).write.mode("append").parquet(path)
+      }
+      VersionedTable.init(s, path, Seq("n_chars"))
+      VersionedTable.append(docs.filter(col("doc_id") % 2 === 1), path)
+      VersionedTable.compact(s, path, numFiles = 2, orderBy = Some("n_chars"))
+      // retention keeps all three generations; v1 stays readable
+      VersionedTable.vacuum(s, path, keepLast = 3)
+      VersionedTable.snapshotAt(s, path, 1)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
+    // X232 SQL WRITE path: one `INSERT INTO graft.<name> SELECT ...`
+    // text lands the data files AND the manifest rows in the same
+    // command (ResolveGraftTables rewrites the statement to
+    // GraftInsertCommand -> ManifestScan.writeAppend) — manifest
+    // upkeep no SQL writer can forget, closing the loop X227 built
+    // for Scala writers. The read-back goes through the same
+    // `graft.<name>` SQL identifier and prunes files immediately
+    // (fewer-files + run-twice append semantics pinned in
+    // GraftSqlInsertSpec); hash equality against the full-table
+    // oracle proves the INSERT landed exactly the selected rows.
+    Q("q_source_sql_insert",
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE n_chars BETWEEN 210 AND 390 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.plans.GraftTables
+      import graft.sources.ManifestScan
+      val path = tmp(dir, "sqlinsert")
+      deleteRec(path)
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      docs.filter(col("doc_id") % 2 === 0)
+        .repartitionByRange(4, col("n_chars"))
+        .write.mode("overwrite").parquet(path)
+      ManifestScan.buildManifest(s, path, Seq("n_chars"))
+      GraftTables.register("docs_insert", path)
+      docs.filter(col("doc_id") % 2 === 1).createOrReplaceTempView("graft_insert_src")
+      s.sql("INSERT INTO graft.docs_insert SELECT doc_id, n_chars FROM graft_insert_src")
+      s.sql(
+        """SELECT doc_id, n_chars FROM graft.docs_insert
+          |WHERE n_chars BETWEEN 210 AND 390 ORDER BY doc_id""".stripMargin)
+    },
+
+    // X233 MULTI-key join-driven dynamic file skipping: the X228
+    // runtime rule extended past `HashJoin.rewriteKeyExpr`'s packing —
+    // a TWO-key equi-join's broadcast stores one width-shifted long
+    // per key tuple; the rule unpacks each tuple back into per-key
+    // values and prunes the manifested fact scan on EVERY key column
+    // it knows (skip sets union: a file that can't match any build
+    // value of ONE key joins nothing). Both fact keys are int-typed so
+    // the tuple IS packed (4+4 bytes) — the exact case the round-18
+    // rule bailed on. Hash equality vs the plain two-key-join oracle
+    // proves the unpack arithmetic loses nothing; strictly-fewer-files
+    // + rule-off equality + the unpacked (wide-tuple) form pinned in
+    // ManifestRuleSpec.
+    Q("q_join_dynamic_prune_multikey",
+      """SELECT c.c_custkey, c.c_acctbal, o.o_orderkey, o.o_totalprice
+        |FROM customer c JOIN orders o
+        |  ON o.o_custkey = c.c_custkey AND o.o_orderkey % 8 = c.c_custkey % 8
+        |WHERE c.c_acctbal BETWEEN 9700 AND 9799
+        |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin) { (s, dir) =>
+      import graft.sources.ManifestScan
+      val path = tmp(dir, "dynmulti")
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_custkey").cast("int").as("ok"),
+          (col("o_orderkey") % 8).cast("int").as("ob"))
+        .repartitionByRange(16, col("ok"))
+        .write.mode("overwrite").parquet(path)
+      ManifestScan.buildManifest(s, path, Seq("ok", "ob"))
+      val dim = t(s, dir, "customer")
+        .filter(col("c_acctbal").between(9700.0, 9799.0))
+        .select(col("c_custkey"), col("c_acctbal"),
+          col("c_custkey").cast("int").as("ck"),
+          (col("c_custkey") % 8).cast("int").as("cb"))
+      val fact = s.read.parquet(path) // PLAIN declarative read
+      broadcast(dim).join(fact, col("ok") === col("ck") && col("ob") === col("cb"))
+        .select(col("c_custkey"), col("c_acctbal"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("c_custkey"), col("o_orderkey"))
     })
 
   private def deleteRec(p: String): Unit = graft.LocalFs.deleteRec(p)

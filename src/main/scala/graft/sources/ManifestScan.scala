@@ -102,7 +102,7 @@ object ManifestScan {
     * subdirectories — the refresh walk must see the same set or
     * nested appends would silently never be covered.
     */
-  private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
     val (dirs, files) = fs.listStatus(dir).partition(_.isDirectory)
     val here = files.iterator.map(_.getPath)
@@ -122,7 +122,7 @@ object ManifestScan {
     * (n_rows = 0, all-null stats, empty blooms) is EXACT: an empty
     * file provably matches no predicate, so the rule skips it.
     */
-  private def completeFrame(spark: SparkSession, frame: DataFrame,
+  private[sources] def completeFrame(spark: SparkSession, frame: DataFrame,
       all: Seq[org.apache.hadoop.fs.Path]): DataFrame = {
     val produced = frame.select(col("file")).collect()
       .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName).toSet
@@ -293,8 +293,8 @@ object ManifestScan {
     *
     * Sequencing (no commit log, so single-writer with readers
     * quiesced — the same contract as a log-less Hive/parquet table
-    * rewrite; Delta/Iceberg OPTIMIZE needs its log for anything
-    * stronger): (1) the compacted generation is fully WRITTEN to
+    * rewrite; [[VersionedTable.compact]] is the commit-logged form
+    * that lifts it): (1) the compacted generation is fully WRITTEN to
     * `<path>/_graft_compact` (underscore-hidden from readers) and only
     * then (2) old data files are deleted, (3) new files renamed in,
     * (4) the manifest rebuilt. A crash never yields silent duplicates
@@ -333,6 +333,22 @@ object ManifestScan {
     }
     shaped.write.mode("overwrite").parquet(tmpDir.toString)
     val fresh = listDataFiles(fs, tmpDir)
+    // ENFORCE the single-writer contract instead of trusting the doc
+    // comment: a file appended (e.g. by manifestedSink) between the
+    // source listing above and the delete pass below would have its
+    // rows absorbed into the compacted generation AND survive the
+    // delete (it was not in `before`) — silent duplication. Re-list
+    // immediately before the destructive pass and abort, leaving the
+    // compacted generation intact under `_graft_compact` and the live
+    // table untouched. [[graft.sources.VersionedTable.compact]] is the
+    // concurrent-safe form (commit-log sequencing, no delete at all).
+    val relisted = listDataFiles(fs, root).map(_.getName).toSet
+    if (relisted != before.map(_.getName).toSet) {
+      throw new IllegalStateException(
+        s"compact: concurrent write detected at $path (data file set changed during " +
+          s"the rewrite) - table left untouched, compacted generation preserved at " +
+          s"$tmpDir; quiesce writers and retry, or use VersionedTable.compact")
+    }
     // new generation fully on disk: retire the old one, rename in the
     // new (fresh writes carry unique UUID part names — no collisions)
     before.foreach(p => fs.delete(p, false))
@@ -345,7 +361,7 @@ object ManifestScan {
   /** The manifest frame for `data`: one row per file with n_rows,
     * per-column long min/max, and optional sparse per-file blooms.
     */
-  private def manifestFrame(data: DataFrame, statsCols: Seq[String],
+  private[sources] def manifestFrame(data: DataFrame, statsCols: Seq[String],
       bloomCols: Seq[String], bloomBitsIn: Int, bloomK: Int): DataFrame = {
     require(statsCols.nonEmpty || bloomCols.nonEmpty,
       "buildManifest: need at least one stats or bloom column")

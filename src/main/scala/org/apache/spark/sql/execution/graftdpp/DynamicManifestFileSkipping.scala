@@ -40,11 +40,14 @@ import graft.plans.{ManifestFileSkipping, ManifestPrunedFileIndex}
   * Safety contract:
   *   - only INNER and LEFT SEMI joins prune the streamed side (an
   *     outer join must still emit unmatched streamed rows);
-  *   - only SINGLE-key equi-joins: the broadcast stores the REWRITTEN
-  *     key (`HashJoin.rewriteKeyExpr` packs multi-key integrals into
-  *     one long), and only the single-key form is the identity/cast
-  *     whose values can be compared against manifest bands directly;
-  *   - the key must be a bare integral scan column (possibly behind
+  *   - MULTI-key equi-joins prune on every manifested key column: the
+  *     broadcast stores the REWRITTEN key (`HashJoin.rewriteKeyExpr`
+  *     packs all-integral ≤8-byte key tuples into one width-shifted
+  *     long; wider/mixed tuples keep one field per key), so the walk
+  *     UNPACKS each tuple back into per-key values — a file whose band
+  *     admits no build value of ANY one key column provably joins
+  *     nothing, so per-column skip sets union;
+  *   - each pruning key must be a bare integral scan column (possibly behind
   *     the analyzer's widening Cast), reached from the join through
   *     Project/Filter only — row-local operators that cannot be
   *     changed by removing rows the join would drop anyway (a Window
@@ -126,14 +129,38 @@ object DynamicManifestFileSkipping extends Rule[SparkPlan] {
     case _ => None
   }
 
+  /** How one streamed join key participates in the skip decision:
+    * which field of the broadcast's key rows carries it, its width in
+    * bits (for unpacking the packed-long form), and the scan column to
+    * prune on (None when the key is not a bare manifested column — it
+    * still contributes its width to the unpacking arithmetic).
+    */
+  private final case class KeySlot(bits: Int, column: Option[String])
+
+  /** Mirror of `HashJoin.rewriteKeyExpr`'s applicability test: all
+    * keys integral and jointly ≤ 8 bytes → the broadcast stores ONE
+    * packed long per key tuple (width-shifted concatenation, first key
+    * in the top bits); otherwise the key rows keep one field per key.
+    * The single-key case degenerates to "packed" (a bare cast-to-long)
+    * either way, which is why the pre-multi-key rule could always read
+    * `getLong(0)`.
+    */
+  private def isPacked(keys: Seq[Expression]): Boolean =
+    keys.forall(k => isIntegral(k.dataType)) &&
+      keys.map(k => integralWidth(k.dataType)).sum <= 8
+
+  /** Sign-extend the low `bits` bits of `x` (the packed form stores
+    * each key's two's-complement low bits).
+    */
+  private def signExtend(x: Long, bits: Int): Long =
+    if (bits >= 64) x else (x << (64 - bits)) >> (64 - bits)
+
   private def tryPrune(j: BroadcastHashJoinExec): Option[BroadcastHashJoinExec] =
     try {
       val (buildPlan, streamedPlan, streamedKeys) = j.buildSide match {
         case BuildRight => (j.right, j.left, j.leftKeys)
         case BuildLeft => (j.left, j.right, j.rightKeys)
       }
-      if (streamedKeys.length != 1) return None
-      val keyAttr = keyColumn(streamedKeys.head).getOrElse(return None)
       val stage = buildPlan match {
         case b: BroadcastQueryStageExec if b.isMaterialized => b
         case _ => return None
@@ -142,7 +169,6 @@ object DynamicManifestFileSkipping extends Rule[SparkPlan] {
       val relation = scan.relation
       if (relation.partitionSchema.nonEmpty || relation.location.rootPaths.size != 1)
         return None
-      if (!scan.output.exists(_.exprId == keyAttr.exprId)) return None
       relation.location match {
         // idempotence across AQE re-plans (and don't fight the static
         // rule twice): one dynamic wrap per scan
@@ -153,8 +179,21 @@ object DynamicManifestFileSkipping extends Rule[SparkPlan] {
       val manifest = ManifestFileSkipping.loadManifest(
         spark.sessionState.newHadoopConf(), relation.location.rootPaths.head)
         .getOrElse(return None)
-      if (!manifest.statsCols.contains(keyAttr.name) &&
-        !manifest.bloomCols.contains(keyAttr.name)) return None
+
+      // every key gets a slot (the packed layout needs all widths);
+      // a key prunes only when it is a bare integral scan column
+      // (possibly behind a widening cast) AND the manifest knows it.
+      // The analyzer equalizes left/right key types, so the streamed
+      // key widths ARE the build-side packing widths.
+      val packed = isPacked(streamedKeys)
+      val slots = streamedKeys.map { k =>
+        val col = keyColumn(k)
+          .filter(a => scan.output.exists(_.exprId == a.exprId))
+          .map(_.name)
+          .filter(c => manifest.statsCols.contains(c) || manifest.bloomCols.contains(c))
+        KeySlot(integralWidth(k.dataType) * 8, col)
+      }
+      if (!slots.exists(_.column.isDefined)) return None
 
       // the materialized broadcast IS the key set — same driver-side
       // keys() walk as Spark's SubqueryBroadcastExec (DPP)
@@ -163,27 +202,74 @@ object DynamicManifestFileSkipping extends Rule[SparkPlan] {
         case _ => return None
       }
       val maxKeys = conf.getConfString(MaxKeysKey, "100000").toInt
-      val keys = scala.collection.mutable.ArrayBuilder.make[Long]
+      val nSlots = slots.length
+      // per pruning slot: collected values + running true band
+      val keyBufs = Array.fill(nSlots)(scala.collection.mutable.ArrayBuilder.make[Long])
+      val los = Array.fill(nSlots)(Long.MaxValue)
+      val his = Array.fill(nSlots)(Long.MinValue)
+      // precomputed shift for the packed layout: key i sits above the
+      // sum of the widths after it
+      val tailBits = Array.tabulate(nSlots)(i => slots.drop(i + 1).map(_.bits).sum)
       var n = 0
-      var lo = Long.MaxValue
-      var hi = Long.MinValue
       val it = rel.keys()
       while (it.hasNext) {
         val row = it.next()
-        if (row.numFields != 1) return None
-        if (!row.isNullAt(0)) { // a null key matches nothing under =
-          val v = row.getLong(0)
-          if (v < lo) lo = v
-          if (v > hi) hi = v
-          if (n < maxKeys) keys += v
-          n += 1
+        if (packed) {
+          if (row.numFields != 1) return None
+          if (!row.isNullAt(0)) { // a null key matches nothing under =
+            val v = row.getLong(0)
+            var i = 0
+            while (i < nSlots) {
+              if (slots(i).column.isDefined) {
+                val mask = if (slots(i).bits >= 64) -1L else (1L << slots(i).bits) - 1
+                val ki = signExtend((v >>> tailBits(i)) & mask, slots(i).bits)
+                if (ki < los(i)) los(i) = ki
+                if (ki > his(i)) his(i) = ki
+                if (n < maxKeys) keyBufs(i) += ki
+              }
+              i += 1
+            }
+            n += 1
+          }
+        } else {
+          if (row.numFields != nSlots) return None
+          // a null in ANY key field makes the whole tuple unmatchable
+          var anyNull = false
+          var i = 0
+          while (i < nSlots && !anyNull) { anyNull = row.isNullAt(i); i += 1 }
+          if (!anyNull) {
+            i = 0
+            while (i < nSlots) {
+              if (slots(i).column.isDefined) {
+                val ki = slots(i).bits match {
+                  case 8 => row.getByte(i).toLong
+                  case 16 => row.getShort(i).toLong
+                  case 32 => row.getInt(i).toLong
+                  case _ => row.getLong(i)
+                }
+                if (ki < los(i)) los(i) = ki
+                if (ki > his(i)) his(i) = ki
+                if (n < maxKeys) keyBufs(i) += ki
+              }
+              i += 1
+            }
+            n += 1
+          }
         }
       }
       if (n == 0) return None // empty build side: AQE's empty-relation path owns it
-      val sortedKeys = if (n <= maxKeys) Some {
-        val a = keys.result(); java.util.Arrays.sort(a); a
-      } else None
-      val skip = ManifestFileSkipping.dynamicSkipSet(manifest, keyAttr.name, sortedKeys, lo, hi)
+      // a file provably unable to match ANY build value of SOME key
+      // column cannot produce a join row — skip sets UNION across keys
+      val skip = slots.indices.iterator.flatMap { i =>
+        slots(i).column match {
+          case Some(c) =>
+            val sortedKeys = if (n <= maxKeys) Some {
+              val a = keyBufs(i).result(); java.util.Arrays.sort(a); a
+            } else None
+            ManifestFileSkipping.dynamicSkipSet(manifest, c, sortedKeys, los(i), his(i))
+          case None => Iterator.empty
+        }
+      }.toSet
       if (skip.isEmpty) return None
       val pruned = new ManifestPrunedFileIndex(relation.location, skip, isDynamic = true)
       val newScan = scan.copy(relation = relation.copy(location = pruned)(spark))

@@ -407,6 +407,75 @@ class ManifestRuleSpec extends SparkSpec {
       }
   }
 
+  test("multi-key broadcast join prunes on every manifested key (packed and wide tuples)") {
+    import org.apache.spark.sql.functions.broadcast
+    val DynRule = org.apache.spark.sql.execution.graftdpp.DynamicManifestFileSkipping
+    val orders = Tables.load(spark, TestSpark.sf0001, "orders")
+
+    // PACKED form: two int keys (4+4 bytes) — HashJoin.rewriteKeyExpr
+    // stores one width-shifted long per tuple; the rule must unpack
+    def stagePacked(p: String): Unit = {
+      orders.select(col("o_orderkey"),
+          col("o_custkey").cast("int").as("ok"),
+          (col("o_orderkey") % 8).cast("int").as("ob"))
+        .repartitionByRange(8, col("ok"))
+        .write.mode("overwrite").parquet(p)
+      ManifestScan.buildManifest(spark, p, Seq("ok", "ob"))
+    }
+    // WIDE form: two long keys (8+8 bytes > 8) — not rewritable, the
+    // broadcast keeps one field per key; the rule reads fields directly
+    def stageWide(p: String): Unit = {
+      orders.select(col("o_orderkey"),
+          col("o_custkey").as("ok"),
+          (col("o_orderkey") % 8).as("ob"))
+        .repartitionByRange(8, col("ok"))
+        .write.mode("overwrite").parquet(p)
+      ManifestScan.buildManifest(spark, p, Seq("ok", "ob"))
+    }
+
+    val r = orders.agg(
+      org.apache.spark.sql.functions.min("o_custkey"),
+      org.apache.spark.sql.functions.max("o_custkey")).head()
+    val (kLo, kHi) = (r.getLong(0), r.getLong(1))
+
+    for ((stage, castTo, tag) <- Seq(
+        (stagePacked _, "int", "packed"), (stageWide _, "bigint", "wide"))) {
+      val p = s"$tmpBase/graft_mrule_multikey_$tag"
+      stage(p)
+      val total = dataFilesOnDisk(p)
+      assert(total >= 8, s"[$tag] staging must produce >= 8 files, got $total")
+      def dim = spark.range(2)
+        .select((col("id") * (kHi - kLo) + kLo).cast(castTo).as("ck"),
+          ((col("id") * (kHi - kLo) + kLo) % 8).cast(castTo).as("cb"))
+      def joined = broadcast(dim)
+        .join(spark.read.parquet(p), col("ok") === col("ck") && col("ob") === col("cb"))
+        .select(col("o_orderkey"), col("ok"), col("ob"))
+      val df = joined
+      val got = rows(df) // execute first: broadcast keys exist after AQE finalizes
+      val scan = TestSpark.findExec[org.apache.spark.sql.execution.FileSourceScanExec](
+        df.queryExecution.executedPlan)
+        .getOrElse(fail(s"[$tag] no FileSourceScanExec in the executed plan"))
+      scan.relation.location match {
+        case m: ManifestPrunedFileIndex =>
+          assert(m.isDynamic, s"[$tag] the runtime rule must mark its wrap dynamic")
+          val read = m.listFiles(Nil, Nil).map(_.files.size).sum
+          assert(read >= 1 && read <= 2,
+            s"[$tag] two extreme custkeys must open at most two of $total files, opened $read")
+        case other => fail(s"[$tag] fact scan must plan over the dynamically pruned " +
+          s"index, got ${other.getClass.getSimpleName}")
+      }
+      spark.conf.set(DynRule.EnabledKey, "false")
+      val off = try rows(joined) finally spark.conf.unset(DynRule.EnabledKey)
+      assert(got == off, s"[$tag] multi-key dynamic pruning must not change join results")
+      // source of truth: the two-key filter over the raw staged table
+      val truth = rows(spark.read.parquet(p)
+        .filter((col("ok") === kLo && col("ob") === kLo % 8) ||
+          (col("ok") === kHi && col("ob") === kHi % 8))
+        .select(col("o_orderkey"), col("ok"), col("ob")))
+      assert(got == truth, s"[$tag] must equal the source-of-truth two-key filter")
+    }
+  }
+
   test("streaming manifested sink keeps skipping live across micro-batches") {
     import org.apache.spark.sql.streaming.Trigger
     val outP = s"$tmpBase/graft_mrule_stream_out"

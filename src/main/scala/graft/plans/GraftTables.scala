@@ -77,8 +77,14 @@ object GraftTables {
   private val tables = TrieMap.empty[String, String]
 
   // (signature, resolved relation plan) per path; TrieMap for lock-free
-  // concurrent sessions of one JVM (same scope as the manifest caches)
-  private val relations = TrieMap.empty[String, (String, LogicalPlan)]
+  // concurrent sessions of one JVM (same scope as the manifest caches).
+  // SoftReference values, same discipline as ManifestCache next door: a
+  // resolved relation pins its whole file-listing index (every
+  // FileStatus of every live generation — far heavier than a manifest),
+  // and a session registering thousands of lake tables must not pin
+  // them all on the driver heap forever. A GC-cleared slot is a miss.
+  private val relations =
+    TrieMap.empty[String, java.lang.ref.SoftReference[(String, LogicalPlan)]]
   private val builds = new java.util.concurrent.atomic.AtomicLong
 
   /** How many times a relation was actually (re)built — i.e. schema
@@ -103,8 +109,10 @@ object GraftTables {
     tables.get(name.toLowerCase(java.util.Locale.ROOT))
 
   /** Layout signature for cache invalidation: cheap FS metadata only
-    * (no footer reads). Any failure degrades to a unique value — i.e.
-    * an uncacheable build, never a stale relation.
+    * (no footer reads, one listStatus per directory — never a
+    * getFileStatus per file, which would be a HEAD request per file
+    * per statement on an object store). Any failure degrades to a
+    * unique value — i.e. an uncacheable build, never a stale relation.
     */
   private def signature(spark: SparkSession, path: String): String =
     try {
@@ -118,11 +126,9 @@ object GraftTables {
             .sorted.mkString(";")
           s"v$v;$parts"
         case None =>
-          ManifestScan.listDataFiles(fs, root)
-            .map { p =>
-              val st = fs.getFileStatus(p)
-              s"${p.getName}:${st.getLen}:${st.getModificationTime}"
-            }.sorted.mkString(";")
+          ManifestScan.listDataStatuses(fs, root)
+            .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+            .sorted.mkString(";")
       }
     } catch { case NonFatal(_) => s"unsig:${java.util.UUID.randomUUID()}" }
 
@@ -137,7 +143,7 @@ object GraftTables {
     */
   private[plans] def resolvedRelation(spark: SparkSession, path: String): LogicalPlan = {
     val sig = signature(spark, path)
-    relations.get(path) match {
+    relations.get(path).flatMap(r => Option(r.get())) match {
       case Some((s, plan)) if s == sig => plan
       case _ =>
         builds.incrementAndGet()
@@ -145,10 +151,14 @@ object GraftTables {
           if (VersionedTable.isVersioned(spark, path))
             VersionedTable.read(spark, path).queryExecution.analyzed
           else
-            // the reader's eager resolveRelation yields the same
-            // LogicalRelation(HadoopFsRelation) as path-based access
-            spark.read.parquet(path).queryExecution.logical
-        relations.put(path, (sig, plan))
+            // ANALYZED, not logical: since Spark 4 the reader's logical
+            // plan is a lazy UnresolvedDataSource (empty schema, footer
+            // read deferred to each statement's analysis — the exact
+            // per-statement cost this cache exists to kill); analysis
+            // here yields the LogicalRelation(HadoopFsRelation) both
+            // manifest rules rewrite
+            spark.read.parquet(path).queryExecution.analyzed
+        relations.put(path, new java.lang.ref.SoftReference((sig, plan)))
         plan
     }
   }
@@ -187,9 +197,14 @@ class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ =>
     }
     plan.resolveOperatorsUp {
-      // fires once the source query is fully resolved (the analyzer's
-      // fixed point resolves it across iterations first)
-      case i: InsertIntoStatement if registered(i.table).isDefined && i.query.resolved =>
+      // the statement is claimed IMMEDIATELY (query resolved or not) by
+      // a placeholder whose child is the source query: the analyzer
+      // keeps resolving the child through the placeholder, so a query
+      // that can never resolve (a typo'd column) fails with ITS OWN
+      // error — not a misleading TABLE_OR_VIEW_NOT_FOUND on the insert
+      // target, which a query-resolved gate on this rewrite would leave
+      // unresolved for checkAnalysis to blame first
+      case i: InsertIntoStatement if registered(i.table).isDefined =>
         val (name, path) = registered(i.table).get
         if (i.overwrite || i.partitionSpec.nonEmpty || i.ifPartitionNotExists)
           throw new UnsupportedOperationException(
@@ -200,12 +215,33 @@ class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPlan] {
           throw new UnsupportedOperationException(
             s"graft.$name: INSERT with an explicit column list is not supported - " +
               "supply every table column in order")
-        GraftInsertCommand(name, path, i.query)
+        GraftInsertPlaceholder(name, path, i.query)
+
+      // ... and converts to the runnable command once the child is whole
+      case p: GraftInsertPlaceholder if p.child.resolved =>
+        GraftInsertCommand(p.name, p.path, p.child)
 
       case u: UnresolvedRelation if !insertTargets.contains(u) && registered(u).isDefined =>
         GraftTables.resolvedRelation(spark, registered(u).get._2)
     }
   }
+}
+
+/** Intermediate node between `INSERT INTO graft.<name>` and
+  * [[GraftInsertCommand]]: holds the source query as a real CHILD so
+  * the analyzer resolves it in place (and reports ITS errors when it
+  * cannot), never itself resolved — conversion in [[ResolveGraftTables]]
+  * is the only way out, so an unconverted placeholder fails analysis
+  * loudly instead of executing as something else. The
+  * [[ResolveGraftJoins]] placeholder pattern applied to a command.
+  */
+final case class GraftInsertPlaceholder(name: String, path: String,
+    child: LogicalPlan)
+    extends org.apache.spark.sql.catalyst.plans.logical.UnaryNode {
+  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
+  override lazy val resolved: Boolean = false
+  override protected def withNewChildInternal(newChild: LogicalPlan): GraftInsertPlaceholder =
+    copy(child = newChild)
 }
 
 /** `INSERT INTO graft.<name>` as a runnable command: align the query's
@@ -225,9 +261,11 @@ final case class GraftInsertCommand(name: String, path: String, query: LogicalPl
   override def run(spark: SparkSession): Seq[Row] = {
     val src = Bridge.ofRows(spark, query)
     val versioned = VersionedTable.isVersioned(spark, path)
-    val target =
-      if (versioned) VersionedTable.read(spark, path).schema
-      else spark.read.parquet(path).schema
+    // target schema from the per-generation relation cache — an
+    // ingest-heavy SQL session must not pay a directory listing +
+    // footer inference per INSERT statement (the cost the cache
+    // exists to amortize; the signature check inside is metadata-only)
+    val target = GraftTables.resolvedRelation(spark, path).schema
     require(src.schema.length == target.length,
       s"INSERT INTO graft.$name: query has ${src.schema.length} columns, " +
         s"table has ${target.length}")
@@ -236,17 +274,15 @@ final case class GraftInsertCommand(name: String, path: String, query: LogicalPl
     if (versioned) {
       VersionedTable.append(shaped, path)
     } else {
-      val mpath = s"$path/${ManifestScan.ManifestDir}"
-      val hasManifest =
-        try {
-          val p = new Path(mpath)
-          p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
-        } catch { case NonFatal(_) => false }
-      if (hasManifest) {
-        val (statsCols, bloomCols) =
-          VersionedTable.manifestColumns(spark.read.parquet(mpath).schema)
-        ManifestScan.writeAppend(shaped, path, statsCols, bloomCols)
-      } else shaped.write.mode("append").parquet(path)
+      // stats/bloom columns from the signature-cached manifest load
+      // shared with both skipping rules — zero extra I/O when warm
+      ManifestFileSkipping.loadManifest(
+        spark.sessionState.newHadoopConf(), new Path(path)) match {
+        case Some(m) =>
+          ManifestScan.writeAppend(shaped, path,
+            m.statsCols.toSeq.sorted, m.bloomCols.toSeq.sorted)
+        case None => shaped.write.mode("append").parquet(path)
+      }
     }
     Seq.empty
   }

@@ -103,14 +103,24 @@ object ManifestScan {
     * nested appends would silently never be covered.
     */
   private[graft] def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
-      dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+    listDataStatuses(fs, dir).map(_.getPath)
+
+  /** Status-returning form of [[listDataFiles]]: callers needing sizes
+    * or mtimes (compaction targets, cache signatures) take them from
+    * the listing itself — one listStatus per directory instead of one
+    * getFileStatus RPC per FILE, which on an object store turns a
+    * 10k-file signature into 10k HEAD requests.
+    */
+  private[graft] def listDataStatuses(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
     val (dirs, files) = fs.listStatus(dir).partition(_.isDirectory)
-    val here = files.iterator.map(_.getPath)
-      .filter(p => p.getName.endsWith(".parquet") &&
-        !p.getName.startsWith("_") && !p.getName.startsWith("."))
+    val here = files.iterator
+      .filter(s => s.getPath.getName.endsWith(".parquet") &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
     val below = dirs.iterator.map(_.getPath)
       .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
-      .flatMap(listDataFiles(fs, _))
+      .flatMap(listDataStatuses(fs, _))
     (here ++ below).toSeq
   }
 
@@ -317,8 +327,9 @@ object ManifestScan {
       bloomBits: Int = 0, bloomK: Int = 3): (Int, Int) = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val before = listDataFiles(fs, root)
-    val totalBytes = before.map(p => fs.getFileStatus(p).getLen).sum
+    val beforeStatuses = listDataStatuses(fs, root)
+    val before = beforeStatuses.map(_.getPath)
+    val totalBytes = beforeStatuses.map(_.getLen).sum
     val target = math.max(1,
       if (numFiles > 0) numFiles
       else math.ceil(totalBytes / (128.0 * 1024 * 1024)).toInt)

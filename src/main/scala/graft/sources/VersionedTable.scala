@@ -177,12 +177,17 @@ object VersionedTable {
     1L
   }
 
-  /** Append `df` as version N+1: new data files land (invisible until
-    * the commit), their manifest rows are computed in one stats pass
-    * and UNIONED with version N's rows (an append keeps every old
-    * file), and the pointer flips. Stats/bloom columns are inherited
-    * from the current manifest schema. `layout` shapes the write
-    * (e.g. `_.repartitionByRange(n, col)`) exactly as in
+  /** Append `df` as version N+1: the batch is written to a staging dir
+    * and MOVED into the root — so this writer's file set is known
+    * exactly, never inferred by diffing the shared directory (a
+    * racing writer's freshly landed files must not be absorbed into
+    * this generation: the CAS loser's error message promises its rows
+    * were discarded, and a listing diff would make that a lie). The
+    * new files' manifest rows are computed in one stats pass and
+    * UNIONED with version N's rows (an append keeps every old file),
+    * and the pointer flips. Stats/bloom columns are inherited from
+    * the current manifest schema. `layout` shapes the write (e.g.
+    * `_.repartitionByRange(n, col)`) exactly as in
     * [[ManifestScan.writeAppend]].
     *
     * @return the committed version.
@@ -195,10 +200,16 @@ object VersionedTable {
       throw new IllegalStateException(s"VersionedTable.append: $path is not versioned - init first"))
     val prev = spark.read.parquet(vdir(root, v).toString)
     val (statsCols, bloomCols) = manifestColumns(prev.schema)
-    val beforeNames = ManifestScan.listDataFiles(fs, root).map(_.getName).toSet
-    layout(df).write.mode("append").parquet(path)
-    val fresh = ManifestScan.listDataFiles(fs, root)
-      .filterNot(p => beforeNames.contains(p.getName))
+    val staging = new Path(root,
+      s"_graft_append_${java.util.UUID.randomUUID().toString.take(8)}")
+    layout(df).write.mode("overwrite").parquet(staging.toString)
+    val fresh = ManifestScan.listDataFiles(fs, staging).map { p =>
+      val dst = new Path(root, p.getName)
+      if (!fs.rename(p, dst))
+        throw new IllegalStateException(s"VersionedTable.append: rename $p -> $dst failed")
+      dst
+    }
+    fs.delete(staging, true)
     val rows =
       if (fresh.isEmpty) prev
       else {
@@ -230,8 +241,9 @@ object VersionedTable {
     val prev = spark.read.parquet(vdir(root, v).toString)
     val (statsCols, bloomCols) = manifestColumns(prev.schema)
     val keep = fileNames(prev)
-    val kept = ManifestScan.listDataFiles(fs, root).filter(p => keep.contains(p.getName))
-    val totalBytes = kept.map(p => fs.getFileStatus(p).getLen).sum
+    val kept = ManifestScan.listDataStatuses(fs, root)
+      .filter(s => keep.contains(s.getPath.getName))
+    val totalBytes = kept.map(_.getLen).sum
     val target = math.max(1,
       if (numFiles > 0) numFiles
       else math.ceil(totalBytes / (128.0 * 1024 * 1024)).toInt)
@@ -298,9 +310,20 @@ object VersionedTable {
     * period is the caller's retention policy, exactly as in
     * Delta's VACUUM.
     *
+    * Files referenced by NO version at all (orphans) are deleted only
+    * past `orphanGraceMs` (mtime-based, default 10 min): vacuum runs
+    * outside the commit CAS, and an in-flight append/compact has
+    * already LANDED its data files before its commit references them
+    * — deleting a young orphan could gut the commit that is about to
+    * win. Files referenced only by DROPPED generations carry no such
+    * window (their manifests are being deleted here, by retention
+    * policy) and go immediately. Same two-phase discipline as Delta's
+    * VACUUM retention check.
+    *
     * @return (data files deleted, versions dropped).
     */
-  def vacuum(spark: SparkSession, path: String, keepLast: Int = 2): (Int, Int) = {
+  def vacuum(spark: SparkSession, path: String, keepLast: Int = 2,
+      orphanGraceMs: Long = 600000L): (Int, Int) = {
     require(keepLast >= 1, s"VersionedTable.vacuum: keepLast=$keepLast must be >= 1")
     val (fs, root) = fsOf(spark, path)
     val vs = listVersions(fs, root)
@@ -311,11 +334,17 @@ object VersionedTable {
     val referenced = keepVs.iterator.flatMap { v =>
       fileNames(spark.read.parquet(vdir(root, v).toString))
     }.toSet
+    val droppedRefs = dropVs.iterator.flatMap { v =>
+      fileNames(spark.read.parquet(vdir(root, v).toString))
+    }.toSet
     // manifests first (see scaladoc), then unreferenced data files
     dropVs.foreach(v => fs.delete(vdir(root, v), true))
-    val doomed = ManifestScan.listDataFiles(fs, root)
-      .filterNot(p => referenced.contains(p.getName))
-    doomed.foreach(p => fs.delete(p, false))
+    val cutoff = System.currentTimeMillis() - math.max(0L, orphanGraceMs)
+    val doomed = ManifestScan.listDataStatuses(fs, root)
+      .filterNot(s => referenced.contains(s.getPath.getName))
+      .filter(s => droppedRefs.contains(s.getPath.getName) ||
+        s.getModificationTime <= cutoff)
+    doomed.foreach(s => fs.delete(s.getPath, false))
     (doomed.length, dropVs.length)
   }
 
@@ -368,6 +397,22 @@ object VersionedTable {
       throw new IllegalStateException(
         s"VersionedTable: commit of version $version at $root lost the rename race " +
           "(concurrent committer) - this writer's generation was discarded, table intact")
+    }
+    // exists-then-rename is check-then-act: several FileSystems
+    // (HDFS, ChecksumFileSystem) implement rename onto an EXISTING
+    // directory as move-INTO — a racing committer that lost the window
+    // would "succeed" by nesting its tmp dir inside the winner's
+    // generation and silently lose its rows. Detect the nesting: the
+    // winner's readers are unaffected (the manifest loader lists only
+    // top-level parquet FILES), the loser cleans up and fails fast, as
+    // promised.
+    val nested = new Path(target, tmp.getName)
+    if (fs.exists(nested)) {
+      fs.delete(nested, true)
+      throw new IllegalStateException(
+        s"VersionedTable: commit of version $version at $root lost the rename race " +
+          "(rename nested into the winner's generation) - this writer's generation " +
+          "was discarded, table intact")
     }
     writePointer(fs, root, version)
     version

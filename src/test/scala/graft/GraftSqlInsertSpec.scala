@@ -113,6 +113,16 @@ class GraftSqlInsertSpec extends SparkSpec {
     assert(unknown.getMessage.toLowerCase.contains("table"))
   }
 
+  test("a broken INSERT source reports its own error, not a phantom missing table") {
+    stageFlat("err")
+    docs.limit(1).createOrReplaceTempView("sqlins_err_src")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("INSERT INTO graft.sqlins_err SELECT no_such_col FROM sqlins_err_src")
+    }
+    assert(e.getMessage.contains("no_such_col"),
+      s"the column typo must surface, not TABLE_OR_VIEW_NOT_FOUND; got: ${e.getMessage}")
+  }
+
   test("relation resolution is cached per layout generation; self-join resolves") {
     val p = stageFlat("cache")
     def selectOnce(): Unit =

@@ -136,6 +136,20 @@ class VersionedTableSpec extends SparkSpec {
     assert(rows(df) == rows(docs.filter(col("n_chars").between(200, 300))))
   }
 
+  test("vacuum spares young orphans (the in-flight commit window), reclaims past grace") {
+    val p = stage("grace")
+    // a stray uncommitted data file: a crashed writer — or one mid-commit
+    docs.limit(10).coalesce(1).write.mode("append").parquet(p)
+    val before = dataFilesOnDisk(p)
+    val (del1, drop1) = VersionedTable.vacuum(spark, p, keepLast = 2)
+    assert(del1 == 0 && drop1 == 0,
+      "a young orphan must survive the default grace (an in-flight commit may claim it)")
+    assert(dataFilesOnDisk(p) == before)
+    val (del2, _) = VersionedTable.vacuum(spark, p, keepLast = 2, orphanGraceMs = 0)
+    assert(del2 == 1, "grace 0 must reclaim the orphan")
+    assert(rows(VersionedTable.read(spark, p)) == rows(docs))
+  }
+
   test("appends inherit manifest columns; refuse un-versioned paths") {
     val p = stage("cols")
     // manifest schema self-describes the stats column set across commits

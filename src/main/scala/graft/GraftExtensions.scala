@@ -95,6 +95,9 @@ object GraftExtensions {
     // path's V1 relation, so the manifest file-skipping rules apply
     // to spark.sql users too (graft.plans.GraftTables).
     ext.injectResolutionRule(s => new graft.plans.ResolveGraftTables(s))
+    // ... and SQL time travel over registered VERSIONED tables:
+    // SELECT * FROM graft_snapshot('name', 3)
+    ext.injectTableFunction(graft.plans.GraftTables.snapshotTvf)
     ext.injectFunction(fn("graft_dot", 2, "graft_dot(array<double>, array<double>)") {
       ch => graft.expressions.DotProduct(
         Cast(ch(0), ArrayType(DoubleType)), Cast(ch(1), ArrayType(DoubleType)))

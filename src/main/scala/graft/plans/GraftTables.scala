@@ -132,6 +132,48 @@ object GraftTables {
       }
     } catch { case NonFatal(_) => s"unsig:${java.util.UUID.randomUUID()}" }
 
+  /** SQL time travel over registered VERSIONED tables — the TVF
+    * completing X231 for SQL-only users (Delta's `VERSION AS OF`, as a
+    * table function):
+    * {{{
+    *   SELECT * FROM graft_snapshot('events', 3)
+    * }}}
+    * Both arguments are literals, so unlike the join TVFs
+    * ([[SqlFrontDoor]]) no placeholder/resolution-rule dance is needed:
+    * the builder resolves the snapshot relation directly (the
+    * generation's keep-indexed single-root relation, composable with
+    * both skipping rules). Unregistered names and missing versions fail
+    * with the underlying errors, naming what exists.
+    */
+  def snapshotTvf: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] => LogicalPlan) =
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_snapshot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.plans.GraftTables", "graft_snapshot"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+        require(args.length == 2,
+          "graft_snapshot(name string literal, version integer literal)")
+        val name = args.head match {
+          case Literal(v, StringType) if v != null => v.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_snapshot: argument 1 (name) must be a string literal, got $other")
+        }
+        val version = args(1) match {
+          case Literal(v: Integer, IntegerType) => v.toLong
+          case Literal(v: java.lang.Long, LongType) => v.longValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_snapshot: argument 2 (version) must be an integer literal, got $other")
+        }
+        val path = lookup(name).getOrElse(throw new IllegalArgumentException(
+          s"graft_snapshot: no registered table graft.$name"))
+        VersionedTable.snapshotAt(
+          org.apache.spark.sql.SparkSession.active, path, version)
+          .queryExecution.analyzed
+      })
+
   /** The V1 relation plan for a registered path — cached per layout
     * generation. Versioned roots resolve to the CURRENT snapshot
     * (keep-indexed single-root relation); flat roots to the plain

@@ -136,6 +136,23 @@ class VersionedTableSpec extends SparkSpec {
     assert(rows(df) == rows(docs.filter(col("n_chars").between(200, 300))))
   }
 
+  test("SQL time travel: graft_snapshot TVF reads a retained generation") {
+    val p = stage("sqltt")
+    VersionedTable.compact(spark, p, numFiles = 2, orderBy = Some("n_chars"))
+    graft.plans.GraftTables.register("vtab_sqltt", p)
+    assert(rows(spark.sql("SELECT doc_id, n_chars FROM graft_snapshot('vtab_sqltt', 1)")) ==
+      rows(docs.filter(col("doc_id") % 2 === 0)), "v1 = evens only")
+    assert(rows(spark.sql("SELECT doc_id, n_chars FROM graft_snapshot('vtab_sqltt', 3)")) ==
+      rows(docs), "v3 = compacted all")
+    // current-version SQL identity agrees with the latest snapshot
+    assert(rows(spark.sql("SELECT doc_id, n_chars FROM graft.vtab_sqltt")) == rows(docs))
+    val bad = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_snapshot('vtab_sqltt', 99)").collect()
+    }
+    assert(bad.getMessage.contains("no version 99") || bad.getMessage.contains("99"),
+      s"got: ${bad.getMessage}")
+  }
+
   test("vacuum spares young orphans (the in-flight commit window), reclaims past grace") {
     val p = stage("grace")
     // a stray uncommitted data file: a crashed writer — or one mid-commit

@@ -316,6 +316,13 @@ final case class GraftInsertCommand(name: String, path: String, query: LogicalPl
     if (versioned) {
       VersionedTable.append(shaped, path)
     } else {
+      // the WRITE path must not trust a cached "no manifest here": a
+      // pre-build probe's 60s negative entry would silently degrade
+      // this INSERT to a plain parquet append with no manifest row,
+      // breaking the "a SQL writer cannot forget upkeep" contract.
+      // Drop the entry first — the load below then probes disk (the
+      // POSITIVE cache still short-circuits via its signature check).
+      ManifestFileSkipping.invalidateNegative(new Path(path))
       // stats/bloom columns from the signature-cached manifest load
       // shared with both skipping rules — zero extra I/O when warm
       ManifestFileSkipping.loadManifest(

@@ -298,6 +298,17 @@ object ManifestFileSkipping extends Rule[LogicalPlan] with PredicateHelper {
   def loadManifest(conf: Configuration, root: Path): Option[ManifestInfo] =
     ManifestCache.load(conf, root)
 
+  /** Drop the 60s negative-cache entry for these roots (any spelling —
+    * pass both the raw and the fs-qualified path, the rule may have
+    * cached either). Called by the WRITE paths the moment a manifest
+    * is built or extended, so a pre-build probe's cached miss cannot
+    * make the very next manifest consumer — a SQL INSERT deciding
+    * whether the table carries a manifest to maintain — silently skip
+    * upkeep for up to a minute.
+    */
+  private[graft] def invalidateNegative(roots: Path*): Unit =
+    roots.foreach(ManifestCache.invalidateNegative)
+
   /** Files PROVABLY unable to hold any of the probed join keys — the
     * skip-set computation for runtime (join-driven) file pruning.
     * `sortedKeys` = the build side's distinct keys, ascending, when
@@ -383,6 +394,8 @@ object ManifestFileSkipping extends Rule[LogicalPlan] with PredicateHelper {
     private val NegativeTtlMs = 60000L
     private val noManifestUntil = TrieMap.empty[String, Long]
 
+    def invalidateNegative(root: Path): Unit = noManifestUntil.remove(root.toString)
+
     def load(conf: Configuration, root: Path): Option[ManifestInfo] = {
       val now = System.currentTimeMillis()
       // opportunistic sweep on EVERY load: expired negative entries and
@@ -414,9 +427,9 @@ object ManifestFileSkipping extends Rule[LogicalPlan] with PredicateHelper {
           val listDir =
             if (versioned.isEmpty) mdir
             else {
-              val vs = versioned.map(_.getPath.getName.drop(1).toLong)
-              val v = graft.sources.VersionedTable.readPointer(fs, root)
-                .filter(vs.contains).getOrElse(vs.max)
+              val vs = versioned.map(_.getPath.getName.drop(1).toLong).toSeq
+              val v = graft.sources.VersionedTable.resolveVersion(fs, root, vs)
+                .getOrElse(vs.max)
               new Path(mdir, s"v$v")
             }
           fs.listStatus(listDir)

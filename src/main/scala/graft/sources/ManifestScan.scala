@@ -47,6 +47,29 @@ object ManifestScan {
 
   private def manifestPath(path: String) = s"$path/$ManifestDir"
 
+  /** Refuse the flat-manifest WRITE/maintenance ops on a root under
+    * versioned management: they read the raw directory — EVERY live
+    * generation at once, i.e. duplicated rows after any compact — and
+    * compact's delete pass would remove files committed version
+    * manifests still reference, which the versioned read path would
+    * silently drop ([[graft.plans.VersionKeepFileIndex]] keeps only
+    * what exists). One listStatus of the manifest dir per call.
+    */
+  private def requireFlat(spark: SparkSession, path: String, op: String): Unit =
+    require(!VersionedTable.isVersioned(spark, path),
+      s"ManifestScan.$op: $path is under versioned management (_graft_manifest/v<N> " +
+        "generations) - use VersionedTable.append/compact/vacuum instead; flat-manifest " +
+        "ops would read every live generation at once and corrupt committed versions")
+
+  /** Post-write cache upkeep shared by [[buildManifest]] and the
+    * refresh path: a pre-build probe may have negative-cached "no
+    * manifest here" for up to a minute — drop that entry (both path
+    * spellings) so the very next consumer sees the manifest.
+    */
+  private def uncacheMiss(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit =
+    graft.plans.ManifestFileSkipping.invalidateNegative(root, fs.makeQualified(root))
+
   /** Build (or rebuild) the manifest for `path`: one row per data file
     * with `n_rows` and `<col>_min`/`<col>_max` for each stats column
     * (long-valued). One aggregate pass over the data, metadata-scale
@@ -81,6 +104,7 @@ object ManifestScan {
     */
   def buildManifest(spark: SparkSession, path: String, statsCols: Seq[String],
       bloomCols: Seq[String], bloomBits: Int = 0, bloomK: Int = 3): Unit = {
+    requireFlat(spark, path, "buildManifest")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     // persist around the two actions: completeFrame's collect of the
@@ -94,6 +118,7 @@ object ManifestScan {
         .coalesce(1) // metadata-scale: one row per data file
         .write.mode("overwrite").parquet(manifestPath(path))
     finally frame.unpersist()
+    uncacheMiss(fs, root)
   }
 
   /** Recursive data-file listing (skipping `_`/`.`-prefixed names at
@@ -189,6 +214,7 @@ object ManifestScan {
   private def refreshInternal(spark: SparkSession, path: String, statsCols: Seq[String],
       bloomCols: Seq[String], bloomBits: Int, bloomK: Int,
       coveredHint: Option[Set[String]]): (Set[String], Set[String]) = {
+    requireFlat(spark, path, "refreshManifest")
     val hconf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(hconf)
@@ -226,6 +252,7 @@ object ManifestScan {
     try completeFrame(spark, stats, fresh)
       .coalesce(1).write.mode("append").parquet(manifestPath(path))
     finally stats.unpersist()
+    uncacheMiss(fs, root)
     val freshNames = fresh.map(_.getName).toSet
     (freshNames, covered ++ freshNames)
   }
@@ -250,6 +277,9 @@ object ManifestScan {
   def writeAppend(df: DataFrame, path: String, statsCols: Seq[String],
       bloomCols: Seq[String] = Nil, bloomBits: Int = 0, bloomK: Int = 3,
       layout: DataFrame => DataFrame = identity): Int = {
+    // guard BEFORE the data write: landing flat-append files into a
+    // versioned root would leave them invisible to every version
+    requireFlat(df.sparkSession, path, "writeAppend")
     layout(df).write.mode("append").parquet(path)
     refreshManifest(df.sparkSession, path, statsCols, bloomCols, bloomBits, bloomK)
   }
@@ -285,6 +315,7 @@ object ManifestScan {
     // would be covered twice.
     var covered: Option[Set[String]] = None
     (batch, _) => {
+      requireFlat(batch.sparkSession, path, "manifestedSink")
       layout(batch).write.mode("append").parquet(path)
       val (_, after) = refreshInternal(
         batch.sparkSession, path, statsCols, bloomCols, bloomBits, bloomK, covered)
@@ -325,6 +356,7 @@ object ManifestScan {
   def compact(spark: SparkSession, path: String, statsCols: Seq[String],
       bloomCols: Seq[String] = Nil, numFiles: Int = 0, orderBy: Option[String] = None,
       bloomBits: Int = 0, bloomK: Int = 3): (Int, Int) = {
+    requireFlat(spark, path, "compact")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val beforeStatuses = listDataStatuses(fs, root)

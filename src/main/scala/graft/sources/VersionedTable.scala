@@ -35,8 +35,10 @@ import scala.util.control.NonFatal
   * vacuum drops them, so a reader that planned against version N keeps
   * reading version N's files mid-compaction — atomic for concurrent
   * readers, the Delta/Iceberg OPTIMIZE contract on an engine-owned
-  * two-file log. Writers remain one-at-a-time, but now ENFORCED by
-  * the rename-CAS instead of assumed by a doc comment.
+  * two-file log. Writers serialize through the rename-CAS; concurrent
+  * APPENDERS retry optimistically on CAS loss ([[append]] — staged
+  * files reused, only the manifest union re-runs), while a losing
+  * [[compact]] fails loudly (its rewrite is stale by definition).
   *
   * Reads resolve the pointer once per plan: [[read]] (current) and
   * [[snapshotAt]] (time travel) return the SAME single-root V1 parquet
@@ -66,6 +68,14 @@ object VersionedTable {
     * readers of the root and to [[ManifestScan.listDataFiles]]).
     */
   val PointerName = "_graft_current"
+
+  /** The rename-as-CAS lost to a concurrent committer (or to a foreign
+    * dir squatting on the target version). [[append]] catches this to
+    * drive its optimistic retry; everything else fails fast. Subclasses
+    * IllegalStateException so pre-retry callers' handling still works.
+    */
+  final class CommitConflictException private[sources] (msg: String)
+    extends IllegalStateException(msg)
 
   private def mdir(root: Path) = new Path(root, ManifestScan.ManifestDir)
   private def vdir(root: Path, v: Long) = new Path(mdir(root), s"v$v")
@@ -111,22 +121,56 @@ object VersionedTable {
     } catch { case NonFatal(_) => None }
   }
 
-  /** The version reads resolve: the pointer when it names an existing
-    * generation, else the HIGHEST committed generation — which covers
-    * the only pointer-swap window a non-atomic-rename filesystem has
-    * (delete-then-rename: the moment the pointer is absent, the newest
-    * fully-committed generation IS the current one).
+  /** The version reads and writes resolve: the newest COMMITTED
+    * generation, where the pointer is a trust-forward HINT, not the
+    * truth — every generation at or below a valid pointer is known
+    * committed (the flip follows the manifest rename), while a dir
+    * ABOVE the pointer counts only if it actually holds manifest part
+    * files ([[isCommitted]]). That one distinction covers both failure
+    * shapes at once: a commit that crashed between the generation
+    * rename and the pointer flip IS committed (its rename — the atomic
+    * commit point — completed), so readers adopt it and the next
+    * append targets the version after it instead of wedging on a
+    * permanent rename-CAS conflict; a foreign or incomplete dir (a
+    * pre-created empty `v<N>`, a nested lost-rename artifact) is NOT a
+    * commit and never becomes current. Steady state (pointer == max)
+    * pays zero completeness probes. A missing pointer falls back to
+    * the newest committed generation — which also covers the only
+    * pointer-swap window a non-atomic-rename filesystem has.
     */
   def currentVersion(spark: SparkSession, path: String): Option[Long] = {
     val (fs, root) = fsOf(spark, path)
     currentVersion(fs, root)
   }
 
-  private[graft] def currentVersion(fs: FileSystem, root: Path): Option[Long] = {
-    val vs = listVersions(fs, root)
-    if (vs.isEmpty) None
-    else readPointer(fs, root).filter(vs.contains) orElse Some(vs.max)
+  private[graft] def currentVersion(fs: FileSystem, root: Path): Option[Long] =
+    resolveVersion(fs, root, listVersions(fs, root))
+
+  /** [[currentVersion]] over an already-listed version set — shared
+    * with the manifest cache ([[graft.plans.ManifestFileSkipping]]),
+    * which has the listing in hand, so plan-time resolution and the
+    * read/write paths agree on what "current" means.
+    */
+  private[graft] def resolveVersion(fs: FileSystem, root: Path,
+      vs: Seq[Long]): Option[Long] = {
+    if (vs.isEmpty) return None
+    val floor = readPointer(fs, root).filter(vs.contains).getOrElse(Long.MinValue)
+    vs.sorted.reverse.find(v => v <= floor || isCommitted(fs, root, v))
+      // degenerate corner (no pointer AND no complete generation —
+      // debris-only): resolve to max as before, so the failure mode
+      // stays a loud read error, not a phantom "not versioned"
+      .orElse(Some(vs.max))
   }
+
+  /** Is `v`'s generation dir an actual commit? The manifest is written
+    * whole to a `_tmp_` dir and atomically renamed in, so a REAL
+    * generation holds its parquet part files from the instant it
+    * exists; an empty or foreign dir holds none and never will.
+    */
+  private def isCommitted(fs: FileSystem, root: Path, v: Long): Boolean =
+    try fs.listStatus(vdir(root, v)).exists(s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet"))
+    catch { case NonFatal(_) => false }
 
   /** Is this layout under versioned-commit management? */
   def isVersioned(spark: SparkSession, path: String): Boolean = {
@@ -181,25 +225,38 @@ object VersionedTable {
     * and MOVED into the root — so this writer's file set is known
     * exactly, never inferred by diffing the shared directory (a
     * racing writer's freshly landed files must not be absorbed into
-    * this generation: the CAS loser's error message promises its rows
-    * were discarded, and a listing diff would make that a lie). The
-    * new files' manifest rows are computed in one stats pass and
-    * UNIONED with version N's rows (an append keeps every old file),
-    * and the pointer flips. Stats/bloom columns are inherited from
-    * the current manifest schema. `layout` shapes the write (e.g.
-    * `_.repartitionByRange(n, col)`) exactly as in
+    * this generation). The new files' manifest rows are computed in
+    * one stats pass and UNIONED with version N's rows (an append keeps
+    * every old file), and the pointer flips. Stats/bloom columns are
+    * inherited from the current manifest schema. `layout` shapes the
+    * write (e.g. `_.repartitionByRange(n, col)`) exactly as in
     * [[ManifestScan.writeAppend]].
+    *
+    * CONCURRENT appenders commit with OPTIMISTIC RETRY (the Delta
+    * commit discipline): losing the rename-CAS means some other
+    * committer's generation landed, and since this batch's data files
+    * are already in the root and referenced by no generation, the
+    * commit — not the data write, not the stats pass — simply re-runs
+    * against the NEW current version (re-read its manifest, re-union
+    * this batch's rows, re-CAS), up to `maxAttempts` times. Retry
+    * happens ONLY when the resolved version actually ADVANCED between
+    * attempts: a conflict with no progress (a foreign/incomplete dir
+    * squatting on the target version) can never succeed and fails on
+    * the first attempt, exactly as before. On final failure the staged
+    * files are orphans — invisible to every reader, reclaimed by
+    * [[vacuum]] — and the thrown error says so.
     *
     * @return the committed version.
     */
   def append(df: DataFrame, path: String,
-      layout: DataFrame => DataFrame = identity): Long = {
+      layout: DataFrame => DataFrame = identity, maxAttempts: Int = 5): Long = {
+    require(maxAttempts >= 1, s"VersionedTable.append: maxAttempts=$maxAttempts must be >= 1")
     val spark = df.sparkSession
     val (fs, root) = fsOf(spark, path)
-    val v = currentVersion(fs, root).getOrElse(
+    val v0 = currentVersion(fs, root).getOrElse(
       throw new IllegalStateException(s"VersionedTable.append: $path is not versioned - init first"))
-    val prev = spark.read.parquet(vdir(root, v).toString)
-    val (statsCols, bloomCols) = manifestColumns(prev.schema)
+    val (statsCols, bloomCols) = manifestColumns(
+      spark.read.parquet(vdir(root, v0).toString).schema)
     val staging = new Path(root,
       s"_graft_append_${java.util.UUID.randomUUID().toString.take(8)}")
     layout(df).write.mode("overwrite").parquet(staging.toString)
@@ -210,16 +267,37 @@ object VersionedTable {
       dst
     }
     fs.delete(staging, true)
-    val rows =
-      if (fresh.isEmpty) prev
-      else {
-        val stats = ManifestScan.manifestFrame(
-          spark.read.parquet(fresh.map(_.toString): _*), statsCols, bloomCols, 0, 3)
-          .persist()
-        try prev.unionByName(ManifestScan.completeFrame(spark, stats, fresh))
-        finally stats.unpersist()
+    // ONE stats pass for the whole retry loop: the batch's manifest
+    // rows are version-independent (they describe only this batch's
+    // files) — persisted so each attempt's union + write re-reads
+    // cached metadata-scale rows, never the data
+    val stats =
+      if (fresh.isEmpty) None
+      else Some(ManifestScan.manifestFrame(
+        spark.read.parquet(fresh.map(_.toString): _*), statsCols, bloomCols, 0, 3)
+        .persist())
+    val freshRows = stats.map(s => ManifestScan.completeFrame(spark, s, fresh))
+    try {
+      var v = v0
+      var attempt = 1
+      while (true) {
+        val prev = spark.read.parquet(vdir(root, v).toString)
+        val rows = freshRows.fold(prev)(prev.unionByName(_))
+        try return commit(spark, fs, root, v + 1, rows)
+        catch {
+          case c: CommitConflictException =>
+            val now = currentVersion(fs, root).getOrElse(v)
+            if (now <= v || attempt >= maxAttempts)
+              throw new IllegalStateException(
+                s"VersionedTable.append: commit at $root failed after $attempt attempt(s) " +
+                  s"(${c.getMessage}); this batch's ${fresh.size} staged data files are " +
+                  "invisible to every reader and will be reclaimed by vacuum", c)
+            v = now
+            attempt += 1
+        }
       }
-    commit(spark, fs, root, v + 1, rows)
+      throw new IllegalStateException("unreachable")
+    } finally stats.foreach(_.unpersist())
   }
 
   /** Compaction as a COMMIT, not a rewrite: the current snapshot is
@@ -270,8 +348,18 @@ object VersionedTable {
     fs.delete(staging, true)
     val stats = ManifestScan.manifestFrame(
       spark.read.parquet(moved.map(_.toString): _*), statsCols, bloomCols, 0, 3).persist()
+    // no optimistic retry here, unlike append: a compact that lost the
+    // CAS rewrote a snapshot that is no longer current — its generation
+    // would DROP the winner's rows. The rewrite must rerun; say so.
     try commit(spark, fs, root, v + 1,
       ManifestScan.completeFrame(spark, stats, moved))
+    catch {
+      case c: CommitConflictException =>
+        throw new IllegalStateException(
+          s"VersionedTable.compact: lost the commit race at $root (${c.getMessage}); " +
+            "the compacted generation is stale against the new current version - its " +
+            s"${moved.size} files are invisible orphans until vacuum; re-run compact", c)
+    }
     finally stats.unpersist()
     (kept.length, moved.length)
   }
@@ -387,14 +475,14 @@ object VersionedTable {
       version: Long, manifest: DataFrame): Long = {
     val target = vdir(root, version)
     if (fs.exists(target))
-      throw new IllegalStateException(
+      throw new CommitConflictException(
         s"VersionedTable: version $version already exists at $root - concurrent commit lost")
     val tmp = new Path(mdir(root),
       s"_tmp_v${version}_${java.util.UUID.randomUUID().toString.take(8)}")
     manifest.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     if (!fs.rename(tmp, target)) {
       fs.delete(tmp, true)
-      throw new IllegalStateException(
+      throw new CommitConflictException(
         s"VersionedTable: commit of version $version at $root lost the rename race " +
           "(concurrent committer) - this writer's generation was discarded, table intact")
     }
@@ -409,7 +497,7 @@ object VersionedTable {
     val nested = new Path(target, tmp.getName)
     if (fs.exists(nested)) {
       fs.delete(nested, true)
-      throw new IllegalStateException(
+      throw new CommitConflictException(
         s"VersionedTable: commit of version $version at $root lost the rename race " +
           "(rename nested into the winner's generation) - this writer's generation " +
           "was discarded, table intact")

@@ -93,6 +93,49 @@ class GraftSqlInsertSpec extends SparkSpec {
       rows(docs.filter(col("doc_id") % 2 === 0)), "v1 must stay addressable")
   }
 
+  test("INSERT right after buildManifest maintains the manifest (write path bypasses the negative cache)") {
+    val p = s"$tmpBase/graft_sqlins_negcache"
+    LocalFs.deleteRec(p)
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("overwrite").parquet(p)
+    GraftTables.register("sqlins_negcache", p)
+    // pre-build INSERT: probes for a manifest, finds none (seeding the
+    // loader's 60s negative entry), lands a plain parquet append
+    spark.sql("INSERT INTO graft.sqlins_negcache VALUES (900001, 11)")
+    ManifestScan.buildManifest(spark, p, Seq("n_chars"))
+    val covered = manifestFileCount(p)
+    // pre-fix, the cached miss made this degrade to a plain append with
+    // no manifest row for up to a minute - silently breaking the
+    // "a SQL writer cannot forget manifest upkeep" contract
+    spark.sql("INSERT INTO graft.sqlins_negcache VALUES (900002, 12)")
+    assert(manifestFileCount(p) == covered + 1,
+      "an INSERT immediately after buildManifest must extend the manifest " +
+        "(the negative cache must not swallow a freshly built one)")
+    assert(spark.sql("SELECT * FROM graft.sqlins_negcache WHERE doc_id >= 900001").count() == 2)
+  }
+
+  test("concurrent INSERTs into a versioned table inherit the optimistic retry: both commit") {
+    val p = s"$tmpBase/graft_sqlins_race"
+    LocalFs.deleteRec(p)
+    docs.filter(col("doc_id") % 2 === 0).coalesce(2).write.mode("overwrite").parquet(p)
+    VersionedTable.init(spark, p, Seq("n_chars"))
+    GraftTables.register("sqlins_race", p)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = Seq(900101, 900102).map(id => new Thread(() => {
+      try {
+        barrier.await()
+        spark.sql(s"INSERT INTO graft.sqlins_race VALUES ($id, 7)")
+      } catch { case e: Throwable => errors.add(e) }
+    }))
+    ts.foreach(_.start()); ts.foreach(_.join(120000))
+    assert(errors.isEmpty,
+      s"both racing SQL INSERTs must commit (loser retries): ${errors.peek()}")
+    assert(VersionedTable.currentVersion(spark, p).contains(3L),
+      "two INSERTs = two serialized commits = version 3")
+    assert(spark.sql("SELECT * FROM graft.sqlins_race WHERE doc_id >= 900101").count() == 2,
+      "each racer's row must land exactly once")
+  }
+
   test("refusals: OVERWRITE, column lists, arity mismatch; unregistered names untouched") {
     stageFlat("refuse")
     docs.limit(1).createOrReplaceTempView("sqlins_one")

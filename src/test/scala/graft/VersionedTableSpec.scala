@@ -110,6 +110,50 @@ class VersionedTableSpec extends SparkSpec {
     assert(rows(VersionedTable.read(spark, p)) == rows(docs))
   }
 
+  test("wedge recovery: a committed-but-unflipped generation is adopted, not a permanent CAS conflict") {
+    val p = stage("wedge")
+    // simulate a crash BETWEEN the generation rename and the pointer
+    // flip: v3 is a fully committed manifest dir (the rename — the
+    // atomic commit point — completed), but the pointer still names v2
+    val v2 = new java.io.File(s"$p/_graft_manifest/v2")
+    val v3 = new java.io.File(s"$p/_graft_manifest/v3")
+    assert(v3.mkdirs())
+    v2.listFiles().foreach { f =>
+      java.nio.file.Files.copy(f.toPath, new java.io.File(v3, f.getName).toPath)
+    }
+    // readers adopt the committed generation (pointer = hint, not truth)
+    assert(VersionedTable.currentVersion(spark, p).contains(3L),
+      "a complete generation above the pointer IS committed and must resolve as current")
+    assert(rows(VersionedTable.read(spark, p)) == rows(docs))
+    // and the writer is NOT wedged: the next append targets v4 (no
+    // rename-CAS conflict against the orphan) and heals the pointer
+    assert(VersionedTable.append(docs.limit(5), p) == 4L)
+    assert(VersionedTable.currentVersion(spark, p).contains(4L))
+    assert(VersionedTable.read(spark, p).count() == docs.count() + 5)
+    VersionedTable.vacuum(spark, p, keepLast = 1, orphanGraceMs = 0)
+    assert(VersionedTable.read(spark, p).count() == docs.count() + 5)
+  }
+
+  test("flat-manifest write ops refuse a versioned root before touching it") {
+    val p = stage("guard")
+    import graft.sources.ManifestScan
+    val before = dataFilesOnDisk(p)
+    val e = intercept[IllegalArgumentException](
+      ManifestScan.writeAppend(docs.limit(1), p, Seq("n_chars")))
+    assert(e.getMessage.contains("VersionedTable"),
+      s"the refusal must point at the versioned API, got: ${e.getMessage}")
+    intercept[IllegalArgumentException](
+      ManifestScan.refreshManifest(spark, p, Seq("n_chars")))
+    intercept[IllegalArgumentException](
+      ManifestScan.buildManifest(spark, p, Seq("n_chars")))
+    intercept[IllegalArgumentException](
+      ManifestScan.compact(spark, p, Seq("n_chars"), numFiles = 1))
+    // the writeAppend guard fired BEFORE the data write: nothing landed
+    assert(dataFilesOnDisk(p) == before,
+      "a refused flat writeAppend must not have landed data files")
+    assert(rows(VersionedTable.read(spark, p)) == rows(docs))
+  }
+
   test("commit CAS: a pre-existing version dir fails the committer fast, table intact") {
     val p = stage("cas")
     // a concurrent committer already holds v3

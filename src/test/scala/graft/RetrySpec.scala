@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * queries, and the output hash is pinned equal to the failure-free
   * run.
   */
-class RetrySpec extends SparkSpec {
+class RetrySpec extends SparkSpec with QuietDeliberateErrors {
 
   private def events: DataFrame = Tables.load(spark, TestSpark.sf0001, "events")
 

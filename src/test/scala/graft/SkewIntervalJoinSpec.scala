@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * intervals, empty buckets, and the full null menagerie (null keys,
   * null times, null bounds, inverted bounds).
   */
-class SkewIntervalJoinSpec extends SparkSpec {
+class SkewIntervalJoinSpec extends SparkSpec with QuietDeliberateErrors {
 
   import spark.implicits._
 

@@ -21,7 +21,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   * uncommitted batch, it lands on the SAME id — idempotent, exactly
   * the dedup contract a real exactly-once sink implements.
   */
-class StreamingRecoverySpec extends SparkSpec {
+class StreamingRecoverySpec extends SparkSpec with QuietDeliberateErrors {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 

@@ -5,7 +5,7 @@ import graft.streaming.StreamingOps.Event
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-class StreamingSpec extends SparkSpec {
+class StreamingSpec extends SparkSpec with QuietDeliberateErrors {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 

@@ -428,8 +428,9 @@ object ManifestFileSkipping extends Rule[LogicalPlan] with PredicateHelper {
             if (versioned.isEmpty) mdir
             else {
               val vs = versioned.map(_.getPath.getName.drop(1).toLong).toSeq
-              val v = graft.sources.VersionedTable.resolveVersion(fs, root, vs)
-                .getOrElse(vs.max)
+              // total for non-empty vs (resolveVersion falls back to
+              // the max generation itself)
+              val v = graft.sources.VersionedTable.resolveVersion(fs, root, vs).get
               new Path(mdir, s"v$v")
             }
           fs.listStatus(listDir)

@@ -199,8 +199,10 @@ object ManifestScan {
     * @return number of newly covered data files.
     */
   def refreshManifest(spark: SparkSession, path: String, statsCols: Seq[String],
-      bloomCols: Seq[String] = Nil, bloomBits: Int = 0, bloomK: Int = 3): Int =
+      bloomCols: Seq[String] = Nil, bloomBits: Int = 0, bloomK: Int = 3): Int = {
+    requireFlat(spark, path, "refreshManifest")
     refreshInternal(spark, path, statsCols, bloomCols, bloomBits, bloomK, None)._1.size
+  }
 
   /** [[refreshManifest]] with an optional caller-carried covered set —
     * the amortization hook for [[manifestedSink]], whose per-batch
@@ -214,7 +216,10 @@ object ManifestScan {
   private def refreshInternal(spark: SparkSession, path: String, statsCols: Seq[String],
       bloomCols: Seq[String], bloomBits: Int, bloomK: Int,
       coveredHint: Option[Set[String]]): (Set[String], Set[String]) = {
-    requireFlat(spark, path, "refreshManifest")
+    // no requireFlat here: every public entry (refreshManifest,
+    // writeAppend, manifestedSink's per-batch closure) guards exactly
+    // once before reaching this - a second probe per call would double
+    // the metadata RPCs on the streaming hot path
     val hconf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(hconf)
@@ -281,7 +286,8 @@ object ManifestScan {
     // versioned root would leave them invisible to every version
     requireFlat(df.sparkSession, path, "writeAppend")
     layout(df).write.mode("append").parquet(path)
-    refreshManifest(df.sparkSession, path, statsCols, bloomCols, bloomBits, bloomK)
+    refreshInternal(df.sparkSession, path, statsCols, bloomCols, bloomBits, bloomK, None)
+      ._1.size
   }
 
   /** Streaming ingestion sink: a `foreachBatch` function that appends

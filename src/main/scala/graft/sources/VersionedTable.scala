@@ -281,19 +281,31 @@ object VersionedTable {
       var v = v0
       var attempt = 1
       while (true) {
-        val prev = spark.read.parquet(vdir(root, v).toString)
-        val rows = freshRows.fold(prev)(prev.unionByName(_))
-        try return commit(spark, fs, root, v + 1, rows)
-        catch {
-          case c: CommitConflictException =>
-            val now = currentVersion(fs, root).getOrElse(v)
-            if (now <= v || attempt >= maxAttempts)
-              throw new IllegalStateException(
-                s"VersionedTable.append: commit at $root failed after $attempt attempt(s) " +
-                  s"(${c.getMessage}); this batch's ${fresh.size} staged data files are " +
-                  "invisible to every reader and will be reclaimed by vacuum", c)
-            v = now
-            attempt += 1
+        val vd = vdir(root, v)
+        def giveUp(why: Throwable): Nothing =
+          throw new IllegalStateException(
+            s"VersionedTable.append: commit at $root failed after $attempt attempt(s) " +
+              s"(${why.getMessage}); this batch's ${fresh.size} staged data files are " +
+              "invisible to every reader and will be reclaimed by vacuum", why)
+        def advanceOr(why: Throwable): Unit = {
+          val now = currentVersion(fs, root).getOrElse(v)
+          if (now <= v || attempt >= maxAttempts) giveUp(why)
+          v = now
+          attempt += 1
+        }
+        try {
+          val prev = spark.read.parquet(vd.toString)
+          val rows = freshRows.fold(prev)(prev.unionByName(_))
+          return commit(spark, fs, root, v + 1, rows)
+        } catch {
+          case c: CommitConflictException => advanceOr(c)
+          case NonFatal(e) if !fs.exists(vd) =>
+            // the base generation was VACUUMED out from under this
+            // attempt (retention raced the commit): vacuum always
+            // keeps the current version, so current is strictly newer
+            // than v — same progress guarantee as a CAS loss, same
+            // retry (nothing about the staged batch changes)
+            advanceOr(e)
         }
       }
       throw new IllegalStateException("unreachable")
@@ -479,7 +491,14 @@ object VersionedTable {
         s"VersionedTable: version $version already exists at $root - concurrent commit lost")
     val tmp = new Path(mdir(root),
       s"_tmp_v${version}_${java.util.UUID.randomUUID().toString.take(8)}")
-    manifest.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    try manifest.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    catch {
+      // a failed manifest-write JOB (e.g. the source generation's part
+      // files vacuumed mid-read) must not leave a partial _tmp_ dir:
+      // inert either way, but the append retry path would accrete one
+      // per attempt
+      case NonFatal(e) => fs.delete(tmp, true); throw e
+    }
     if (!fs.rename(tmp, target)) {
       fs.delete(tmp, true)
       throw new CommitConflictException(

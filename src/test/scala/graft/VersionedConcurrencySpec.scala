@@ -50,6 +50,13 @@ class VersionedConcurrencySpec extends SparkSpec {
     }
     ts.foreach(_.start())
     ts.foreach(_.join(120000))
+    // a racer that outlived the join timeout must surface as ITS OWN
+    // failure, not as an NPE in the caller's fold over a null slot
+    results.indices.foreach { i =>
+      if (results(i) == null)
+        results(i) = Left(new IllegalStateException(
+          s"racer $i did not finish within the 120s join timeout"))
+    }
     results.toSeq
   }
 

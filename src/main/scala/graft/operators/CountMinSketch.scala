@@ -44,7 +44,11 @@ object CountMinSketch {
   /** Build the sketch: one row per non-empty cell (j, bucket, cnt). */
   def build(df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
     require(depth >= 1 && width >= 1, s"depth=$depth width=$width")
-    df.select(explode(array((0 until depth).map(j =>
+    // fan out before hashing: the per-row md5 digest(s) + depth-way
+    // explode + map-side combine otherwise run fused onto a one-task
+    // scan of a single-row-group parquet file (guide §2.5)
+    ScanFanout.byKey(df.select(col(keyCol)), col(keyCol))
+      .select(explode(array((0 until depth).map(j =>
         struct(lit(j).as("j"), cellHash(col(keyCol), j, width).as("bucket"))): _*)).as("_c"))
       .groupBy(col("_c.j").as("j"), col("_c.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))

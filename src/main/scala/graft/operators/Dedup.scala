@@ -87,7 +87,10 @@ object Dedup {
     // shingle + explode pipeline re-runs per consumer (C3; the round-1
     // plan recomputed it 4×). Tokens are projected to a column BEFORE
     // shingling so the regex split runs once per doc, not per shingle.
-    val sh = docs
+    // fan the doc scan out before tokenizing: the regex split + shingle
+    // explosion is the cache-fill job's whole cost and would otherwise
+    // run fused onto a one-task scan (guide §2.5)
+    val sh = ScanFanout.byKey(docs, col(idCol))
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
       .select(col("doc_id"), explode(array_distinct(shinglesFromTokens(col("_toks"), n))).as("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -185,7 +188,9 @@ object Dedup {
     //    DuckDB correctness oracle) can replay the ENTIRE LSH pipeline
     //    and hash-check it end to end, not just count rows.
     val P = 2147483647L
-    val sh0 = docs
+    // fan out before tokenize/shingle/k-way minhash partial aggregation
+    // — all fused onto the scan task otherwise (guide §2.5)
+    val sh0 = ScanFanout.byKey(docs, col(idCol))
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
       .select(col("doc_id"),
         explode(array_distinct(shinglesFromTokens(col("_toks"), n))).as("shingle"))
@@ -561,7 +566,7 @@ object Dedup {
       // twice); vectors join back AFTER dedup — the same
       // never-shuffle-vectors-through-pairs discipline as
       // [[embeddingNearDupPairs]]
-      val vecs = emb.select(col(idCol).as("vec_id"),
+      val vecs = ScanFanout.byKey(emb, col(idCol)).select(col(idCol).as("vec_id"),
         VectorFunctions.toDoubleArray(col(vecCol)).as("v"))
         .withColumn("n", VectorFunctions.norm(col("v")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -601,8 +606,11 @@ object Dedup {
       idCol: String = "vec_id", vecCol: String = "embedding",
       seed: Long = 42L): DataFrame = {
     // norms precomputed per vector: the pair-scoring cosine then costs
-    // ONE dot product instead of three array aggregates per candidate
-    val vecs = emb.select(col(idCol).as("vec_id"),
+    // ONE dot product instead of three array aggregates per candidate.
+    // The scan is fanned out first (guide §2.5): the nTables×nBits×dim
+    // hyperplane hashing downstream reads this cache and would otherwise
+    // inherit the one-task layout of a single-row-group parquet scan.
+    val vecs = ScanFanout.byKey(emb, col(idCol)).select(col(idCol).as("vec_id"),
       VectorFunctions.toDoubleArray(col(vecCol)).as("v"))
       .withColumn("n", VectorFunctions.norm(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -40,7 +40,10 @@ object EmbeddingProfile {
     */
   def covarianceTopK(embeddings: DataFrame, vecCol: String, k: Int = 15): DataFrame = {
     val dec = "decimal(38,0)"
-    val byDim = embeddings
+    // fan the narrow scan out first: the d²/2 pair explosion below is
+    // the operator's whole cost and would otherwise run fused onto a
+    // one-task scan (guide §2.5; single file + single row group)
+    val byDim = ScanFanout.byKey(embeddings, col(vecCol))
       .select(posexplode(col(vecCol)).as(Seq("i", "xi")), col(vecCol).as("vec"))
       .select(col("i"), round(col("xi").cast("double") * 1000000).cast("long").as("vi"),
         col("vec"))

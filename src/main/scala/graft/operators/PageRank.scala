@@ -44,11 +44,17 @@ object PageRank {
     require(iterations >= 1 && scale > 0 && dNum > 0 && dDen >= dNum)
     val e = edges.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // persist the node frame too (round 20): unpersisted, the distinct
+    // over the edge list re-aggregated inside EVERY iteration's
+    // rank-update left join — one exchange + aggregation per round that
+    // the cache removes outright (guide §2.4). Lazy registration is
+    // enough: the first iteration's materializing job fills it.
     val nodes =
-      if (redistributeDangling)
+      (if (redistributeDangling)
         e.select(col("src").as("node"))
           .unionAll(e.select(col("dst").as("node"))).distinct()
-      else e.select(col("src").as("node")).distinct()
+      else e.select(col("src").as("node")).distinct())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // pre-join each edge with its source's out-degree ONCE: the loop
     // would otherwise recompute the degree aggregation and pay a second
@@ -107,7 +113,7 @@ object PageRank {
     // silently recompute all iterations on the caller's first action
     val out = rank.localCheckpoint(true)
     persisted.foreach(_.unpersist())
-    sinks.unpersist(); ed.unpersist(); e.unpersist()
+    sinks.unpersist(); ed.unpersist(); nodes.unpersist(); e.unpersist()
     out
   }
 

@@ -35,7 +35,10 @@ object SimilaritySearch {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       queryId: String = "query_id", corpusId: String = "vec_id",
       queryVec: String = "qv", corpusVec: String = "embedding"): DataFrame = {
-    val c = withNorm(corpus, corpusId, corpusVec, "_cv", "_cn")
+    // fan the STREAMED corpus side out (guide §2.5): the |corpus|×|q|
+    // cosine loop otherwise runs fused onto a one-task scan; the
+    // broadcast query side is collected anyway, so it is left alone
+    val c = withNorm(ScanFanout.byKey(corpus, col(corpusId)), corpusId, corpusVec, "_cv", "_cn")
     val q = withNorm(queries, queryId, queryVec, "_qv", "_qn")
     val scored = c.crossJoin(broadcast(q))
       .filter(col(queryId) =!= col(corpusId))
@@ -59,7 +62,7 @@ object SimilaritySearch {
   def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       queryId: String = "query_id", corpusId: String = "vec_id",
       queryCodes: String = "qcodes", corpusCodes: String = "codes"): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
+    val scored = ScanFanout.byKey(corpus, col(corpusId)).crossJoin(broadcast(queries))
       .filter(col(queryId) =!= col(corpusId))
       .withColumn("idot",
         aggregate(zip_with(col(queryCodes), col(corpusCodes),
@@ -184,7 +187,9 @@ object SimilaritySearch {
     */
   def buildIvfIndex(centroids: DataFrame, corpus: DataFrame,
       corpusId: String = "vec_id", corpusVec: String = "embedding"): DataFrame =
-    withNorm(corpus, corpusId, corpusVec, "_cv", "_cn")
+    // fan out: the |corpus|×|centroids| assignment loop is the build's
+    // whole cost and runs fused onto the scan otherwise (guide §2.5)
+    withNorm(ScanFanout.byKey(corpus, col(corpusId)), corpusId, corpusVec, "_cv", "_cn")
       .crossJoin(broadcast(centroids))
       .withColumn("_sim", cosineFromNorms(col("_cv"), col("cent_v"), col("_cn"), col("cent_n")))
       .groupBy(col(corpusId))

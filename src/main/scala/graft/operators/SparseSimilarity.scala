@@ -47,7 +47,10 @@ object SparseSimilarity {
     // measured strictly slower (blocks the codegen pipeline for no saved
     // work); `w` below IS persisted because its three consumers sit on
     // different shuffle keys
-    val tf = docs
+    // fan out before tokenize/shingle/explode (guide §2.5): the term
+    // generation + tf partial aggregation otherwise run fused onto the
+    // one-task scan of a single-row-group parquet file
+    val tf = ScanFanout.byKey(docs, col(idCol))
       .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("_toks"))
       .select(col("doc_id"), explode(TextFunctions.shinglesFromTokens(col("_toks"), n)).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))

@@ -30,8 +30,16 @@ object TheilSen {
   def fit(sample: DataFrame, idCol: String, xCol: String, yCol: String): DataFrame = {
     val spark = sample.sparkSession
     import spark.implicits._
+    // Unconditional fan-out (round 20): the s² pair join below streams
+    // `base` and inherits its partitioning — AQE coalesces the tiny
+    // sample to ONE partition, serializing the s²-pair slope loop and
+    // every later pass over `slopes`. The sample is bounded (~10³ rows)
+    // by this operator's contract, so an explicit repartition costs
+    // nothing at any scale and pins the parallelism AQE would remove.
+    val fan = sample.sparkSession.sessionState.conf.numShufflePartitions
     val base = sample.select(col(idCol).as("_id"),
       col(xCol).cast("double").as("_x"), col(yCol).cast("double").as("_y"))
+      .repartition(fan, col("_id"))
       .persist()
     val nSample = base.count()
     val a = base.select(col("_id").as("_ia"), col("_x").as("_xa"), col("_y").as("_ya"))

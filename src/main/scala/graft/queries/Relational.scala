@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Bfs, FdAudit, KAnonymity, LabelPropagation, Modularity, CountMinSketch, IntervalJoin, QuantileBinning, RangeJoin, SaltedJoin}
+import graft.operators.{Bfs, FdAudit, KAnonymity, LabelPropagation, Modularity, CountMinSketch, IntervalJoin, QuantileBinning, RangeJoin, SaltedJoin, ScanFanout}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -19,22 +19,51 @@ object Relational {
 
   /** Distinct customer↔supplier trade pairs (c, sup) — the shared edge
     * prep of the whole PageRank family (`q_graph_pagerank`, `_dangling`,
-    * `q_graph_ppr` each symmetrize/direct these same pairs). Built once
-    * per (session, sf-dir) and eagerly `localCheckpoint`ed so the
-    * join+distinct is paid once per process instead of three times:
-    * checkpoint blocks live in the block manager, NOT the cache
-    * registry, so Bench's between-query `clearCache()` leaves them
-    * alone. Values are unchanged — the memo only reuses the identical
-    * deterministic frame.
+    * `q_graph_ppr` each symmetrize/direct these same pairs). Eagerly
+    * `localCheckpoint`ed PER CALL so the join+distinct is paid once per
+    * QUERY rather than once per unionAll branch. (Rounds ≤ 19 memoized
+    * this frame per (session, sf-dir) across queries; round 20 removed
+    * the memo — a cross-query memo of computed data keyed on the input
+    * dir amortizes work the bench is supposed to measure per query.)
+    * The lineitem side is fanned out first (guide §2.5): the probe-side
+    * map join + the distinct's partial aggregation otherwise run fused
+    * onto the one-task scan of a single-row-group parquet file.
     */
-  private val tradePairsMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def tradePairs(s: SparkSession, dir: String): DataFrame =
-    tradePairsMemo.getOrElseUpdate((s, dir),
-      t(s, dir, "lineitem")
-        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("sup")).distinct()
-        .localCheckpoint(true))
+    ScanFanout.byKey(t(s, dir, "lineitem"), col("l_orderkey"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sup")).distinct()
+      .localCheckpoint(true)
+
+  /** Part co-occurrence counts over order baskets — the shared edge prep
+    * of q_graph_{kcore,triangles,clustering,link_prediction}: (u, v,
+    * cnt) with u < v, cnt = number of baskets containing both parts.
+    *
+    * Round-20 rewrite (guide §2.4 "remove shuffles outright"): the old
+    * shape was distinct(o, p) followed by a self-join on o and a pair
+    * aggregation — four exchanges (distinct, both join sides, pair
+    * groupBy) and a join that materializes d² rows per basket before
+    * filtering. This shape is ONE aggregation per basket
+    * (collect_set ≡ the old distinct, same exchange) + an in-row pair
+    * explosion of the sorted item array (d(d−1)/2 rows, u < v by
+    * construction) + the pair aggregation: 2 exchanges, no join. Counts
+    * are identical — both count the baskets containing both parts.
+    * Scale: per-basket cost is the same Σd² the self-join paid; the cap
+    * on degenerate baskets (when needed) is the caller's filter, as
+    * before.
+    */
+  private def partCoPairs(s: SparkSession, dir: String): DataFrame = {
+    val baskets = ScanFanout.byKey(
+        t(s, dir, "lineitem").select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+        col("o"))
+      .groupBy(col("o")).agg(sort_array(collect_set(col("p"))).as("_ps"))
+    baskets
+      .select(explode(flatten(transform(col("_ps"), (x, i) =>
+        transform(slice(col("_ps"), i + 2, size(col("_ps"))),
+          y => struct(x.as("u"), y.as("v")))))).as("_pr"))
+      .select(col("_pr.u").as("u"), col("_pr.v").as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cnt"))
+  }
 
   val queries: Seq[Q] = Seq(
 
@@ -812,14 +841,8 @@ object Relational {
         |  UNION ALL SELECT node, 3, cast(0 AS bigint) FROM rm3
         |  UNION ALL SELECT node, 0, deg FROM df)
         |ORDER BY node""".stripMargin) { (s, dir) =>
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val a = li.toDF("o", "pa")
-      val b = li.toDF("o2", "pb")
-      val pr = a.join(b, col("o") === col("o2") && col("pa") < col("pb"))
-        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("c"))
-        .filter(col("c") >= 2)
-        .select(col("pa").as("a"), col("pb").as("b"))
+      val pr = partCoPairs(s, dir).filter(col("cnt") >= 2)
+        .select(col("u").as("a"), col("v").as("b"))
       graft.operators.KCore.peel(pr, k = 3, rounds = 3)
     },
 
@@ -929,13 +952,7 @@ object Relational {
         |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
         |        FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
         |SELECT a, b, c FROM tri ORDER BY a, b, c""".stripMargin) { (s, dir) =>
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val e = li.select(col("o"), col("p").as("u"))
-        .join(li.select(col("o"), col("p").as("v")), "o")
-        .filter(col("u") < col("v"))
-        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") >= 2).select(col("u"), col("v"))
+      val e = partCoPairs(s, dir).filter(col("cnt") >= 2).select(col("u"), col("v"))
       graft.operators.Triangles.listTriangles(e).orderBy(col("a"), col("b"), col("c"))
     },
 
@@ -958,13 +975,11 @@ object Relational {
         |            THEN round((2.0 * coalesce(t.tri, 0)) / (n.deg * (n.deg - 1)), 6)
         |            ELSE 0.0 END AS coeff
         |FROM nd n LEFT JOIN tc t USING (node) ORDER BY node""".stripMargin) { (s, dir) =>
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val e = li.select(col("o"), col("p").as("u"))
-        .join(li.select(col("o"), col("p").as("v")), "o")
-        .filter(col("u") < col("v"))
-        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") >= 2).select(col("u"), col("v"))
+      // localCheckpoint: nodeClustering scans the edge list four times
+      // (degree union + three wedge-join sides) — checkpointing the
+      // two-exchange pair pipeline pays it once (guide §2.4)
+      val e = partCoPairs(s, dir).filter(col("cnt") >= 2).select(col("u"), col("v"))
+        .localCheckpoint(true)
       graft.operators.Triangles.nodeClustering(e)
     },
 
@@ -992,13 +1007,11 @@ object Relational {
         |SELECT x AS src, z AS dst, cn, deg_src, deg_dst, jaccard,
         |       cast(row_number() OVER (ORDER BY jaccard DESC, x, z) AS int) AS rk
         |FROM scored ORDER BY jaccard DESC, src, dst LIMIT 20""".stripMargin) { (s, dir) =>
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val e0 = li.select(col("o"), col("p").as("u"))
-        .join(li.select(col("o"), col("p").as("v")), "o")
-        .filter(col("u") < col("v"))
-        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") >= 2).select(col("u"), col("v"))
+      // localCheckpoint: the symmetrized edge list feeds jaccardTopK's
+      // degree aggregate, both wedge sides, and the existing-edge
+      // anti-join — checkpoint the pair pipeline once (guide §2.4)
+      val e0 = partCoPairs(s, dir).filter(col("cnt") >= 2).select(col("u"), col("v"))
+        .localCheckpoint(true)
       val edges = e0.select(col("u").as("src"), col("v").as("dst"))
         .unionAll(e0.select(col("v").as("src"), col("u").as("dst")))
       graft.operators.LinkPrediction.jaccardTopK(edges, k = 20, maxCenterDegree = 10L)
@@ -1569,7 +1582,9 @@ object Relational {
     * directions — shared by q_graph_khop/labelprop/modularity.
     */
   private def coSupplyEdges(lineitem: DataFrame): DataFrame = {
-    val e0 = lineitem
+    // fan out before the distinct: its partial aggregation otherwise
+    // runs fused onto the one-task scan (guide §2.5)
+    val e0 = ScanFanout.byKey(lineitem, col("l_suppkey"))
       .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
       .distinct()
     e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))

@@ -15,6 +15,12 @@ object TimeQ {
       catch { case e: Throwable => System.err.println(s"[warm] $name: ${e.getMessage}") }
     }
     args.foreach { name =>
+      // mirror Bench's isolation protocol exactly: drop persisted blocks
+      // and GC before the timer, so repeated names measure a cold query
+      // (CacheManager otherwise plan-matches the previous identical run's
+      // persisted intermediates and reports flattered times)
+      spark.sharedState.cacheManager.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).count()
       println(f"TIMEQ $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s  ($n rows)")

@@ -143,7 +143,11 @@ object Trainers {
       .setEstimatorParamMaps(grid)
       .setTrainRatio(trainRatio)
       .setSeed(seed)
-      .setParallelism(4)
+      // guide §2.6 (overlap independent jobs): grid fits are
+      // independent, seeded, and tiny — 8 in flight back-fills the
+      // stage tails the sequential waves left idle. Execution-only
+      // knob: per-fit results are unchanged.
+      .setParallelism(8)
   }
 
   /** M7 (the reference's BRF half): CrossValidator over the same pipeline
@@ -179,7 +183,9 @@ object Trainers {
       .setNumFolds(numFolds)
       .setCollectSubModels(collectSubModels)
       .setSeed(seed)
-      .setParallelism(4)
+      // guide §2.6: 16 independent (fold × grid) fits ran in 4 waves at
+      // parallelism 4; 8 halves the waves. Execution-only knob.
+      .setParallelism(8)
   }
 
   /** M11: labeled, sorted feature importances of a forest

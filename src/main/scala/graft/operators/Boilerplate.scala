@@ -31,7 +31,8 @@ object Boilerplate {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(lineTokens >= 1, s"lineTokens=$lineTokens must be >= 1")
     val toks = graft.functions.TextFunctions.tokens(col(textCol))
-    docs
+    // fan out before tokenize + line explosion (guide §2.5)
+    ScanFanout.byKey(docs, col(idCol))
       .select(col(idCol), toks.as("_toks"))
       .select(col(idCol),
         posexplode(transform(

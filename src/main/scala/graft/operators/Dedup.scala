@@ -303,7 +303,8 @@ object Dedup {
     //    brute-force all-pairs oracle then also PROVES the pigeonhole
     //    blocking loses no pair at the requested radius).
     val nBits = if (oracleHashes) 60 else 64
-    val toks = docs.select(col(idCol).as("doc_id"),
+    // fan out before tokenize + per-token hashing (guide §2.5)
+    val toks = ScanFanout.byKey(docs, col(idCol)).select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("tok"))
     val h =
       if (oracleHashes)

@@ -59,7 +59,8 @@ object DupNgrams {
   /** One row per n-gram POSITION (docs shorter than n yield none). */
   private def grams(docs: DataFrame, n: Int,
       idCol: String, textCol: String): DataFrame =
-    docs
+    // fan out before tokenize + n-gram explosion (guide §2.5)
+    ScanFanout.byKey(docs, col(idCol))
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("ts"))
       .filter(size(col("ts")) >= n)
       .select(col(idCol), explode(expr(

@@ -33,7 +33,8 @@ object DupSpans {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
     val gen = Bridge.column(CharKmerExplode(Bridge.expression(col(textCol)), k))
-    docs.filter(col(textCol).isNotNull)
+    // fan out before the per-character k-mer explosion (guide §2.5)
+    ScanFanout.byKey(docs.filter(col(textCol).isNotNull), col(idCol))
       .select(col(idCol), gen.as(Seq("pos", "kmer")))
   }
 

@@ -27,7 +27,11 @@ object EntityResolution {
   def resolve(dirty: DataFrame, clean: DataFrame, blockCols: Seq[String],
       maxDistance: Int = 2): DataFrame = {
     require(blockCols.nonEmpty)
-    val d = dirty.select(col("id").as("d_id") +: col("name").as("d_name") +:
+    // fan out the probe side (guide §2.5): when the clean side
+    // broadcasts, the blocked-pair levenshtein loop runs on the dirty
+    // side's partitioning — a one-task scan without this
+    val d = ScanFanout.byKey(dirty, col("id"))
+      .select(col("id").as("d_id") +: col("name").as("d_name") +:
       blockCols.map(col): _*)
     val c = clean.select(col("id").as("c_id") +: col("name").as("c_name") +:
       blockCols.map(col): _*)

@@ -37,7 +37,10 @@ object HashSampleSketch {
     */
   def bottomK(df: DataFrame, key: Column, value: Column, k: Int): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
-    df.select(rankOf(key).as("_rk"), value.cast("double").as("value"))
+    // fan out before the per-row md5 rank + TakeOrdered's per-partition
+    // heap — fused onto the one-task scan otherwise (guide §2.5)
+    ScanFanout.byKey(df, key)
+      .select(rankOf(key).as("_rk"), value.cast("double").as("value"))
       .orderBy(col("_rk"), col("value"))
       .limit(k)
   }
@@ -76,7 +79,10 @@ object HashSampleSketch {
     require(k >= 1 && probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0))
     val spark = df.sparkSession
     import spark.implicits._
-    val ranked = df.select(group.as("group"), rankOf(key).as("_rk"),
+    // fan out (guide §2.5): the per-row md5 rank AND the WindowGroupLimit
+    // per-partition selection both run on the scan's partitioning
+    val ranked = ScanFanout.byKey(df, key)
+      .select(group.as("group"), rankOf(key).as("_rk"),
       value.cast("double").as("value"))
     val wSel = Window.partitionBy(col("group")).orderBy(col("_rk"), col("value"))
     val sample = ranked

@@ -38,8 +38,10 @@ object LabelAgreement {
   def perLabel(emb: DataFrame, k: Int = 5, idCol: String = "vec_id",
       vecCol: String = "embedding", labelCol: String = "label"): DataFrame = {
     val queries = emb.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    // corpus×corpus: the one caller big enough to want the corpus side
+    // fanned out before the cosine loop (see bruteForceTopK scaladoc)
     val nn = SimilaritySearch.bruteForceTopK(queries, emb, k,
-      corpusId = idCol, corpusVec = vecCol)
+      corpusId = idCol, corpusVec = vecCol, fanOutCorpus = true)
     perLabelFrom(nn, emb, k, idCol, labelCol)
   }
 

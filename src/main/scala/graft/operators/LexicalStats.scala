@@ -35,7 +35,7 @@ object LexicalStats {
       textCol: String = "text"): DataFrame = {
     // persist: the (doc, token) counts feed dl/types, the OOV join and
     // the entropy fold — three consumers of one tokenize+explode pass
-    val tf = docs
+    val tf = ScanFanout.byKey(docs, col(idCol)) // guide §2.5: fan out before tokenize
       .select(col(idCol).as("doc_id"), explode(TextFunctions.tokens(col(textCol))).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
       .persist(StorageLevel.MEMORY_AND_DISK)

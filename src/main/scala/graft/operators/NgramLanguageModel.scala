@@ -36,7 +36,8 @@ object NgramLanguageModel {
     */
   def bigramOccurrences(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
-    docs
+    // fan out before tokenize + bigram explosion (guide §2.5)
+    ScanFanout.byKey(docs, col(idCol))
       .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("_toks"))
       .select(col("doc_id"),
         explode(when(size(col("_toks")) < 2, array().cast("array<struct<w1:string,w2:string>>"))

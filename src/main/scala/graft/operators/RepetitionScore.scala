@@ -31,7 +31,7 @@ object RepetitionScore {
 
   def score(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       maxDupBigramFrac: Double = 0.2, maxTopTokenFrac: Double = 0.2): DataFrame = {
-    val bigr = docs
+    val bigr = ScanFanout.byKey(docs, col(idCol)) // guide §2.5
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
       .select(col("doc_id"), shinglesFromTokens(col("_toks"), 2).as("_bg"), col("_toks"))
       .select(col("doc_id"),

@@ -31,14 +31,23 @@ object SimilaritySearch {
   private def cosineFromNorms(va: Column, vb: Column, na: Column, nb: Column): Column =
     when(na * nb === 0.0, lit(0.0)).otherwise(dot(va, vb) / (na * nb))
 
-  /** Exact top-k by cosine for each query vector. */
+  /** Exact top-k by cosine for each query vector.
+    *
+    * `fanOutCorpus` (guide §2.5): hash-repartition the streamed corpus
+    * side before the |corpus|×|queries| cosine loop — the loop runs
+    * fused onto the corpus scan, which plans as ONE task over a
+    * single-row-group parquet file. Callers with a LARGE query batch
+    * (the corpus×corpus audit in [[LabelAgreement.perLabel]]: measured
+    * 5.9 → 1.4 s at sf0.1) opt in; for small query batches the loop is
+    * trivial and the added exchange is pure overhead (measured +0.5 s
+    * on the k≤8-query q_ann_* probes), so the default is off.
+    */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       queryId: String = "query_id", corpusId: String = "vec_id",
-      queryVec: String = "qv", corpusVec: String = "embedding"): DataFrame = {
-    // fan the STREAMED corpus side out (guide §2.5): the |corpus|×|q|
-    // cosine loop otherwise runs fused onto a one-task scan; the
-    // broadcast query side is collected anyway, so it is left alone
-    val c = withNorm(ScanFanout.byKey(corpus, col(corpusId)), corpusId, corpusVec, "_cv", "_cn")
+      queryVec: String = "qv", corpusVec: String = "embedding",
+      fanOutCorpus: Boolean = false): DataFrame = {
+    val cSrc = if (fanOutCorpus) ScanFanout.byKey(corpus, col(corpusId)) else corpus
+    val c = withNorm(cSrc, corpusId, corpusVec, "_cv", "_cn")
     val q = withNorm(queries, queryId, queryVec, "_qv", "_qn")
     val scored = c.crossJoin(broadcast(q))
       .filter(col(queryId) =!= col(corpusId))
@@ -62,7 +71,7 @@ object SimilaritySearch {
   def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       queryId: String = "query_id", corpusId: String = "vec_id",
       queryCodes: String = "qcodes", corpusCodes: String = "codes"): DataFrame = {
-    val scored = ScanFanout.byKey(corpus, col(corpusId)).crossJoin(broadcast(queries))
+    val scored = corpus.crossJoin(broadcast(queries))
       .filter(col(queryId) =!= col(corpusId))
       .withColumn("idot",
         aggregate(zip_with(col(queryCodes), col(corpusCodes),
@@ -187,9 +196,12 @@ object SimilaritySearch {
     */
   def buildIvfIndex(centroids: DataFrame, corpus: DataFrame,
       corpusId: String = "vec_id", corpusVec: String = "embedding"): DataFrame =
-    // fan out: the |corpus|×|centroids| assignment loop is the build's
-    // whole cost and runs fused onto the scan otherwise (guide §2.5)
-    withNorm(ScanFanout.byKey(corpus, col(corpusId)), corpusId, corpusVec, "_cv", "_cn")
+    // NOT fanned out (round-20 measurement): the assignment loop is
+    // |corpus|×|centroids| — cheap — and q_ann_ivf_stored writes this
+    // frame partitionBy(cent_id), where 32 input partitions × |cents|
+    // directories exploded the file count (2.5 → 8-13 s). The write
+    // path, not the assignment, owns the layout decision.
+    withNorm(corpus, corpusId, corpusVec, "_cv", "_cn")
       .crossJoin(broadcast(centroids))
       .withColumn("_sim", cosineFromNorms(col("_cv"), col("cent_v"), col("_cn"), col("cent_n")))
       .groupBy(col(corpusId))

@@ -42,7 +42,9 @@ object Winnowing {
       k: Int, w: Int): DataFrame = {
     require(k >= 1, s"fingerprints: k=$k must be >= 1")
     require(w >= 1, s"fingerprints: w=$w must be >= 1")
-    val toks = docs.select(col(idCol).as("id"),
+    // fan out before tokenize/shingle/gram-hash (guide §2.5); the
+    // id-keyed window below then reuses the same hash partitioning
+    val toks = ScanFanout.byKey(docs, col(idCol)).select(col(idCol).as("id"),
       TextFunctions.tokens(col(textCol)).as("_toks"))
     val grams = toks.select(col("id"),
       posexplode(TextFunctions.shinglesFromTokens(col("_toks"), k)).as(Seq("pos", "gram")))

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Boilerplate, BpeApply, BpeMerges, ChiSquareKeywords, Chunking, Contamination, CorpusPacking, Dedup, DupSpans, HybridRetrieval, IncrementalDedup, LengthBatching, LexicalStats, MixtureSampler, Multimodal, NegativeSampler, NgramLanguageModel, PostingsIndex, RepetitionScore, SimilaritySearch, DupSourceMatrix, SnapshotDiff, SpanCorruption, SparseSimilarity, StratifiedSampler, TopK}
+import graft.operators.{Boilerplate, BpeApply, BpeMerges, ChiSquareKeywords, Chunking, Contamination, CorpusPacking, Dedup, DupSpans, HybridRetrieval, IncrementalDedup, LengthBatching, LexicalStats, MixtureSampler, Multimodal, NegativeSampler, NgramLanguageModel, PostingsIndex, RepetitionScore, ScanFanout, SimilaritySearch, DupSourceMatrix, SnapshotDiff, SpanCorruption, SparseSimilarity, StratifiedSampler, TopK}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -156,7 +156,9 @@ object TextQueries {
          |FROM tot CROSS JOIN pe""".stripMargin
     }) { (s, dir) =>
       graft.operators.AnnotatorAgreement.kappa(
-        t(s, dir, "documents")
+        // fan out first (guide §2.5): the per-doc language scoring is the
+        // query's whole cost and runs fused onto the one-task scan
+        ScanFanout.byKey(t(s, dir, "documents"), col("doc_id"))
           .select(col("lang").as("a"),
             TextFunctions.langIdFromTokens(TextFunctions.tokens(col("text"))).as("b")),
         "a", "b")
@@ -1470,7 +1472,10 @@ object TextQueries {
          |WHERE bit_count(xor(a.phash, b.phash)) <= 3
          |ORDER BY id_a, id_b""".stripMargin
     }) { (s, dir) =>
-      val docs = t(s, dir, "documents").select(col("doc_id"))
+      // fan out (guide §2.5): the synthetic payload construction below
+      // (n md5-driven bytes per row) is this query's dominant map work
+      val docs = ScanFanout.byKey(t(s, dir, "documents"), col("doc_id"))
+        .select(col("doc_id"))
       val src = docs.select((col("doc_id") * 2).as("pid"), col("doc_id").as("d"), lit(0).as("var"))
         .unionByName(docs.filter(col("doc_id") % 5 === 0)
           .select((col("doc_id") * 2 + 1).as("pid"), col("doc_id").as("d"), lit(1).as("var")))

@@ -104,7 +104,16 @@ object PageRank {
           (lit(base) + expr(s"($dNum * coalesce(m, CAST(0 AS BIGINT))) div $dDen"))
             .as("rank"))
       }).persist(StorageLevel.MEMORY_AND_DISK)
-      rank.count()
+      // Plain mode: persist REGISTRATION only — no per-iteration count()
+      // job (same discipline as KCore); the closing checkpoint
+      // materializes every cached round once via block-store dedup, and
+      // AQE still sizes each shuffle at its own stage boundary inside
+      // that one job. Dangling mode KEEPS the eager count: its next
+      // round starts with a driver-side scalar (dshare) over this frame,
+      // and handing that scalar job an already-materialized cache
+      // measured faster than letting it plan the whole round blind
+      // (min-of-4 6.2 vs 7.6 s at sf0.1).
+      if (redistributeDangling) rank.count()
       persisted += rank
     }
     // eager localCheckpoint BEFORE releasing the iteration caches:
@@ -161,7 +170,8 @@ object PageRank {
             expr(s"($dNum * coalesce(m, CAST(0 AS BIGINT))) div $dDen"))
             .as("rank"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      rank.count()
+      // persist registration only — see ranks(): the closing checkpoint
+      // materializes every round once; no per-iteration job needed
       persisted += rank
     }
     val out = rank.localCheckpoint(true) // see ranks(): checkpoint before release

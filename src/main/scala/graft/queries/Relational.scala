@@ -19,12 +19,14 @@ object Relational {
 
   /** Distinct customer↔supplier trade pairs (c, sup) — the shared edge
     * prep of the whole PageRank family (`q_graph_pagerank`, `_dangling`,
-    * `q_graph_ppr` each symmetrize/direct these same pairs). Eagerly
-    * `localCheckpoint`ed PER CALL so the join+distinct is paid once per
-    * QUERY rather than once per unionAll branch. (Rounds ≤ 19 memoized
-    * this frame per (session, sf-dir) across queries; round 20 removed
-    * the memo — a cross-query memo of computed data keyed on the input
-    * dir amortizes work the bench is supposed to measure per query.)
+    * `q_graph_ppr` each symmetrize/direct these same pairs). (Rounds
+    * ≤ 19 memoized this frame per (session, sf-dir) across queries;
+    * round 20 removed the memo — a cross-query memo of computed data
+    * keyed on the input dir amortizes work the bench is supposed to
+    * measure per query. No checkpoint either: each caller now scans the
+    * frame exactly ONCE — the in-row explode symmetrize replaced the
+    * two-branch union — straight into PageRank's own edge persist, so
+    * an eager materialization here would be a redundant extra pass.)
     * The lineitem side is fanned out first (guide §2.5): the probe-side
     * map join + the distinct's partial aggregation otherwise run fused
     * onto the one-task scan of a single-row-group parquet file.
@@ -33,7 +35,6 @@ object Relational {
     ScanFanout.byKey(t(s, dir, "lineitem"), col("l_orderkey"))
       .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("sup")).distinct()
-      .localCheckpoint(true)
 
   /** Part co-occurrence counts over order baskets — the shared edge prep
     * of q_graph_{kcore,triangles,clustering,link_prediction}: (u, v,
@@ -680,10 +681,15 @@ object Relational {
         |       cast(row_number() OVER (ORDER BY rank DESC, node) AS int) AS rk
         |FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin) { (s, dir) =>
       val e0 = tradePairs(s, dir)
-      val edges = e0.select(concat(lit("c:"), col("c")).as("src"),
-          concat(lit("s:"), col("sup")).as("dst"))
-        .unionAll(e0.select(concat(lit("s:"), col("sup")).as("src"),
-          concat(lit("c:"), col("c")).as("dst")))
+      // symmetrize in-row (explode), not via union: union would scan the
+      // pair frame twice and double the partition count of the edge
+      // frame PageRank persists (guide §2.4)
+      val edges = e0.select(explode(array(
+          struct(concat(lit("c:"), col("c")).as("src"),
+            concat(lit("s:"), col("sup")).as("dst")),
+          struct(concat(lit("s:"), col("sup")).as("src"),
+            concat(lit("c:"), col("c")).as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("rank").desc, col("node").asc)
       graft.operators.PageRank.ranks(edges, iterations = 3)
@@ -780,10 +786,13 @@ object Relational {
         |       cast(row_number() OVER (ORDER BY rank DESC, node) AS int) AS rk
         |FROM r3 WHERE rank > 0 ORDER BY rank DESC, node LIMIT 20""".stripMargin) { (s, dir) =>
       val e0 = tradePairs(s, dir)
-      val edges = e0.select(concat(lit("c:"), col("c")).as("src"),
-          concat(lit("s:"), col("sup")).as("dst"))
-        .unionAll(e0.select(concat(lit("s:"), col("sup")).as("src"),
-          concat(lit("c:"), col("c")).as("dst")))
+      // in-row symmetrize — see q_graph_pagerank
+      val edges = e0.select(explode(array(
+          struct(concat(lit("c:"), col("c")).as("src"),
+            concat(lit("s:"), col("sup")).as("dst")),
+          struct(concat(lit("s:"), col("sup")).as("src"),
+            concat(lit("c:"), col("c")).as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       val seeds = s.createDataFrame(
         java.util.Arrays.asList(org.apache.spark.sql.Row("c:1"),
           org.apache.spark.sql.Row("c:7"), org.apache.spark.sql.Row("c:13")),
@@ -1012,8 +1021,11 @@ object Relational {
       // anti-join — checkpoint the pair pipeline once (guide §2.4)
       val e0 = partCoPairs(s, dir).filter(col("cnt") >= 2).select(col("u"), col("v"))
         .localCheckpoint(true)
-      val edges = e0.select(col("u").as("src"), col("v").as("dst"))
-        .unionAll(e0.select(col("v").as("src"), col("u").as("dst")))
+      // in-row symmetrize — see q_graph_pagerank
+      val edges = e0.select(explode(array(
+          struct(col("u").as("src"), col("v").as("dst")),
+          struct(col("v").as("src"), col("u").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       graft.operators.LinkPrediction.jaccardTopK(edges, k = 20, maxCenterDegree = 10L)
     },
 
@@ -1583,11 +1595,18 @@ object Relational {
     */
   private def coSupplyEdges(lineitem: DataFrame): DataFrame = {
     // fan out before the distinct: its partial aggregation otherwise
-    // runs fused onto the one-task scan (guide §2.5)
-    val e0 = ScanFanout.byKey(lineitem, col("l_suppkey"))
+    // runs fused onto the one-task scan (guide §2.5). Symmetrize with an
+    // in-row explode rather than a two-branch union (round 20): the
+    // union scanned the distinct twice and DOUBLED the partition count
+    // of the frame the callers persist — every per-round join over the
+    // cached edges then paid a 2× task wave (guide §2.4).
+    ScanFanout.byKey(lineitem, col("l_suppkey"))
       .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
       .distinct()
-    e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
   }
 
   /** Two unrolled synchronous label-propagation rounds over the

@@ -28,23 +28,59 @@ object AssociationRules {
   /** Top-`k` item pairs by lift among pairs with support ≥ `minSupport`.
     * Output: (rk int, item_a, item_b long, c_ab long, confidence
     * double r6 = P(b|a), lift double r6), lift-desc, ties on (a, b).
+    *
+    * Null contract: a null basket key forms its own basket (groupBy
+    * keeps the null group); null items are ignored (collect_set drops
+    * nulls) and do not count toward `maxBasket`.
+    *
+    * @param hotGuard 100 TB §5 guard (round 21): the default shape
+    *   sizes each basket INSIDE the collect_set aggregation, so one
+    *   degenerate mega-basket buffers its whole distinct-item set in a
+    *   single aggregation row before the `maxBasket` filter can drop
+    *   it. With `hotGuard = true`, basket sizes come from a
+    *   bounded-memory distinct + count first and oversized baskets are
+    *   anti-joined away BEFORE any collect_set runs — identical
+    *   surviving baskets, identical counts (pinned by
+    *   BasketPairsSpec), two extra exchanges. Off by default: bounded
+    *   baskets (TPC-H: ≤ 7 items) don't need it and the default keeps
+    *   the round-20 2-exchange plan.
     */
   def topLift(df: DataFrame, basketCol: String, itemCol: String,
-      k: Int = 20, minSupport: Long = 3L, maxBasket: Int = 1000): DataFrame = {
+      k: Int = 20, minSupport: Long = 3L, maxBasket: Int = 1000,
+      hotGuard: Boolean = false): DataFrame = {
     // Round-20 shape (guide §2.4): ONE basket aggregation replaces the
     // old distinct + per-basket size aggregate + filter join + pair
     // SELF-JOIN — collect_set dedups (o, p) and sizes the basket in the
     // same exchange, the size cap becomes a row filter, and pairs
     // explode in-row from the sorted item array (d(d−1)/2 rows, pa < pb
     // by construction; same Σd² per-basket cost, two fewer exchanges
-    // and no join). The basket table is persisted because three
-    // consumers scan it (basket count, item supports, pair counts);
-    // counts are bit-identical to the old shape.
-    val baskets = ScanFanout.byKey(
-        df.select(col(basketCol).as("o"), col(itemCol).as("p")), col("o"))
-      .groupBy(col("o")).agg(sort_array(collect_set(col("p"))).as("_ps"))
-      .filter(size(col("_ps")) <= maxBasket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // and no join). The basket table is eagerly localCheckpoint-ed
+    // because three consumers scan it (basket count, item supports,
+    // pair counts); round 21 switched it from persist() — which leaked
+    // a CacheManager entry per call for library callers (round-20
+    // advisor) — to a checkpoint whose blocks the ContextCleaner
+    // reclaims; counts are bit-identical to the old shape.
+    val base = ScanFanout.byKey(
+      df.select(col(basketCol).as("o"), col(itemCol).as("p")), col("o"))
+    val kept =
+      if (!hotGuard)
+        base.groupBy(col("o")).agg(sort_array(collect_set(col("p"))).as("_ps"))
+          .filter(size(col("_ps")) <= maxBasket)
+      else {
+        // guard path: oversized basket IDS (few by definition — they are
+        // the degenerate tail) from a bounded count, broadcast anti-join
+        // before the set aggregation ever buffers them. count(p) skips
+        // null items — the same null contract as collect_set — and the
+        // distinct keeps an all-null basket's (o, null) row, so such a
+        // basket still lands in nBaskets with an empty item set, exactly
+        // as on the default path.
+        val op = base.distinct()
+        val over = op.groupBy(col("o")).agg(count(col("p")).as("_n"))
+          .filter(col("_n") > maxBasket).select(col("o"))
+        op.join(broadcast(over), Seq("o"), "left_anti")
+          .groupBy(col("o")).agg(sort_array(collect_set(col("p"))).as("_ps"))
+      }
+    val baskets = kept.localCheckpoint(true)
     val nBaskets = baskets.agg(count(lit(1)).as("n_baskets"))
     val ci = baskets.select(explode(col("_ps")).as("p"))
       .groupBy(col("p")).agg(count(lit(1)).as("c"))

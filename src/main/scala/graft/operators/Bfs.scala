@@ -53,16 +53,39 @@ object Bfs {
     var frontier = seeds.select(col(nodeCol).cast("long").as("node")).distinct()
       .withColumn("dist", lit(0))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Frontier-adaptive join strategy (guide §3.1, round 21): each hop's
+    // probe joins the (persisted, tiny-at-first) frontier against the
+    // full edge table on src — a frontier left unhinted shuffles the
+    // WHOLE edge list per hop (the cached edge frame is partitioned on
+    // its upstream dedup key, never on src). The frontier row count is
+    // known exactly (the per-hop count also materializes the persist the
+    // anti-join reuses), so hops whose frontier fits the session's
+    // broadcast threshold hint `broadcast` explicitly — the edge cache
+    // is then probed in place, zero exchanges. Size-checked per hop
+    // against spark.sql.autoBroadcastJoinThreshold (64 bytes/row upper
+    // bound: an 8-byte node + dist + row overhead), NOT unconditionally:
+    // a 100 TB graph's saturated frontier is billions of rows and must
+    // keep the shuffled path. The visited set (running union of
+    // frontiers) gets the same treatment on the anti-join's build side.
+    val bcThreshold = edges.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    def fits(rows: Long): Boolean = bcThreshold > 0 && rows * 64L < bcThreshold
+    var frontierRows = frontier.count()
+    var visitedRows = frontierRows
     val rounds = scala.collection.mutable.ArrayBuffer(frontier)
     var visited = frontier
     for (d <- 1 to maxHops) {
       // first visit = min dist: the anti-join keeps only unseen nodes,
       // so a node's dist is stamped at the earliest hop that reaches it
-      val next = frontier.join(e, frontier("node") === e("src"))
+      val fProbe = if (fits(frontierRows)) broadcast(frontier) else frontier
+      val vBuild0 = visited.select("node")
+      val vBuild = if (fits(visitedRows)) broadcast(vBuild0) else vBuild0
+      val next = fProbe.join(e, fProbe("node") === e("src"))
         .select(col("dst").as("node")).distinct()
-        .join(visited.select("node"), Seq("node"), "left_anti")
+        .join(vBuild, Seq("node"), "left_anti")
         .withColumn("dist", lit(d))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      frontierRows = next.count()
+      visitedRows += frontierRows
       rounds += next
       visited = visited.union(next)
       frontier = next

@@ -90,9 +90,18 @@ object Dedup {
     // fan the doc scan out before tokenizing: the regex split + shingle
     // explosion is the cache-fill job's whole cost and would otherwise
     // run fused onto a one-task scan (guide §2.5)
+    // n_sh (the doc's distinct-shingle count) rides ON the shingle rows
+    // (round 21): a window over the fan-out's own doc_id partitioning —
+    // no exchange, one sort inside the cache-fill job — so the pair
+    // aggregation below reads both set sizes from its own input rows.
+    // The round-20 shape joined a separate per-doc size aggregate onto
+    // the PAIR table twice; at scale those are two re-shuffles of the
+    // largest frame in the query (pair keys ≈ Σdf² ≫ docs) — guide §2.3
+    // "shuffle metadata with the rows, not payload re-joins".
     val sh = ScanFanout.byKey(docs, col(idCol))
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
       .select(col("doc_id"), explode(array_distinct(shinglesFromTokens(col("_toks"), n))).as("shingle"))
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Document-frequency cap WITHOUT a window: a window over
     // partitionBy(shingle) shuffles the whole exploded shingle set with no
@@ -103,18 +112,18 @@ object Dedup {
       .filter(col("_df") > maxShingleDf)
       .select(col("shingle"))
     val capped = sh.join(broadcast(overCap), Seq("shingle"), "left_anti")
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     // shuffle_hash: sort-merge would order-sort the exploded shingle
     // STRINGS on both sides; a hash join probes without sorting, and the
-    // df cap has already bounded per-key skew
-    val inter = capped.as("a").hint("shuffle_hash")
+    // df cap has already bounded per-key skew.
+    // max(n_sh) per pair side is exact: every row of a pair group
+    // carries that side's single UNCAPPED size (the window ran before
+    // the df cap dropped any row).
+    capped.as("a").hint("shuffle_hash")
       .join(capped.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_shingles", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_shingles", "n_b"), "id_b")
+      .agg(count(lit(1)).as("n_common"),
+        max(col("a.n_sh")).as("n_a"), max(col("b.n_sh")).as("n_b"))
   }
 
   /** MinHash + LSH near-duplicate candidate pairs.

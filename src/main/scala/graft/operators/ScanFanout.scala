@@ -39,13 +39,20 @@ object ScanFanout {
   /** `df` hash-repartitioned on `key` to the session's shuffle
     * parallelism, when (and only when) its planned parallelism is
     * materially below that; unchanged otherwise.
+    *
+    * CONTRACT: `df` must be a raw scan (or narrow projections/filters
+    * of one). The parallelism probe resolves `df.rdd`, which is
+    * planning-only for a scan — but under AQE it would EXECUTE any
+    * upstream shuffle stages of a derived frame (and the caller's real
+    * query would then run them again in its own QueryExecution): wrap
+    * the input before the first wide operation, never after.
     */
   def byKey(df: DataFrame, key: Column): DataFrame = {
     // streaming relations cannot be planned eagerly (`.rdd` throws) and
     // batch their own parallelism per micro-batch — pass them through
     if (df.isStreaming) return df
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    // planning-only (no job): partition count of the physical scan
+    // planning-only for a scan (no job) — see the contract above
     val current = df.rdd.getNumPartitions
     if (current * 2 <= target) df.repartition(target, key) else df
   }

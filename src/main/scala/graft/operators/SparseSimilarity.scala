@@ -42,39 +42,50 @@ object SparseSimilarity {
   def cosinePairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.3,
       maxTermDf: Int = 100, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val scale = 1L << 16
-    // no persist on tf: its shuffle output is shared across the df table
-    // and the weight projection by Spark's ReusedExchange — caching it
-    // measured strictly slower (blocks the codegen pipeline for no saved
-    // work); `w` below IS persisted because its three consumers sit on
-    // different shuffle keys
     // fan out before tokenize/shingle/explode (guide §2.5): the term
     // generation + tf partial aggregation otherwise run fused onto the
-    // one-task scan of a single-row-group parquet file
+    // one-task scan of a single-row-group parquet file.
+    // tf IS persisted (round 21): the fan-out exchange satisfies the
+    // (doc_id, term) aggregation without a shuffle, so the pre-round-20
+    // ReusedExchange sharing no longer exists and the round-20 plan
+    // recomputed the tokenize+shingle Generate subtree THREE times (the
+    // anti-join side, the df>cap broadcast side, the df-attach join
+    // side — all reading the parquet scan separately). One cache fill
+    // removes two full shingle passes (guide §2.4).
     val tf = ScanFanout.byKey(docs, col(idCol))
       .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("_toks"))
       .select(col("doc_id"), explode(TextFunctions.shinglesFromTokens(col("_toks"), n)).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val overCap = dfreq.filter(col("df") > maxTermDf).select(col("term"))
     val nDocs = docs.count().toDouble
-    // persist: weights feed the norm aggregation and BOTH pair-join sides
+    // persist: weights feed BOTH pair-join sides. The squared norm rides
+    // ON the weight rows (a window over the cache's own doc_id
+    // partitioning — no exchange, no join): the round-20 shape joined a
+    // separate norm aggregate back onto the PAIR table twice, i.e. two
+    // re-shuffles of the largest frame in the query at scale (the pair
+    // key space is Σdf² ≫ docs); carrying 8 bytes per weight row through
+    // the term shuffle instead is guide §2.3 "shuffle keys and metadata,
+    // not payload re-joins". max(nrm2) per pair side is exact: every row
+    // of a pair group carries that side's single norm value.
     val w = tf.join(broadcast(overCap), Seq("term"), "left_anti")
       .join(dfreq, Seq("term"))
       .select(col("doc_id"), col("term"),
         floor(col("tf") * log(lit(nDocs) / col("df")) * scale).as("wq"))
+      .withColumn("nrm2", sum(col("wq") * col("wq"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // exact long sums — plain aggregates, partial-aggregated map-side
-    val nrm = w.groupBy(col("doc_id"))
-      .agg(sum(col("wq") * col("wq")).as("nrm2"))
     val dots = w.as("a").hint("shuffle_hash")
       .join(w.as("b"), col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        (col("a.wq") * col("b.wq")).as("part"))
+        (col("a.wq") * col("b.wq")).as("part"),
+        col("a.nrm2").as("nrm2_a"), col("b.nrm2").as("nrm2_b"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).cast("int").as("n_common"), sum(col("part")).as("dot"))
+      .agg(count(lit(1)).cast("int").as("n_common"), sum(col("part")).as("dot"),
+        max(col("nrm2_a")).as("nrm2_a"), max(col("nrm2_b")).as("nrm2_b"))
     dots
-      .join(nrm.withColumnRenamed("doc_id", "id_a").withColumnRenamed("nrm2", "nrm2_a"), Seq("id_a"))
-      .join(nrm.withColumnRenamed("doc_id", "id_b").withColumnRenamed("nrm2", "nrm2_b"), Seq("id_b"))
       .withColumn("cos", col("dot").cast("double")
         / (sqrt(col("nrm2_a").cast("double")) * sqrt(col("nrm2_b").cast("double"))))
       .filter(col("cos") >= threshold)

@@ -104,6 +104,31 @@ object AccidentPipeline {
       withCount.filter(col("date") >= splitDate))
   }
 
+  /** [[dataset]] as ONE split-tagged frame (`split` = 'train'|'test')
+    * instead of a (train, test) pair. Same rows: every sample falls on
+    * exactly one side of the temporal split, so this equals
+    * `train ∪ test` with the tag — but as a single-pass plan. Callers
+    * that consume BOTH splits together (the replayed pipeline rollup)
+    * must use this: `dataset`'s pair re-filtered and unioned duplicates
+    * the entire upstream subtree (kNN match, anti-join dedup, feature
+    * stack) in the physical plan — Spark has no common-subplan
+    * elimination across a union's branches, so the round-20 plan paid
+    * every exchange twice (guide §2.4; 70 → ~half the Exchanges).
+    */
+  def datasetTagged(positives: DataFrame, negatives: DataFrame,
+      splitDate: String): DataFrame = {
+    val keys = Seq("street_id", "date", "hour")
+    val negDeduped = negatives.join(
+      positives.select(keys.map(col): _*), keys, "left_anti")
+    val all = positives.unionByName(negDeduped)
+    val trainCounts = positives.filter(col("date") < splitDate)
+      .groupBy(col("street_id")).agg(count(lit(1)).as("accident_count"))
+    all.join(broadcast(trainCounts), Seq("street_id"), "left_outer")
+      .na.fill(0L, Seq("accident_count"))
+      .withColumn("split",
+        when(col("date") < splitDate, lit("train")).otherwise(lit("test")))
+  }
+
   case class TrainResult(results: DataFrame, curve: DataFrame, params: DataFrame)
 
   /** Train the balanced forest and produce the reference's three export

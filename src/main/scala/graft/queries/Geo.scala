@@ -497,7 +497,10 @@ object Geo {
       // fraction 1.0: the hash-sampled path is murmur3 (q_sample_negatives
       // covers it rows-exactly); the replayed pipeline keeps every slot
       val neg = AccidentPipeline.negativeSamples(s, roadFeats, Seq(2017), sampleFraction = 1.0)
-      val (train, test) = AccidentPipeline.dataset(pos, neg, splitDate = "2017-07-01")
+      // single split-tagged pass (round 21): the old (train, test) pair
+      // re-filtered + unioned below duplicated the WHOLE upstream plan
+      // (kNN match, anti-join, feature stack) — see datasetTagged
+      val tagged = AccidentPipeline.datasetTagged(pos, neg, splitDate = "2017-07-01")
       // IDW "weather" (reference src/preprocess.py:360-398): supplier
       // acctbal interpolated onto street locations within 30 km,
       // broadcast back per street (20 rows)
@@ -510,8 +513,6 @@ object Geo {
         .filter(col("d") < 30000)
       val idw = IdwInterpolation.interpolate(cand, "street_id", "d", Seq("val"))
         .select(col("street_id"), round(col("val"), 3).as("idw_acctbal"))
-      val tagged = train.withColumn("split", lit("train"))
-        .unionByName(test.withColumn("split", lit("test")))
       tagged.join(broadcast(idw), Seq("street_id"), "left_outer")
         .withColumn("idw_acctbal", coalesce(col("idw_acctbal"), lit(0.0)))
         .groupBy(col("split"), col("label").cast("int").as("label"),

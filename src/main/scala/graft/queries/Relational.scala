@@ -53,18 +53,18 @@ object Relational {
     * on degenerate baskets (when needed) is the caller's filter, as
     * before.
     */
-  private def partCoPairs(s: SparkSession, dir: String): DataFrame = {
-    val baskets = ScanFanout.byKey(
-        t(s, dir, "lineitem").select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
-        col("o"))
-      .groupBy(col("o")).agg(sort_array(collect_set(col("p"))).as("_ps"))
-    baskets
-      .select(explode(flatten(transform(col("_ps"), (x, i) =>
-        transform(slice(col("_ps"), i + 2, size(col("_ps"))),
-          y => struct(x.as("u"), y.as("v")))))).as("_pr"))
-      .select(col("_pr.u").as("u"), col("_pr.v").as("v"))
+  private def partCoPairs(s: SparkSession, dir: String): DataFrame =
+    // BasketPairs carries the in-row pair explosion (round 20's shape,
+    // unchanged here: hotThreshold defaults to None because TPC-H
+    // baskets are ≤ 7 items) plus the round-21 salted hot-basket guard
+    // a 100 TB caller enables — see BasketPairs' scaladoc and
+    // BasketPairsSpec.
+    graft.operators.BasketPairs.pairsPerBasket(
+        ScanFanout.byKey(
+          t(s, dir, "lineitem").select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+          col("o")),
+        "o", "p")
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cnt"))
-  }
 
   val queries: Seq[Q] = Seq(
 

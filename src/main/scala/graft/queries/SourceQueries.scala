@@ -714,11 +714,10 @@ object SourceQueries {
       val path = tmp(dir, "mcompact")
       deleteRec(path)
       val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
-      // stream-shaped staging: many small uncorrelated files
-      (0 until 8).foreach { i =>
-        docs.filter(pmod(col("doc_id"), lit(8)) === i)
-          .coalesce(1).write.mode("append").parquet(path)
-      }
+      // stream-shaped staging: many small uncorrelated files (written
+      // concurrently — guide §2.6; see stageAppendsConcurrently)
+      stageAppendsConcurrently(
+        (0 until 8).map(i => docs.filter(pmod(col("doc_id"), lit(8)) === i)), path)
       ManifestScan.buildManifest(s, path, Seq("n_chars"))
       ManifestScan.compact(s, path, Seq("n_chars"),
         numFiles = 2, orderBy = Some("n_chars"))
@@ -746,10 +745,8 @@ object SourceQueries {
       val path = tmp(dir, "mversion")
       deleteRec(path)
       val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
-      (0 until 6).foreach { i =>
-        docs.filter(col("doc_id") % 2 === 0 && pmod(col("doc_id"), lit(12)) === i * 2)
-          .coalesce(1).write.mode("append").parquet(path)
-      }
+      stageAppendsConcurrently((0 until 6).map(i =>
+        docs.filter(col("doc_id") % 2 === 0 && pmod(col("doc_id"), lit(12)) === i * 2)), path)
       VersionedTable.init(s, path, Seq("n_chars"))
       VersionedTable.append(docs.filter(col("doc_id") % 2 === 1), path,
         layout = _.repartitionByRange(2, col("n_chars")))
@@ -776,10 +773,8 @@ object SourceQueries {
       val path = tmp(dir, "mtimetravel")
       deleteRec(path)
       val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
-      (0 until 4).foreach { i =>
-        docs.filter(col("doc_id") % 2 === 0 && pmod(col("doc_id"), lit(8)) === i * 2)
-          .coalesce(1).write.mode("append").parquet(path)
-      }
+      stageAppendsConcurrently((0 until 4).map(i =>
+        docs.filter(col("doc_id") % 2 === 0 && pmod(col("doc_id"), lit(8)) === i * 2)), path)
       VersionedTable.init(s, path, Seq("n_chars"))
       VersionedTable.append(docs.filter(col("doc_id") % 2 === 1), path)
       VersionedTable.compact(s, path, numFiles = 2, orderBy = Some("n_chars"))
@@ -859,4 +854,45 @@ object SourceQueries {
     })
 
   private def deleteRec(p: String): Unit = graft.LocalFs.deleteRec(p)
+
+  /** Stage N small "stream-shaped" append files CONCURRENTLY (guide
+    * §2.6 "overlap independent jobs"; round 21, VERDICT r20 #8): the
+    * manifest queries' fixture staging wrote one coalesce(1) file per
+    * serial job — N single-task jobs back to back on an idle session.
+    * Concurrent `mode("append")` jobs into ONE directory are unsafe
+    * (they share the FileOutputCommitter's `_temporary/0`; one job's
+    * commit clobbers the other's staging — the round-20 blocker), so
+    * each slice writes into its own `_stage_<i>` subdirectory (the `_`
+    * prefix keeps readers from listing it) and the part files are then
+    * MOVED into `path`: same final layout — N small parquet files,
+    * identical rows, unique part-file names (each carries its job
+    * UUID) — with the serial job chain collapsed to one wave.
+    */
+  private def stageAppendsConcurrently(slices: Seq[DataFrame], path: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    Files.createDirectories(Paths.get(path))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(slices.size, 8))
+    try {
+      val futs = slices.zipWithIndex.map { case (df, i) =>
+        pool.submit(new java.util.concurrent.Callable[String] {
+          override def call(): String = {
+            val stage = s"$path/_stage_$i"
+            df.coalesce(1).write.mode("overwrite").parquet(stage)
+            stage
+          }
+        })
+      }
+      futs.foreach { f =>
+        val stage = f.get()
+        val dir = Paths.get(stage)
+        val files = Files.list(dir)
+        try files.forEach { p =>
+          val name = p.getFileName.toString
+          if (name.endsWith(".parquet"))
+            Files.move(p, Paths.get(path, name), StandardCopyOption.ATOMIC_MOVE)
+        } finally files.close()
+        graft.LocalFs.deleteRec(stage)
+      }
+    } finally pool.shutdown()
+  }
 }

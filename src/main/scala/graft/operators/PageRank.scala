@@ -44,6 +44,13 @@ object PageRank {
     require(iterations >= 1 && scale > 0 && dNum > 0 && dDen >= dNum)
     val e = edges.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // deg is persisted (round 21): the node frame is DERIVED from it —
+    // deg's group keys ARE the distinct src set, so plain mode's
+    // edge-wide `select(src).distinct()` exchange+aggregation
+    // disappears outright and dangling mode's union only pays the dst
+    // half (guide §2.4 "a distinct on data that is already unique").
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // persist the node frame too (round 20): unpersisted, the distinct
     // over the edge list re-aggregated inside EVERY iteration's
     // rank-update left join — one exchange + aggregation per round that
@@ -51,11 +58,10 @@ object PageRank {
     // enough: the first iteration's materializing job fills it.
     val nodes =
       (if (redistributeDangling)
-        e.select(col("src").as("node"))
+        deg.select(col("src").as("node"))
           .unionAll(e.select(col("dst").as("node"))).distinct()
-      else e.select(col("src").as("node")).distinct())
+      else deg.select(col("src").as("node")))
         .persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // pre-join each edge with its source's out-degree ONCE: the loop
     // would otherwise recompute the degree aggregation and pay a second
     // edge-side join every iteration
@@ -119,7 +125,7 @@ object PageRank {
     // silently recompute all iterations on the caller's first action
     val out = rank.localCheckpoint(true)
     persisted.foreach(_.unpersist())
-    sinks.unpersist(); ed.unpersist(); nodes.unpersist(); e.unpersist()
+    sinks.unpersist(); ed.unpersist(); nodes.unpersist(); deg.unpersist(); e.unpersist()
     out
   }
 
@@ -140,12 +146,14 @@ object PageRank {
     require(iterations >= 1 && scale > 0 && dNum > 0 && dDen >= dNum)
     val e = edges.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node")).distinct()
+    // node frame derived from deg's group keys — see ranks()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = deg.select(col("src").as("node"))
       .join(broadcast(seeds.select(col("node")).distinct()
         .withColumn("_s", lit(true))), Seq("node"), "left")
       .select(col("node"), coalesce(col("_s"), lit(false)).as("seed"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // pre-join out-degrees once and materialize per iteration so AQE
     // sizes the rank side at runtime (see ranks())
     val ed = e.join(deg, Seq("src"))
@@ -173,7 +181,7 @@ object PageRank {
     }
     val out = rank.localCheckpoint(true) // see ranks(): checkpoint before release
     persisted.foreach(_.unpersist())
-    ed.unpersist(); nodes.unpersist(); e.unpersist()
+    ed.unpersist(); nodes.unpersist(); deg.unpersist(); e.unpersist()
     out
   }
 }

@@ -144,10 +144,14 @@ object Trainers {
       .setTrainRatio(trainRatio)
       .setSeed(seed)
       // guide §2.6 (overlap independent jobs): grid fits are
-      // independent, seeded, and tiny — 8 in flight back-fills the
-      // stage tails the sequential waves left idle. Execution-only
-      // knob: per-fit results are unchanged.
-      .setParallelism(8)
+      // independent, seeded, and tiny. Round-21 same-box A/B
+      // (min-of-3 TimeQ, sf0.1/32cpu): parallelism 4 beats 8 —
+      // q_ml_tvs_best 2.08 vs 2.26 s, q_ml_cv_best 4.98 vs 5.27 s
+      // (medians 5.03 vs 6.3): 8 concurrent fits contend with each
+      // fit's own 32-way stages, exactly the guide's "2-3 jobs in
+      // flight is plenty" warning. Execution-only knob: per-fit
+      // results are unchanged.
+      .setParallelism(4)
   }
 
   /** M7 (the reference's BRF half): CrossValidator over the same pipeline
@@ -183,9 +187,11 @@ object Trainers {
       .setNumFolds(numFolds)
       .setCollectSubModels(collectSubModels)
       .setSeed(seed)
-      // guide §2.6: 16 independent (fold × grid) fits ran in 4 waves at
-      // parallelism 4; 8 halves the waves. Execution-only knob.
-      .setParallelism(8)
+      // guide §2.6: 16 independent (fold × grid) fits. Round-21 A/B
+      // reverted the round-20 bump to 8 — see tvs() above for the
+      // numbers; halving the waves lost to the added stage contention.
+      // Execution-only knob.
+      .setParallelism(4)
   }
 
   /** M11: labeled, sorted feature importances of a forest

@@ -32,7 +32,7 @@ object AccidentPipeline {
     * `match_accidents_with_roads`, exact.
     */
   def matchAccidentsToRoads(accidents: DataFrame, roadPoints: DataFrame,
-      cellDeg: Double = 0.005): DataFrame =
+      cellDeg: Double = 0.005, widenRounds: Int = 3): DataFrame =
     NearestMatch.kNearest(
         accidents.select(col("accident_id"), col("loc_lat"), col("loc_long"),
           col("date"), col("hour")),
@@ -40,7 +40,7 @@ object AccidentPipeline {
           .dropDuplicates(),
         k = 1, leftId = "accident_id", rightId = "street_id",
         latL = "loc_lat", lonL = "loc_long", latR = "coord_lat", lonR = "coord_long",
-        cellDeg = cellDeg)
+        cellDeg = cellDeg, widenRounds = widenRounds)
       .select(col("accident_id"), col("street_id"), col("distance_m"),
         col("date"), col("hour"))
 

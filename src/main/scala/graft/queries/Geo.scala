@@ -136,10 +136,16 @@ object Geo {
       // fallback for rows whose k-th neighbour exceeds coverage (0.05°
       // was selective but sent ~25% of rows to the fallback cross join;
       // 0.08° halves the query). Exact either way.
+      // widenRounds = 2 (round 21 A/B, min-of-3 TimeQ): at this density
+      // round 3 proves almost nothing the exhaustive residue can't
+      // handle — 2.07 → 1.58 s. Execution-only (both phases are exact);
+      // DensifyMatch callers keep the default 3 (the same A/B REGRESSED
+      // q_geo_densify_rematch 2.07 → 2.34 s: its straggler set is
+      // bigger, so the third grid round still pays for itself).
       NearestMatch.kNearest(left, right, k = 2,
           leftId = "c_custkey", rightId = "s_suppkey",
           latL = "c_lat", lonL = "c_lon", latR = "s_lat", lonR = "s_lon",
-          cellDeg = 0.08)
+          cellDeg = 0.08, widenRounds = 2)
         .select(col("c_custkey"), col("s_suppkey"),
           round(col("distance_m"), 1).as("dist_m"), col("rk"))
         .orderBy(col("c_custkey"), col("rk"))
@@ -482,7 +488,7 @@ object Geo {
       val roadPoints = t(s, dir, "supplier").select(
         pmod(col("s_suppkey"), lit(20)).cast("int").as("street_id"),
         suppLat.as("coord_lat"), suppLon.as("coord_long"))
-      val matched = AccidentPipeline.matchAccidentsToRoads(accidents, roadPoints, cellDeg = 0.08)
+      val matched = AccidentPipeline.matchAccidentsToRoads(accidents, roadPoints, cellDeg = 0.08, widenRounds = 2)
       // per-street features: length = span between the extreme points
       // (min/max of doubles are order-free exact, so the oracle replays
       // them bit-for-bit), representative location = the min point

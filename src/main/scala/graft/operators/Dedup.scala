@@ -102,6 +102,12 @@ object Dedup {
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
       .select(col("doc_id"), explode(array_distinct(shinglesFromTokens(col("_toks"), n))).as("shingle"))
       .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      // persist PARTITIONED BY THE JOIN KEY (round 21, guide §2.4): the
+      // size window rides the fan-out's doc_id clustering, then one
+      // shingle exchange at fill time replaces the two the pair
+      // self-join paid per scan — and the df-cap aggregation below now
+      // reads its groupBy key pre-clustered (no exchange at all)
+      .repartition(col("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Document-frequency cap WITHOUT a window: a window over
     // partitionBy(shingle) shuffles the whole exploded shingle set with no

@@ -75,6 +75,12 @@ object SparseSimilarity {
         floor(col("tf") * log(lit(nDocs) / col("df")) * scale).as("wq"))
       .withColumn("nrm2", sum(col("wq") * col("wq"))
         .over(org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      // persist PARTITIONED BY THE PAIR-JOIN KEY (round 21, guide §2.4
+      // "two operations keyed the same way share one exchange"): the
+      // norm window above rides the upstream doc_id clustering, then
+      // one exchange at fill time replaces the TWO term exchanges the
+      // self-join otherwise pays on every scan of the cache
+      .repartition(col("term"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // exact long sums — plain aggregates, partial-aggregated map-side
     val dots = w.as("a").hint("shuffle_hash")

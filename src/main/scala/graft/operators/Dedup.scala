@@ -147,7 +147,11 @@ object Dedup {
     val k = bands * rowsPerBand
     val banded = minHashBanded(docs, n, bands, rowsPerBand, idCol, textCol, seed, oracleHashes)
       // persist: consumed by the bucket-size cap and both join sides —
-      // the k-way minhash aggregation upstream is the expensive part
+      // the k-way minhash aggregation upstream is the expensive part.
+      // Partitioned by the bucket key (round 21, guide §2.4): the cap
+      // aggregation and both pair-join scans then reuse the cache's own
+      // clustering instead of three (band, bhash) exchanges
+      .repartition(col("band"), col("bhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // cap pathological buckets (all-identical boilerplate) to bound skew —
@@ -359,7 +363,10 @@ object Dedup {
       .select(col("doc_id"), col("fp"), col("b.blk").as("blk"), col("b.bkey").as("bkey"))
       // persist: both self-join sides — the upstream fingerprint
       // computation (64 conditional sums / a media decode pass) is the
-      // expensive part
+      // expensive part. NOT repartitioned by the block key: the round-21
+      // A/B regressed it (simhash 0.93 → 1.36 s) — the block frame is
+      // small enough that AQE broadcast-joins the pair join, so a forced
+      // exchange buys clustering nothing uses
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     blocked.as("a")
       .join(blocked.as("b"),
@@ -634,6 +641,10 @@ object Dedup {
     // self-join and pair dedup shuffle 16-byte rows, never the vectors
     // (carrying the embeddings through dropDuplicates shuffled ~1 KB/row
     // and dominated the whole query)
+    // (round-21 A/B: persisting these bucket rows keyed by (tbl, bucket)
+    // regressed q_embed_neardup 0.99 → 1.46 s — the rows are 16 bytes,
+    // recomputing them from the vector cache is cheaper than the forced
+    // exchange, and AQE broadcast-joins the pair join anyway)
     val hashed = vecs.select(col("vec_id"),
       explode(array((0 until nTables).map { t =>
         struct(lit(t).as("tbl"),

@@ -84,8 +84,10 @@ object Bfs {
         .join(vBuild, Seq("node"), "left_anti")
         .withColumn("dist", lit(d))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      frontierRows = next.count()
-      visitedRows += frontierRows
+      if (d < maxHops) { // the last hop's size feeds no further decision
+        frontierRows = next.count()
+        visitedRows += frontierRows
+      }
       rounds += next
       visited = visited.union(next)
       frontier = next

@@ -43,6 +43,10 @@ object PageRank {
       redistributeDangling: Boolean = false): DataFrame = {
     require(iterations >= 1 && scale > 0 && dNum > 0 && dDen >= dNum)
     val e = edges.select(col("src"), col("dst"))
+      // partitioned by src (round 21, guide §2.4): both consumers — the
+      // degree aggregation and the out-degree pre-join — key on src, so
+      // one exchange at fill time replaces two edge-wide exchanges
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // deg is persisted (round 21): the node frame is DERIVED from it —
     // deg's group keys ARE the distinct src set, so plain mode's
@@ -145,6 +149,7 @@ object PageRank {
       scale: Long = 1000000L, dNum: Long = 85L, dDen: Long = 100L): DataFrame = {
     require(iterations >= 1 && scale > 0 && dNum > 0 && dDen >= dNum)
     val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")) // see ranks(): both consumers key on src
       .persist(StorageLevel.MEMORY_AND_DISK)
     // node frame derived from deg's group keys — see ranks()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
